@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash groupBy), n-gram Jaccard (exact
+  * similarity join), MinHash+LSH (the 100 TB near-dup path), SimHash.
+  *
+  * Scale design: exact dedup is one shuffle on a 16-byte digest (never
+  * on the document text). The LSH path shuffles only (doc_id, band,
+  * bucket) tuples — signature size × docs, independent of document
+  * length — and candidate verification touches only bucket-colliding
+  * pairs, so cost tracks the number of true near-dups rather than n².
+  * The exact Jaccard join is the small-scale oracle used to validate LSH
+  * recall (SURVEY.md §7.4.5).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical digest → keep the lowest-id doc per digest.
+    * Digest, not raw text, is the shuffle key (100 TB: 16 bytes/row). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping one row per distinct text (first by id). */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Distinct word n-gram shingles per document: (id, shingle) rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    // Documents shorter than n tokens contribute their whole text as the
+    // single shingle, so they can still match exact copies of themselves.
+    val safeGrams = when(size(toks) >= n, grams).otherwise(array(col(textCol)))
+    df.select(col(idCol).as("id"), explode(array_distinct(safeGrams)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard similarity join: all pairs sharing ≥1 shingle,
+    * scored |A∩B| / |A∪B|. This is the brute-force oracle; its shuffle
+    * is bounded by shingle-frequency (skewy common shingles should be
+    * frequency-capped at true scale — see `maxShingleFreq`).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // Frequency cap: a shingle occurring in k docs contributes k² join
+    // rows; capping drops only stop-shingles that carry no dedup signal.
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= maxShingleFreq)
+    val shCapped = sh.join(rare.select("shingle"), Seq("shingle"))
+    val inter = shCapped.as("a").join(shCapped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** Deterministic MinHash parameters (large prime; a/b from a fixed
+    * linear congruence so results are reproducible across runs/clusters). */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private def hashCoefs(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Seq.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Seq.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** MinHash signatures: for each doc, sig[i] = min over shingles of
+    * (a_i·h(shingle)+b_i mod p). One narrow aggregation per doc; the
+    * signature is a fixed-width array independent of doc length.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, n: Int = 3): DataFrame = {
+    val (a, b) = hashCoefs(numHashes)
+    val aLit = array(a.map(lit): _*)
+    val bLit = array(b.map(lit): _*)
+    val sh = shingles(df, idCol, textCol, n)
+    // xxhash64 → non-negative base hash; then numHashes affine variants.
+    val baseH = pmod(xxhash64(col("shingle")), lit(MinhashPrime))
+    val hs = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => pmod(element_at(aLit, i + 1) * baseH + element_at(bLit, i + 1), lit(MinhashPrime)))
+    sh.select(col("id"), hs.as("hs"))
+      .groupBy("id")
+      .agg(aggregate(collect_list(col("hs")),
+        array_repeat(lit(MinhashPrime), numHashes),
+        (acc, x) => zip_with(acc, x, (p, q) => least(p, q))).as("sig"))
+  }
+
+  /** MinHash + LSH banding: signatures are cut into `bands` bands of
+    * rows; docs colliding in any band become candidate pairs; candidates
+    * are verified with exact Jaccard of their shingle sets ≥ `threshold`.
+    * Only bucket-colliding ids are ever joined — this is the 100 TB
+    * near-dup path.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, n: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, n)
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", b, array_join(slice(col("sig"), b * rows + 1, lit(rows)), ","))))))
+      .toDF("id", "band", "bucket")
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    // Verify candidates with exact Jaccard (join back against shingles).
+    val verified = jaccardForPairs(df, idCol, textCol, cands, n)
+    verified.filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard restricted to a given candidate-pair set. */
+  def jaccardForPairs(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.toDF("id1", "s1"), Seq("id1"))
+      .join(sh.toDF("id2", "s2"), Seq("id2"))
+      .filter(col("s1") === col("s2")) // folded into the join condition by Catalyst
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0L))).cast("double")).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens: bit j of the signature is the sign
+    * of Σ_tokens (±1 depending on bit j of xxhash64(token)). Near-dups
+    * have small Hamming distance. Pure expressions, fully codegen'd.
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(text, "\\s+"))
+    val hashes = transform(toks, t => xxhash64(t))
+    // One pass over the tokens accumulating all 64 per-bit ±1 counters
+    // (bit positions are static Scala ints, so shifts stay codegen'd).
+    val counters = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(j =>
+          when(shiftright(h, j).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))): _*),
+        (a, b) => a + b))
+    (0 until 64).foldLeft(lit(0L)) { (sig, j) =>
+      sig.bitwiseOR(shiftleft(
+        when(element_at(counters, j + 1) > 0, lit(1L)).otherwise(lit(0L)), j))
+    }
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block by 16-bit sub-bands (a dup within
+    * Hamming distance 3 of a 64-bit signature must agree exactly on at
+    * least one of 4 bands — pigeonhole), then verify Hamming ≤ maxDist.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .toDF("id", "sig", "band", "bucket")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        hamming(col("x.sig"), col("y.sig")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, same API:
+  *   - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *     query set against the corpus, one scan, no corpus shuffle. The
+  *     correctness baseline.
+  *   - [[lshTopK]] — random-hyperplane LSH: corpus is bucketed by
+  *     signature prefix once (write-time at scale), probes touch only
+  *     colliding buckets, exact re-rank inside. The 100 TB path: cost
+  *     per query tracks bucket size, not corpus size.
+  *
+  * All math is codegen'd higher-order functions (`zip_with`/`aggregate`)
+  * over the array column — no UDF, no per-row JVM boxing beyond the
+  * array itself.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision (sequential fold, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param queries (qid, qvec) — small; broadcast.
+    * @param corpus  (id, vec) — arbitrarily large; scanned once.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `numBits` unit-free normal vectors
+    * of dimension `dim`, seeded — identical across executors/runs. */
+  private def hyperplanes(dim: Int, numBits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection signature: bit i = [v · rᵢ > 0]. Returned as
+    * an array of `tables` bucket keys (signature split into `tables`
+    * prefixes so a neighbor only needs to collide in one). */
+  def lshBuckets(vec: Column, dim: Int, bitsPerTable: Int, tables: Int,
+      seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, bitsPerTable * tables, seed)
+    val bits: IndexedSeq[Column] = planes.toIndexedSeq.map { p =>
+      val pl = array(p.map(lit).toIndexedSeq: _*)
+      when(aggregate(zip_with(vec, pl, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1)).otherwise(lit(0))
+    }
+    array((0 until tables).map { t =>
+      val slice = bits.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
+      concat_ws("", (lit(t.toString) +: lit("_") +: slice): _*)
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k with exact re-rank.
+    *
+    * At scale, `corpus` bucketing is computed once at ingest and stored
+    * partitioned by bucket (partition pruning makes each probe touch
+    * only its buckets); here it is computed inline.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      bitsPerTable: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val cb = corpus.withColumn("bucket",
+      explode(lshBuckets(col("vec"), dim, bitsPerTable, tables, seed)))
+    val qb = queries.withColumn("bucket",
+      explode(lshBuckets(col("qvec"), dim, bitsPerTable, tables, seed)))
+    val cands = cb.join(broadcast(qb), Seq("bucket"))
+      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    cands.withColumn("score", cosine(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked to keep
+    * the pair space bounded (same `blockCol` ⇒ candidate). At 100 TB the
+    * block key is an LSH bucket; with labeled corpora it can be any
+    * cheap partitioner. */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+}

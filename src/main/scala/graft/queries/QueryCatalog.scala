@@ -1,0 +1,644 @@
+package graft.queries
+
+import graft.Tables
+import graft.model.{ResourceRule, SyncerConfig}
+import graft.operators.{ExportOps, SyncOps}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared query surface (SURVEY.md §2 inventory + §7.2.8
+  * extensions): every entry pairs a Spark implementation with (when
+  * SQL-expressible) a DuckDB oracle over the same parquet tables.
+  *
+  * Conventions for oracle hash-parity:
+  *   - every computed column aliased identically on both sides;
+  *   - deterministic total ORDER BY on both sides;
+  *   - double aggregates rounded (floating-point sum order differs
+  *     between engines; rounding collapses ULP noise);
+  *   - timestamps surfaced as epoch seconds or dates, not raw
+  *     timestamps.
+  */
+object QueryCatalog {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- //
+  // Relational core: scans, filters, aggregations, joins, windows     //
+  // ---------------------------------------------------------------- //
+
+  /** TPC-H Q1-style pricing summary — the headline aggregation. */
+  val q1Agg: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: broadcast dimension filter + join + top-k. */
+  val q3TopOrders: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+  val q3TopOrdersSql: String =
+    """SELECT l_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+      |  o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style multi-join star aggregation (region→nation→customer
+    * →orders→lineitem→supplier), broadcast on all dims. */
+  val q5RegionRevenue: Q = (s, dir) => {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+  val q5RegionRevenueSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Window function: top-3 orders per customer by total price. */
+  val qWindowTopOrders: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+  val qWindowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Event-time tumbling-window aggregation (streaming-shaped, batch
+    * executed; the Structured Streaming twin lives in graft.streaming). */
+  val qEventsHourly: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(Tables.tsHourEpoch(col("ts")).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+  val qEventsHourlySql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // KRM operator analogs (SURVEY §2.1 / §2.3) over the harness tables //
+  // ---------------------------------------------------------------- //
+
+  /** B3 — capability predicate (verbs array membership). Verbs are
+    * synthesized deterministically so both engines see the same data. */
+  val b3VerbFilter: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("verbs",
+        when(col("doc_id") % 3 === 0, "get,list,watch").otherwise("get,watch"))
+    ExportOps.verbFilter(d, col("verbs"), "list")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  val b3VerbFilterSql: String =
+    """SELECT doc_id, source
+      |FROM (SELECT doc_id, source,
+      |        CASE WHEN doc_id % 3 = 0 THEN 'get,list,watch' ELSE 'get,watch' END AS verbs
+      |      FROM documents) t
+      |WHERE list_contains(string_split(verbs, ','), 'list')
+      |ORDER BY doc_id""".stripMargin
+
+  /** B4 — subresource filter (drop names containing '/'). */
+  val b4SubresourceFilter: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("res_name",
+        when(col("doc_id") % 5 === 0, concat(col("source"), lit("/status")))
+          .otherwise(col("source")))
+    ExportOps.subresourceFilter(d, col("res_name"))
+      .select(col("doc_id"), col("res_name"))
+      .orderBy(col("doc_id"))
+  }
+  val b4SubresourceFilterSql: String =
+    """SELECT doc_id, res_name
+      |FROM (SELECT doc_id,
+      |        CASE WHEN doc_id % 5 = 0 THEN source || '/status' ELSE source END AS res_name
+      |      FROM documents) t
+      |WHERE NOT contains(res_name, '/')
+      |ORDER BY doc_id""".stripMargin
+
+  /** B6+B7 — defaulting projection and path derivation. */
+  val b7PathDerivation: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("ns", when(col("event_id") % 4 === 0, lit("")).otherwise(col("event_type")))
+      .withColumn("grp", when(col("event_id") % 7 === 0, lit("")).otherwise(lit("apps")))
+    e.select(col("event_id"),
+        ExportOps.krmPath(col("ns"), col("grp"), lit("Event"),
+          concat(lit("ev-"), col("event_id"))).as("path"))
+      .orderBy(col("event_id"))
+  }
+  val b7PathDerivationSql: String =
+    """SELECT event_id,
+      |  concat_ws('/',
+      |    CASE WHEN event_id % 4 = 0 THEN '_cluster' ELSE event_type END,
+      |    CASE WHEN event_id % 7 = 0 THEN 'core' ELSE 'apps' END,
+      |    'Event', 'ev-' || event_id || '.yaml') AS path
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** B8 — canonical JSON serialization of a projected document. */
+  val b8Serialize: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        to_json(struct(col("event_id").as("id"), col("event_type").as("type"))).as("doc"))
+      .orderBy(col("event_id"))
+  }
+  val b8SerializeSql: String =
+    """SELECT event_id,
+      |  to_json(struct_pack(id := event_id, type := event_type)) AS doc
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** D2+D3+D7 — broadcast rules join with suspend + membership filters.
+    * Rules are a tiny inline relation on both sides. */
+  val d2RulesJoin: Q = (s, dir) => {
+    import s.implicits._
+    val rules = Seq(
+      (1, "purchase", false, "billing"),
+      (2, "signup", false, "onboarding"),
+      (3, "error", true, "alerting"),   // suspended — must not match
+      (4, "purchase", false, "audit"))  // second match for purchases
+      .toDF("rule_id", "match_type", "suspend", "dest")
+    Tables.events(s, dir).join(broadcast(rules),
+        col("event_type") === col("match_type") && !col("suspend"))
+      .groupBy(col("rule_id"), col("dest"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("rule_id"))
+  }
+  val d2RulesJoinSql: String =
+    """WITH rules(rule_id, match_type, suspend, dest) AS (VALUES
+      |  (1, 'purchase', false, 'billing'),
+      |  (2, 'signup', false, 'onboarding'),
+      |  (3, 'error', true, 'alerting'),
+      |  (4, 'purchase', false, 'audit'))
+      |SELECT rule_id, dest, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events JOIN rules ON event_type = match_type AND NOT suspend
+      |GROUP BY rule_id, dest
+      |ORDER BY rule_id""".stripMargin
+
+  /** D6 — GVK match incl. glob suffix-match (source column as "group"). */
+  val d6GlobMatch: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    d.filter(SyncOps.gvkMatch(
+        evGroup = concat(col("source"), lit(".cnrm.cloud.google.com")),
+        evVersion = lit("v1"), evKind = lit("Doc"),
+        rGroup = lit("*.cnrm.cloud.google.com"), rVersion = lit("*"), rKind = lit("*")) ||
+        SyncOps.gvkMatch(
+          evGroup = col("source"), evVersion = lit("v1"), evKind = lit("Doc"),
+          rGroup = lit("src1"), rVersion = lit("v1"), rKind = lit("Doc")))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  // Every row's synthesized group ends with the KCC suffix, so the glob
+  // matches all rows; the exact-match arm is the semantics witness.
+  val d6GlobMatchSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE ends_with(source || '.cnrm.cloud.google.com', 'cnrm.cloud.google.com')
+      |   OR source = 'src1'
+      |ORDER BY doc_id""".stripMargin
+
+  /** D7 — namespace membership with the empty-list-matches-all rule. */
+  val d7NamespaceFilter: Q = (s, dir) => {
+    import s.implicits._
+    val rules = Seq(
+      (1, Seq("click", "view")),
+      (2, Seq.empty[String]))
+      .toDF("rule_id", "namespaces")
+    Tables.events(s, dir).join(broadcast(rules),
+        SyncOps.namespaceMatch(col("event_type"), col("namespaces")))
+      .groupBy(col("rule_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("rule_id"))
+  }
+  val d7NamespaceFilterSql: String =
+    """WITH rules(rule_id, namespaces) AS (VALUES
+      |  (1, ['click', 'view']),
+      |  (2, CAST([] AS VARCHAR[])))
+      |SELECT rule_id, count(*) AS n
+      |FROM events JOIN rules ON len(namespaces) = 0 OR list_contains(namespaces, event_type)
+      |GROUP BY rule_id
+      |ORDER BY rule_id""".stripMargin
+
+  /** D10 — dynamic nested-field extraction from a JSON payload column. */
+  val d10JsonProjection: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_val"))
+      .orderBy(col("event_id"))
+  }
+  val d10JsonProjectionSql: String =
+    """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** D11 — system-metadata scrub: identity + payload survive, system
+    * columns (ts/user_id/props here) are dropped by projection. */
+  val d11Scrub: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"))
+      .orderBy(col("event_id"))
+  }
+  val d11ScrubSql: String =
+    """SELECT event_id, event_type, round(value, 4) AS value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** D1+D9+D12 — CDC last-state semantics in batch: latest event per
+    * key wins; keys whose latest op is a tombstone disappear. */
+  val d12CdcLastState: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("op", when(col("event_type") === "error", "delete").otherwise("upsert"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"))
+      .orderBy(col("user_id"))
+  }
+  val d12CdcLastStateSql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type
+      |FROM (
+      |  SELECT *, CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND op <> 'delete'
+      |ORDER BY user_id""".stripMargin
+
+  /** The composed sync data plane (D2→D7 filters + D10 projection) as
+    * one oracle-checked query: events-as-KRM-documents matched against
+    * two rules, payload projected per rule. */
+  val syncPipelineFiltered: Q = (s, dir) => {
+    import s.implicits._
+    val rules = Seq(
+      ("sync-purchases", "pull", false, "purchase", Seq.empty[String]),
+      ("sync-clicks", "pull", false, "click", Seq("click")),
+      ("push-views", "push", false, "view", Seq.empty[String]))
+      .toDF("syncer", "mode", "suspend", "kind_match", "namespaces")
+    Tables.events(s, dir)
+      .join(broadcast(rules),
+        !col("suspend") && col("mode") === "pull" &&
+          col("event_type") === col("kind_match") &&
+          SyncOps.namespaceMatch(col("event_type"), col("namespaces")))
+      .select(col("syncer"), col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_val"))
+      .orderBy(col("syncer"), col("event_id"))
+  }
+  val syncPipelineFilteredSql: String =
+    """WITH rules(syncer, mode, suspend, kind_match, namespaces) AS (VALUES
+      |  ('sync-purchases', 'pull', false, 'purchase', CAST([] AS VARCHAR[])),
+      |  ('sync-clicks', 'pull', false, 'click', ['click']),
+      |  ('push-views', 'push', false, 'view', CAST([] AS VARCHAR[])))
+      |SELECT syncer, event_id, json_extract_string(props, '$.k') AS k_val
+      |FROM events JOIN rules ON NOT suspend AND mode = 'pull'
+      |  AND event_type = kind_match
+      |  AND (len(namespaces) = 0 OR list_contains(namespaces, event_type))
+      |ORDER BY syncer, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // LLM-pipeline extensions: dedup, similarity, text, multimodal      //
+  // ---------------------------------------------------------------- //
+
+  /** Exact dedup groups by content digest. */
+  val dedupExact: Q = (s, dir) => {
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("fp"))
+  }
+  val dedupExactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY fp""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup: top-20 most similar pairs. */
+  val dedupJaccardTop: Q = (s, dir) => {
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+  val dedupJaccardTopSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(t) >= 3
+      |        THEN unnest(list_transform(range(1, len(t) - 1),
+      |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |        ELSE unnest([array_to_string(t, ' ')]) END AS sh
+      |    FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2,
+      |  round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = id1
+      |JOIN sizes s2 ON s2.doc_id = id2
+      |ORDER BY jaccard DESC, id1, id2
+      |LIMIT 20""".stripMargin
+
+  /** MinHash+LSH near-dup pairs — not SQL-expressible (seeded MinHash
+    * permutations); correctness is covered by DedupSpec (LSH recall vs
+    * the exact-Jaccard oracle above). */
+  val dedupMinhashLsh: Q = (s, dir) => {
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.4)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+  }
+
+  /** SimHash signatures — not SQL-expressible (xxhash64 is
+    * Spark-specific); verified structurally in DedupSpec. */
+  val dedupSimhash: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding near-dup pairs: blocked cosine ≥ 0.35 (the synthetic
+    * embeddings carry no true dups; the threshold sits inside the
+    * observed within-label similarity range so the operator produces
+    * checkable output). */
+  val dedupEmbeddingCos: Q = (s, dir) => {
+    Similarity.cosineDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.35)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+  val dedupEmbeddingCosSql: String =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(
+      |    list_dot_product(a.emb, b.emb) /
+      |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+      |FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings) a
+      |JOIN (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings) b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.emb, b.emb) /
+      |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Brute-force cosine top-k ANN (exact baseline): 5 query vectors,
+    * k=10 neighbors each (self excluded). */
+  val annTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+  val annTopKSql: String =
+    """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |      FROM embeddings WHERE vec_id >= 5),
+      |scored AS (
+      |  SELECT qid, id,
+      |    list_dot_product(qvec, vec) /
+      |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS raw,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      list_dot_product(qvec, vec) /
+      |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) DESC, id) AS rank
+      |  FROM c CROSS JOIN q)
+      |SELECT qid, id, round(raw, 4) AS score, rank
+      |FROM scored WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
+  /** LSH-bucketed ANN — approximate; recall vs the exact baseline is
+    * asserted in SimilaritySpec, so no SQL oracle. */
+  val annLsh: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // Coarse buckets (4 bits × 16 tables): tuned to this corpus's weak
+    // neighbor similarities (cos ≈ 0.3-0.5); see SimilaritySpec.
+    Similarity.lshTopK(queries, corpus, k = 10, dim = 64,
+      bitsPerTable = 4, tables = 16)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Text statistics: token counts + quality signals, all codegen'd. */
+  val textStats: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_c"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+  val textStatsSql: String = {
+    val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split_regex(text, '\\s+')) AS n_tokens,
+       |  length(text) AS n_chars_c,
+       |  round(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |      t -> list_contains([$stops], t))) AS DOUBLE)
+       |    / len(string_split_regex(text, '\\s+')), 4) AS stopword_ratio,
+       |  round(CAST(list_sum(list_transform(string_split_regex(text, '\\s+'),
+       |      t -> length(t))) AS DOUBLE)
+       |    / len(string_split_regex(text, '\\s+')), 4) AS mean_token_len
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprints: md5 (oracle-checkable) — the codegen'd
+    * rolling-hash variant is asserted in TextAnalysisSpec. */
+  val textFingerprint: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language ID — heuristic scoring, rows-only check (asserted against
+    * labeled fixtures in TextAnalysisSpec). */
+  val textLangId: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal metadata projection over binary content: every value
+    * derives from byte length, exercising binary plumbing on the Spark
+    * side and checked arithmetically by the oracle. */
+  val multimodalMeta: Q = (s, dir) => {
+    val media = Multimodal.withFakeBinary(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.metaProjection(media).orderBy(col("doc_id"))
+  }
+  val multimodalMetaSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+      |  CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
+      |  CAST(octet_length(encode(text)) % 8 + 1 AS INT) AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling over decoded media metadata (explode). */
+  val multimodalFrames: Q = (s, dir) => {
+    val media = Multimodal.withFakeBinary(Tables.documents(s, dir), "doc_id", "text")
+    val meta = Multimodal.metaProjection(media)
+      .select(col("doc_id"), col("n_frames").as("nFrames"))
+    Multimodal.sampleFrames(meta, stride = 2)
+      .select(col("doc_id"), col("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  val multimodalFramesSql: String =
+    """SELECT doc_id, unnest(range(0, octet_length(encode(text)) % 8 + 1, 2)) AS frame_idx
+      |FROM documents
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // Registry                                                          //
+  // ---------------------------------------------------------------- //
+
+  val all: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_top_orders" -> q3TopOrders,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "q_window_top_orders" -> qWindowTopOrders,
+    "q_events_hourly" -> qEventsHourly,
+    "b3_verb_filter" -> b3VerbFilter,
+    "b4_subresource_filter" -> b4SubresourceFilter,
+    "b7_path_derivation" -> b7PathDerivation,
+    "b8_serialize" -> b8Serialize,
+    "d2_rules_join" -> d2RulesJoin,
+    "d6_glob_match" -> d6GlobMatch,
+    "d7_namespace_filter" -> d7NamespaceFilter,
+    "d10_json_projection" -> d10JsonProjection,
+    "d11_scrub" -> d11Scrub,
+    "d12_cdc_last_state" -> d12CdcLastState,
+    "sync_pipeline_filtered" -> syncPipelineFiltered,
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard_top" -> dedupJaccardTop,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding_cos" -> dedupEmbeddingCos,
+    "ann_topk" -> annTopK,
+    "ann_lsh" -> annLsh,
+    "text_stats" -> textStats,
+    "text_fingerprint" -> textFingerprint,
+    "text_lang_id" -> textLangId,
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_frames" -> multimodalFrames)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_top_orders" -> q3TopOrdersSql,
+    "q5_region_revenue" -> q5RegionRevenueSql,
+    "q_window_top_orders" -> qWindowTopOrdersSql,
+    "q_events_hourly" -> qEventsHourlySql,
+    "b3_verb_filter" -> b3VerbFilterSql,
+    "b4_subresource_filter" -> b4SubresourceFilterSql,
+    "b7_path_derivation" -> b7PathDerivationSql,
+    "b8_serialize" -> b8SerializeSql,
+    "d2_rules_join" -> d2RulesJoinSql,
+    "d6_glob_match" -> d6GlobMatchSql,
+    "d7_namespace_filter" -> d7NamespaceFilterSql,
+    "d10_json_projection" -> d10JsonProjectionSql,
+    "d11_scrub" -> d11ScrubSql,
+    "d12_cdc_last_state" -> d12CdcLastStateSql,
+    "sync_pipeline_filtered" -> syncPipelineFilteredSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard_top" -> dedupJaccardTopSql,
+    "dedup_embedding_cos" -> dedupEmbeddingCosSql,
+    "ann_topk" -> annTopKSql,
+    "text_stats" -> textStatsSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_frames" -> multimodalFramesSql)
+}

@@ -1,0 +1,72 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Archive sink — Spark analog of the reference's zip sink
+  * (B9/B10, /root/reference/pkg/sink/zip.go:27-53, sink.go:18-21).
+  *
+  * Input contract: a DataFrame with exactly two string columns,
+  * `path` (archive entry name) and `data` (entry contents).
+  *
+  * Two modes, per SURVEY §7.4 (zip-sink-at-scale):
+  *   - [[writeSharded]] — one zip per partition, written by executors
+  *     with `foreachPartition`; this is the 100 TB path (no driver
+  *     bottleneck, scales with the cluster).
+  *   - [[writeSingle]] — one archive, exact parity with the reference
+  *     CLI; inherently a single-writer operation so it streams through
+  *     the driver via `toLocalIterator` (documented limitation, small
+  *     exports only).
+  */
+trait Sink {
+  def write(path: String, data: Array[Byte]): Unit
+  def close(): Unit
+}
+
+final class ZipFileSink(file: String) extends Sink {
+  private val zos = new ZipOutputStream(new FileOutputStream(file))
+  override def write(path: String, data: Array[Byte]): Unit = {
+    zos.putNextEntry(new ZipEntry(path))
+    zos.write(data)
+    zos.closeEntry()
+  }
+  override def close(): Unit = zos.close()
+}
+
+object ZipSink {
+
+  private def validated(df: DataFrame): DataFrame =
+    df.select(col("path").cast("string"), col("data").cast("string"))
+
+  /** Scale path: one archive per partition under `dir`. */
+  def writeSharded(df: DataFrame, dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    validated(df).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val sink = new ZipFileSink(f"$dir/part-$pid%05d.zip")
+        try rows.foreach { r =>
+          val p = r.getString(0)
+          val d = r.getString(1)
+          if (p != null) sink.write(p, (if (d == null) "" else d).getBytes(StandardCharsets.UTF_8))
+        } finally sink.close()
+      }
+    }
+  }
+
+  /** Parity path: one archive, streamed through the driver (the archive
+    * format itself is single-writer; matches the reference CLI exactly).
+    */
+  def writeSingle(df: DataFrame, file: String): Unit = {
+    val sink = new ZipFileSink(file)
+    try validated(df).toLocalIterator().forEachRemaining { r =>
+      val p = r.getString(0)
+      val d = r.getString(1)
+      if (p != null) sink.write(p, (if (d == null) "" else d).getBytes(StandardCharsets.UTF_8))
+    } finally sink.close()
+  }
+}

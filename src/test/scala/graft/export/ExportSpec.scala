@@ -1,0 +1,120 @@
+package graft.export
+
+import graft.SparkSpec
+import graft.functions.Yaml
+import graft.operators.ExportOps
+import graft.sinks.ZipSink
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.util.zip.ZipFile
+
+/** Export pipeline: path derivation pinned by the reference's e2e
+  * expectation (`_cluster/core/Namespace/default.yaml`,
+  * /root/reference/pkg/export/export_test.go:111-134), zip sink
+  * round-trip in both single-archive and sharded modes.
+  */
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("path derivation matches the reference e2e expectation") {
+    // a cluster-scoped core-group Namespace object named "default"
+    val df = Seq(("", "", "Namespace", "default")).toDF("ns", "grp", "kind", "name")
+    val got = df.select(ExportOps.krmPath($"ns", $"grp", $"kind", $"name").as("p"))
+      .head().getString(0)
+    assert(got == "_cluster/core/Namespace/default.yaml")
+  }
+
+  test("verb + subresource filters") {
+    val df = Seq(
+      ("pods", "get,list,watch"),
+      ("pods/status", "get,list"),
+      ("events", "get,watch")).toDF("name", "verbs")
+    val listed = ExportOps.verbFilter(df, $"verbs", "list")
+    assert(listed.collect().map(_.getString(0)).toSet == Set("pods", "pods/status"))
+    val main = ExportOps.subresourceFilter(listed, $"name")
+    assert(main.collect().map(_.getString(0)).toSeq == Seq("pods"))
+  }
+
+  test("yaml rendering of a KRM-ish document") {
+    val y = Yaml.fromJson("""{"kind":"Namespace","metadata":{"name":"default","labels":{"a":"b"}},"n":3,"ok":true}""")
+    assert(y ==
+      """kind: Namespace
+        |metadata:
+        |  name: default
+        |  labels:
+        |    a: b
+        |n: 3
+        |ok: true
+        |""".stripMargin)
+  }
+
+  test("zip sink single-archive round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("ziptest").toFile
+    val out = new java.io.File(dir, "out.zip").getAbsolutePath
+    val df = Seq(("a/b/one.yaml", "kind: One\n"), ("c/two.yaml", "kind: Two\n"))
+      .toDF("path", "data")
+    ZipSink.writeSingle(df, out)
+    val zf = new ZipFile(out)
+    try {
+      val names = zf.stream().map(_.getName).toArray.map(_.toString).toSet
+      assert(names == Set("a/b/one.yaml", "c/two.yaml"))
+      val e = zf.getEntry("a/b/one.yaml")
+      val content = new String(zf.getInputStream(e).readAllBytes())
+      assert(content == "kind: One\n")
+    } finally zf.close()
+  }
+
+  test("zip sink sharded mode writes all entries across archives") {
+    val dir = java.nio.file.Files.createTempDirectory("zipshard").toFile.getAbsolutePath
+    val df = (1 to 100).map(i => (s"ns/$i.yaml", s"id: $i\n")).toDF("path", "data")
+      .repartition(4)
+    ZipSink.writeSharded(df, dir)
+    val zips = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".zip"))
+    assert(zips.nonEmpty)
+    val names = zips.flatMap { z =>
+      val zf = new ZipFile(z)
+      try zf.stream().map(_.getName).toArray.map(_.toString) finally zf.close()
+    }.toSet
+    assert(names.size == 100)
+  }
+
+  test("end-to-end export of a KRM table directory") {
+    // build a tiny KRM table dir
+    val root = java.nio.file.Files.createTempDirectory("exportroot").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("apiGroup", StringType), StructField("namespace", StringType),
+      StructField("kind", StringType), StructField("name", StringType)))
+    val rows = Seq(
+      Row("", "", "Namespace", "default"),
+      Row("apps", "prod", "Deployment", "web"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.parquet(s"$root/objects.parquet")
+    val out = java.nio.file.Files.createTempDirectory("exportout").toFile
+    val zip = new java.io.File(out, "export.zip").getAbsolutePath
+    val res = ExportJob.run(spark, root, zip)
+    assert(res.errors.isEmpty, res.errors.mkString("; "))
+    assert(res.entries == 2)
+    val zf = new ZipFile(zip)
+    try {
+      val names = zf.stream().map(_.getName).toArray.map(_.toString).toSet
+      assert(names == Set("_cluster/core/Namespace/default.yaml",
+        "prod/apps/Deployment/web.yaml"))
+    } finally zf.close()
+  }
+
+  test("export tolerates unreadable tables (error accumulation)") {
+    val root = java.nio.file.Files.createTempDirectory("exportbad").toFile
+    // one good table, one corrupt file
+    val schema = StructType(Seq(StructField("kind", StringType), StructField("name", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row("Pod", "p1"))), schema)
+      .write.parquet(new java.io.File(root, "good.parquet").getAbsolutePath)
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "bad.parquet").toPath, "not parquet")
+    val zip = new java.io.File(root, "out.zip").getAbsolutePath
+    val res = ExportJob.run(spark, root.getAbsolutePath, zip)
+    assert(res.entries == 1)
+    assert(res.errors.nonEmpty)
+  }
+}

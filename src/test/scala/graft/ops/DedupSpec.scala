@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operators on a corpus with planted exact and near duplicates —
+  * LSH recall is validated against the exact-Jaccard oracle
+  * (SURVEY.md §7.4.5).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // vocab must be larger than a doc's token count so unrelated docs get
+  // distinct token SETS (simhash operates on distinct tokens).
+  private val vocab: IndexedSeq[String] =
+    (0 until 150).map(i => s"w$i") ++ Seq("data", "spark", "query", "join")
+
+  private def mkText(seed: Int, words: Int = 60): String = {
+    val rnd = new scala.util.Random(seed)
+    (1 to words).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  // 20 base docs; doc 100 = exact copy of doc 0; doc 101 = near-copy of
+  // doc 1 (one word changed); doc 102 = near-copy of doc 2 (two words).
+  private lazy val corpus = {
+    val base = (0 until 20).map(i => (i.toLong, mkText(i)))
+    val exact = Seq((100L, mkText(0)))
+    val near1 = {
+      val t = mkText(1).split(" "); t(30) = "CHANGED"
+      Seq((101L, t.mkString(" ")))
+    }
+    val near2 = {
+      val t = mkText(2).split(" "); t(10) = "X"; t(45) = "Y"
+      Seq((102L, t.mkString(" ")))
+    }
+    (base ++ exact ++ near1 ++ near2).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds the planted exact copy") {
+    val groups = Dedup.exactGroups(corpus, "doc_id", "text")
+    val dup = groups.filter($"n_copies" > 1).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keep_id") == 0L)
+    assert(Dedup.dropExactDups(corpus, "doc_id", "text").count() == corpus.count() - 1)
+  }
+
+  test("exact jaccard ranks planted near-dups on top") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text")
+      .orderBy(desc("jaccard")).limit(3).collect()
+    val top = pairs.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(top.contains((0L, 100L)), s"exact pair in top3: ${top.mkString}")
+    assert(top.contains((1L, 101L)), "near-dup 1 in top3")
+    assert(top.contains((2L, 102L)), "near-dup 2 in top3")
+    val exactPair = pairs.find(r => r.getAs[Long]("id1") == 0L).get
+    assert(exactPair.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash LSH recalls the same near-dups as the exact oracle") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text")
+      .filter($"jaccard" >= 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"LSH recall/precision vs oracle (lsh=$lsh exact=$exact)")
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Seq[Long]]("sig")).toMap
+    def simEst(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / sigs(a).size
+    assert(simEst(0L, 100L) == 1.0, "identical docs → identical signatures")
+    assert(simEst(1L, 101L) > 0.7, "near-dup signatures mostly agree")
+    assert(simEst(3L, 7L) < 0.6, "unrelated docs mostly disagree")
+  }
+
+  test("simhash: near-dups within small hamming distance, others far") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sig")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 100L) == 0)
+    assert(ham(1L, 101L) <= 8)
+    assert(ham(3L, 7L) > 8)
+  }
+
+  test("simhashPairs candidate generation finds the exact pair") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+}

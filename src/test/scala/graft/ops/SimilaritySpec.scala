@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: exact on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(round(Similarity.cosine($"a", $"b"), 6)).as[Double].collect()
+    assert(got.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, rank ordered") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 3).select($"vec_id".as("id"), $"embedding".as("vec"))
+    val got = Similarity.bruteForceTopK(queries, corpus, k = 5).collect()
+    assert(got.length == 15)
+    val byQ = got.groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores.sliding(2).forall(w => w.size < 2 || w(0) >= w(1)))
+    }
+  }
+
+  test("LSH top-k achieves high recall@10 vs brute force") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 10).select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The synthetic embeddings have weak top-10 neighbors (cos ≈ 0.3-0.5),
+    // so the bucket granularity must be coarse: p(bit agrees) ≈ 0.63 at
+    // cos 0.4 → 4 bits/table ≈ 16% per table, 16 tables ≈ 94% recall.
+    val approx = Similarity.lshTopK(queries, corpus, k = 10, dim = 64,
+      bitsPerTable = 4, tables = 16)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall@10 = $recall")
+  }
+
+  test("cosineDupPairs respects blocking and threshold") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.1f), 0),   // near-dup of 1, same block
+      (3L, Seq(1.0f, 0.0f), 1),    // identical to 1 but different block
+      (4L, Seq(0.0f, 1.0f), 0))    // orthogonal, same block
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineDupPairs(df, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
