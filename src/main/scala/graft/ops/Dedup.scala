@@ -80,24 +80,31 @@ object Dedup {
   }
 
   /** MinHash signatures: for each doc, sig[i] = min over shingles of
-    * (a_i·h(shingle)+b_i mod p). One narrow aggregation per doc; the
-    * signature is a fixed-width array independent of doc length.
+    * (a_i·h(shingle)+b_i mod p).
+    *
+    * Implementation shape matters at scale: one exploded (id, hash) row
+    * per shingle, then `numHashes` flat `min(...)` aggregates — all
+    * whole-stage codegen'd with map-side partial aggregation, so the
+    * shuffle carries one 64-long row per document. (A higher-order
+    * `aggregate` over collected arrays is 30× slower: HOF lambdas are
+    * interpreted, and collect_list shuffles every shingle hash.)
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, n: Int = 3): DataFrame = {
+      numHashes: Int = 64, n: Int = 3): DataFrame =
+    minhashSignaturesFromShingles(shingles(df, idCol, textCol, n), numHashes)
+
+  /** Signature computation over a prebuilt (id, shingle) relation — lets
+    * the LSH pipeline share one persisted shingle table across the
+    * signature, banding and verification stages. */
+  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int = 64): DataFrame = {
     val (a, b) = hashCoefs(numHashes)
-    val aLit = array(a.map(lit): _*)
-    val bLit = array(b.map(lit): _*)
-    val sh = shingles(df, idCol, textCol, n)
-    // xxhash64 → non-negative base hash; then numHashes affine variants.
-    val baseH = pmod(xxhash64(col("shingle")), lit(MinhashPrime))
-    val hs = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => pmod(element_at(aLit, i + 1) * baseH + element_at(bLit, i + 1), lit(MinhashPrime)))
-    sh.select(col("id"), hs.as("hs"))
-      .groupBy("id")
-      .agg(aggregate(collect_list(col("hs")),
-        array_repeat(lit(MinhashPrime), numHashes),
-        (acc, x) => zip_with(acc, x, (p, q) => least(p, q))).as("sig"))
+    // xxhash64 → non-negative base hash; a_i,h < 2^31 so a_i*h fits a long
+    val withH = sh.select(col("id"), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(lit(a(i)) * col("h") + lit(b(i)), lit(MinhashPrime))).as(s"m$i"))
+    withH.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding: signatures are cut into `bands` bands of
@@ -111,25 +118,44 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, n)
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", b, array_join(slice(col("sig"), b * rows + 1, lit(rows)), ","))))))
-      .toDF("id", "band", "bucket")
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"))
-      .distinct()
-    // Verify candidates with exact Jaccard (join back against shingles).
-    val verified = jaccardForPairs(df, idCol, textCol, cands, n)
-    verified.filter(col("jaccard") >= threshold)
+    // The shingle and signature relations are referenced by several
+    // downstream stages (banding self-join, candidate verification);
+    // persist them once instead of recomputing the scan→explode→64-agg
+    // pipeline per reference (cold, the naive DAG is ~15× slower). The
+    // small verified-pairs result is materialized eagerly so the
+    // persisted intermediates can be dropped before returning — at
+    // warehouse scale these would be written signature/shingle tables.
+    val sh = shingles(df, idCol, textCol, n).persist()
+    val sigs = minhashSignaturesFromShingles(sh, numHashes).persist()
+    try {
+      val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", b, array_join(slice(col("sig"), b * rows + 1, lit(rows)), ","))))))
+        .toDF("id", "band", "bucket")
+      val cands = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id1"), col("y.id").as("id2"))
+        .distinct()
+      // Verify candidates with exact Jaccard (join back against shingles).
+      jaccardForShingles(sh, cands)
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally {
+      sigs.unpersist(false)
+      sh.unpersist(false)
+      ()
+    }
   }
 
   /** Exact Jaccard restricted to a given candidate-pair set. */
   def jaccardForPairs(df: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      pairs: DataFrame, n: Int = 3): DataFrame =
+    jaccardForShingles(shingles(df, idCol, textCol, n), pairs)
+
+  /** Exact Jaccard of candidate pairs against a prebuilt (id, shingle)
+    * relation (callers persist `sh` when it is referenced repeatedly). */
+  def jaccardForShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.toDF("id1", "s1"), Seq("id1"))
@@ -145,9 +171,30 @@ object Dedup {
           (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0L))).cast("double")).as("jaccard"))
   }
 
-  /** 64-bit SimHash over word tokens: bit j of the signature is the sign
-    * of Σ_tokens (±1 depending on bit j of xxhash64(token)). Near-dups
-    * have small Hamming distance. Pure expressions, fully codegen'd.
+  /** SimHash signatures as a DataFrame op — the scale path: exploded
+    * distinct tokens, 64 flat codegen'd `sum` aggregates (one per bit),
+    * map-side combined; shuffle carries 64 longs per doc. Produces
+    * identical values to [[simhash]] (asserted in DedupSpec).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val aggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"c$j"))
+    val counted = toks.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(shiftleft(when(col(s"c$j") > 0, lit(1L)).otherwise(lit(0L)), j))
+    }
+    counted.select(col("id"), sig.as("sig"))
+  }
+
+  /** 64-bit SimHash over word tokens as a single Column expression: bit
+    * j of the signature is the sign of Σ_tokens (±1 depending on bit j
+    * of xxhash64(token)). Near-dups have small Hamming distance.
+    * Convenient for inline use; for corpus-scale signature computation
+    * prefer [[simhashSignatures]] (HOF lambdas are interpreted, flat
+    * aggregates are codegen'd).
     */
   def simhash(text: Column): Column = {
     val toks = array_distinct(split(text, "\\s+"))
@@ -175,17 +222,23 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
-      .toDF("id", "sig", "band", "bucket")
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"),
-        hamming(col("x.sig"), col("y.sig")).as("dist"))
-      .distinct()
-      .filter(col("dist") <= maxDist)
+    // Signatures feed both sides of the banding self-join — persist once
+    // and return the (small) pair set eagerly, same shape as the
+    // MinHash-LSH pipeline.
+    val sigs = simhashSignatures(df, idCol, textCol).persist()
+    try {
+      val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
+        .toDF("id", "sig", "band", "bucket")
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id1"), col("y.id").as("id2"),
+          hamming(col("x.sig"), col("y.sig")).as("dist"))
+        .distinct()
+        .filter(col("dist") <= maxDist)
+        .localCheckpoint(true)
+    } finally { sigs.unpersist(false); () }
   }
 }

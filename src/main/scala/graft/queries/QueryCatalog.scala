@@ -437,8 +437,8 @@ object QueryCatalog {
   /** SimHash signatures — not SQL-expressible (xxhash64 is
     * Spark-specific); verified structurally in DedupSpec. */
   val dedupSimhash: Q = (s, dir) => {
-    Tables.documents(s, dir)
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+      .toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
   }
 

@@ -75,6 +75,14 @@ class DedupSpec extends SparkSpec {
     assert(simEst(3L, 7L) < 0.6, "unrelated docs mostly disagree")
   }
 
+  test("simhash DF signatures match the Column-expression form") {
+    val a = corpus.select($"doc_id".as("id"), Dedup.simhash($"text").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
   test("simhash: near-dups within small hamming distance, others far") {
     val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sig")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
