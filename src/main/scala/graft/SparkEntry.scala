@@ -20,11 +20,13 @@ object SparkEntry {
     QueryCatalog.syncPipelineFiltered(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = QueryCatalog.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryCatalog.all ++ graft.queries.ExtraQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (seeded MinHash/LSH/xxhash64 signatures, heuristic language ID) —
     * those are asserted in ScalaTest specs instead. */
-  def oracleSql: Map[String, String] = QueryCatalog.oracles
+  def oracleSql: Map[String, String] =
+    QueryCatalog.oracles ++ graft.queries.ExtraQueries.oracles
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
+  * partitions the corpus into cells; queries probe only the `nProbe`
+  * nearest cells and re-rank exactly inside them.
+  *
+  * The quantizer is deterministic k-means (seeded sample init + a fixed
+  * number of Lloyd iterations, all computed distributed; only the k×dim
+  * centroid matrix ever reaches the driver). At warehouse scale the
+  * cell assignment is computed at ingest and the corpus stored
+  * partitioned by cell, so a probe is partition pruning + a small scan;
+  * here assignment is inline.
+  */
+object IvfIndex {
+
+  private def litVec(v: Array[Double]): Column = array(v.toIndexedSeq.map(lit): _*)
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine of a vector column against one literal centroid (centroid
+    * pre-normalized, so only the row norm is needed). */
+  private def cosToCentroid(vec: Column, centroid: Array[Double]): Column = {
+    val norm = math.sqrt(centroid.map(x => x * x).sum)
+    val unit = centroid.map(_ / (if (norm == 0) 1.0 else norm))
+    dotD(vec, litVec(unit)) / sqrt(dotD(vec, vec))
+  }
+
+  /** Index of the best (max-cosine) centroid for a vector column. */
+  def bestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosToCentroid(vec, c).as("s"), lit(i).as("i"))
+    }
+    array_max(array(scored.toIndexedSeq: _*)).getField("i")
+  }
+
+  /** The `nProbe` best cells for a query vector, as an array column. */
+  def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosToCentroid(vec, c).as("s"), lit(i).as("i"))
+    }
+    // sort ascending by score, take the tail = top-nProbe cells
+    val sorted = array_sort(array(scored.toIndexedSeq: _*))
+    slice(transform(sorted, s => s.getField("i")), -nProbe, nProbe)
+  }
+
+  /** Train a deterministic coarse quantizer: evenly-spaced seed vectors
+    * (by id order) then `iters` Lloyd iterations executed as Spark
+    * aggregations (posexplode → per-(cell,dim) mean). Returns k×dim
+    * centroids.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2): Array[Array[Double]] = {
+    val n = corpus.count()
+    val step = math.max(n / k, 1L)
+    // Deterministic evenly-spaced sample as initial centroids (id mod
+    // step — no global sort, scan-only; ids need not be dense, k seeds
+    // just need to be stable).
+    var centroids: Array[Array[Double]] = corpus
+      .filter(pmod(col(idCol), lit(step)) === 0)
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty, "empty corpus")
+    (1 to iters).foreach { _ =>
+      val assigned = corpus.select(col(vecCol).as("v"),
+        bestCell(col(vecCol), centroids).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
+        .collect()
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        val byPos = r.getMap[Int, Double](1)
+        centroids(cell) = (0 until centroids(cell).length)
+          .map(i => byPos.getOrElse(i, centroids(cell)(i))).toArray
+      }
+    }
+    centroids
+  }
+
+  /** IVF top-k: assign corpus to cells, probe `nProbe` cells per query,
+    * exact cosine re-rank inside the probed cells. */
+  def topK(queries: DataFrame, corpus: DataFrame, centroids: Array[Array[Double]],
+      k: Int, nProbe: Int): DataFrame = {
+    val cb = corpus.withColumn("cell", bestCell(col("vec"), centroids))
+    val qb = queries.withColumn("cell",
+      explode(probeCells(col("qvec"), centroids, nProbe)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    cb.join(broadcast(qb), Seq("cell"))
+      .withColumn("score", Similarity.cosine(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Sessionize}
+import graft.ops.IvfIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of the query surface: set operations, distinct and
+  * grouping-set aggregates, semi/anti joins, as-of join, sessionization,
+  * IVF similarity — operators beyond the reference's own inventory that
+  * a complete analytics engine needs (SURVEY.md §2.4 "absent" rows and
+  * §7.2.8 extensions). Same oracle conventions as [[QueryCatalog]].
+  */
+object ExtraQueries {
+  import QueryCatalog.Q
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  val qAntiJoin: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join: parts that appear in at least one lineitem (EXISTS). */
+  val qSemiJoin: Q = (s, dir) => {
+    val part = Tables.part(s, dir)
+    val li = Tables.lineitem(s, dir).select("l_partkey")
+    part.join(li, part("p_partkey") === li("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+  val qSemiJoinSql: String =
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Set ops: union / intersect / except of key sets, tagged. */
+  val qSetOps: Q = (s, dir) => {
+    val a = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+    val inter = a.intersect(b).withColumn("tag", lit("both"))
+    val onlyA = a.except(b).withColumn("tag", lit("only_f"))
+    val onlyB = b.except(a).withColumn("tag", lit("only_o"))
+    inter.unionByName(onlyA).unionByName(onlyB)
+      .orderBy(col("tag"), col("k"))
+  }
+  val qSetOpsSql: String =
+    """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+      |b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+      |SELECT k, 'both' AS tag FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      |UNION ALL
+      |SELECT k, 'only_f' AS tag FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |UNION ALL
+      |SELECT k, 'only_o' AS tag FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+      |ORDER BY tag, k""".stripMargin
+
+  /** Exact + approximate distinct aggregation. The approximate twin
+    * (`approx_count_distinct`, HLL) runs in DistinctSpec against a
+    * relative-error bound — sketches are engine-specific so only the
+    * exact side carries an oracle. */
+  val qDistinctAgg: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+  val qDistinctAggSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP grouping sets over orders. */
+  val qRollup: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+  val qRollupSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** As-of join: each event picks up the latest order (by o_orderdate)
+    * of the same user at or before the event time. Spark side uses the
+    * union+window carry-forward (one shuffle); DuckDB side uses its
+    * native ASOF JOIN. */
+  val qAsofJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), Tables.tsSeconds(col("ts")).as("t_sec"))
+    // One order per (user, time): as-of tie-breaking between same-second
+    // orders is unspecified in both engines, so dedup deterministically
+    // (highest orderkey wins) before the join.
+    val wDedup = Window.partitionBy(col("user_id"), col("t_sec"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey").as("user_id"),
+        unix_timestamp(col("o_orderdate")).as("t_sec"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("o_total"))
+      .withColumn("_rn", row_number().over(wDedup))
+      .filter(col("_rn") === 1).drop("_rn")
+    AsOfJoin.asOf(ev, ord, Seq("user_id"), "t_sec", "t_sec",
+        Seq("o_orderkey", "o_total"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_total"))
+      .orderBy(col("event_id"))
+  }
+  val qAsofJoinSql: String =
+    """SELECT event_id, user_id, o_orderkey, o_total
+      |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_sec FROM events) e
+      |ASOF LEFT JOIN (
+      |  SELECT o_custkey AS user_id, CAST(epoch(o_orderdate) AS BIGINT) AS t_sec,
+      |         o_orderkey, round(o_totalprice, 2) AS o_total
+      |  FROM orders
+      |  QUALIFY row_number() OVER (PARTITION BY o_custkey, CAST(epoch(o_orderdate) AS BIGINT)
+      |                             ORDER BY o_orderkey DESC) = 1) o
+      |USING (user_id, t_sec)
+      |ORDER BY event_id""".stripMargin
+
+  /** Gap-based sessionization of the event stream (30-minute gap). */
+  val qSessionize: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), Tables.tsSeconds(col("ts")).as("t_sec"))
+    Sessionize.sessionStats(ev, "user_id", "t_sec", gapSeconds = 1800)
+      .orderBy(col("user_id"), col("session_id"))
+  }
+  val qSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_sec FROM events),
+      |marked AS (
+      |  SELECT user_id, t_sec,
+      |    CASE WHEN t_sec - lag(t_sec) OVER (PARTITION BY user_id ORDER BY t_sec) > 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, t_sec,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY t_sec
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  min(t_sec) AS session_start, max(t_sec) AS session_end,
+      |  max(t_sec) - min(t_sec) AS duration_sec, count(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** IVF approximate top-k — recall vs the brute-force baseline asserted
+    * in SimilaritySpec; quantizer is engine-specific so rows-only. */
+  val annIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    IvfIndex.topK(queries, corpus, centroids, k = 10, nProbe = 3)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_anti_join" -> qAntiJoin,
+    "q_semi_join" -> qSemiJoin,
+    "q_set_ops" -> qSetOps,
+    "q_distinct_agg" -> qDistinctAgg,
+    "q_rollup" -> qRollup,
+    "q_asof_join" -> qAsofJoin,
+    "q_sessionize" -> qSessionize,
+    "ann_ivf" -> annIvf)
+
+  val oracles: Map[String, String] = Map(
+    "q_anti_join" -> qAntiJoinSql,
+    "q_semi_join" -> qSemiJoinSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_distinct_agg" -> qDistinctAggSql,
+    "q_rollup" -> qRollupSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_sessionize" -> qSessionizeSql)
+}

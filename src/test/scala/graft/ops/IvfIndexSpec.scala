@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantizer is deterministic and assigns every vector a cell") {
+    val emb = Tables.embeddings(spark, sf001)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val c1 = IvfIndex.train(emb, "id", "vec", k = 4, iters = 1)
+    val c2 = IvfIndex.train(emb, "id", "vec", k = 4, iters = 1)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "deterministic training")
+    val cells = emb.select(IvfIndex.bestCell($"vec", c1).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(cells.map(_.getInt(0)).forall(c => c >= 0 && c < 4))
+    assert(cells.map(_.getLong(1)).sum == emb.count())
+  }
+
+  test("IVF top-k recall vs brute force with generous probes") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 10)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val ivf = IvfIndex.topK(queries, corpus, centroids, k = 10, nProbe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+    // probing ALL cells must recover brute force exactly
+    val full = IvfIndex.topK(queries, corpus, centroids, k = 10, nProbe = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nProbe = k cells ⇒ exact")
+  }
+}
