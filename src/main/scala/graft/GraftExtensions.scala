@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.{JsonMergeShallowExpr, JsonProjectExpr, RollingHashExpr}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's custom Catalyst expressions as SQL functions,
+  * so `spark.sql` users get the same surface as the Scala API:
+  *
+  *   spark.sql("SELECT json_project(spec, 'resourceID') FROM t")
+  *
+  * Two entry points:
+  *   - session build time: `.withExtensions(new GraftExtensions)` or
+  *     `.config("spark.sql.extensions", "graft.GraftExtensions")`;
+  *   - an already-running session: `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  /** (name, usage, builder) for every engine SQL function. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("json_project",
+      "json_project(json, 'a.b,c') - project dotted paths out of a JSON document",
+      (args: Seq[Expression]) => JsonProjectExpr(args(0), args(1))),
+    ("json_merge_shallow",
+      "json_merge_shallow(dest, src) - field-level shallow JSON merge",
+      (args: Seq[Expression]) => JsonMergeShallowExpr(args(0), args(1))),
+    ("rolling_hash",
+      "rolling_hash(str) - 64-bit polynomial rolling hash",
+      (args: Seq[Expression]) => RollingHashExpr(args.head)))
+
+  /** Register into an existing session (temp-function registry). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

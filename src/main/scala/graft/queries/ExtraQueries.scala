@@ -16,17 +16,21 @@ import org.apache.spark.sql.functions._
 object ExtraQueries {
   import QueryCatalog.Q
 
-  /** Anti join: customers with no orders (NOT EXISTS). */
+  /** Anti join: customers with no finalized ('F') order (NOT EXISTS —
+    * the unfiltered variant is empty at every SF, so filter the build
+    * side to keep the result checkable). */
   val qAntiJoin: Q = (s, dir) => {
     val cust = Tables.customer(s, dir)
-    val ord = Tables.orders(s, dir).select("o_custkey")
+    val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select("o_custkey")
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
   }
   val qAntiJoinSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
   /** Semi join: parts that appear in at least one lineitem (EXISTS). */

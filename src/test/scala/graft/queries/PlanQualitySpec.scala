@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan quality gates for the headline queries: the properties
+  * that matter at 100 TB — predicate pushdown reaching the parquet scan,
+  * column pruning, broadcast joins for small sides, no cartesian
+  * products, whole-stage codegen present. Guards against plan
+  * regressions the same way the oracle guards results.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntryPlans.executedPlan(spark, name, sf001)
+
+  test("q1_agg: filter pushed to parquet scan, columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the scan:\n$p")
+    assert(!p.contains("l_orderkey"), "unused columns pruned from ReadSchema")
+    assert(p.contains("*("), "agg pipeline codegen'd (AQE marks codegen stages with *(n))")
+  }
+
+  test("q3_top_orders: dimension filters pushed, customer side broadcast") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k uses TakeOrdered, not global sort")
+  }
+
+  test("q5_region_revenue: star joins broadcast, region filter pushed") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d2_rules_join: tiny rules relation broadcast, no shuffle of events") {
+    val p = plan("d2_rules_join")
+    assert(p.contains("BroadcastHashJoin"), s"rules must broadcast:\n$p")
+  }
+
+  test("sync_pipeline_filtered: rules broadcast; events scanned once with pruned schema") {
+    val p = plan("sync_pipeline_filtered")
+    assert(p.contains("Broadcast"), s"rules relation must broadcast:\n$p")
+    assert(!p.contains("ts#"), s"events.ts must be pruned from the scan:\n$p")
+  }
+
+  test("dedup_exact: single shuffle on digest, partial aggregation map-side") {
+    val p = plan("dedup_exact")
+    assert(p.contains("partial_"), "map-side partial agg present")
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"digest groupBy needs exactly one hash shuffle:\n$p")
+  }
+
+  test("ann_topk: corpus scanned once, queries broadcast") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+}
+
+/** Helper giving specs access to a query's executed plan string. */
+object SparkEntryPlans {
+  def executedPlan(spark: org.apache.spark.sql.SparkSession, name: String,
+      dir: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize the adaptive plan (codegen/broadcast decisions)
+    // keep only the final adaptive plan (the string also echoes the
+    // initial plan, which would double-count operators)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+}
