@@ -40,6 +40,33 @@ object ExportJob {
       ExportOps.serializeJson(struct(df.columns.map(col).toIndexedSeq: _*)).as("data"))
   }
 
+  /** The 100 TB export path: no archive at all — write the rendered
+    * entries as parquet partitioned by (namespace, kind), so downstream
+    * consumers get partition pruning and the write parallelizes across
+    * the cluster (SURVEY.md §2.1 B10 scale note). The zip modes remain
+    * for reference-parity single-archive exports.
+    */
+  def runPartitioned(spark: SparkSession, root: String, outDir: String): ExportResult = {
+    val (tables, discErrs) = Catalog.discover(spark, root)
+    val scan = Catalog.scanAll(spark, tables)
+    val frames = scan.frames.toSeq.sortBy(_._1).flatMap { case (_, df) =>
+      val cols = df.columns.toSet
+      if (!Set("kind", "name").subsetOf(cols)) None
+      else {
+        val ns = if (cols.contains("namespace")) col("namespace") else lit(null).cast("string")
+        Some(df.select(
+          ExportOps.defaultNamespace(ns).as("namespace"),
+          col("kind"),
+          col("name"),
+          ExportOps.serializeJson(struct(df.columns.map(col).toIndexedSeq: _*)).as("doc")))
+      }
+    }
+    if (frames.isEmpty) return ExportResult(0L, discErrs ++ scan.errors)
+    val unioned = frames.reduce(_ unionByName _)
+    unioned.write.mode("overwrite").partitionBy("namespace", "kind").parquet(outDir)
+    ExportResult(spark.read.parquet(outDir).count(), discErrs ++ scan.errors)
+  }
+
   /** Run the full export of a KRM data root into a zip archive.
     * `sharded=true` writes one archive per partition (the scale path).
     */

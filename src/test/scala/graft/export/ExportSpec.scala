@@ -104,6 +104,29 @@ class ExportSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("partitioned export: layout prunes by namespace/kind") {
+    val root = java.nio.file.Files.createTempDirectory("exportpart").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("apiGroup", StringType), StructField("namespace", StringType),
+      StructField("kind", StringType), StructField("name", StringType)))
+    val rows = Seq(
+      Row("", "prod", "Pod", "a"), Row("", "prod", "Pod", "b"),
+      Row("", "dev", "Pod", "c"), Row("", "", "Namespace", "prod"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.parquet(s"$root/objects.parquet")
+    val out = java.nio.file.Files.createTempDirectory("exportpartout").toFile.getAbsolutePath
+    val res = ExportJob.runPartitioned(spark, root, out)
+    assert(res.entries == 4 && res.errors.isEmpty)
+    // partition directories exist → pruning-friendly layout
+    assert(new java.io.File(s"$out/namespace=prod/kind=Pod").exists())
+    assert(new java.io.File(s"$out/namespace=_cluster/kind=Namespace").exists())
+    // a namespace-filtered read scans only that partition
+    val pruned = spark.read.parquet(out).filter($"namespace" === "prod")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(namespace"), plan)
+  }
+
   test("export tolerates unreadable tables (error accumulation)") {
     val root = java.nio.file.Files.createTempDirectory("exportbad").toFile
     // one good table, one corrupt file
