@@ -185,7 +185,28 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Correlated-subquery pattern: parts priced above their type's
+    * average (decorrelated to a window/self-join by both engines). */
+  val qAboveTypeAvg: Q = (s, dir) => {
+    val w = Window.partitionBy(col("p_type"))
+    Tables.part(s, dir)
+      .withColumn("type_avg", avg(col("p_retailprice")).over(w))
+      .filter(col("p_retailprice") > col("type_avg"))
+      .select(col("p_partkey"), col("p_type"),
+        round(col("p_retailprice"), 2).as("price"),
+        round(col("type_avg"), 2).as("type_avg"))
+      .orderBy(col("p_partkey"))
+  }
+  val qAboveTypeAvgSql: String =
+    """SELECT p_partkey, p_type, round(p_retailprice, 2) AS price,
+      |  round(type_avg, 2) AS type_avg
+      |FROM (SELECT *, avg(p_retailprice) OVER (PARTITION BY p_type) AS type_avg
+      |      FROM part) t
+      |WHERE p_retailprice > type_avg
+      |ORDER BY p_partkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_above_type_avg" -> qAboveTypeAvg,
     "q_anti_join" -> qAntiJoin,
     "q_semi_join" -> qSemiJoin,
     "q_set_ops" -> qSetOps,
@@ -196,6 +217,7 @@ object ExtraQueries {
     "ann_ivf" -> annIvf)
 
   val oracles: Map[String, String] = Map(
+    "q_above_type_avg" -> qAboveTypeAvgSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_semi_join" -> qSemiJoinSql,
     "q_set_ops" -> qSetOpsSql,
