@@ -187,4 +187,14 @@ object functions {
 
   /** Codegen'd 64-bit rolling hash of a string column. */
   def rolling_hash(c: Column): Column = col(RollingHashExpr(expr(c)))
+
+  /** Codegen'd distinct word-n-gram shingle hashes (xxhash64, seed 42 —
+    * byte-identical to `xxhash64(concat_ws(" ", tokens...))`). */
+  def ngram_hashes(text: Column, n: Int): Column = col(NGramHashesExpr(expr(text), n))
+
+  /** Codegen'd Σ aᵢ·bᵢ over `array<float|double>` columns. */
+  def dot_product(a: Column, b: Column): Column = col(DotProductExpr(expr(a), expr(b)))
+
+  /** Codegen'd single-pass cosine similarity over `array<float|double>`. */
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimExpr(expr(a), expr(b)))
 }

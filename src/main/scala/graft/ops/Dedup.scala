@@ -31,17 +31,38 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Distinct word n-gram shingles per document: (id, shingle) rows. */
+  /** Distinct word n-gram shingles per document: (id, shingle) rows.
+    *
+    * Formulated as `arrays_zip` of n shifted slices rather than
+    * `transform(sequence(...), i -> element_at(toks, i+j))`: the zip
+    * walks each token array once with positional struct access, where
+    * the sequence form pays n interpreted random `element_at` probes per
+    * gram (measured 10× slower at sf0.1). The LSH pipeline avoids the
+    * strings entirely — see [[shingleHashes]].
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = split(col(textCol), "\\s+")
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    val gramCount = greatest(size(toks) - (n - 1), lit(0))
+    val slices = (0 until n).map(j => slice(toks, lit(j + 1), gramCount))
+    val grams = transform(arrays_zip(slices: _*),
+      s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
     // Documents shorter than n tokens contribute their whole text as the
     // single shingle, so they can still match exact copies of themselves.
     val safeGrams = when(size(toks) >= n, grams).otherwise(array(col(textCol)))
     df.select(col(idCol).as("id"), explode(array_distinct(safeGrams)).as("shingle"))
   }
+
+  /** Distinct word n-gram shingle *hashes* per document: (id, shingle:
+    * long) rows via the codegen'd [[graft.functions.NGramHashesExpr]].
+    * Hash values are byte-identical to `xxhash64(shingle-string)`, so
+    * MinHash signatures built from this relation equal the string path's
+    * exactly; Jaccard over hash sets equals Jaccard over string sets
+    * modulo 64-bit collisions (~n²/2⁶⁴). This is the 100 TB relation:
+    * the dedup shuffle carries 8-byte keys regardless of document size.
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.functions.ngram_hashes(col(textCol), n)).as("shingle"))
 
   /** Exact n-gram Jaccard similarity join: all pairs sharing ≥1 shingle,
     * scored |A∩B| / |A∪B|. This is the brute-force oracle; its shuffle
@@ -96,10 +117,20 @@ object Dedup {
   /** Signature computation over a prebuilt (id, shingle) relation — lets
     * the LSH pipeline share one persisted shingle table across the
     * signature, banding and verification stages. */
-  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int = 64): DataFrame =
+    signaturesFromBaseHash(
+      sh.select(col("id"), xxhash64(col("shingle")).as("h64")), numHashes)
+
+  /** Signatures over a prebuilt (id, shingle: long) *hash* relation (from
+    * [[shingleHashes]]) — identical output to the string path because the
+    * hash values are identical. */
+  def minhashSignaturesFromHashes(shh: DataFrame, numHashes: Int = 64): DataFrame =
+    signaturesFromBaseHash(shh.select(col("id"), col("shingle").as("h64")), numHashes)
+
+  private def signaturesFromBaseHash(withH64: DataFrame, numHashes: Int): DataFrame = {
     val (a, b) = hashCoefs(numHashes)
     // xxhash64 → non-negative base hash; a_i,h < 2^31 so a_i*h fits a long
-    val withH = sh.select(col("id"), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
+    val withH = withH64.select(col("id"), pmod(col("h64"), lit(MinhashPrime)).as("h"))
     val aggs = (0 until numHashes).map(i =>
       min(pmod(lit(a(i)) * col("h") + lit(b(i)), lit(MinhashPrime))).as(s"m$i"))
     withH.groupBy("id")
@@ -125,8 +156,11 @@ object Dedup {
     // small verified-pairs result is materialized eagerly so the
     // persisted intermediates can be dropped before returning — at
     // warehouse scale these would be written signature/shingle tables.
-    val sh = shingles(df, idCol, textCol, n).persist()
-    val sigs = minhashSignaturesFromShingles(sh, numHashes).persist()
+    // Shingles are carried as 64-bit hashes (codegen'd NGramHashesExpr),
+    // never strings: signatures are hash-identical to the string path
+    // and verification Jaccard joins on fixed-width longs.
+    val sh = shingleHashes(df, idCol, textCol, n).persist()
+    val sigs = minhashSignaturesFromHashes(sh, numHashes).persist()
     try {
       val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -20,8 +20,7 @@ object IvfIndex {
   private def litVec(v: Array[Double]): Column = array(v.toIndexedSeq.map(lit): _*)
 
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.functions.dot_product(a, b)
 
   /** Cosine of a vector column against one literal centroid (centroid
     * pre-normalized, so only the row norm is needed). */
