@@ -1,9 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -41,8 +43,10 @@ object NGramHash {
   def ngramHashes(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
     val len = bytes.length
-    // Token boundaries (byte offsets). Worst case one token per 2 bytes.
-    var starts = new Array[Int](math.max(8, len / 2 + 2))
+    // Token boundaries (byte offsets); grown by addTok when a document
+    // has more tokens (pre-sizing to the worst case of len/2 wasted
+    // ~4 bytes of garbage per text byte per row).
+    var starts = new Array[Int](math.min(64, len / 2 + 2).max(8))
     var ends = new Array[Int](starts.length)
     var nTok = 0
     @inline def addTok(s: Int, e: Int): Unit = {
@@ -66,7 +70,7 @@ object NGramHash {
 
     if (nTok < n) {
       // whole raw text is the single shingle
-      return new GenericArrayData(Array(XXH64.hashUTF8String(text, Seed)))
+      return UnsafeArrayData.fromPrimitiveArray(Array(XXH64.hashUTF8String(text, Seed)))
     }
     val nGrams = nTok - n + 1
     val hashes = new Array[Long](nGrams)
@@ -100,7 +104,9 @@ object NGramHash {
       if (hashes(i) != hashes(i - 1)) { hashes(uniq) = hashes(i); uniq += 1 }
       i += 1
     }
-    new GenericArrayData(
+    // UnsafeArrayData keeps the longs primitive — GenericArrayData's
+    // Array[Long] constructor would box every hash into Object[].
+    UnsafeArrayData.fromPrimitiveArray(
       if (uniq == nGrams) hashes else java.util.Arrays.copyOf(hashes, uniq))
   }
 }
@@ -114,6 +120,12 @@ case class NGramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "n-gram size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
 
   override def nullSafeEval(v: Any): Any =
     NGramHash.ngramHashes(v.asInstanceOf[UTF8String], n)

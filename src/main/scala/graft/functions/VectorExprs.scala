@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -23,6 +24,20 @@ import org.apache.spark.sql.types._
 private[functions] trait VectorBinaryExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  /** Fail mis-typed inputs at analysis time (an AnalysisException) rather
+    * than letting `elemType` blow up later inside eval/codegen.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   protected def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => t
@@ -84,8 +99,10 @@ case class DotProductExpr(left: Expression, right: Expression) extends VectorBin
 }
 
 /** `cosine_sim(a, b)` = a·b / (‖a‖·‖b‖), one fused pass (3 accumulators)
-  * instead of three separate array traversals. Division semantics match
-  * Spark double division (zero norm ⇒ NaN/Infinity, not null).
+  * instead of three separate array traversals. A zero-norm input yields
+  * NULL (matching Spark's legacy `Divide`-by-zero semantics): NaN would
+  * sort *above* every real score, silently ranking a zero embedding #1
+  * in every top-k and passing every `>= threshold` filter.
   */
 case class CosineSimExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
   override def prettyName: String = "cosine_sim"
@@ -103,7 +120,8 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorBina
       dot += xa * yb; na += xa * xa; nb += yb * yb
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -121,7 +139,8 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorBina
          |    double $yb = ${accessor(b, rt, i)};
          |    $dot += $xa * $yb; $na += $xa * $xa; $nb += $yb * $yb;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
          |}
        """.stripMargin
     })

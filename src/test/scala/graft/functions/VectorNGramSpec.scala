@@ -81,6 +81,33 @@ class VectorNGramSpec extends SparkSpec {
     assert(m.isNullAt(0) && m.isNullAt(1))
   }
 
+  test("cosine_sim of a zero-norm vector is null, never NaN") {
+    // NaN sorts above every real double: a zero embedding would silently
+    // win every top-k and pass every >= threshold filter.
+    val d = Seq(
+      (1L, Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 0.0f)),
+      (3L, Array(3.0f, 0.0f), Array(7.0f, 0.0f))).toDF("id", "a", "b")
+    val rows = d.select(col("id"), functions.cosine_sim(col("a"), col("b")).as("c"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1))
+    assert(math.abs(rows(2).getDouble(1) - 1.0) < 1e-9)
+    // and a null score never outranks a real one
+    val top = d.select(col("id"), functions.cosine_sim(col("a"), col("b")).as("c"))
+      .orderBy(desc("c")).head
+    assert(top.getLong(0) == 3L)
+  }
+
+  test("mis-typed inputs fail at analysis time, not execution time") {
+    val d = Seq((1L, Array(1, 2))).toDF("id", "a")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(functions.dot_product(col("a"), col("a"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(functions.ngram_hashes(col("id"), 3)).collect()
+    }
+  }
+
   test("expressions survive both codegen and interpreted eval") {
     // force interpreted path via filter on a non-deterministic-ish plan:
     // collect() through a local relation exercises eval(); the parquet
