@@ -133,6 +133,26 @@ case class JsonMergeShallowExpr(dest: Expression, src: Expression)
     copy(dest = l, src = r)
 }
 
+/** `json_valid(str)` — true iff the string parses as JSON. Used by the
+  * sync plane's error side-output (D14): a malformed payload that a rule
+  * projects is surfaced as an error row instead of silently degrading to
+  * null (the DataFrame analog of the reference's per-event error
+  * handling, krmsyncer_controller.go:509-516).
+  */
+case class JsonValidExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "json_valid"
+
+  override def nullSafeEval(v: Any): Any = {
+    try { JsonFunctions.mapper.readTree(v.toString); java.lang.Boolean.TRUE }
+    catch { case _: Exception => java.lang.Boolean.FALSE }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `rolling_hash(str)` — 64-bit polynomial rolling hash over the UTF-8
   * bytes of a string (h = h*31 + byte, wrapping). Used for document
   * fingerprinting at 100 TB scale: cheap, codegen'd, and stable across
@@ -187,6 +207,9 @@ object functions {
 
   /** Codegen'd 64-bit rolling hash of a string column. */
   def rolling_hash(c: Column): Column = col(RollingHashExpr(expr(c)))
+
+  /** True iff the string column parses as JSON (D14 error detection). */
+  def json_valid(c: Column): Column = col(JsonValidExpr(expr(c)))
 
   /** Codegen'd distinct word-n-gram shingle hashes (xxhash64, seed 42 —
     * byte-identical to `xxhash64(concat_ws(" ", tokens...))`). */

@@ -69,16 +69,62 @@ final case class ResourceRule(
 /** A syncer config, mirroring `KRMSyncerSpec` (krmsyncer_types.go:62-84):
   * mode defaults to "pull" (types.go:74-77), `suspend` short-circuits the
   * whole syncer.
+  *
+  * `namespace` is the syncer CR's own namespace and `remoteSecret` the
+  * kubeconfig secret name of its remote cluster config
+  * (types.go:55-65) — together they are the syncer's remote identity:
+  *   - push mode: the pair names the *destination* cluster
+  *     (getRemoteClient, krmsyncer_controller.go:534-559 resolves the
+  *     secret in the syncer's namespace);
+  *   - pull mode: the pair names the *source* cluster, and a pull rule
+  *     only applies to events from the watcher with the same identity
+  *     (controller.go:444-454).
+  * `remoteSecret = null` means no remote configured.
   */
 final case class SyncerConfig(
     name: String,
     mode: String = "pull",   // "push" | "pull"
     suspend: Boolean = false,
-    rules: Seq[ResourceRule] = Seq.empty) {
+    rules: Seq[ResourceRule] = Seq.empty,
+    namespace: String = "default",
+    remoteSecret: String = null) {
   def effectiveMode: String = if (mode == null || mode.isEmpty) "pull" else mode
+
+  /** D8 — destination key this syncer routes to: push syncs to its
+    * remote cluster, pull syncs to the local cluster
+    * (krmsyncer_controller.go:476-487). A push syncer without a remote
+    * keeps the legacy single-destination behavior ("local") rather than
+    * erroring, so library users without multi-cluster configs are
+    * unaffected.
+    */
+  def destKey: String =
+    if (effectiveMode == "push" && remoteSecret != null) s"remote:$namespace/$remoteSecret"
+    else SyncerConfig.LocalDest
 }
 
-/** Flattened (syncer, rule) row used for the broadcast rules join (D2). */
+object SyncerConfig {
+  /** Destination key of the watcher-local cluster. */
+  val LocalDest = "local"
+}
+
+/** The identity of the event source feeding a sync micro-batch — the
+  * Spark analog of the reference's per-watcher reconciler identity
+  * (`DynamicResourceReconciler{Mode, Remote}`,
+  * krmsyncer_controller.go:444-454): `mode` is push/pull; for pull
+  * watchers, (`remoteNamespace`, `remoteSecret`) name the remote cluster
+  * the events came from, and only syncers with the same remote identity
+  * apply (D5). A null identity matches any syncer (single-remote
+  * deployments).
+  */
+final case class WatcherId(
+    mode: String,
+    remoteNamespace: String = null,
+    remoteSecret: String = null)
+
+/** Flattened (syncer, rule) row used for the broadcast rules join (D2).
+  * Carries the syncer's remote identity (D5 pull-side matching) and its
+  * resolved destination key (D8 routing).
+  */
 final case class FlatRule(
     syncerName: String,
     mode: String,
@@ -87,7 +133,10 @@ final case class FlatRule(
     version: String,
     kind: String,
     namespaces: Seq[String],
-    syncFields: Seq[String])
+    syncFields: Seq[String],
+    syncerNamespace: String,
+    remoteSecret: String,
+    destKey: String)
 
 object FlatRule {
   def flatten(configs: Seq[SyncerConfig]): Seq[FlatRule] =
@@ -95,5 +144,6 @@ object FlatRule {
       c <- configs
       r <- c.rules
     } yield FlatRule(c.name, c.effectiveMode, c.suspend, r.group, r.version, r.kind,
-      r.namespaces, if (r.syncFields.isEmpty) Seq("status") else r.syncFields)
+      r.namespaces, if (r.syncFields.isEmpty) Seq("status") else r.syncFields,
+      c.namespace, c.remoteSecret, c.destKey)
 }

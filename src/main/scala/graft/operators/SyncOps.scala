@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.functions._
-import graft.model.{FlatRule, KrmModel, SyncerConfig}
+import graft.model.{FlatRule, KrmModel, SyncerConfig, WatcherId}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,23 +52,38 @@ object SyncOps {
   def namespaceMatch(evNs: Column, ruleNamespaces: Column): Column =
     size(ruleNamespaces) === 0 || array_contains(ruleNamespaces, evNs)
 
-  /** D2+D3+D4+D6+D7 — join the event stream against the broadcast rules
-    * relation, keeping one output row per matching (event, rule) pair
-    * (the reference applies every matching rule; duplicates are fine
-    * because the final merge is idempotent). `watcherMode` plays the role
-    * of the watcher's push/pull identity (D4).
+  /** D2+D3+D4+D5+D6+D7 — join the event stream against the broadcast
+    * rules relation, keeping one output row per matching (event, rule)
+    * pair (the reference applies every matching rule; duplicates are fine
+    * because the final merge is idempotent). `watcher` is the identity of
+    * the event source: its mode must match the rule's (D4), and for a
+    * pull watcher with a declared remote identity, only syncers with the
+    * same (namespace, kubeconfig-secret) pair apply — the reference's
+    * Remote match (krmsyncer_controller.go:444-454) that keeps two
+    * remotes' event streams from leaking into each other's rules (D5).
     */
-  def matchRules(events: DataFrame, rules: DataFrame, watcherMode: String): DataFrame = {
+  def matchRules(events: DataFrame, rules: DataFrame, watcher: WatcherId): DataFrame = {
     val e = events.alias("e")
     val r = rules.alias("r")
+    val identityOk: Column =
+      if (watcher.mode == "pull" && watcher.remoteNamespace != null)
+        (col("r.syncerNamespace") === lit(watcher.remoteNamespace)) &&
+          (col("r.remoteSecret") === lit(watcher.remoteSecret))    // D5
+      else lit(true)
     val cond =
       (!col("r.suspend")) &&                       // D3
-      (col("r.mode") === lit(watcherMode)) &&      // D4
+      (col("r.mode") === lit(watcher.mode)) &&     // D4
+      identityOk &&                                // D5
       gvkMatch(col("e.apiGroup"), col("e.apiVersion"), col("e.kind"),
         col("r.group"), col("r.version"), col("r.kind")) &&  // D6
       namespaceMatch(col("e.namespace"), col("r.namespaces")) // D7
     e.join(broadcast(r), cond, "inner")
   }
+
+  /** Single-identity convenience overload: a watcher known only by mode
+    * (single-remote deployments — matches any syncer of that mode). */
+  def matchRules(events: DataFrame, rules: DataFrame, watcherMode: String): DataFrame =
+    matchRules(events, rules, WatcherId(watcherMode))
 
   /** D10 — nested-field projection (`filterFields`,
     * krmsyncer_controller.go:561-584): identity columns always retained;
@@ -112,7 +127,8 @@ object SyncOps {
             bridge.expression(subsRel))))
         .otherwise(lit(null).cast("string"))
     }
-    val passthrough = df.columns.filter(c => c == "op" || c == "syncerName").map(col).toSeq
+    val passthrough =
+      df.columns.filter(c => c == "op" || c == "syncerName" || c == "destKey").map(col).toSeq
     df.select((KrmModel.identityCols.map(c => col("e." + c).as(c)) ++
       Seq(proj("spec").as("spec"), proj("status").as("status")) ++
       passthrough): _*)
