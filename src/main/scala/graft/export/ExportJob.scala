@@ -83,12 +83,14 @@ object ExportJob {
     val errs = discErrs ++ scan.errors ++ attempts.collect { case Left(e) => e }
     if (frames.isEmpty) return ExportResult(0L, errs)
     val unioned = frames.reduce(_ unionByName _)
-    // YAML at the edge: rendered per entry inside the sink write
+    // YAML at the edge: rendered per entry inside the single sink pass —
+    // the sink's own entry count is the result, so the YAML UDF is
+    // evaluated exactly once per row (no count() pre-pass).
     val yamlUdf = udf((json: String) => Yaml.fromJson(json))
     val rendered = unioned.select(col("path"), yamlUdf(col("data")).as("data"))
-    val n = rendered.count()
-    if (sharded) ZipSink.writeSharded(rendered, out)
-    else ZipSink.writeSingle(rendered, out)
+    val n =
+      if (sharded) ZipSink.writeSharded(rendered, out)
+      else ZipSink.writeSingle(rendered, out)
     ExportResult(n, errs)
   }
 }

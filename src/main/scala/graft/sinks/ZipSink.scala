@@ -42,9 +42,14 @@ object ZipSink {
   private def validated(df: DataFrame): DataFrame =
     df.select(col("path").cast("string"), col("data").cast("string"))
 
-  /** Scale path: one archive per partition under `dir`. */
-  def writeSharded(df: DataFrame, dir: String): Unit = {
+  /** Scale path: one archive per partition under `dir`. Returns the
+    * number of entries written (counted by accumulator inside the single
+    * sink pass — the write IS the count, no second evaluation of the
+    * upstream plan).
+    */
+  def writeSharded(df: DataFrame, dir: String): Long = {
     new java.io.File(dir).mkdirs()
+    val entries = df.sparkSession.sparkContext.longAccumulator("zip_entries")
     validated(df).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -52,21 +57,31 @@ object ZipSink {
         try rows.foreach { r =>
           val p = r.getString(0)
           val d = r.getString(1)
-          if (p != null) sink.write(p, (if (d == null) "" else d).getBytes(StandardCharsets.UTF_8))
+          if (p != null) {
+            sink.write(p, (if (d == null) "" else d).getBytes(StandardCharsets.UTF_8))
+            entries.add(1L)
+          }
         } finally sink.close()
       }
     }
+    entries.value
   }
 
   /** Parity path: one archive, streamed through the driver (the archive
     * format itself is single-writer; matches the reference CLI exactly).
+    * Returns the number of entries written.
     */
-  def writeSingle(df: DataFrame, file: String): Unit = {
+  def writeSingle(df: DataFrame, file: String): Long = {
     val sink = new ZipFileSink(file)
+    var n = 0L
     try validated(df).toLocalIterator().forEachRemaining { r =>
       val p = r.getString(0)
       val d = r.getString(1)
-      if (p != null) sink.write(p, (if (d == null) "" else d).getBytes(StandardCharsets.UTF_8))
+      if (p != null) {
+        sink.write(p, (if (d == null) "" else d).getBytes(StandardCharsets.UTF_8))
+        n += 1L
+      }
     } finally sink.close()
+    n
   }
 }

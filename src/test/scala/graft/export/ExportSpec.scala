@@ -127,6 +127,57 @@ class ExportSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(namespace"), plan)
   }
 
+  test("B1 CLI: flag contract matches the reference") {
+    // missing --output → same message as the reference (export.go:44-47)
+    assert(Main.parse(Seq("--root", "/x")) ==
+      Left("required flag(s) \"output\" not set"))
+    // positional args rejected (main.go:31-33)
+    assert(Main.parse(Seq("extra", "--output", "o.zip"))
+      .swap.exists(_.startsWith("unexpected arguments")))
+    assert(Main.parse(Seq("--frobnicate")).swap.exists(_.startsWith("unknown flag")))
+    assert(Main.parse(Seq("--root", "/x", "--output", "o.zip", "--sharded", "--partitioned"))
+      .isLeft)
+    assert(Main.parse(Seq("--root", "/x", "--output", "o.zip")) ==
+      Right(Main.Options(root = "/x", output = "o.zip")))
+  }
+
+  test("B1 CLI: end-to-end dispatch through Main.run") {
+    val root = java.nio.file.Files.createTempDirectory("cliroot").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("apiGroup", StringType), StructField("namespace", StringType),
+      StructField("kind", StringType), StructField("name", StringType)))
+    val rows = Seq(Row("", "", "Namespace", "default"), Row("apps", "prod", "Deployment", "web"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.parquet(s"$root/objects.parquet")
+
+    val zip = java.nio.file.Files.createTempDirectory("cliout")
+      .resolve("export.zip").toString
+    val Right(opts) = Main.parse(Seq("--root", root, "--output", zip))
+    val res = Main.run(spark, opts)
+    assert(res.entries == 2 && res.errors.isEmpty)
+    val zf = new ZipFile(zip)
+    try assert(zf.size() == 2) finally zf.close()
+
+    val pdir = java.nio.file.Files.createTempDirectory("clipart").toString
+    val Right(popts) = Main.parse(Seq("--root", root, "--output", pdir, "--partitioned"))
+    assert(Main.run(spark, popts).entries == 2)
+    assert(new java.io.File(s"$pdir/namespace=prod").exists())
+  }
+
+  test("sink pass count equals entries without re-evaluating the plan") {
+    // the UDF must run exactly once per row: a counting UDF would double
+    // under the old count()-then-write shape
+    val hits = spark.sparkContext.longAccumulator("udf_hits")
+    val count = udf((s: String) => { hits.add(1L); s })
+    val df = Seq(("p1.yaml", "a"), ("p2.yaml", "b")).toDF("path", "raw")
+      .select($"path", count($"raw").as("data"))
+    val out = java.nio.file.Files.createTempDirectory("onceout")
+      .resolve("once.zip").toString
+    val n = ZipSink.writeSingle(df, out)
+    assert(n == 2)
+    assert(hits.value == 2, s"UDF evaluated ${hits.value} times for 2 rows")
+  }
+
   test("export tolerates unreadable tables (error accumulation)") {
     val root = java.nio.file.Files.createTempDirectory("exportbad").toFile
     // one good table, one corrupt file
