@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{JsonMergeShallowExpr, JsonProjectExpr, RollingHashExpr}
+import graft.functions.{CosineSimExpr, DotProductExpr, JsonMergeShallowExpr, JsonProjectExpr, JsonValidExpr, LangIdExpr, NGramHashesExpr, RollingHashExpr, TokenStatsExpr}
+import graft.ops.TextAnalysis
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,7 +37,26 @@ object GraftExtensions {
       (args: Seq[Expression]) => JsonMergeShallowExpr(args(0), args(1))),
     ("rolling_hash",
       "rolling_hash(str) - 64-bit polynomial rolling hash",
-      (args: Seq[Expression]) => RollingHashExpr(args.head)))
+      (args: Seq[Expression]) => RollingHashExpr(args.head)),
+    ("json_valid",
+      "json_valid(str) - true iff the string parses as JSON",
+      (args: Seq[Expression]) => JsonValidExpr(args.head)),
+    ("ngram_hashes",
+      "ngram_hashes(text, n) - distinct xxhash64 word n-gram shingle hashes",
+      (args: Seq[Expression]) => NGramHashesExpr(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())),
+    ("dot_product",
+      "dot_product(a, b) - codegen'd dot product over float/double arrays",
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    ("cosine_sim",
+      "cosine_sim(a, b) - codegen'd cosine similarity (null on zero norm)",
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
+    ("token_stats",
+      "token_stats(text) - struct(n_tokens, total_token_chars, stopword_hits)",
+      (args: Seq[Expression]) => TokenStatsExpr(args.head, TextAnalysis.defaultStopwords)),
+    ("lang_id",
+      "lang_id(text) - marker-argmax language ID heuristic",
+      (args: Seq[Expression]) => LangIdExpr(args.head)))
 
   /** Register into an existing session (temp-function registry). */
   def register(spark: SparkSession): Unit =

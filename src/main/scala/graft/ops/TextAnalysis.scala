@@ -1,13 +1,23 @@
 package graft.ops
 
+import graft.functions.{LangIdExpr, TokenStatsExpr}
 import graft.functions.functions.rolling_hash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
 /** Text-analysis operators for large-scale training-data pipelines:
-  * tokenization, quality scoring, language ID, fingerprinting. All are
-  * pure column expressions (whole-stage codegen'd, no UDFs in the hot
-  * path) so they run at scan speed over 100 TB of documents.
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * The per-token statistics (`tokenCount`/`meanTokenLen`/
+  * `stopwordRatio`/`langId`) are backed by the codegen'd
+  * [[graft.functions.TokenStatsExpr]]/[[graft.functions.LangIdExpr]]
+  * byte-scan expressions — Spark's higher-order-function lambdas are
+  * interpreted per element, which is exactly the profile that dominates
+  * a quality pass over 100 TB of documents (TextAnalysisSpec pins the
+  * fast path ≡ the declarative HOF formulation). The character-level
+  * ratios are plain builtins (regexp engines, codegen'd); nothing here
+  * is a UDF, so the whole stats projection runs at scan speed.
   */
 object TextAnalysis {
 
@@ -15,25 +25,27 @@ object TextAnalysis {
     * whitespace collapse). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** struct(n_tokens, total_token_chars, stopword_hits) in one
+    * codegen'd pass over the UTF-8 bytes. */
+  def tokenStats(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    bridge.column(TokenStatsExpr(bridge.expression(text), stopwords))
+
+  def tokenCount(text: Column): Column = tokenStats(text).getField("n_tokens")
 
   /** BPE-ish subword count estimate: words + punctuation marks counted
     * separately (a cheap, deterministic proxy for tokenizer load). */
   def subwordCountEstimate(text: Column): Column =
-    size(split(text, "[\\s]+")) +
+    tokenCount(text) +
       length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}]", ""))
 
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
     "for", "on", "with", "as", "by", "at", "it", "this", "that")
 
-  /** Fraction of tokens that are stopwords — exact rational, computed as
-    * codegen'd higher-order functions (no shuffle, no UDF). */
+  /** Fraction of tokens that are stopwords (exact token match). */
   def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val toks = tokens(text)
-    val stops = filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*))
-    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
-      .otherwise(lit(0.0))
+    val ts = tokenStats(text, stopwords)
+    ratio(ts.getField("stopword_hits"), ts.getField("n_tokens"))
   }
 
   /** Fraction of characters that are ASCII punctuation. */
@@ -45,12 +57,12 @@ object TextAnalysis {
 
   /** Mean token length in characters. */
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(toks).cast("double"))
-      .otherwise(lit(0.0))
+    val ts = tokenStats(text)
+    ratio(ts.getField("total_token_chars"), ts.getField("n_tokens"))
   }
+
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
 
   /** Composite document quality score in [0,1]: favors mid-length docs,
     * low punctuation noise, and a natural stopword rate — the standard
@@ -63,45 +75,39 @@ object TextAnalysis {
     round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 4)
   }
 
-  /** Per-language marker words for the n-gram/stopword language-ID
-    * heuristic. Intentionally small: language ID at corpus scale must be
-    * a scan-speed expression; a real model goes behind the same API.
+  /** Language-ID heuristic: lowercase tokens scored against per-language
+    * marker sets, argmax by (hits, lang) — "und" when nothing matches.
+    * One codegen'd byte scan ([[graft.functions.LangIdExpr]]); an
+    * honest placeholder for a real model behind the same API.
     */
-  private val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
-    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "de"),
-    "fr" -> Seq("le", "la", "les", "est", "et", "que", "dans", "une"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
-
-  /** Language-ID heuristic: score = marker-token hits per language, pick
-    * the argmax ("und" = undetermined when nothing matches). Implemented
-    * as a fold over literal marker arrays — fully codegen'd.
-    */
-  def langId(text: Column): Column = {
-    val toks = transform(tokens(text), t => lower(t))
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(
-        size(filter(toks, t => t.isin(markers.map(_.asInstanceOf[Any]): _*))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    bridge.column(LangIdExpr(bridge.expression(text)))
 
   /** 64-bit rolling-hash document fingerprint (codegen'd custom
     * expression, [[graft.functions.RollingHashExpr]]). */
   def fingerprint(text: Column): Column = rolling_hash(text)
 
-  /** Full per-document text-stats projection. */
+  /** Full per-document text-stats projection. The token statistics are
+    * computed once per row (single `_ts` struct, shared by the derived
+    * columns) — one byte scan + two regex passes per document.
+    */
   def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("mean_token_len", round(meanTokenLen(t), 4))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+    val ts = col("_ts")
+    df.withColumn("_ts", tokenStats(t))
+      .withColumn("n_tokens", ts.getField("n_tokens"))
+      .withColumn("mean_token_len",
+        round(ratio(ts.getField("total_token_chars"), ts.getField("n_tokens")), 4))
+      .withColumn("stopword_ratio",
+        round(ratio(ts.getField("stopword_hits"), ts.getField("n_tokens")), 4))
       .withColumn("punct_ratio", round(punctRatio(t), 4))
-      .withColumn("quality", qualityScore(t))
+      .withColumn("quality", round(
+        least(length(t).cast("double") / lit(500.0), lit(1.0)) * 0.4 +
+          greatest(lit(0.0), lit(1.0) - punctRatio(t) * 5.0) * 0.3 +
+          least(ratio(ts.getField("stopword_hits"), ts.getField("n_tokens")) * 4.0,
+            lit(1.0)) * 0.3, 4))
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
+      .drop("_ts")
   }
 }

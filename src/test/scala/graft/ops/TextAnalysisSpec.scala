@@ -52,4 +52,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count() == 500)
     assert(out.columns.contains("fingerprint"))
   }
+
+  test("codegen'd token_stats/lang_id equal the declarative HOF formulation") {
+    // the byte-scan fast path must be value-identical to the
+    // split/filter/aggregate HOF pipeline it replaced, including the
+    // empty-token edges of split("\\s+") and codepoint token lengths
+    val texts = Seq(
+      "the quick brown fox", "  leading ws", "trailing ws  ", "",
+      "one", "multi   space\tand\ttabs\nand newlines",
+      "unicode café naïve 你好 tokens the", "the the the",
+      "der hund ist nicht mit der katze und das ist gut",
+      "el perro es grande y la casa es bonita que bien",
+      (1 to 300).map(i => if (i % 5 == 0) "the" else s"w$i").mkString(" "))
+    val df = texts.toDF("text")
+    val stops = TextAnalysis.defaultStopwords
+    val toks = split($"text", "\\s+")
+    val hofN = size(toks)
+    val hofChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val hofStops = size(filter(toks, t => t.isin(stops.map(_.asInstanceOf[Any]): _*)))
+    val lowered = transform(toks, t => lower(t))
+    val langMarkers = Map(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+      "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "de"),
+      "fr" -> Seq("le", "la", "les", "est", "et", "que", "dans", "une"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(lowered, t => t.isin(markers.map(_.asInstanceOf[Any]): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    val hofLang = when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+
+    val ts = TextAnalysis.tokenStats($"text")
+    df.select(
+      ts.getField("n_tokens").as("fn"), hofN.as("hn"),
+      ts.getField("total_token_chars").as("fc"), hofChars.as("hc"),
+      ts.getField("stopword_hits").as("fs"), hofStops.as("hs"),
+      TextAnalysis.langId($"text").as("fl"), hofLang.as("hl"),
+      $"text")
+      .collect().foreach { r =>
+        assert(r.getInt(0) == r.getInt(1), s"n_tokens diverges on '${r.getString(8)}'")
+        assert(r.getLong(2) == r.getLong(3), s"chars diverge on '${r.getString(8)}'")
+        assert(r.getInt(4) == r.getInt(5), s"stop hits diverge on '${r.getString(8)}'")
+        assert(r.getString(6) == r.getString(7), s"lang diverges on '${r.getString(8)}'")
+      }
+  }
 }
