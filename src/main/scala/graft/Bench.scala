@@ -41,20 +41,22 @@ object Bench {
     // compute, not first-call classloading.
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Two timed runs per query, min taken: the shared VM shows
-    // intermittent multi-second stalls (high host sys-time) that would
-    // otherwise dominate single-shot numbers.
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
-      }
+    // Three timed rounds, INTERLEAVED (round 1 of every query before
+    // round 2 of any), min per query: the shared VM shows intermittent
+    // multi-minute stalls (high host sys-time), and back-to-back samples
+    // of one query can both land inside a single stall window —
+    // interleaving spreads a query's samples minutes apart so one stall
+    // can contaminate at most one of them.
+    val present = headline.filter(SparkEntry.queries.contains)
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
+    val rounds = (1 to 3).map(_ => present.map(n => n -> timeOnce(n)).toMap)
+    val results = present.map(n => n -> rounds.map(_(n)).min)
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -149,37 +149,81 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // The shingle and signature relations are referenced by several
-    // downstream stages (banding self-join, candidate verification);
-    // persist them once instead of recomputing the scan→explode→64-agg
-    // pipeline per reference (cold, the naive DAG is ~15× slower). The
-    // small verified-pairs result is materialized eagerly so the
-    // persisted intermediates can be dropped before returning — at
-    // warehouse scale these would be written signature/shingle tables.
+    // Stage-count is the cost driver here (the signature math itself is
+    // ~1s warm at sf0.1): the whole LSH DAG is three jobs —
+    //   1. shingle hashes (persisted; reused by signatures + both verify
+    //      joins),
+    //   2. ONE aggregation that emits signatures AND band buckets: the
+    //      per-band bucket is a hash of that band's `rows` minima
+    //      projected straight out of the 64-min groupBy, so banding is a
+    //      projection, not a second pass over signatures,
+    //   3. the banding self-join feeding candidate verification with no
+    //      intermediate distinct: a pair colliding in k bands appears k
+    //      times, but verification counts DISTINCT shared shingles, so
+    //      multiplicity cannot change the Jaccard — and a zero-overlap
+    //      coincidence scores 0 and dies at the threshold filter.
     // Shingles are carried as 64-bit hashes (codegen'd NGramHashesExpr),
-    // never strings: signatures are hash-identical to the string path
-    // and verification Jaccard joins on fixed-width longs.
+    // never strings: the dedup shuffles move fixed-width longs no matter
+    // how large documents are. The small verified-pairs result is
+    // materialized eagerly so the persisted intermediates can be dropped
+    // before returning — at warehouse scale these would be written
+    // shingle/signature tables.
     val sh = shingleHashes(df, idCol, textCol, n).persist()
-    val sigs = minhashSignaturesFromHashes(sh, numHashes).persist()
+    val banded = bandedBuckets(sh, numHashes, bands).persist() // both self-join sides
     try {
-      val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", b, array_join(slice(col("sig"), b * rows + 1, lit(rows)), ","))))))
-        .toDF("id", "band", "bucket")
       val cands = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.id") < col("y.id"))
         .select(col("x.id").as("id1"), col("y.id").as("id2"))
-        .distinct()
-      // Verify candidates with exact Jaccard (join back against shingles).
-      jaccardForShingles(sh, cands)
-        .filter(col("jaccard") >= threshold)
-        .localCheckpoint(true)
+      verifyPairs(sh, cands, threshold).localCheckpoint(true)
     } finally {
-      sigs.unpersist(false)
+      banded.unpersist(false)
       sh.unpersist(false)
       ()
     }
+  }
+
+  /** Fused signature+banding aggregation: ONE groupBy emits the
+    * `numHashes` per-hash minima and projects the per-band bucket (a
+    * hash of that band's minima) straight out of the aggregate — banding
+    * costs a projection, not a second pass over a signature relation.
+    * Output: (id, band, bucket) — `bands` fixed-width rows per doc.
+    */
+  def bandedBuckets(sh: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val (a, b) = hashCoefs(numHashes)
+    val withH = sh.select(col("id"), pmod(col("shingle"), lit(MinhashPrime)).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(lit(a(i)) * col("h") + lit(b(i)), lit(MinhashPrime))).as(s"m$i"))
+    val buckets = (0 until bands).map(bd =>
+      xxhash64((lit(bd) +: (bd * rows until (bd + 1) * rows).map(i => col(s"m$i"))): _*))
+    withH.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), posexplode(array(buckets: _*)))
+      .toDF("id", "band", "bucket")
+  }
+
+  /** Duplicate-tolerant exact-Jaccard verification: candidates need NO
+    * pre-distinct — a pair colliding in k bands appears k times, but the
+    * intersection counts DISTINCT shared shingles, so multiplicity
+    * cannot change the score; a zero-overlap coincidence scores 0 and
+    * dies at the threshold filter.
+    */
+  def verifyPairs(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.toDF("id1", "s1"), Seq("id1"))
+      .join(sh.toDF("id2", "s2"), Seq("id2"))
+      .filter(col("s1") === col("s2")) // folded into the join condition
+      .groupBy("id1", "id2").agg(count_distinct(col("s1")).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard restricted to a given candidate-pair set. */
@@ -206,22 +250,39 @@ object Dedup {
   }
 
   /** SimHash signatures as a DataFrame op — the scale path: exploded
-    * distinct tokens, 64 flat codegen'd `sum` aggregates (one per bit),
-    * map-side combined; shuffle carries 64 longs per doc. Produces
-    * identical values to [[simhash]] (asserted in DedupSpec).
+    * distinct tokens, `bits` flat codegen'd `sum` aggregates (one per
+    * bit), map-side combined; shuffle carries `bits` longs per doc.
+    * Produces identical values to [[simhash]] for the default
+    * xxhash64/64-bit configuration (asserted in DedupSpec).
+    *
+    * `tokenHash` is pluggable so the algorithm can run over any 64-bit
+    * token hash; [[md5TokenHash60]] provides an engine-portable variant
+    * (the oracle-gated `dedup_simhash` query uses it, letting DuckDB
+    * recompute the exact signatures).
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
     val toks = df.select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val aggs = (0 until 64).map(j =>
+      .select(col("id"), tokenHash(col("tok")).as("h"))
+    val aggs = (0 until bits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"c$j"))
     val counted = toks.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
       acc.bitwiseOR(shiftleft(when(col(s"c$j") > 0, lit(1L)).otherwise(lit(0L)), j))
     }
     counted.select(col("id"), sig.as("sig"))
   }
+
+  /** Engine-portable 60-bit token hash: the first 15 hex digits of
+    * md5(token) as an integer. Unlike xxhash64 this is reproducible in
+    * any engine with md5 (DuckDB, Trino, Postgres), which is what makes
+    * the simhash pipeline oracle-checkable end-to-end; 60 bits keep the
+    * value inside a signed long.
+    */
+  def md5TokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
   /** 64-bit SimHash over word tokens as a single Column expression: bit
     * j of the signature is the sign of Σ_tokens (±1 depending on bit j
