@@ -50,7 +50,7 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `numBits` unit-free normal vectors
     * of dimension `dim`, seeded — identical across executors/runs. */
-  private def hyperplanes(dim: Int, numBits: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, numBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
   }

@@ -173,6 +173,13 @@ object ExtraQueries {
 
   /** IVF approximate top-k — recall vs the brute-force baseline asserted
     * in SimilaritySpec; quantizer is engine-specific so rows-only. */
+  /** IVF ANN, oracle-gated in exhaustive-probe mode: with nProbe = k
+    * every cell is probed, so the full train→assign→probe-join→re-rank
+    * pipeline must reproduce the brute-force top-k exactly (the same
+    * DuckDB oracle as `ann_topk`) regardless of where k-means placed the
+    * centroids — a hash-green check of all the IVF plumbing. The pruned
+    * configuration (nProbe < k) is approximate by design; its recall is
+    * asserted in IvfIndexSpec. */
   val annIvf: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -180,7 +187,7 @@ object ExtraQueries {
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
-    IvfIndex.topK(queries, corpus, centroids, k = 10, nProbe = 3)
+    IvfIndex.topK(queries, corpus, centroids, k = 10, nProbe = 8)
       .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
@@ -224,5 +231,6 @@ object ExtraQueries {
     "q_distinct_agg" -> qDistinctAggSql,
     "q_rollup" -> qRollupSql,
     "q_asof_join" -> qAsofJoinSql,
-    "q_sessionize" -> qSessionizeSql)
+    "q_sessionize" -> qSessionizeSql,
+    "ann_ivf" -> QueryCatalog.annTopKSql)
 }

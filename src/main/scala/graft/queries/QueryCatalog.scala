@@ -424,22 +424,76 @@ object QueryCatalog {
       |ORDER BY jaccard DESC, id1, id2
       |LIMIT 20""".stripMargin
 
-  /** MinHash+LSH near-dup pairs — not SQL-expressible (seeded MinHash
-    * permutations); correctness is covered by DedupSpec (LSH recall vs
-    * the exact-Jaccard oracle above). */
+  /** MinHash+LSH near-dup pairs, oracle-gated: at (bands=32, rows=2) a
+    * pair with Jaccard j is missed with probability (1-j²)³² ≤ 1e-4 at
+    * the 0.5 threshold — vanishing for the corpus's actual near-dup
+    * pairs — so the LSH output equals the brute-force "all pairs with
+    * exact n-gram Jaccard ≥ 0.5" relation that DuckDB computes
+    * independently. Verification inside the pipeline is already exact
+    * Jaccard; banding only gates candidate generation. Recall across
+    * thresholds/bandings is asserted separately in DedupSpec.
+    */
   val dedupMinhashLsh: Q = (s, dir) => {
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.4)
+        numHashes = 64, bands = 32, threshold = 0.5)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
   }
+  val dedupMinhashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(t) >= 3
+      |        THEN unnest(list_transform(range(1, len(t) - 1),
+      |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |        ELSE unnest([array_to_string(t, ' ')]) END AS sh
+      |    FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2,
+      |  round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = id1
+      |JOIN sizes s2 ON s2.doc_id = id2
+      |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
+      |ORDER BY jaccard DESC, id1, id2""".stripMargin
 
-  /** SimHash signatures — not SQL-expressible (xxhash64 is
-    * Spark-specific); verified structurally in DedupSpec. */
+  /** SimHash signatures, oracle-gated via the engine-portable md5-based
+    * 60-bit token hash ([[Dedup.md5TokenHash60]]): DuckDB recomputes the
+    * exact signatures (distinct tokens → per-bit ±1 sums → sign
+    * recombination). The xxhash64/64-bit production variant is
+    * value-asserted against [[Dedup.simhash]] in DedupSpec.
+    */
   val dedupSimhash: Q = (s, dir) => {
-    Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+        tokenHash = Dedup.md5TokenHash60, bits = 60)
       .toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
+  }
+  val dedupSimhashSql: String = {
+    // value of the first 15 hex digits of md5(tok) — 16^k factors are
+    // exact longs (16^14 = 2^56)
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val sums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
+    val recomb = (0 until 60).map(j =>
+      s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)),
+       |hashed AS (
+       |  SELECT doc_id, ($hexVal) AS h
+       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
+       |counts AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, CAST($recomb AS BIGINT) AS simhash
+       |FROM counts ORDER BY doc_id""".stripMargin
   }
 
   /** Embedding near-dup pairs: blocked cosine ≥ 0.35 (the synthetic
@@ -493,8 +547,54 @@ object QueryCatalog {
       |FROM scored WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
-  /** LSH-bucketed ANN — approximate; recall vs the exact baseline is
-    * asserted in SimilaritySpec, so no SQL oracle. */
+  /** DuckDB oracle for [[annLsh]]: the sign-random-projection planes are
+    * deterministic constants (seed 42), so the oracle SQL embeds the
+    * same 64 hyperplanes as list literals and recomputes bucketing →
+    * candidate join → exact cosine re-rank independently. A sign
+    * disagreement would need |v·p| inside double rounding error —
+    * checked green at both gate scales.
+    */
+  val annLshSql: String = {
+    val planes = Similarity.hyperplanes(dim = 64, numBits = 64, seed = 42L)
+    val planesLit = planes.map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val buckets = (0 until 16).map { t =>
+      val bitExprs = (t * 4 until (t + 1) * 4).map(i => s"bits[${i + 1}]").mkString(" || ")
+      s"'${t}_' || $bitExprs"
+    }.mkString(",\n      |    ")
+    s"""WITH planes AS (SELECT $planesLit AS pl),
+       |q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+       |      FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |      FROM embeddings WHERE vec_id >= 5),
+       |qbits AS (
+       |  SELECT qid, list_transform(pl, p ->
+       |    CASE WHEN list_dot_product(qvec, p) > 0 THEN '1' ELSE '0' END) AS bits
+       |  FROM q CROSS JOIN planes),
+       |cbits AS (
+       |  SELECT id, list_transform(pl, p ->
+       |    CASE WHEN list_dot_product(vec, p) > 0 THEN '1' ELSE '0' END) AS bits
+       |  FROM c CROSS JOIN planes),
+       |qb AS (SELECT qid, unnest([
+       |    $buckets]) AS bucket FROM qbits),
+       |cb AS (SELECT id, unnest([
+       |    $buckets]) AS bucket FROM cbits),
+       |cands AS (SELECT DISTINCT qid, id FROM qb JOIN cb USING (bucket)),
+       |scored AS (
+       |  SELECT cands.qid, cands.id,
+       |    list_dot_product(qvec, vec) /
+       |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS raw,
+       |    row_number() OVER (PARTITION BY cands.qid ORDER BY
+       |      list_dot_product(qvec, vec) /
+       |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) DESC,
+       |      cands.id) AS rank
+       |  FROM cands JOIN q ON q.qid = cands.qid JOIN c ON c.id = cands.id)
+       |SELECT qid, id, round(raw, 4) AS score, rank
+       |FROM scored WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** LSH-bucketed ANN, oracle-gated (see [[annLshSql]]); recall vs the
+    * exact baseline across parameters is asserted in SimilaritySpec. */
   val annLsh: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -544,13 +644,36 @@ object QueryCatalog {
   val textFingerprintSql: String =
     """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Language ID — heuristic scoring, rows-only check (asserted against
-    * labeled fixtures in TextAnalysisSpec). */
+  /** Language ID — the marker-count heuristic is plain SQL: per-language
+    * hits over lowercased tokens, argmax with ties resolved to the
+    * largest language code (the `array_max(struct(hits, lang))`
+    * semantics of the expression). */
   val textLangId: Q = (s, dir) => {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
   }
+  val textLangIdSql: String =
+    """WITH lt AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split_regex(text, '\s+'), x -> lower(x)) AS t
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id,
+      |    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS h_de,
+      |    len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS h_en,
+      |    len(list_filter(t, x -> list_contains(['el','la','los','las','es','y','que','de'], x))) AS h_es,
+      |    len(list_filter(t, x -> list_contains(['le','la','les','est','et','que','dans','une'], x))) AS h_fr,
+      |    len(list_filter(t, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS h_zh
+      |  FROM lt)
+      |SELECT doc_id,
+      |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+      |       WHEN h_zh >= h_fr AND h_zh >= h_es AND h_zh >= h_en AND h_zh >= h_de THEN 'zh'
+      |       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+      |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+      |       WHEN h_en >= h_de THEN 'en'
+      |       ELSE 'de' END AS lang_pred
+      |FROM hits ORDER BY doc_id""".stripMargin
 
   /** Multimodal metadata projection over binary content: every value
     * derives from byte length, exercising binary plumbing on the Spark
@@ -635,10 +758,14 @@ object QueryCatalog {
     "sync_pipeline_filtered" -> syncPipelineFilteredSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_top" -> dedupJaccardTopSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cos" -> dedupEmbeddingCosSql,
     "ann_topk" -> annTopKSql,
+    "ann_lsh" -> annLshSql,
     "text_stats" -> textStatsSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_lang_id" -> textLangIdSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql)
 }
