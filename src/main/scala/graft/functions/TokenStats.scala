@@ -154,6 +154,51 @@ case class TokenStatsExpr(child: Expression, stopwords: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `md5_hash60(str)` — the first 15 hex digits of md5(str) as a long,
+  * computed straight from the digest bytes (big-endian first 8 bytes
+  * >>> 4). Value-identical to `conv(substring(md5(s),1,15),16,10)` but
+  * without materializing the hex string or parsing it back
+  * (spec-asserted in TextAnalysisSpec) — the builtin chain costs ~6×
+  * more than the digest itself. This is the engine-portable token hash
+  * of the oracle-gated simhash pipeline.
+  */
+object Md5Hash60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def hash(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+case class Md5Hash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(Md5Hash60.hash(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Hash60.hash($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `lang_id(text)` — marker-hit argmax language ID as one codegen'd
   * byte scan. */
 case class LangIdExpr(child: Expression) extends UnaryExpression {

@@ -279,10 +279,15 @@ object Dedup {
     * md5(token) as an integer. Unlike xxhash64 this is reproducible in
     * any engine with md5 (DuckDB, Trino, Postgres), which is what makes
     * the simhash pipeline oracle-checkable end-to-end; 60 bits keep the
-    * value inside a signed long.
+    * value inside a signed long. Computed by the codegen'd
+    * [[graft.functions.Md5Hash60Expr]] (digest bytes directly — the
+    * equivalent `conv(substring(md5(tok),1,15),16,10)` builtin chain
+    * spends most of its time materializing and re-parsing hex strings).
     */
-  def md5TokenHash60(tok: Column): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+  def md5TokenHash60(tok: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.Md5Hash60Expr(bridge.expression(tok)))
+  }
 
   /** 64-bit SimHash over word tokens as a single Column expression: bit
     * j of the signature is the sign of Σ_tokens (±1 depending on bit j

@@ -53,6 +53,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.columns.contains("fingerprint"))
   }
 
+  test("md5_hash60 equals the conv(substring(md5)) builtin chain") {
+    val df = Seq("hello", "", "a", "unicode café 你好", "the quick brown fox")
+      .toDF("t")
+    val rows = df.select(
+      graft.ops.Dedup.md5TokenHash60($"t").as("fast"),
+      conv(substring(md5($"t"), 1, 15), 16, 10).cast("long").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("codegen'd token_stats/lang_id equal the declarative HOF formulation") {
     // the byte-scan fast path must be value-identical to the
     // split/filter/aggregate HOF pipeline it replaced, including the
