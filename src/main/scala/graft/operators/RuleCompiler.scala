@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.model.ResourceRule
+import graft.model.{ResourceRule, SyncerConfig}
 
 /** KRMSyncer control-plane: rule validation and glob expansion
   * (SURVEY.md §2.2, C2/C4/C5). Plan-time logic — plain Scala on the
@@ -73,4 +73,41 @@ object RuleCompiler {
     val errs = results.collect { case Left(e) => e }
     (gvks, errs)
   }
+
+  /** C3 — per-syncer discovery source selection, faithful to
+    * `getDiscoveryClient` (krmsyncer_controller.go:118-148): a push
+    * syncer discovers against the *local* catalog; a pull syncer
+    * discovers against the catalog of its remote cluster, identified by
+    * (syncer namespace, kubeconfig secret); a pull syncer with no remote
+    * configured is an error with the reference's message. `remotes`
+    * resolves a remote identity to its catalog — at scale both sides are
+    * [[graft.sources.Catalog.discover]] roots.
+    */
+  def selectCatalog(
+      syncer: SyncerConfig,
+      local: => Seq[CatalogResource],
+      remotes: (String, String) => Option[Seq[CatalogResource]])
+      : Either[String, Seq[CatalogResource]] =
+    if (syncer.effectiveMode == "push") Right(local)
+    else if (syncer.remoteSecret == null)
+      Left("remote cluster config missing for Pull mode")
+    else remotes(syncer.namespace, syncer.remoteSecret).toRight(
+      s"secret ${syncer.remoteSecret} does not exist in namespace ${syncer.namespace}")
+
+  /** C2+C3+C4+C5 composed for one syncer: discovery only happens when a
+    * rule globs (C5 — `catalog` stays unforced otherwise); the catalog
+    * is mode-selected per syncer (C3); expansion and validation errors
+    * accumulate (the reference's reconcile aborts the syncer on a
+    * discovery failure — rules still validate, nothing expands).
+    */
+  def expandSyncer(
+      syncer: SyncerConfig,
+      local: => Seq[CatalogResource],
+      remotes: (String, String) => Option[Seq[CatalogResource]])
+      : (Seq[Gvk], Seq[String]) =
+    if (!needsDiscovery(syncer.rules)) expandAll(syncer.rules, Seq.empty)
+    else selectCatalog(syncer, local, remotes) match {
+      case Left(err) => (Seq.empty, Seq(err))
+      case Right(cat) => expandAll(syncer.rules, cat)
+    }
 }

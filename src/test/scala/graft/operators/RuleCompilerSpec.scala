@@ -71,4 +71,50 @@ class RuleCompilerSpec extends AnyFunSuite {
     assert(gvks == Seq(Gvk("apps", "v1", "Deployment")))
     assert(errs.size == 1)
   }
+
+  // ---- C3: per-syncer discovery source selection -------------------- //
+
+  private val remoteCat = Seq(
+    CatalogResource("kcc.cnrm.cloud.google.com", "v9", "RemoteOnly", "remoteonlies", Seq("list")))
+  private def remotes(ns: String, secret: String): Option[Seq[CatalogResource]] =
+    if (ns == "ns1" && secret == "sec1") Some(remoteCat) else None
+
+  private val globRule = ResourceRule("kcc.cnrm.cloud.google.com", "*", "*")
+
+  test("C3: push syncer discovers against the local catalog") {
+    val s = graft.model.SyncerConfig("p", mode = "push", rules = Seq(globRule))
+    assert(selectCatalog(s, catalog, remotes) == Right(catalog))
+    val (gvks, errs) = expandSyncer(s, catalog, remotes)
+    assert(errs.isEmpty)
+    assert(gvks == Seq(Gvk("kcc.cnrm.cloud.google.com", "v1alpha1", "KCCResource")))
+  }
+
+  test("C3: pull syncer discovers against its remote's catalog") {
+    val s = graft.model.SyncerConfig("q", mode = "pull",
+      namespace = "ns1", remoteSecret = "sec1", rules = Seq(globRule))
+    val (gvks, errs) = expandSyncer(s, catalog, remotes)
+    assert(errs.isEmpty)
+    assert(gvks == Seq(Gvk("kcc.cnrm.cloud.google.com", "v9", "RemoteOnly")),
+      "pull expansion must see the remote catalog, not the local one")
+  }
+
+  test("C3: pull syncer without a remote errors with the reference message") {
+    val s = graft.model.SyncerConfig("r", mode = "pull", rules = Seq(globRule))
+    assert(selectCatalog(s, catalog, remotes) ==
+      Left("remote cluster config missing for Pull mode"))
+    val (gvks, errs) = expandSyncer(s, catalog, remotes)
+    assert(gvks.isEmpty && errs == Seq("remote cluster config missing for Pull mode"))
+  }
+
+  test("C3: missing secret surfaces as an error; no-glob pull needs no remote") {
+    val bad = graft.model.SyncerConfig("s", mode = "pull",
+      namespace = "ns9", remoteSecret = "nope", rules = Seq(globRule))
+    assert(expandSyncer(bad, catalog, remotes)._2.exists(_.contains("does not exist")))
+    // a pull syncer with only concrete rules never touches discovery (C5)
+    val concrete = graft.model.SyncerConfig("t", mode = "pull",
+      rules = Seq(ResourceRule("apps", "v1", "Deployment")))
+    val (gvks, errs) = expandSyncer(concrete,
+      sys.error("local catalog must not be forced"), (_, _) => None)
+    assert(errs.isEmpty && gvks == Seq(Gvk("apps", "v1", "Deployment")))
+  }
 }
