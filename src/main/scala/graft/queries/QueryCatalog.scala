@@ -233,6 +233,29 @@ object QueryCatalog {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** B9+B10 — archive sink + custom DSv2 source, oracle-gated end to
+    * end: documents are rendered to (path, json), written as a sharded
+    * zip export by [[graft.sinks.ZipSink]], read back through the
+    * `graft-zip` DataSource V2 ([[graft.sources.ZipDataSource]]), and
+    * the oracle recomputes every (path, md5(json)) straight from the
+    * table — any loss or corruption in the sink or source breaks the
+    * hash. */
+  val b10ZipRoundtrip: Q = (s, dir) => {
+    val entries = Tables.documents(s, dir).select(
+      concat(lit("docs/"), col("doc_id").cast("string"), lit(".json")).as("path"),
+      to_json(struct(col("doc_id"), col("source"))).as("data"))
+    val out = java.nio.file.Files.createTempDirectory("zip-rt").toFile.getAbsolutePath
+    graft.sinks.ZipSink.writeSharded(entries, out)
+    s.read.format("graft-zip").load(out)
+      .select(col("path"), md5(col("data")).as("data_md5"))
+      .orderBy(col("path"))
+  }
+  val b10ZipRoundtripSql: String =
+    """SELECT concat('docs/', doc_id, '.json') AS path,
+      |  md5(to_json(struct_pack(doc_id := doc_id, source := source))) AS data_md5
+      |FROM documents
+      |ORDER BY path""".stripMargin
+
   /** D2+D3+D7 — broadcast rules join with suspend + membership filters.
     * Rules are a tiny inline relation on both sides. */
   val d2RulesJoin: Q = (s, dir) => {
@@ -719,6 +742,7 @@ object QueryCatalog {
     "b4_subresource_filter" -> b4SubresourceFilter,
     "b7_path_derivation" -> b7PathDerivation,
     "b8_serialize" -> b8Serialize,
+    "b10_zip_roundtrip" -> b10ZipRoundtrip,
     "d2_rules_join" -> d2RulesJoin,
     "d6_glob_match" -> d6GlobMatch,
     "d7_namespace_filter" -> d7NamespaceFilter,
@@ -749,6 +773,7 @@ object QueryCatalog {
     "b4_subresource_filter" -> b4SubresourceFilterSql,
     "b7_path_derivation" -> b7PathDerivationSql,
     "b8_serialize" -> b8SerializeSql,
+    "b10_zip_roundtrip" -> b10ZipRoundtripSql,
     "d2_rules_join" -> d2RulesJoinSql,
     "d6_glob_match" -> d6GlobMatchSql,
     "d7_namespace_filter" -> d7NamespaceFilterSql,
