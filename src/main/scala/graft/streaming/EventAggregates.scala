@@ -37,4 +37,31 @@ object EventAggregates {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
   }
+
+  /** Stream-stream event-time join: for each user, pair every `firstType`
+    * event with the `thenType` events that follow it within `within`
+    * (funnel/causality queries — "purchase followed by error inside an
+    * hour").
+    *
+    * State-bounding is the whole design: BOTH sides carry a watermark and
+    * the join condition bounds `then.ts` to [first.ts, first.ts+within],
+    * so Spark can expire buffered rows once the watermark passes the
+    * range — state is O(events inside the window), never unbounded.
+    * Works identically on batch frames (same plan, no watermark).
+    */
+  def followedBy(first: DataFrame, then_ : DataFrame, within: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermarkDelay) else df
+    val a = wm(first).select(col("user_id").as("a_user"),
+      col("ts").as("a_ts"), col("event_id").as("first_event_id"))
+    val b = wm(then_).select(col("user_id").as("b_user"),
+      col("ts").as("b_ts"), col("event_id").as("then_event_id"))
+    a.join(b,
+        col("a_user") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("a_user").as("user_id"), col("first_event_id"),
+        col("then_event_id"), col("a_ts").as("first_ts"), col("b_ts").as("then_ts"))
+  }
 }

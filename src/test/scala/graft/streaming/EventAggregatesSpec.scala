@@ -62,4 +62,44 @@ class EventAggregatesSpec extends SparkSpec {
     val out = EventAggregates.hourlyByType(batch).collect()
     assert(out.length == 2)
   }
+
+  test("stream-stream join pairs events within the time bound only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val errors = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventAggregates.followedBy(
+      purchases.toDF().toDF("ts", "user_id", "event_id"),
+      errors.toDF().toDF("ts", "user_id", "event_id"),
+      within = "10 minutes", watermarkDelay = "5 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_out").start()
+    try {
+      purchases.addData((ts(0), 1L, 100L), (ts(0), 2L, 101L))
+      errors.addData(
+        (ts(5), 1L, 200L),   // inside the 10-min bound → pair
+        (ts(20), 1L, 201L),  // outside the bound → no pair
+        (ts(3), 3L, 202L))   // different user → no pair
+      q.processAllAvailable()
+      // advance both watermarks so state can expire and results flush
+      purchases.addData((ts(120), 9L, 999L))
+      errors.addData((ts(120), 9L, 998L))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+        .select($"user_id", $"first_event_id", $"then_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, 100L, 200L)), s"in-bound pair found: $rows")
+      assert(!rows.exists(_._3 == 201L), "out-of-bound error not paired")
+      assert(!rows.exists(_._1 == 3L), "cross-user events not paired")
+    } finally q.stop()
+  }
+
+  test("followedBy works identically on batch frames") {
+    val first = Seq((ts(0), 1L, 100L)).toDF("ts", "user_id", "event_id")
+    val then_ = Seq((ts(5), 1L, 200L), (ts(20), 1L, 201L))
+      .toDF("ts", "user_id", "event_id")
+    val out = EventAggregates.followedBy(first, then_, within = "10 minutes")
+      .select($"first_event_id", $"then_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((100L, 200L)))
+  }
 }
