@@ -58,13 +58,21 @@ object KrmModel {
   * selector (glob allowed only for KCC groups), optional namespace
   * allow-list (empty = all), and the list of payload field paths to
   * project (default `["status"]`, types.go:37-38).
+  *
+  * `destNamespace` implements the namespace mapping the reference
+  * documents but never implemented (syncer/README.md:12 promises
+  * "syncing to a specific destination namespace"; controller.go:567
+  * always copies the source namespace): when set, matched documents are
+  * rewritten into that namespace on the destination — including
+  * tombstones, so deletes chase the mapped key.
   */
 final case class ResourceRule(
     group: String,
     version: String,
     kind: String,
     namespaces: Seq[String] = Seq.empty,
-    syncFields: Seq[String] = Seq("status"))
+    syncFields: Seq[String] = Seq("status"),
+    destNamespace: String = null)
 
 /** A syncer config, mirroring `KRMSyncerSpec` (krmsyncer_types.go:62-84):
   * mode defaults to "pull" (types.go:74-77), `suspend` short-circuits the
@@ -136,7 +144,8 @@ final case class FlatRule(
     syncFields: Seq[String],
     syncerNamespace: String,
     remoteSecret: String,
-    destKey: String)
+    destKey: String,
+    destNamespace: String)
 
 object FlatRule {
   def flatten(configs: Seq[SyncerConfig]): Seq[FlatRule] =
@@ -145,5 +154,5 @@ object FlatRule {
       r <- c.rules
     } yield FlatRule(c.name, c.effectiveMode, c.suspend, r.group, r.version, r.kind,
       r.namespaces, if (r.syncFields.isEmpty) Seq("status") else r.syncFields,
-      c.namespace, c.remoteSecret, c.destKey)
+      c.namespace, c.remoteSecret, c.destKey, r.destNamespace)
 }

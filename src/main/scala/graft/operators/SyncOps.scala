@@ -129,7 +129,14 @@ object SyncOps {
     }
     val passthrough =
       df.columns.filter(c => c == "op" || c == "syncerName" || c == "destKey").map(col).toSeq
-    df.select((KrmModel.identityCols.map(c => col("e." + c).as(c)) ++
+    // Namespace mapping (README.md:12, absent from the reference's code):
+    // a rule with destNamespace rewrites the document — and its
+    // tombstones — into that namespace on the destination.
+    def identity(c: String): Column =
+      if (c == "namespace" && df.columns.contains("destNamespace"))
+        coalesce(col("r.destNamespace"), col("e.namespace")).as("namespace")
+      else col("e." + c).as(c)
+    df.select((KrmModel.identityCols.map(identity) ++
       Seq(proj("spec").as("spec"), proj("status").as("status")) ++
       passthrough): _*)
   }

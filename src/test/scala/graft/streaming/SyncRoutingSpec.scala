@@ -126,6 +126,30 @@ class SyncRoutingSpec extends SparkSpec {
     assert(merged("remote:ns-a/kubeconfig-a").count() == 1)
   }
 
+  test("destNamespace maps documents and tombstones into the target namespace") {
+    val mapped = syncerA.copy(rules = Seq(graft.model.ResourceRule(
+      "e2e.gkelabs.io", "v1alpha1", "KindA",
+      syncFields = Seq("spec"), destNamespace = "mirror")))
+    val events = df(doc("e2e.gkelabs.io", "KindA", "a1"))
+    val (m1, _) = SyncStream.applyBatchRouted(
+      events, Seq(mapped), _ => ParquetDest.empty(spark), WatcherId("push"))
+    val dest = m1("remote:ns-a/kubeconfig-a")
+    val row = dest.head
+    assert(row.getAs[String]("namespace") == "mirror",
+      "document rewritten into the mapped namespace")
+    // the tombstone must chase the MAPPED key, not the source namespace
+    val tomb = df(doc("e2e.gkelabs.io", "KindA", "a1", op = "delete"))
+    val (m2, _) = SyncStream.applyBatchRouted(
+      tomb, Seq(mapped), _ => dest, WatcherId("push"))
+    assert(m2("remote:ns-a/kubeconfig-a").count() == 0, "mapped delete propagates")
+    // source-namespace filtering (D7) still applies BEFORE mapping
+    val filtered = mapped.copy(rules = Seq(mapped.rules.head.copy(
+      namespaces = Seq("other-ns"))))
+    val (m3, _) = SyncStream.applyBatchRouted(
+      events, Seq(filtered), _ => ParquetDest.empty(spark), WatcherId("push"))
+    assert(m3("remote:ns-a/kubeconfig-a").count() == 0)
+  }
+
   /** (file name, length, mtime) fingerprint of every data file per bucket. */
   private def bucketFiles(dir: String): Map[String, Set[(String, Long, Long)]] = {
     val cur = new java.io.File(dir, "current")
