@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, DotProductExpr, JsonMergeShallowExpr, JsonProjectExpr, JsonValidExpr, LangIdExpr, NGramHashesExpr, RollingHashExpr, TokenStatsExpr}
+import graft.functions.{CosineSimExpr, DotProductExpr, JsonMergeShallowExpr, JsonProjectExpr, JsonValidExpr, LangIdExpr, NGramHashesExpr, RollingHashExpr, TokenStatsExpr, ToYamlExpr}
 import graft.ops.TextAnalysis
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -56,7 +56,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => TokenStatsExpr(args.head, TextAnalysis.defaultStopwords)),
     ("lang_id",
       "lang_id(text) - marker-argmax language ID heuristic",
-      (args: Seq[Expression]) => LangIdExpr(args.head)))
+      (args: Seq[Expression]) => LangIdExpr(args.head)),
+    ("to_yaml",
+      "to_yaml(json) - render a JSON document as YAML",
+      (args: Seq[Expression]) => ToYamlExpr(args.head)))
 
   /** Register into an existing session (temp-function registry). */
   def register(spark: SparkSession): Unit =

@@ -1,6 +1,5 @@
 package graft.export
 
-import graft.functions.Yaml
 import graft.operators.ExportOps
 import graft.sinks.ZipSink
 import graft.sources.Catalog
@@ -84,10 +83,11 @@ object ExportJob {
     if (frames.isEmpty) return ExportResult(0L, errs)
     val unioned = frames.reduce(_ unionByName _)
     // YAML at the edge: rendered per entry inside the single sink pass —
-    // the sink's own entry count is the result, so the YAML UDF is
-    // evaluated exactly once per row (no count() pre-pass).
-    val yamlUdf = udf((json: String) => Yaml.fromJson(json))
-    val rendered = unioned.select(col("path"), yamlUdf(col("data")).as("data"))
+    // the sink's own entry count is the result, so the expression is
+    // evaluated exactly once per row (no count() pre-pass). to_yaml is a
+    // Catalyst expression, not a UDF, so it stays analyzable/prunable.
+    val rendered = unioned.select(col("path"),
+      graft.functions.functions.to_yaml(col("data")).as("data"))
     val n =
       if (sharded) ZipSink.writeSharded(rendered, out)
       else ZipSink.writeSingle(rendered, out)

@@ -153,6 +153,24 @@ case class JsonValidExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `to_yaml(json)` — render a JSON document as YAML (the export surface
+  * form, B8). A proper Catalyst expression so YAML rendering composes in
+  * query plans and SQL (`SELECT to_yaml(doc)`), not just at the sink
+  * edge; CodegenFallback because the Jackson parse dominates per-row
+  * cost either way.
+  */
+case class ToYamlExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "to_yaml"
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Yaml.fromJson(v.toString))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `rolling_hash(str)` — 64-bit polynomial rolling hash over the UTF-8
   * bytes of a string (h = h*31 + byte, wrapping). Used for document
   * fingerprinting at 100 TB scale: cheap, codegen'd, and stable across
@@ -210,6 +228,9 @@ object functions {
 
   /** True iff the string column parses as JSON (D14 error detection). */
   def json_valid(c: Column): Column = col(JsonValidExpr(expr(c)))
+
+  /** Render a JSON payload column as YAML (B8 surface form). */
+  def to_yaml(c: Column): Column = col(ToYamlExpr(expr(c)))
 
   /** Codegen'd distinct word-n-gram shingle hashes (xxhash64, seed 42 —
     * byte-identical to `xxhash64(concat_ws(" ", tokens...))`). */

@@ -34,12 +34,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ts.getInt(0) == 3 && ts.getLong(1) == 9L && ts.getInt(2) == 1)
     assert(spark.sql("SELECT lang_id('der hund ist nicht mit der katze und') AS l")
       .head().getString(0) == "de")
+    assert(spark.sql("""SELECT to_yaml('{"kind":"Pod","n":2}') AS y""").head().getString(0)
+      == "kind: Pod\nn: 2\n")
   }
 
   test("extension class exposes the same function set") {
     assert(GraftExtensions.all.map(_._1).toSet ==
       Set("json_project", "json_merge_shallow", "rolling_hash", "json_valid",
-        "ngram_hashes", "dot_product", "cosine_sim", "token_stats", "lang_id"))
+        "ngram_hashes", "dot_product", "cosine_sim", "token_stats", "lang_id",
+        "to_yaml"))
     // the class applies without throwing against fresh extensions
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
