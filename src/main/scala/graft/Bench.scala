@@ -23,6 +23,16 @@ object Bench {
     "sync_pipeline_filtered", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "ann_topk", "text_stats", "multimodal_meta")
 
+  /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
+    * host min-of-3 so only real regressions (or sustained stalls) trip. */
+  val budgetsSf01: Map[String, Double] = Map(
+    "dedup_minhash_lsh" -> 20.0,
+    "dedup_simhash" -> 10.0,
+    "ann_topk" -> 4.0,
+    "text_stats" -> 5.0,
+    "dedup_exact" -> 3.0,
+    "multimodal_meta" -> 3.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -60,7 +70,17 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query wall-time budgets at sf0.1 — perf regressions should fail
+    // loudly like correctness does, not drift silently between rounds.
+    val violations =
+      if (sfDir.endsWith("sf0.1"))
+        results.filter { case (n, t) => budgetsSf01.get(n).exists(t > _) }
+      else Seq.empty
+    violations.foreach { case (n, t) =>
+      System.err.println(f"[bench] BUDGET VIOLATION: $n took $t%.1f s (budget ${budgetsSf01(n)}%.1f s)")
+    }
+    val vjson = violations.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"budget_violations":$vjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
