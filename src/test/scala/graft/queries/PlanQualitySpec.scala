@@ -58,6 +58,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n$p")
   }
+
+  test("text_stats: no interpreted lambdas in the projection") {
+    val p = plan("text_stats")
+    assert(!p.contains("lambdafunction"),
+      s"token statistics must not use interpreted HOF lambdas:\n$p")
+    assert(p.contains("token_stats"), s"codegen'd token_stats in the plan:\n$p")
+    assert(p.contains("*("), "stats projection inside whole-stage codegen")
+  }
+
+  test("dedup_minhash_lsh banding: one aggregation, no distinct stage") {
+    // the fused DAG: signature+banding in ONE groupBy; candidates feed
+    // verification with no intermediate deduplication pass
+    val docs = graft.Tables.documents(spark, sf001)
+    val sh = graft.ops.Dedup.shingleHashes(docs, "doc_id", "text")
+    val banded = graft.ops.Dedup.bandedBuckets(sh, 64, 16)
+    banded.collect()
+    val p = banded.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"fused signature+banding needs exactly one shuffle:\n$p")
+    assert(p.contains("ngram_hashes"), "codegen'd shingle expr feeds the agg")
+  }
 }
 
 /** Helper giving specs access to a query's executed plan string. */
