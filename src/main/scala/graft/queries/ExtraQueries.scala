@@ -109,6 +109,55 @@ object ExtraQueries {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Exact interpolated percentiles per group: Spark's `percentile`
+    * uses the same linear-interpolation definition as ANSI
+    * `percentile_cont`, so values match DuckDB bit-for-bit after
+    * rounding. (The approximate variant, `approx_percentile`/t-digest,
+    * is the 100 TB path — one pass, mergeable sketches — but its
+    * results are engine-specific, so the exact form is the gated one.)
+    */
+  val qPercentiles: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+  val qPercentilesSql: String =
+    """SELECT o_orderstatus,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+      |  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p95,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Pivot: event counts per user bucket × event type. The Spark side
+    * uses the native `pivot` operator (one shuffle, map-side partial
+    * aggregation per pivot value); the oracle expresses the same
+    * relation with portable conditional aggregation. */
+  val qPivot: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_bucket"))
+  }
+  val qPivotSql: String =
+    """SELECT user_id % 10 AS user_bucket,
+      |  count(*) FILTER (WHERE event_type = 'click') AS "click",
+      |  count(*) FILTER (WHERE event_type = 'view') AS "view",
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+      |  count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+      |  count(*) FILTER (WHERE event_type = 'error') AS "error"
+      |FROM events
+      |GROUP BY user_id % 10
+      |ORDER BY user_bucket""".stripMargin
+
   /** As-of join: each event picks up the latest order (by o_orderdate)
     * of the same user at or before the event time. Spark side uses the
     * union+window carry-forward (one shuffle); DuckDB side uses its
@@ -221,6 +270,8 @@ object ExtraQueries {
     "q_rollup" -> qRollup,
     "q_asof_join" -> qAsofJoin,
     "q_sessionize" -> qSessionize,
+    "q_percentiles" -> qPercentiles,
+    "q_pivot" -> qPivot,
     "ann_ivf" -> annIvf)
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +283,7 @@ object ExtraQueries {
     "q_rollup" -> qRollupSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_percentiles" -> qPercentilesSql,
+    "q_pivot" -> qPivotSql,
     "ann_ivf" -> QueryCatalog.annTopKSql)
 }
