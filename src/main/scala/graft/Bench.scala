@@ -57,7 +57,13 @@ object Bench {
     // of one query can both land inside a single stall window —
     // interleaving spreads a query's samples minutes apart so one stall
     // can contaminate at most one of them.
-    val present = headline.filter(SparkEntry.queries.contains)
+    // Optional comma-separated subset for focused local iteration, e.g.
+    // SPARK_GRAFT_BENCH_QUERIES=dedup_minhash_lsh,dedup_simhash.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val present = headline
+      .filter(SparkEntry.queries.contains)
+      .filter(n => subset.forall(_.contains(n)))
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
