@@ -40,6 +40,14 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The catalog's wide-aggregate queries (64 minhash min-aggs, 60
+      // simhash bit-sums) each generate huge codegen classes; the default
+      // 100-entry compiled-class cache evicts them between interleaved
+      // rounds, so every sample re-pays Janino + JIT (~12 s for the LSH
+      // DAG — measured 17.9 s interleaved vs 2.2 s solo). A catalog this
+      // wide needs a cache sized to the working set. Static conf: must be
+      // set before the first session of the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,6 +69,18 @@ object Bench {
     // SPARK_GRAFT_BENCH_QUERIES=dedup_minhash_lsh,dedup_simhash.
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // A subset naming no valid query must fail loudly, not print a
+    // clean-looking zero-total result.
+    subset.foreach { s =>
+      val unknown = s -- headline.toSet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] WARNING: unknown subset queries: ${unknown.toSeq.sorted.mkString(",")}")
+      if (s.intersect(headline.toSet).isEmpty) {
+        System.err.println(s"[bench] FATAL: subset matches no headline query")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val present = headline
       .filter(SparkEntry.queries.contains)
       .filter(n => subset.forall(_.contains(n)))
@@ -86,7 +106,12 @@ object Bench {
       System.err.println(f"[bench] BUDGET VIOLATION: $n took $t%.1f s (budget ${budgetsSf01(n)}%.1f s)")
     }
     val vjson = violations.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"budget_violations":$vjson,"sf":"$sfDir"}""")
+    // Record when a subset was active so a partial run's lower total can
+    // never be mistaken for a full-gate result in round artifacts.
+    val subsetJson = subset
+      .map(s => s""","subset":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
+      .getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"budget_violations":$vjson$subsetJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
