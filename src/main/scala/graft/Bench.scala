@@ -12,16 +12,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline set: the scan/agg/join/window core plus one representative
-    * of each extension family. The full catalog runs in Verify; bench
-    * excludes the quadratic exact-Jaccard oracle (its scalable twin,
-    * minhash_lsh, is included).
+  /** Headline set: the scan/agg/join/window core plus every non-trivial
+    * extension family member — ANN (brute/LSH/IVF), dedup (exact/LSH/
+    * simhash), text, multimodal, sessionize/asof/pivot, and the zip
+    * sink+source roundtrip. The full catalog runs in Verify; bench
+    * excludes only the quadratic exact-Jaccard oracle (its scalable
+    * twin, minhash_lsh, is included) and trivial filter variants.
     */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_top_orders", "q5_region_revenue", "q_window_top_orders",
-    "q_events_hourly", "d2_rules_join", "d12_cdc_last_state",
-    "sync_pipeline_filtered", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_topk", "text_stats", "multimodal_meta")
+    "q_events_hourly", "q_pivot", "q_asof_join", "q_sessionize",
+    "d2_rules_join", "d12_cdc_last_state", "sync_pipeline_filtered",
+    "b10_zip_roundtrip", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_topk", "ann_lsh", "ann_ivf",
+    "text_stats", "multimodal_meta")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -29,9 +33,25 @@ object Bench {
     "dedup_minhash_lsh" -> 20.0,
     "dedup_simhash" -> 10.0,
     "ann_topk" -> 4.0,
+    "ann_lsh" -> 4.0,
+    "ann_ivf" -> 15.0,
     "text_stats" -> 5.0,
     "dedup_exact" -> 3.0,
-    "multimodal_meta" -> 3.0)
+    "multimodal_meta" -> 3.0,
+    "q_asof_join" -> 6.0,
+    "q_sessionize" -> 5.0,
+    "q_pivot" -> 4.0,
+    "b10_zip_roundtrip" -> 8.0)
+
+  /** JSON string escape (same contract as Verify.q): backslash, quote,
+    * and ALL control chars < 0x20 — a subset name or path must never be
+    * able to corrupt the one-line artifact the driver parses. */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,12 +79,14 @@ object Bench {
     // compute, not first-call classloading.
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Three timed rounds, INTERLEAVED (round 1 of every query before
-    // round 2 of any), min per query: the shared VM shows intermittent
-    // multi-minute stalls (high host sys-time), and back-to-back samples
-    // of one query can both land inside a single stall window —
-    // interleaving spreads a query's samples minutes apart so one stall
-    // can contaminate at most one of them.
+    // Only headline names that actually resolve in the registry can run;
+    // validate the subset against THIS list (not raw `headline`) so a
+    // name that is headline-listed but missing from SparkEntry.queries
+    // cannot quietly yield a partial run.
+    val runnable = headline.filter(SparkEntry.queries.contains)
+    headline.filterNot(SparkEntry.queries.contains).foreach(n =>
+      System.err.println(s"[bench] WARNING: headline query missing from registry: $n"))
+
     // Optional comma-separated subset for focused local iteration, e.g.
     // SPARK_GRAFT_BENCH_QUERIES=dedup_minhash_lsh,dedup_simhash.
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -72,18 +94,16 @@ object Bench {
     // A subset naming no valid query must fail loudly, not print a
     // clean-looking zero-total result.
     subset.foreach { s =>
-      val unknown = s -- headline.toSet
+      val unknown = s -- runnable.toSet
       if (unknown.nonEmpty)
         System.err.println(s"[bench] WARNING: unknown subset queries: ${unknown.toSeq.sorted.mkString(",")}")
-      if (s.intersect(headline.toSet).isEmpty) {
-        System.err.println(s"[bench] FATAL: subset matches no headline query")
+      if (s.intersect(runnable.toSet).isEmpty) {
+        System.err.println(s"[bench] FATAL: subset matches no runnable headline query")
         spark.stop()
         sys.exit(2)
       }
     }
-    val present = headline
-      .filter(SparkEntry.queries.contains)
-      .filter(n => subset.forall(_.contains(n)))
+    val present = runnable.filter(n => subset.forall(_.contains(n)))
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -91,27 +111,64 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
+    // Three timed rounds, INTERLEAVED (round 1 of every query before
+    // round 2 of any), min per query: the shared VM shows intermittent
+    // multi-minute stalls (high host sys-time), and back-to-back samples
+    // of one query can both land inside a single stall window —
+    // interleaving spreads a query's samples minutes apart so one stall
+    // can contaminate at most one of them.
     val rounds = (1 to 3).map(_ => present.map(n => n -> timeOnce(n)).toMap)
-    val results = present.map(n => n -> rounds.map(_(n)).min)
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // Per-query wall-time budgets at sf0.1 — perf regressions should fail
-    // loudly like correctness does, not drift silently between rounds.
-    val violations =
-      if (sfDir.endsWith("sf0.1"))
-        results.filter { case (n, t) => budgetsSf01.get(n).exists(t > _) }
-      else Seq.empty
-    violations.foreach { case (n, t) =>
-      System.err.println(f"[bench] BUDGET VIOLATION: $n took $t%.1f s (budget ${budgetsSf01(n)}%.1f s)")
+    val firstPass = present.map(n => n -> rounds.map(_(n)).min)
+    val budgets = if (sfDir.endsWith("sf0.1")) budgetsSf01 else Map.empty[String, Double]
+    val firstViolations = firstPass.filter { case (n, t) => budgets.get(n).exists(t > _) }
+
+    // Stall adjudication: a co-tenant stall long enough to swallow all
+    // three interleaved samples of one query (seen in round 5: 60.9 s
+    // recorded vs 6.5 s re-measured 18 min later on the same commit) is
+    // indistinguishable from a regression in the first pass alone. So a
+    // budget violation triggers an automatic SOLO re-measure — 4 extra
+    // samples per violator, spaced ~20 s apart so they cannot all sit in
+    // one stall window — and only a query whose re-measured min ALSO
+    // violates is reported as a budget violation. Both numbers stay in
+    // the artifact so a stall leaves an audit trail instead of a red gate.
+    val remeasured: Map[String, Double] =
+      if (firstViolations.isEmpty) Map.empty
+      else {
+        val names = firstViolations.map(_._1)
+        System.err.println(s"[bench] re-measuring solo (stall check): ${names.mkString(",")}")
+        val extras = (1 to 4).map { r =>
+          if (r > 1) Thread.sleep(20000)
+          names.map(n => n -> timeOnce(n)).toMap
+        }
+        names.map(n => n -> extras.map(_(n)).min).toMap
+      }
+
+    // Final per-query time: min over every sample taken (interleaved
+    // rounds plus any solo re-measure) — the best observed quiet time.
+    val results = firstPass.map { case (n, t) =>
+      n -> math.min(t, remeasured.getOrElse(n, Double.MaxValue))
     }
-    val vjson = violations.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val violations = results.filter { case (n, t) => budgets.get(n).exists(t > _) }
+    firstViolations.foreach { case (n, t) =>
+      val re = remeasured(n)
+      val verdict = if (budgets.get(n).exists(re > _)) "CONFIRMED" else "stall (cleared)"
+      System.err.println(
+        f"[bench] BUDGET VIOLATION first-pass: $n $t%.1f s, solo re-measure $re%.1f s (budget ${budgets(n)}%.1f s) → $verdict")
+    }
+    def obj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => f"${q(k)}:$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val extraJson = new StringBuilder
+    if (firstViolations.nonEmpty) {
+      extraJson ++= s""","first_pass_violations":${obj(firstViolations)}"""
+      extraJson ++= s""","remeasured_solo":${obj(remeasured.toSeq.sortBy(_._1))}"""
+    }
     // Record when a subset was active so a partial run's lower total can
-    // never be mistaken for a full-gate result in round artifacts.
-    val subsetJson = subset
-      .map(s => s""","subset":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
-      .getOrElse("")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"budget_violations":$vjson$subsetJson,"sf":"$sfDir"}""")
+    // never be mistaken for a full-gate result in round artifacts; emit
+    // only the validated names that actually ran.
+    if (subset.isDefined)
+      extraJson ++= s""","subset":${present.sorted.map(q).mkString("[", ",", "]")}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(results)},"budget_violations":${obj(violations)}$extraJson,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

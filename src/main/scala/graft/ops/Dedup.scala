@@ -71,23 +71,34 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // Frequency cap: a shingle occurring in k docs contributes k² join
-    // rows; capping drops only stop-shingles that carry no dedup signal.
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") <= maxShingleFreq)
-    val shCapped = sh.join(rare.select("shingle"), Seq("shingle"))
-    val inter = shCapped.as("a").join(shCapped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
-      .select(col("id1"), col("id2"),
-        (col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")).cast("double")).as("jaccard"))
+    // The shingle relation feeds four consumers (sizes, frequency cap,
+    // both self-join sides) — persist it for the computation, then
+    // localCheckpoint the (small) result eagerly so the persisted
+    // intermediate can be dropped before returning. A leaked cache here
+    // would outlive the call and CacheManager would substitute it into
+    // unrelated later plans over the same parquet (see minhashLshPairs,
+    // which pioneered this persist → localCheckpoint(eager) → unpersist
+    // shape).
+    val sh = shingles(df, idCol, textCol, n).persist()
+    try {
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      // Frequency cap: a shingle occurring in k docs contributes k² join
+      // rows; capping drops only stop-shingles that carry no dedup signal.
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") <= maxShingleFreq)
+      val shCapped = sh.join(rare.select("shingle"), Seq("shingle"))
+      val inter = shCapped.as("a").join(shCapped.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          (col("inter").cast("double") /
+            (col("sz1") + col("sz2") - col("inter")).cast("double")).as("jaccard"))
+        .localCheckpoint(true)
+    } finally { sh.unpersist(false); () }
   }
 
   /** Deterministic MinHash parameters (large prime; a/b from a fixed

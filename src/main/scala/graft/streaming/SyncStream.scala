@@ -161,15 +161,36 @@ object SyncStream {
       WatcherId(watcherMode), checkpointDir)
 }
 
-/** Destination "cluster" modeled as a parquet snapshot directory,
-  * hash-partitioned on the merge key (`current/bucket=N/`). Merges are
-  * *partition-scoped*: a micro-batch only reads and rewrites the buckets
-  * its keys hash into — O(changed partitions), not O(destination) — the
-  * snapshot analog of the reference's per-object SSA patch
-  * (krmsyncer_controller.go:586-600). At 100 TB the same plan is a
-  * Delta/Iceberg MERGE; the bucket layout here reproduces its
-  * file-skipping behavior with plain parquet, and SyncStreamSpec asserts
-  * untouched buckets' files are byte-identical after a merge.
+/** Destination "cluster" modeled as a parquet snapshot, hash-bucketed on
+  * the merge key with a **manifest-pointer commit** — the object-store-
+  * safe layout (no directory rename, no rename-overwrite, no POSIX
+  * assumption anywhere in the commit path):
+  *
+  * {{{
+  *   dir/
+  *     _manifests/manifest-000000001   # bucket → data dir map (TSV)
+  *     _manifests/manifest-000000002   # latest wins (highest id)
+  *     gen-000000001-<uuid>/bucket=3/…parquet   # immutable once written
+  *     gen-000000002-<uuid>/bucket=0/…parquet
+  * }}}
+  *
+  * A snapshot is *defined* by its highest-numbered manifest: each line
+  * maps a bucket to the generation directory holding its current data.
+  * Merges are bucket-scoped: a micro-batch reads only the buckets its
+  * keys hash into, writes the merged buckets to a fresh generation dir,
+  * then publishes a new manifest whose untouched entries still point at
+  * the old generations — untouched buckets are never listed, read,
+  * rewritten, or moved (SyncRoutingSpec asserts their files are
+  * byte-identical). Crash before the manifest publish leaves an orphan
+  * generation dir and the previous snapshot fully readable; the commit
+  * point is ONE single-file rename (`.tmp` → `manifest-N`), atomic on
+  * HDFS and cheap-and-atomic on object stores (it renames a manifest of
+  * a few hundred bytes, never data files). A lost race on that rename
+  * (destination exists) aborts and retries from the new latest manifest.
+  * This is the reference's per-object SSA patch durability story
+  * (krmsyncer_controller.go:586-600) restated as a table commit — the
+  * same pointer-swap protocol Delta's `_delta_log` and Iceberg's
+  * metadata pointer use, scaled down to a bucket map.
   */
 object ParquetDest {
   def empty(spark: SparkSession): DataFrame =
@@ -183,18 +204,77 @@ object ParquetDest {
   private def bucketOf(numBuckets: Int): Column =
     pmod(xxhash64(KrmModel.mergeKey.map(col): _*), lit(numBuckets)).cast("int")
 
-  /** True iff the snapshot dir has any data (a fully-tombstoned snapshot
-    * leaves an empty `current/` that parquet can't infer a schema from). */
-  private def hasData(cur: java.io.File): Boolean =
-    cur.exists() && Option(cur.listFiles()).exists(_.exists(f =>
-      f.getName.startsWith("bucket=") || f.getName.endsWith(".parquet")))
+  private val ManifestDirName = "_manifests"
+  private val ManifestRe = """manifest-(\d{9})""".r
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def hadoopFs(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Highest committed manifest id, or -1 for an empty destination.
+    * In-flight `.tmp` files don't match the pattern and are ignored. */
+  private def latestId(fs: FileSystem, mdir: Path): Long =
+    if (!fs.exists(mdir)) -1L
+    else fs.listStatus(mdir).iterator.map(_.getPath.getName).collect {
+      case ManifestRe(n) => n.toLong
+    }.foldLeft(-1L)(math.max)
+
+  private def manifestPath(mdir: Path, id: Long): Path =
+    new Path(mdir, f"manifest-$id%09d")
+
+  /** bucket → generation-relative data dir, e.g. 3 → "gen-…/bucket=3".
+    * One TSV line per bucket; order is canonical (sorted by bucket). */
+  private def readManifest(fs: FileSystem, mdir: Path, id: Long): Map[Int, String] = {
+    val in = fs.open(manifestPath(mdir, id))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val Array(b, rel) = line.split('\t')
+          b.toInt -> rel
+        }.toMap
+    } finally in.close()
+  }
+
+  /** Publish a manifest: write to a uniquely-named temp file, then a
+    * single-file rename to `manifest-<id>`. Returns false if the rename
+    * lost a race (destination already exists) — caller retries against
+    * the new latest. */
+  private def writeManifest(fs: FileSystem, mdir: Path, id: Long,
+      buckets: Map[Int, String]): Boolean = {
+    fs.mkdirs(mdir)
+    val tmp = new Path(mdir, s".manifest-$id.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(buckets.toSeq.sortBy(_._1)
+      .map { case (b, rel) => s"$b\t$rel\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+    val dst = manifestPath(mdir, id)
+    // HDFS/local rename refuses an existing destination → exactly-one-
+    // winner semantics per manifest id without any lock service.
+    val ok = !fs.exists(dst) && fs.rename(tmp, dst)
+    if (!ok) { fs.delete(tmp, false); () }
+    ok
+  }
+
+  /** Absolute data path per bucket for the current snapshot (empty map
+    * for an empty/never-written destination). Test/inspection surface:
+    * untouched-bucket assertions fingerprint these dirs. */
+  def bucketPaths(spark: SparkSession, dir: String): Map[Int, String] = {
+    val (fs, root) = hadoopFs(spark, dir)
+    val mdir = new Path(root, ManifestDirName)
+    val id = latestId(fs, mdir)
+    if (id < 0) Map.empty
+    else readManifest(fs, mdir, id).map { case (b, rel) =>
+      b -> new Path(root, rel).toString
+    }
+  }
 
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val f = new java.io.File(dir, "current")
-    if (hasData(f)) {
-      val df = spark.read.parquet(f.getAbsolutePath)
-      if (df.columns.contains("bucket")) df.drop("bucket") else df
-    } else empty(spark)
+    val paths = bucketPaths(spark, dir).values.toSeq.sorted
+    if (paths.isEmpty) empty(spark)
+    else spark.read.parquet(paths: _*) // leaf dirs: no partition column
   }
 
   /** Merge `updates` (a projected, collapsed-per-key micro-batch) into
@@ -202,12 +282,15 @@ object ParquetDest {
     * updated keys:
     *
     *   1. the touched bucket set comes from the (small) batch itself;
-    *   2. only those partitions are scanned from the destination
-    *      (partition pruning on the `bucket=` directory column);
-    *   3. the merge result is written to a temp dir and swapped in
-    *      bucket-by-bucket — a touched bucket whose merged result is
-    *      empty (all keys tombstoned) is deleted, untouched buckets are
-    *      never listed, read, or written.
+    *   2. only those buckets' data dirs are scanned from the destination
+    *      (path-level pruning — untouched buckets are never even listed);
+    *   3. merged buckets land in a fresh immutable generation dir, and
+    *      the commit is a new manifest pointing touched buckets at the
+    *      new generation and untouched buckets at wherever they already
+    *      live. A touched bucket whose merged result is empty (all keys
+    *      tombstoned) is dropped from the manifest;
+    *   4. after a successful commit, generations no longer referenced by
+    *      the two most recent manifests are garbage-collected.
     */
   def mergeIncremental(spark: SparkSession, dir: String, updates: DataFrame,
       numBuckets: Int = 16): Unit = {
@@ -216,31 +299,62 @@ object ParquetDest {
     try {
       val touched = u.select("bucket").distinct().collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
-      val cur = new java.io.File(dir, "current")
-      val destTouched =
-        if (hasData(cur))
-          spark.read.parquet(cur.getAbsolutePath)
-            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-            .drop("bucket")
-        else empty(spark)
-      val merged = SyncOps.mergeBatch(destTouched, u.drop("bucket"))
-      val tmp = new java.io.File(dir, s"tmp-${System.nanoTime()}")
-      merged.withColumn("bucket", bucketOf(numBuckets))
-        .write.partitionBy("bucket").mode("overwrite").parquet(tmp.getAbsolutePath)
-      if (!cur.exists()) { cur.mkdirs(); () }
-      touched.foreach { b =>
-        val dst = new java.io.File(cur, s"bucket=$b")
-        rm(dst)
-        val src = new java.io.File(tmp, s"bucket=$b")
-        if (src.exists()) { src.renameTo(dst); () }
+      val (fs, root) = hadoopFs(spark, dir)
+      val mdir = new Path(root, ManifestDirName)
+      var committed = false
+      while (!committed) {
+        val base = latestId(fs, mdir)
+        val current: Map[Int, String] =
+          if (base < 0) Map.empty else readManifest(fs, mdir, base)
+        val touchedPaths = touched.toSeq.flatMap(current.get)
+          .map(rel => new Path(root, rel).toString)
+        val destTouched =
+          if (touchedPaths.nonEmpty) spark.read.parquet(touchedPaths: _*)
+          else empty(spark)
+        val merged = SyncOps.mergeBatch(destTouched, u.drop("bucket"))
+        val genId = base + 1
+        val genRel = f"gen-$genId%09d-${java.util.UUID.randomUUID()}"
+        val genPath = new Path(root, genRel)
+        merged.withColumn("bucket", bucketOf(numBuckets))
+          .write.partitionBy("bucket").mode("overwrite").parquet(genPath.toString)
+        // buckets that actually produced rows; a fully-tombstoned bucket
+        // writes no partition dir and falls out of the manifest
+        val staged = fs.listStatus(genPath).iterator.map(_.getPath.getName)
+          .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt).toSet
+        val next = (current -- touched) ++
+          staged.map(b => b -> s"$genRel/bucket=$b")
+        committed = writeManifest(fs, mdir, genId, next)
+        if (!committed) { fs.delete(genPath, true); () } // lost the race: retry from new base
+        else gc(fs, root, mdir)
       }
-      rm(tmp)
     } finally { u.unpersist(); () }
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rm)
-    f.delete(); ()
+  /** Drop manifests older than the two most recent, and any generation
+    * dir none of the kept manifests reference — readers of the latest or
+    * previous snapshot stay valid through a concurrent GC. Generation
+    * ids newer than the kept manifests are in-flight stagings of a
+    * concurrent committer and are never touched. */
+  private def gc(fs: FileSystem, root: Path, mdir: Path): Unit = {
+    val ids = fs.listStatus(mdir).iterator.map(_.getPath.getName).collect {
+      case ManifestRe(n) => n.toLong
+    }.toSeq.sorted
+    val keep = ids.takeRight(2)
+    if (keep.isEmpty) return
+    val referenced: Set[String] =
+      keep.flatMap(readManifest(fs, mdir, _).values).map(_.split('/').head).toSet
+    ids.dropRight(2).foreach(id => fs.delete(manifestPath(mdir, id), false))
+    val GenRe = """gen-(\d{9})-.*""".r
+    fs.listStatus(root).iterator.map(_.getPath).foreach { p =>
+      p.getName match {
+        // only ids strictly below every kept manifest are provably not
+        // an in-flight staging (a live committer's id is ≥ the latest it
+        // read +1); crash orphans above that age out as ids advance
+        case GenRe(g) if !referenced(p.getName) && g.toLong < keep.min =>
+          fs.delete(p, true); ()
+        case _ => ()
+      }
+    }
   }
 }
 

@@ -150,15 +150,16 @@ class SyncRoutingSpec extends SparkSpec {
     assert(m3("remote:ns-a/kubeconfig-a").count() == 0)
   }
 
-  /** (file name, length, mtime) fingerprint of every data file per bucket. */
-  private def bucketFiles(dir: String): Map[String, Set[(String, Long, Long)]] = {
-    val cur = new java.io.File(dir, "current")
-    Option(cur.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map(b => b.getName -> b.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => (f.getName, f.length(), f.lastModified())).toSet)
-      .toMap
-  }
+  /** (path, length, mtime) fingerprint of every data file per bucket,
+    * resolved through the snapshot's manifest — "untouched" now means
+    * the manifest still points at the SAME immutable generation files. */
+  private def bucketFiles(dir: String): Map[String, Set[(String, Long, Long)]] =
+    ParquetDest.bucketPaths(spark, dir).map { case (b, path) =>
+      val d = new java.io.File(path.stripPrefix("file:"))
+      s"bucket=$b" -> Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
+    }
 
   test("incremental merge rewrites only touched buckets") {
     val dir = java.nio.file.Files.createTempDirectory("incdest").toFile.getAbsolutePath
