@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   * runtime; these operators cover what AQE cannot: broadcast-side
   * replication pressure and single-partition *window* skew, and they
   * work identically on static plans.
+  *
+  * ==Which remedy when (SkewSpec plan-gates both)==
+  *
+  *   1. '''Prefer AQE skew-join''' for batch equi-joins: it is free (no
+  *      plan rewrite, no extra column), splits only the partitions that
+  *      are actually oversized at runtime (`skewedPartitionFactor` ×
+  *      median AND > `skewedPartitionThresholdInBytes`), and composes
+  *      with partition coalescing. It applies ONLY to sort-merge /
+  *      shuffled-hash JOIN partitions in an adaptive plan.
+  *   2. '''Use [[saltedJoin]]''' when AQE cannot see or split the
+  *      shuffle: Structured Streaming micro-batches (no AQE), a join
+  *      that must keep a deterministic partitioning for a downstream
+  *      stage (AQE's runtime splits change partitioning), or when the
+  *      skewed side feeds a mapGroups/cogroup where a single hot
+  *      partition OOMs before AQE's byte threshold trips.
+  *   3. '''Use [[saltedTopK]]''' for per-key window/top-k skew: a
+  *      `Window.partitionBy(key)` puts ALL of a hot key's rows in one
+  *      task by definition — AQE never splits a window partition, so
+  *      salting (or groupBy-based partial top-k) is the only remedy.
   */
 object Skew {
 

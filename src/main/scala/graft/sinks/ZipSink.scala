@@ -67,6 +67,48 @@ object ZipSink {
     entries.value
   }
 
+  /** Layout path: archives partitioned by the FIRST PATH SEGMENT of the
+    * entry name (`namespace/kind/name.yaml` → segment `namespace`), each
+    * named `prefix=<urlencoded-segment>.part-<pid>.zip`. This is the
+    * export-layout analog of a partitioned parquet table: the archive
+    * NAME carries an invariant ("every entry path in here starts with
+    * this segment"), so [[graft.sources.ZipDataSource]] can prune whole
+    * archives against a pushed `path` prefix filter without opening
+    * them — at 100 TB of exports, a per-namespace read touches one
+    * namespace's archives, not the fleet's.
+    *
+    * Same executor-side mechanics as [[writeSharded]] (`foreachPartition`
+    * after repartitioning on the segment; no driver bottleneck). A
+    * partition can hold several segments (hash co-location), so the
+    * writer keeps one open sink per segment within the partition.
+    * Returns the number of entries written.
+    */
+  def writePartitionedByPrefix(df: DataFrame, dir: String): Long = {
+    new java.io.File(dir).mkdirs()
+    val entries = df.sparkSession.sparkContext.longAccumulator("zip_entries")
+    val withSeg = validated(df).withColumn("_seg",
+      org.apache.spark.sql.functions.substring_index(col("path"), "/", 1))
+    withSeg.repartition(col("_seg")).foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val open = scala.collection.mutable.Map.empty[String, ZipFileSink]
+        try rows.foreach { r =>
+          val p = r.getString(0)
+          val d = r.getString(1)
+          if (p != null) {
+            val seg = r.getString(2)
+            val sink = open.getOrElseUpdate(seg, {
+              val enc = java.net.URLEncoder.encode(seg, "UTF-8")
+              new ZipFileSink(f"$dir/prefix=$enc.part-$pid%05d.zip")
+            })
+            sink.write(p, (if (d == null) "" else d).getBytes(StandardCharsets.UTF_8))
+            entries.add(1L)
+          }
+        } finally open.values.foreach(_.close())
+    }
+    entries.value
+  }
+
   /** Parity path: one archive, streamed through the driver (the archive
     * format itself is single-writer; matches the reference CLI exactly).
     * Returns the number of entries written.

@@ -2,8 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringContains, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
@@ -29,6 +29,17 @@ import scala.collection.mutable.ArrayBuffer
   *     ([[SupportsPushDownRequiredColumns]]): a `path`-only projection
   *     never materializes entry bytes (`ZipInputStream.closeEntry` skips
   *     the payload), so `count`/listing scans stream metadata only;
+  *   - filter pushdown ([[SupportsPushDownFilters]]) prunes WHOLE
+  *     ARCHIVES before they are opened — the export-layout analog of
+  *     partition pruning. Filters on `archive` prune by filename;
+  *     filters on `path` prune via the first-segment invariant that
+  *     [[graft.sinks.ZipSink.writePartitionedByPrefix]] encodes in the
+  *     archive name (`prefix=<seg>.part-N.zip` ⇒ every entry path in it
+  *     is `<seg>` or starts with `<seg>/`). Pruning is plan-only: every
+  *     filter is also returned as residual, so Spark re-applies it
+  *     row-wise and a conservative keep can never change results.
+  *     Within a kept archive the same `path` filters skip non-matching
+  *     entries without materializing their payloads;
   *   - entries stream one at a time — memory is O(largest entry), not
   *     O(archive).
   */
@@ -59,6 +70,68 @@ object ZipDataSource {
         .sorted.toSeq
     else Seq(f.getAbsolutePath)
   }
+
+  /** Test probe: archives actually opened by readers. Meaningful in
+    * local mode only (readers share the driver JVM) — production
+    * observability is the scan description's pruned/total counts. */
+  val openedArchives = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val PrefixRe = """prefix=(.+)\.part-\d+\.zip""".r
+
+  /** The entry-path first-segment invariant encoded in an archive's
+    * filename by `writePartitionedByPrefix`, if any. */
+  def archiveSegment(archive: String): Option[String] =
+    new java.io.File(archive).getName match {
+      case PrefixRe(enc) => Some(java.net.URLDecoder.decode(enc, "UTF-8"))
+      case _ => None
+    }
+
+  /** True unless `filters` PROVE no entry of `archive` can match.
+    * `archive`-column predicates evaluate on the filename directly; a
+    * `path` prefix predicate `p` uses the segment invariant: every entry
+    * is `seg` or `seg/...`, so a match requires `seg.startsWith(p)` or
+    * `p.startsWith(seg)` (conservative on the `/` boundary — a false
+    * keep costs one archive open, a false prune would lose rows).
+    * Archives without the invariant never prune on `path`. */
+  def archiveCanMatch(archive: String, filters: Seq[Filter]): Boolean =
+    filters.forall {
+      case EqualTo("archive", v: String) => archive == v
+      case StringStartsWith("archive", p) => archive.startsWith(p)
+      case StringContains("archive", s) => archive.contains(s)
+      case In("archive", vs) => vs.exists {
+        case v: String => archive == v
+        case _ => true
+      }
+      case StringStartsWith("path", p) => pathPrefixCanMatch(archive, p)
+      case EqualTo("path", v: String) => pathPrefixCanMatch(archive, v)
+      case _ => true
+    }
+
+  private def pathPrefixCanMatch(archive: String, p: String): Boolean =
+    archiveSegment(archive) match {
+      case Some(seg) => seg.startsWith(p) || p.startsWith(seg)
+      case None => true
+    }
+
+  /** Exact per-entry check for the pushed `path` predicates (skips a
+    * non-matching entry's payload inside a kept archive). Unknown
+    * predicate shapes were already filtered out by `isPrunable`. */
+  def entryCanMatch(entryPath: String, filters: Seq[Filter]): Boolean =
+    filters.forall {
+      case StringStartsWith("path", p) => entryPath.startsWith(p)
+      case EqualTo("path", v: String) => entryPath == v
+      case StringContains("path", s) => entryPath.contains(s)
+      case _ => true
+    }
+
+  /** Predicate shapes the scan knows how to use for pruning/skipping. */
+  def isPrunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => a == "archive" || a == "path"
+    case StringStartsWith(a, _) => a == "archive" || a == "path"
+    case StringContains(a, _) => a == "archive" || a == "path"
+    case In("archive", _) => true
+    case _ => false
+  }
 }
 
 final class ZipTable(path: String) extends Table with SupportsRead {
@@ -73,68 +146,96 @@ final class ZipTable(path: String) extends Table with SupportsRead {
 }
 
 final class ZipScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = ZipDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
   }
 
-  override def build(): Scan = new ZipScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(ZipDataSource.isPrunable)
+    // Every filter stays residual: pushdown here only PRUNES (archives,
+    // entry payloads); Spark's row-level re-check keeps correctness
+    // independent of the pruning logic.
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ZipScan(path, required, pushed)
 }
 
 final case class ZipArchivePartition(archive: String) extends InputPartition
 
-final class ZipScan(path: String, required: StructType) extends Scan with Batch {
+final class ZipScan(path: String, required: StructType, filters: Array[Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  private lazy val all = ZipDataSource.archivesUnder(path)
+  private lazy val kept = all.filter(ZipDataSource.archiveCanMatch(_, filters))
+
   override def description(): String =
-    s"graft-zip $path, columns [${required.fieldNames.mkString(",")}]"
+    s"graft-zip $path, columns [${required.fieldNames.mkString(",")}], " +
+      s"PushedFilters: [${filters.mkString(", ")}], " +
+      s"archives ${kept.length}/${all.length} after pruning"
 
   override def planInputPartitions(): Array[InputPartition] =
-    ZipDataSource.archivesUnder(path).map(ZipArchivePartition.apply).toArray
+    kept.map(ZipArchivePartition.apply).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipReaderFactory(required.fieldNames)
+    new ZipReaderFactory(required.fieldNames, filters)
 }
 
-final class ZipReaderFactory(columns: Array[String])
+final class ZipReaderFactory(columns: Array[String], filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZipEntryReader(partition.asInstanceOf[ZipArchivePartition].archive, columns)
+    new ZipEntryReader(partition.asInstanceOf[ZipArchivePartition].archive,
+      columns, filters)
 }
 
 /** Streams one archive's entries; reads entry bytes only when the `data`
-  * column survived pruning. */
-final class ZipEntryReader(archive: String, columns: Array[String])
-    extends PartitionReader[InternalRow] {
+  * column survived pruning AND the entry path passes the pushed `path`
+  * filters (non-matching entries are skipped without decoding). */
+final class ZipEntryReader(archive: String, columns: Array[String],
+    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+  ZipDataSource.openedArchives.incrementAndGet()
   private val needData = columns.contains("data")
   private val zis = new ZipInputStream(
     new java.io.BufferedInputStream(new java.io.FileInputStream(archive)))
   private val archiveU = UTF8String.fromString(archive)
   private var row: InternalRow = _
 
+  @annotation.tailrec
   override def next(): Boolean = {
     val e = zis.getNextEntry
     if (e == null) return false
-    val data: UTF8String =
-      if (needData) {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = zis.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = zis.read(chunk) }
-        UTF8String.fromBytes(buf.toByteArray)
-      } else null // pruned: closeEntry skips the payload without decoding
-    zis.closeEntry()
-    val values = new ArrayBuffer[Any](columns.length)
-    columns.foreach {
-      case "archive" => values += archiveU
-      case "path" => values += UTF8String.fromString(e.getName)
-      case "data" => values += data
-      case other => throw new IllegalArgumentException(s"unknown column $other")
+    if (!ZipDataSource.entryCanMatch(e.getName, filters)) {
+      zis.closeEntry() // definite non-match: payload never decoded
+      next()
+    } else {
+      val data: UTF8String =
+        if (needData) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = zis.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = zis.read(chunk) }
+          UTF8String.fromBytes(buf.toByteArray)
+        } else null // pruned: closeEntry skips the payload without decoding
+      zis.closeEntry()
+      val values = new ArrayBuffer[Any](columns.length)
+      columns.foreach {
+        case "archive" => values += archiveU
+        case "path" => values += UTF8String.fromString(e.getName)
+        case "data" => values += data
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      row = new GenericInternalRow(values.toArray)
+      true
     }
-    row = new GenericInternalRow(values.toArray)
-    true
   }
 
   override def get(): InternalRow = row

@@ -48,6 +48,53 @@ class ZipDataSourceSpec extends SparkSpec {
     assert(pruned.count() == 200)
   }
 
+  test("path-prefix filter prunes whole archives before they are opened") {
+    val dir = java.nio.file.Files.createTempDirectory("zippart").toFile.getAbsolutePath
+    val df = (1 to 60).map { i =>
+      val ns = s"ns${i % 3}" // three first segments → three archive groups
+      (s"$ns/doc$i.yaml", s"id: $i\n")
+    }.toDF("path", "data")
+    val n = ZipSink.writePartitionedByPrefix(df, dir)
+    assert(n == 60)
+    val zips = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".zip"))
+    assert(zips.forall(_.getName.startsWith("prefix=")), "layout encodes the segment")
+    val ns1Zips = zips.count(_.getName.startsWith("prefix=ns1."))
+    assert(ns1Zips >= 1)
+
+    val q = spark.read.format("graft-zip").load(dir)
+      .filter(col("path").startsWith("ns1/"))
+    // Pushdown must reach the scan: description advertises the filter
+    // and the post-pruning archive count.
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("StringStartsWith(path,ns1/)"),
+      s"path filter must be pushed to the scan:\n$desc")
+    assert(desc.contains(s"archives $ns1Zips/${zips.length} after pruning"),
+      s"non-matching archives must be pruned from the plan:\n$desc")
+
+    // The probe: only ns1's archives are ever OPENED.
+    ZipDataSource.openedArchives.set(0L)
+    val rows = q.select("path", "data").as[(String, String)].collect()
+    assert(ZipDataSource.openedArchives.get() == ns1Zips,
+      s"opened ${ZipDataSource.openedArchives.get()} archives, expected $ns1Zips")
+    assert(rows.length == 20 && rows.forall(_._1.startsWith("ns1/")))
+    assert(rows.toMap.apply("ns1/doc1.yaml") == "id: 1\n")
+  }
+
+  test("archive-name filters prune without the prefix layout; unprunable filters keep all") {
+    val (dir, nZips) = writeShardedFixture()
+    val one = ZipDataSource.archivesUnder(dir).head
+    ZipDataSource.openedArchives.set(0L)
+    val got = spark.read.format("graft-zip").load(dir)
+      .filter(col("archive") === one).count()
+    assert(ZipDataSource.openedArchives.get() == 1, "equality on archive opens exactly one")
+    assert(got > 0)
+    // A path filter over plain sharded archives (no prefix= invariant)
+    // must NOT prune — conservative keep, row results unchanged.
+    val all = spark.read.format("graft-zip").load(dir)
+      .filter(col("path").startsWith("ns7/")).collect()
+    assert(all.map(_.getAs[String]("path")).toSeq == Seq("ns7/doc7.yaml"))
+  }
+
   test("composes with SQL over the export output") {
     val (dir, _) = writeShardedFixture()
     spark.read.format("graft-zip").load(dir).createOrReplaceTempView("export_entries")
