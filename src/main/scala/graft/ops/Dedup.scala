@@ -168,11 +168,18 @@ object Dedup {
     //      per-band bucket is a hash of that band's `rows` minima
     //      projected straight out of the 64-min groupBy, so banding is a
     //      projection, not a second pass over signatures,
-    //   3. the banding self-join feeding candidate verification with no
-    //      intermediate distinct: a pair colliding in k bands appears k
-    //      times, but verification counts DISTINCT shared shingles, so
-    //      multiplicity cannot change the Jaccard — and a zero-overlap
-    //      coincidence scores 0 and dies at the threshold filter.
+    //   3. the banding self-join, candidate de-dup, and verification.
+    // Candidates ARE de-duplicated before verification: a pair colliding
+    // in k of `bands` bands appears k times, and the verify join
+    // multiplies every candidate row by both docs' shingle counts — on a
+    // duplicate-cluster-heavy corpus (the realistic shape at scale; see
+    // SCALING.md) near-dup pairs collide in nearly ALL bands, so the
+    // skipped distinct measured 11×+ super-linear at 10× data. The
+    // distinct itself shuffles only (id1,id2) long pairs — negligible
+    // next to the shingle join it divides by up to `bands`.
+    // (Verification stays duplicate-TOLERANT regardless: it counts
+    // DISTINCT shared shingles, so multiplicity can never change the
+    // Jaccard — correctness does not depend on the distinct.)
     // Shingles are carried as 64-bit hashes (codegen'd NGramHashesExpr),
     // never strings: the dedup shuffles move fixed-width longs no matter
     // how large documents are. The small verified-pairs result is
@@ -186,6 +193,7 @@ object Dedup {
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.id") < col("y.id"))
         .select(col("x.id").as("id1"), col("y.id").as("id2"))
+        .distinct()
       verifyPairs(sh, cands, threshold).localCheckpoint(true)
     } finally {
       banded.unpersist(false)

@@ -67,9 +67,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("*("), "stats projection inside whole-stage codegen")
   }
 
-  test("dedup_minhash_lsh banding: one aggregation, no distinct stage") {
-    // the fused DAG: signature+banding in ONE groupBy; candidates feed
-    // verification with no intermediate deduplication pass
+  test("dedup_minhash_lsh banding: signature+banding fused into one aggregation") {
+    // the fused DAG: signature+banding in ONE groupBy (candidate
+    // de-dup downstream is a separate, deliberate shuffle — see
+    // Dedup.minhashLshPairs)
     val docs = graft.Tables.documents(spark, sf001)
     val sh = graft.ops.Dedup.shingleHashes(docs, "doc_id", "text")
     val banded = graft.ops.Dedup.bandedBuckets(sh, 64, 16)

@@ -208,6 +208,44 @@ class SyncRoutingSpec extends SparkSpec {
     assert(ParquetDest.read(spark, dir).count() == 20 - allNames.length)
   }
 
+  test("failed mid-commit leaves the previous snapshot readable; next merge commits past it") {
+    val dir = java.nio.file.Files.createTempDirectory("crashdest").toFile.getAbsolutePath
+    val batch1 = df((0 until 10).map(i =>
+      doc("e2e.gkelabs.io", "KindA", s"doc$i")): _*)
+      .drop(KrmModel.scrubCols: _*)
+    ParquetDest.mergeIncremental(spark, dir, batch1)
+    val before = ParquetDest.read(spark, dir)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(before.size == 10)
+
+    // Simulate a writer that died between staging its generation dir and
+    // publishing the manifest: an orphan generation with garbage data,
+    // plus an abandoned .tmp manifest. Neither is referenced by any
+    // committed manifest, so neither may affect readers.
+    val orphan = new java.io.File(dir, "gen-000000001-dead-crash/bucket=3")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(new java.io.File(orphan, "part-00000.parquet").toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_manifests/.manifest-1.tmp-dead").toPath,
+      "3\tgen-000000001-dead-crash/bucket=3\n".getBytes("UTF-8"))
+
+    val afterCrash = ParquetDest.read(spark, dir)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(afterCrash == before, "crash debris must be invisible to readers")
+
+    // The next committer claims the orphan's manifest id (never written)
+    // and proceeds; its generation dir name is UUID-unique so the orphan
+    // cannot collide with the staging path either.
+    val batch2 = df(doc("e2e.gkelabs.io", "KindA", "doc0", spec = """{"y":1}"""))
+      .drop(KrmModel.scrubCols: _*)
+    ParquetDest.mergeIncremental(spark, dir, batch2)
+    val snap = ParquetDest.read(spark, dir)
+    assert(snap.count() == 10)
+    assert(snap.filter(col("name") === "doc0").head.getAs[String]("spec")
+      .contains("\"y\":1"))
+  }
+
   test("D8 streaming: two syncers, two destination directories") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
