@@ -66,10 +66,12 @@ object ExportJob {
     ExportResult(spark.read.parquet(outDir).count(), discErrs ++ scan.errors)
   }
 
-  /** Run the full export of a KRM data root into a zip archive.
-    * `sharded=true` writes one archive per partition (the scale path).
+  /** Discover, scan, render: the shared head of every zip-mode export.
+    * Returns the rendered (path, data) frame (None when no table
+    * survived) plus accumulated errors (B11 — never fail-fast).
     */
-  def run(spark: SparkSession, root: String, out: String, sharded: Boolean = false): ExportResult = {
+  private def renderedEntries(spark: SparkSession, root: String)
+      : (Option[DataFrame], Seq[String]) = {
     val (tables, discErrs) = Catalog.discover(spark, root)
     val scan = Catalog.scanAll(spark, tables)
     val attempts = scan.frames.toSeq.sortBy(_._1).map { case (name, df) =>
@@ -80,17 +82,41 @@ object ExportJob {
     }
     val frames = attempts.collect { case Right(df) => df }
     val errs = discErrs ++ scan.errors ++ attempts.collect { case Left(e) => e }
-    if (frames.isEmpty) return ExportResult(0L, errs)
-    val unioned = frames.reduce(_ unionByName _)
-    // YAML at the edge: rendered per entry inside the single sink pass —
-    // the sink's own entry count is the result, so the expression is
-    // evaluated exactly once per row (no count() pre-pass). to_yaml is a
-    // Catalyst expression, not a UDF, so it stays analyzable/prunable.
-    val rendered = unioned.select(col("path"),
-      graft.functions.functions.to_yaml(col("data")).as("data"))
-    val n =
-      if (sharded) ZipSink.writeSharded(rendered, out)
-      else ZipSink.writeSingle(rendered, out)
-    ExportResult(n, errs)
+    if (frames.isEmpty) (None, errs)
+    else {
+      val unioned = frames.reduce(_ unionByName _)
+      // YAML at the edge: rendered per entry inside the single sink pass —
+      // the sink's own entry count is the result, so the expression is
+      // evaluated exactly once per row (no count() pre-pass). to_yaml is a
+      // Catalyst expression, not a UDF, so it stays analyzable/prunable.
+      (Some(unioned.select(col("path"),
+        graft.functions.functions.to_yaml(col("data")).as("data"))), errs)
+    }
   }
+
+  /** Run the full export of a KRM data root into a zip archive.
+    * `sharded=true` writes one archive per partition (the scale path).
+    */
+  def run(spark: SparkSession, root: String, out: String, sharded: Boolean = false): ExportResult =
+    renderedEntries(spark, root) match {
+      case (None, errs) => ExportResult(0L, errs)
+      case (Some(rendered), errs) =>
+        val n =
+          if (sharded) ZipSink.writeSharded(rendered, out)
+          else ZipSink.writeSingle(rendered, out)
+        ExportResult(n, errs)
+    }
+
+  /** Zip export partitioned by the entries' first path segment (the
+    * namespace, per B7 path derivation): archive names carry the
+    * segment, so the `graft-zip` reader prunes whole archives against a
+    * `path` prefix filter — the layout to pick when downstream reads are
+    * namespace-scoped (see [[graft.sinks.ZipSink.writePartitionedByPrefix]]).
+    */
+  def runPartitionedZip(spark: SparkSession, root: String, outDir: String): ExportResult =
+    renderedEntries(spark, root) match {
+      case (None, errs) => ExportResult(0L, errs)
+      case (Some(rendered), errs) =>
+        ExportResult(ZipSink.writePartitionedByPrefix(rendered, outDir), errs)
+    }
 }

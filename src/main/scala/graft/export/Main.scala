@@ -11,12 +11,16 @@ import org.apache.spark.sql.SparkSession
   * current cluster; the library reads a table directory).
   *
   * Usage:
-  *   graft.export.Main --root <dir> --output <zip|dir> [--sharded|--partitioned]
+  *   graft.export.Main --root <dir> --output <zip|dir>
+  *     [--sharded|--partitioned|--partitioned-zip]
   *
-  *   (default)       one zip archive — exact reference parity
-  *   --sharded       one zip per partition, written by executors
-  *   --partitioned   parquet partitioned by (namespace, kind) — the
-  *                   100 TB path (no archive, full write parallelism)
+  *   (default)          one zip archive — exact reference parity
+  *   --sharded          one zip per partition, written by executors
+  *   --partitioned      parquet partitioned by (namespace, kind) — the
+  *                      100 TB path (no archive, full write parallelism)
+  *   --partitioned-zip  archives partitioned by namespace (the entry
+  *                      path's first segment); the graft-zip reader
+  *                      prunes whole archives on path-prefix filters
   */
 object Main {
 
@@ -24,7 +28,8 @@ object Main {
       root: String = null,
       output: String = null,
       sharded: Boolean = false,
-      partitioned: Boolean = false)
+      partitioned: Boolean = false,
+      partitionedZip: Boolean = false)
 
   def parse(args: Seq[String]): Either[String, Options] = {
     @annotation.tailrec
@@ -34,6 +39,7 @@ object Main {
       case "--output" :: v :: t => loop(t, opt.copy(output = v))
       case "--sharded" :: t => loop(t, opt.copy(sharded = true))
       case "--partitioned" :: t => loop(t, opt.copy(partitioned = true))
+      case "--partitioned-zip" :: t => loop(t, opt.copy(partitionedZip = true))
       case other :: _ if !other.startsWith("--") =>
         Left(s"unexpected arguments: ${rest.mkString(" ")}")
       case other :: _ => Left(s"unknown flag: $other")
@@ -41,8 +47,8 @@ object Main {
     loop(args.toList, Options()).flatMap { o =>
       if (o.output == null) Left("required flag(s) \"output\" not set")
       else if (o.root == null) Left("required flag(s) \"root\" not set")
-      else if (o.sharded && o.partitioned)
-        Left("--sharded and --partitioned are mutually exclusive")
+      else if (Seq(o.sharded, o.partitioned, o.partitionedZip).count(identity) > 1)
+        Left("--sharded, --partitioned, and --partitioned-zip are mutually exclusive")
       else Right(o)
     }
   }
@@ -51,13 +57,14 @@ object Main {
     * `sys.exit`). */
   def run(spark: SparkSession, opts: Options): ExportJob.ExportResult =
     if (opts.partitioned) ExportJob.runPartitioned(spark, opts.root, opts.output)
+    else if (opts.partitionedZip) ExportJob.runPartitionedZip(spark, opts.root, opts.output)
     else ExportJob.run(spark, opts.root, opts.output, sharded = opts.sharded)
 
   def main(args: Array[String]): Unit = parse(args.toIndexedSeq) match {
     case Left(err) =>
       System.err.println(err)
       System.err.println(
-        "usage: graft.export.Main --root <dir> --output <zip|dir> [--sharded|--partitioned]")
+        "usage: graft.export.Main --root <dir> --output <zip|dir> [--sharded|--partitioned|--partitioned-zip]")
       sys.exit(2)
     case Right(opts) =>
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

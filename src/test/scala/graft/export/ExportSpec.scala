@@ -104,6 +104,31 @@ class ExportSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("partitioned-zip export: archives carry the namespace; reader prunes on path prefix") {
+    val root = java.nio.file.Files.createTempDirectory("exportpz").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("apiGroup", StringType), StructField("namespace", StringType),
+      StructField("kind", StringType), StructField("name", StringType)))
+    val rows = Seq(
+      Row("", "prod", "Pod", "a"), Row("", "prod", "Pod", "b"),
+      Row("", "dev", "Pod", "c"), Row("", "", "Namespace", "prod"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.parquet(s"$root/objects.parquet")
+    val out = java.nio.file.Files.createTempDirectory("exportpzout").toFile.getAbsolutePath
+    val res = Main.run(spark, Main.Options(root = root, output = out, partitionedZip = true))
+    assert(res.entries == 4 && res.errors.isEmpty)
+    val zips = new java.io.File(out).listFiles().filter(_.getName.endsWith(".zip"))
+    assert(zips.forall(_.getName.startsWith("prefix=")))
+    val prodZips = zips.count(_.getName.startsWith("prefix=prod."))
+    assert(prodZips >= 1)
+    graft.sources.ZipDataSource.openedArchives.set(0L)
+    val prod = spark.read.format("graft-zip").load(out)
+      .filter($"path".startsWith("prod/")).select("path").as[String].collect()
+    assert(prod.toSet == Set("prod/core/Pod/a.yaml", "prod/core/Pod/b.yaml"))
+    assert(graft.sources.ZipDataSource.openedArchives.get() == prodZips,
+      "only the prod namespace's archives are opened")
+  }
+
   test("partitioned export: layout prunes by namespace/kind") {
     val root = java.nio.file.Files.createTempDirectory("exportpart").toFile.getAbsolutePath
     val schema = StructType(Seq(
