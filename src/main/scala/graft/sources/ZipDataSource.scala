@@ -62,13 +62,34 @@ object ZipDataSource {
     StructField("path", StringType, nullable = false),
     StructField("data", StringType, nullable = true)))
 
-  /** Expand a file-or-directory path into the archive list. */
+  /** Driver-side Hadoop conf as a serializable map; executor readers
+    * rebuild a `Configuration` from it (see [[confFrom]]) — exports live
+    * on object stores/HDFS at scale, so the reader, like
+    * [[graft.sinks.ZipSink]], never touches `java.io.File`. */
+  def hadoopConfMap(): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  def confFrom(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Expand a file-or-directory path into the (fully-qualified) archive
+    * list. Driver-side: uses the active session's Hadoop conf. */
   def archivesUnder(root: String): Seq[String] = {
-    val f = new java.io.File(root)
-    if (f.isDirectory)
-      f.listFiles().filter(_.getName.endsWith(".zip")).map(_.getAbsolutePath)
-        .sorted.toSeq
-    else Seq(f.getAbsolutePath)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".zip"))
+        .map(_.getPath.toString).toSeq.sorted
+    else Seq(fs.makeQualified(p).toString)
   }
 
   /** Test probe: archives actually opened by readers. Meaningful in
@@ -81,7 +102,7 @@ object ZipDataSource {
   /** The entry-path first-segment invariant encoded in an archive's
     * filename by `writePartitionedByPrefix`, if any. */
   def archiveSegment(archive: String): Option[String] =
-    new java.io.File(archive).getName match {
+    new org.apache.hadoop.fs.Path(archive).getName match {
       case PrefixRe(enc) => Some(java.net.URLDecoder.decode(enc, "UTF-8"))
       case _ => None
     }
@@ -187,25 +208,29 @@ final class ZipScan(path: String, required: StructType, filters: Array[Filter])
     kept.map(ZipArchivePartition.apply).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipReaderFactory(required.fieldNames, filters)
+    new ZipReaderFactory(required.fieldNames, filters, ZipDataSource.hadoopConfMap())
 }
 
-final class ZipReaderFactory(columns: Array[String], filters: Array[Filter])
-    extends PartitionReaderFactory {
+final class ZipReaderFactory(columns: Array[String], filters: Array[Filter],
+    hconf: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZipEntryReader(partition.asInstanceOf[ZipArchivePartition].archive,
-      columns, filters)
+      columns, filters, hconf)
 }
 
 /** Streams one archive's entries; reads entry bytes only when the `data`
   * column survived pruning AND the entry path passes the pushed `path`
   * filters (non-matching entries are skipped without decoding). */
 final class ZipEntryReader(archive: String, columns: Array[String],
-    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+    filters: Array[Filter], hconf: Map[String, String])
+    extends PartitionReader[InternalRow] {
   ZipDataSource.openedArchives.incrementAndGet()
   private val needData = columns.contains("data")
-  private val zis = new ZipInputStream(
-    new java.io.BufferedInputStream(new java.io.FileInputStream(archive)))
+  private val zis = {
+    val p = new org.apache.hadoop.fs.Path(archive)
+    val fs = p.getFileSystem(ZipDataSource.confFrom(hconf))
+    new ZipInputStream(new java.io.BufferedInputStream(fs.open(p)))
+  }
   private val archiveU = UTF8String.fromString(archive)
   private var row: InternalRow = _
 
