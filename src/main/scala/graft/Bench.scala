@@ -14,18 +14,25 @@ object Bench {
 
   /** Headline set: the scan/agg/join/window core plus every non-trivial
     * extension family member — ANN (brute/LSH/IVF), dedup (exact/LSH/
-    * simhash), text, multimodal, sessionize/asof/pivot, and the zip
+    * simhash/embedding), text, multimodal, sessionize/asof/pivot/rollup/
+    * percentiles/set-ops, serialization projections, and the zip
     * sink+source roundtrip. The full catalog runs in Verify; bench
     * excludes only the quadratic exact-Jaccard oracle (its scalable
-    * twin, minhash_lsh, is included) and trivial filter variants.
+    * twin, minhash_lsh, is included) and trivial single-filter variants
+    * (b3/b4/d6/d7 — pushdown-gated in PlanQualitySpec, no timing signal
+    * beyond the scans already covered).
     */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_top_orders", "q5_region_revenue", "q_window_top_orders",
     "q_events_hourly", "q_pivot", "q_asof_join", "q_sessionize",
+    "q_rollup", "q_percentiles", "q_distinct_agg", "q_semi_join",
+    "q_anti_join", "q_set_ops", "q_above_type_avg",
     "d2_rules_join", "d12_cdc_last_state", "sync_pipeline_filtered",
+    "d10_json_projection", "b7_path_derivation", "b8_serialize",
     "b10_zip_roundtrip", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_topk", "ann_lsh", "ann_ivf",
-    "text_stats", "multimodal_meta")
+    "dedup_simhash", "dedup_embedding_cos", "ann_topk", "ann_lsh",
+    "ann_ivf", "text_stats", "text_fingerprint", "text_lang_id",
+    "multimodal_meta", "multimodal_frames")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -41,7 +48,21 @@ object Bench {
     "q_asof_join" -> 6.0,
     "q_sessionize" -> 5.0,
     "q_pivot" -> 4.0,
-    "b10_zip_roundtrip" -> 8.0)
+    "b10_zip_roundtrip" -> 8.0,
+    "q_rollup" -> 3.0,
+    "q_percentiles" -> 5.0,
+    "q_distinct_agg" -> 3.0,
+    "q_semi_join" -> 3.0,
+    "q_anti_join" -> 3.0,
+    "q_set_ops" -> 3.0,
+    "q_above_type_avg" -> 3.0,
+    "d10_json_projection" -> 3.0,
+    "b7_path_derivation" -> 3.0,
+    "b8_serialize" -> 3.0,
+    "dedup_embedding_cos" -> 3.0,
+    "text_fingerprint" -> 3.0,
+    "text_lang_id" -> 3.0,
+    "multimodal_frames" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be
