@@ -83,9 +83,19 @@ object Similarity {
       explode(lshBuckets(col("vec"), dim, bitsPerTable, tables, seed)))
     val qb = queries.withColumn("bucket",
       explode(lshBuckets(col("qvec"), dim, bitsPerTable, tables, seed)))
-    val cands = cb.join(broadcast(qb), Seq("bucket"))
-      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+    // De-duplicate candidates on BARE ids, then re-attach vectors: a
+    // (query, doc) pair colliding in several of `tables` tables would
+    // otherwise drag both embedding arrays through the distinct shuffle
+    // once per collision (same lesson as Dedup.minhashLshPairs — strip
+    // payload before the multiplicity-collapsing shuffle, not after).
+    // Queries are broadcast back; the corpus re-join shuffles each
+    // corpus vector at most once instead of once per collision.
+    val cands = cb.select(col("bucket"), col("id"))
+      .join(broadcast(qb.select(col("bucket"), col("qid"))), Seq("bucket"))
+      .select(col("qid"), col("id"))
       .distinct()
+      .join(broadcast(queries), Seq("qid"))
+      .join(corpus, Seq("id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     cands.withColumn("score", cosine(col("qvec"), col("vec")))
       .withColumn("rank", row_number().over(w))
