@@ -93,11 +93,42 @@ object IvfIndex {
     val cb = corpus.withColumn("cell", bestCell(col("vec"), centroids))
     val qb = queries.withColumn("cell",
       explode(probeCells(col("qvec"), centroids, nProbe)))
+    probeJoin(cb, qb, k)
+  }
+
+  private def probeJoin(cb: DataFrame, qb: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     cb.join(broadcast(qb), Seq("cell"))
       .withColumn("score", Similarity.cosine(col("qvec"), col("vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("score"), col("rank"))
+  }
+
+  /** Ingest-time half of the IVF design: store the corpus parquet-
+    * partitioned by cell, so probes become partition pruning instead of
+    * a full scan. Cell assignment is computed once, at write time. */
+  def writeIndexed(corpus: DataFrame, centroids: Array[Array[Double]],
+      path: String): Unit =
+    corpus.withColumn("cell", bestCell(col("vec"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a [[writeIndexed]] corpus: the probed cell ids (at most
+    * queries × nProbe ints — queries are small by contract) are
+    * collected and pushed as a literal partition filter, so the scan
+    * touches ONLY the probed cells' directories (IvfIndexSpec gates
+    * `PartitionFilters` in the plan and result-equality with the inline
+    * [[topK]]). This is the 100 TB probe path: cost scales with the
+    * probed fraction of the corpus, never the corpus.
+    */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, centroids: Array[Array[Double]],
+      k: Int, nProbe: Int): DataFrame = {
+    val qb = queries.withColumn("cell",
+      explode(probeCells(col("qvec"), centroids, nProbe)))
+    val probed = qb.select("cell").distinct().collect().map(_.getInt(0))
+    val cb = spark.read.parquet(path)
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+    probeJoin(cb, qb, k)
   }
 }

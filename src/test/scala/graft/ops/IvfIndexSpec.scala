@@ -37,4 +37,33 @@ class IvfIndexSpec extends SparkSpec {
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == exact, "nProbe = k cells ⇒ exact")
   }
+
+  test("cell-partitioned corpus: probe is partition pruning, results identical") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 5)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toFile.getAbsolutePath
+    IvfIndex.writeIndexed(corpus, centroids, path)
+    // one directory per cell on disk — the ingest-side layout
+    val cellDirs = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs > 1, "corpus must be laid out by cell")
+
+    val indexed = IvfIndex.topKIndexed(spark, path, queries, centroids,
+      k = 10, nProbe = 2)
+    val inline = IvfIndex.topK(queries, corpus, centroids, k = 10, nProbe = 2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(indexed) == key(inline), "indexed probe ≡ inline probe")
+
+    // the probed-cell filter must reach the scan as a PARTITION filter
+    // (pruned directories, not a row filter after a full read)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune partitions:\n$plan")
+  }
 }
