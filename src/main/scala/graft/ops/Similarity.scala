@@ -103,6 +103,46 @@ object Similarity {
       .select(col("qid"), col("id"), col("score"), col("rank"))
   }
 
+  /** Ingest-time half of the LSH ANN design: the corpus is exploded into
+    * its `tables` bucket postings (the inverted-list duplication every
+    * multi-table LSH index pays) and stored parquet-partitioned by
+    * bucket, so probes become partition pruning. Assignment is computed
+    * once, at write time. */
+  def writeLshBucketed(corpus: DataFrame, dim: Int, bitsPerTable: Int,
+      tables: Int, path: String, seed: Long = 42L): Unit =
+    corpus.withColumn("bucket",
+        explode(lshBuckets(col("vec"), dim, bitsPerTable, tables, seed)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe a [[writeLshBucketed]] corpus: the query set's buckets (at
+    * most queries × tables strings — queries are small by contract) are
+    * collected into a literal partition filter, so the scan reads ONLY
+    * the probed buckets' directories (SimilaritySpec gates
+    * `PartitionFilters` and result-identity with the inline [[lshTopK]]).
+    * Probe cost scales with bucket occupancy, never the corpus. */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, dim: Int, bitsPerTable: Int = 12,
+      tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val qb = queries.withColumn("bucket",
+      explode(lshBuckets(col("qvec"), dim, bitsPerTable, tables, seed)))
+    val probed = qb.select("bucket").distinct().collect().map(_.getString(0))
+    val cb = spark.read.parquet(path)
+      .filter(col("bucket").isin(probed.toIndexedSeq: _*))
+    // The bucketed layout stores one posting (with its vector) per
+    // table, so a candidate id can appear up to `tables` times;
+    // dropDuplicates collapses postings AFTER the probe already bounded
+    // the row count — the shuffle moves probed postings only.
+    val cands = cb.join(broadcast(qb.select(col("bucket"), col("qid"))), Seq("bucket"))
+      .select(col("qid"), col("id"), col("vec"))
+      .dropDuplicates("qid", "id")
+      .join(broadcast(queries), Seq("qid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    cands.withColumn("score", cosine(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked to keep
     * the pair space bounded (same `blockCol` ⇒ candidate). At 100 TB the
     * block key is an LSH bucket; with labeled corpora it can be any

@@ -45,6 +45,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall@10 = $recall")
   }
 
+  test("bucket-partitioned LSH corpus: probe is partition pruning, results identical") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 5).select($"vec_id".as("id"), $"embedding".as("vec"))
+    val path = java.nio.file.Files.createTempDirectory("lshidx").toFile.getAbsolutePath
+    Similarity.writeLshBucketed(corpus, dim = 64, bitsPerTable = 4, tables = 16, path)
+    assert(new java.io.File(path).listFiles().count(_.getName.startsWith("bucket=")) > 1,
+      "corpus must be laid out by bucket")
+    val indexed = Similarity.lshTopKIndexed(spark, path, queries, k = 10,
+      dim = 64, bitsPerTable = 4, tables = 16)
+    val inline = Similarity.lshTopK(queries, corpus, k = 10, dim = 64,
+      bitsPerTable = 4, tables = 16)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(indexed) == key(inline), "indexed probe ≡ inline probe")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe must prune bucket partitions:\n$plan")
+  }
+
   test("cosineDupPairs respects blocking and threshold") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), 0),
