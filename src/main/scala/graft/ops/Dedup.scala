@@ -332,6 +332,73 @@ object Dedup {
     }
   }
 
+  /** Near-duplicate CLUSTERS via MinHash banding + connected components
+    * — the linear-output dedup a corpus-scale pipeline actually runs.
+    * [[minhashLshPairs]] emits verified PAIRS, which is inherently
+    * O(cluster²): a 1M-replica document cluster at 100 TB would emit
+    * 5·10¹¹ pairs no matter how well the join is organized. Production
+    * dedup instead emits one representative per cluster:
+    *
+    *   1. banded buckets as in [[minhashLshPairs]] (same shuffles);
+    *   2. STAR edges only — every bucket member links to its bucket's
+    *      min id. Linear in bucket occupancy, never pairwise, so a
+    *      giant duplicate cluster costs O(cluster), not O(cluster²);
+    *   3. connected components by iterated min-label propagation over
+    *      the star graph (driver loop, each iteration two shuffles;
+    *      converges in O(log diameter) — bucket stars keep the diameter
+    *      small). Iteration state is localCheckpointed so lineage
+    *      doesn't grow.
+    *
+    * Returns (id, component) with component = the min id reachable
+    * through shared buckets. This is the standard bucket-level
+    * (unverified) LSH dedup: banding parameters choose the effective
+    * similarity threshold; members sharing NO band never merge.
+    */
+  def minhashLshComponents(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, n: Int = 3,
+      maxIters: Int = 10): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, n)
+    val banded = bandedBuckets(sh, numHashes, bands)
+    val mins = banded.groupBy("band", "bucket").agg(min(col("id")).as("root"))
+    // star edges, symmetric (root <-> member), multiplicity collapsed
+    val star = banded.join(mins, Seq("band", "bucket"))
+      .filter(col("id") =!= col("root"))
+      .select(col("id"), col("root")).distinct()
+      .persist()
+    try {
+      val edges = star.union(star.select(col("root").as("id"), col("id").as("root")))
+      var labels = df.select(col(idCol).as("id"))
+        .distinct().withColumn("label", col("id"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val viaEdges = edges.join(labels, edges("root") === labels("id"))
+          .select(edges("id").as("id"), col("label"))
+        val next = labels.select(col("id"), col("label")).union(viaEdges)
+          .groupBy("id").agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+          .filter(col("label") =!= col("prev")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("id"), col("label").as("component"))
+    } finally { star.unpersist(false); () }
+  }
+
+  /** Keep one representative (the component's min id) per near-dup
+    * cluster: the deduplicated corpus, linear in input size. */
+  def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, n: Int = 3): DataFrame = {
+    val comps = minhashLshComponents(df, idCol, textCol, numHashes, bands, n)
+    df.join(comps.filter(col("id") === col("component"))
+        .select(col("id").as(idCol + "_keep")),
+      col(idCol) === col(idCol + "_keep"))
+      .drop(idCol + "_keep")
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -97,4 +97,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
     assert(pairs.contains((0L, 100L)))
   }
+
+  test("minhash components: duplicate clusters collapse to one representative each") {
+    // 6 clusters of 4 near-identical variants (tag prefix, jaccard≈0.95)
+    // + 4 unrelated singletons. bands=32/rows=2 ⇒ within-cluster band
+    // collision ≈ certain, cross-cluster ≈ never (jaccard ≈ 0).
+    val docs = (for {
+      c <- 0 until 6; v <- 0 until 4
+    } yield ((c * 10 + v).toLong, if (v == 0) mkText(500 + c) else s"v$v ${mkText(500 + c)}")) ++
+      (0 until 4).map(u => ((1000 + u).toLong, mkText(900 + u)))
+    val df = docs.toDF("doc_id", "text")
+    val comps = Dedup.minhashLshComponents(df, "doc_id", "text", bands = 32)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comps.size == 28)
+    (0 until 6).foreach { c =>
+      val members = (0 until 4).map(v => comps((c * 10 + v).toLong)).toSet
+      assert(members == Set((c * 10).toLong),
+        s"cluster $c must collapse to its min id: $members")
+    }
+    (0 until 4).foreach(u => assert(comps((1000 + u).toLong) == 1000L + u,
+      "singletons keep their own component"))
+
+    val kept = Dedup.dedupByMinhash(df, "doc_id", "text", bands = 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == ((0 until 6).map(c => (c * 10).toLong) ++
+      (0 until 4).map(u => 1000L + u)).toSet,
+      s"one representative per cluster, all singletons: $kept")
+  }
 }
