@@ -246,6 +246,44 @@ class SyncRoutingSpec extends SparkSpec {
       .contains("\"y\":1"))
   }
 
+  test("two concurrent committers both land (manifest-race retry)") {
+    val dir = java.nio.file.Files.createTempDirectory("racedest").toFile.getAbsolutePath
+    // Seed a snapshot so both contenders start from the same base.
+    ParquetDest.mergeIncremental(spark, dir,
+      df(doc("e2e.gkelabs.io", "KindA", "seed")).drop(KrmModel.scrubCols: _*))
+
+    // Two writers with disjoint key sets race to commit the next
+    // manifests. Whoever loses the single-file-rename race must retry
+    // from the winner's manifest, so BOTH batches must be visible at the
+    // end regardless of interleaving.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 2).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          try {
+            val batch = df((0 until 5).map(i =>
+              doc("e2e.gkelabs.io", "KindA", s"w$w-doc$i")): _*)
+              .drop(KrmModel.scrubCols: _*)
+            start.await()
+            ParquetDest.mergeIncremental(spark, dir, batch)
+          } catch { case t: Throwable => failures.add(t); () }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "committers must finish")
+    assert(failures.isEmpty, s"no committer may fail: ${failures.peek()}")
+    val names = ParquetDest.read(spark, dir)
+      .select("name").collect().map(_.getString(0)).toSet
+    val expected = Set("seed") ++
+      (0 until 2).flatMap(w => (0 until 5).map(i => s"w$w-doc$i"))
+    assert(names == expected, s"both concurrent batches visible: $names")
+  }
+
   test("D8 streaming: two syncers, two destination directories") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
