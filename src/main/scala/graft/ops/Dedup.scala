@@ -359,17 +359,29 @@ object Dedup {
       maxIters: Int = 10): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, n)
     val banded = bandedBuckets(sh, numHashes, bands)
+    componentsFromStar(df.select(col(idCol).as("id")).distinct(),
+      starEdges(banded), maxIters)
+  }
+
+  /** Star edges of a banded-bucket relation: every (band, bucket) member
+    * links to the bucket's min id — linear in occupancy, never pairwise. */
+  def starEdges(banded: DataFrame): DataFrame = {
     val mins = banded.groupBy("band", "bucket").agg(min(col("id")).as("root"))
-    // star edges, symmetric (root <-> member), multiplicity collapsed
-    val star = banded.join(mins, Seq("band", "bucket"))
+    banded.join(mins, Seq("band", "bucket"))
       .filter(col("id") =!= col("root"))
       .select(col("id"), col("root")).distinct()
-      .persist()
+  }
+
+  /** Connected components over a star-edge relation by iterated
+    * min-label propagation (driver loop; two shuffles per iteration;
+    * state localCheckpointed so lineage stays flat). Converges in
+    * O(log diameter) — star topologies keep the diameter small. */
+  def componentsFromStar(ids: DataFrame, star: DataFrame,
+      maxIters: Int = 10): DataFrame = {
+    val st = star.persist()
     try {
-      val edges = star.union(star.select(col("root").as("id"), col("id").as("root")))
-      var labels = df.select(col(idCol).as("id"))
-        .distinct().withColumn("label", col("id"))
-        .localCheckpoint(true)
+      val edges = st.union(st.select(col("root").as("id"), col("id").as("root")))
+      var labels = ids.withColumn("label", col("id")).localCheckpoint(true)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
@@ -385,7 +397,31 @@ object Dedup {
         iter += 1
       }
       labels.select(col("id"), col("label").as("component"))
-    } finally { star.unpersist(false); () }
+    } finally { st.unpersist(false); () }
+  }
+
+  /** SimHash cluster dedup: the [[minhashLshComponents]] shape over
+    * 16-bit simhash bands, with star edges VERIFIED by exact Hamming
+    * distance over the full 64-bit signatures (cheap — signatures ride
+    * the star join). Members connect through shared-band roots within
+    * `maxDist`; transitive chains merge, which is the cluster semantics
+    * (a pairwise `simhashPairs` would emit O(cluster²)). */
+  def simhashComponents(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxIters: Int = 10): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol).persist()
+    try {
+      val banded = sigs.select(col("id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
+        .toDF("id", "band", "bucket")
+      val verified = starEdges(banded)
+        .join(sigs.toDF("id", "sigA"), Seq("id"))
+        .join(sigs.toDF("root", "sigB"), Seq("root"))
+        .filter(hamming(col("sigA"), col("sigB")) <= maxDist)
+        .select(col("id"), col("root"))
+      componentsFromStar(df.select(col(idCol).as("id")).distinct(),
+        verified, maxIters)
+    } finally { sigs.unpersist(false); () }
   }
 
   /** Keep one representative (the component's min id) per near-dup

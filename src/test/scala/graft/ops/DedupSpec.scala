@@ -124,4 +124,17 @@ class DedupSpec extends SparkSpec {
       (0 until 4).map(u => 1000L + u)).toSet,
       s"one representative per cluster, all singletons: $kept")
   }
+
+  test("simhash components merge the exact-copy cluster, keep others apart") {
+    // corpus plants doc 100 = exact copy of doc 0 (hamming 0): the
+    // pigeonhole band guarantee only covers dist ≤ 3, so (like the
+    // simhashPairs spec) only the exact copy's merge is asserted;
+    // unrelated docs must all stay singletons.
+    val comps = Dedup.simhashComponents(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comps(100L) == comps(0L), "exact copy joins doc 0's cluster")
+    val baseComponents = (3 until 20).map(i => comps(i.toLong))
+    assert(baseComponents.distinct.size == baseComponents.size,
+      "unrelated docs stay in distinct components")
+  }
 }
