@@ -156,4 +156,31 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** Embedding near-dup CLUSTERS — the third member of the cluster-dedup
+    * trio ([[graft.ops.Dedup.minhashLshComponents]] for text shingles,
+    * [[graft.ops.Dedup.simhashComponents]] for token sets, this for
+    * embeddings). LSH buckets (sign-random-projection, table = band)
+    * give candidate blocks; every bucket member links to the bucket min
+    * (star edges, linear in occupancy); edges are verified by exact
+    * cosine ≥ `threshold` before components resolve — same
+    * over-merge-prevention rationale as the MinHash variant. Returns
+    * (id, component); output linear in corpus size, no pairwise stage.
+    */
+  def embeddingComponents(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bitsPerTable: Int = 8, tables: Int = 8,
+      seed: Long = 42L, maxIters: Int = 10): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = base.select(col("id"),
+        posexplode(lshBuckets(col("vec"), dim, bitsPerTable, tables, seed)))
+      .toDF("id", "band", "bucket")
+    val star = graft.ops.Dedup.starEdges(banded)
+    val verified = star
+      .join(base.toDF("id", "vA"), Seq("id"))
+      .join(base.toDF("root", "vB"), Seq("root"))
+      .filter(cosine(col("vA"), col("vB")) >= threshold)
+      .select(col("id"), col("root"))
+    graft.ops.Dedup.componentsFromStar(base.select("id").distinct(),
+      verified, maxIters)
+  }
 }

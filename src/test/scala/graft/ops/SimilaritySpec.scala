@@ -66,6 +66,38 @@ class SimilaritySpec extends SparkSpec {
       s"probe must prune bucket partitions:\n$plan")
   }
 
+  test("embedding components: planted vector clusters collapse, others stay apart") {
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 16
+    // 5 clusters × 3 near-identical variants (cos ≈ 0.999) + 6 unrelated
+    val centers = (0 until 5).map(_ => unit(dim))
+    val docs = (for {
+      c <- 0 until 5; v <- 0 until 3
+    } yield {
+      val eps = 0.02f * v
+      val vec = centers(c).zipWithIndex.map { case (x, i) =>
+        x + (if (i == v) eps else 0f)
+      }
+      ((c * 10 + v).toLong, vec)
+    }) ++ (0 until 6).map(u => ((100 + u).toLong, unit(dim)))
+    val df = docs.toDF("vec_id", "embedding")
+    val comps = Similarity.embeddingComponents(df, "vec_id", "embedding",
+        dim = dim, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comps.size == 21)
+    (0 until 5).foreach { c =>
+      val members = (0 until 3).map(v => comps((c * 10 + v).toLong)).toSet
+      assert(members == Set((c * 10).toLong), s"cluster $c collapses: $members")
+    }
+    (0 until 6).foreach(u => assert(comps((100 + u).toLong) == 100L + u,
+      "unrelated vectors stay singletons"))
+  }
+
   test("cosineDupPairs respects blocking and threshold") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), 0),
