@@ -125,6 +125,26 @@ class DedupSpec extends SparkSpec {
       s"one representative per cluster, all singletons: $kept")
   }
 
+  test("giant duplicate cluster dedups in linear work (no pairwise stage)") {
+    // One 1500-replica near-dup cluster + 20 singletons. The pairwise
+    // path would imply ~1.1M verified pairs; the star path emits ≤1500
+    // edges. The assertion is semantic (exact collapse) — the shape
+    // guarantee is structural: starEdges links members only to bucket
+    // minima, so edge count is bounded by banded-bucket rows, which this
+    // also pins.
+    val docs = (0 until 1500).map(i =>
+      (i.toLong, if (i == 0) mkText(777) else s"v${i % 97} ${mkText(777)}")) ++
+      (0 until 20).map(u => ((10000 + u).toLong, mkText(800 + u)))
+    val df = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(df, "doc_id", "text")
+    val nEdges = Dedup.starEdges(Dedup.bandedBuckets(sh, 64, 32)).count()
+    assert(nEdges <= 1520L * 32, s"star edges must stay linear: $nEdges")
+    val kept = Dedup.dedupByMinhash(df, "doc_id", "text", bands = 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (Set(0L) ++ (0 until 20).map(u => (10000 + u).toLong)),
+      s"one representative for the giant cluster, singletons intact: ${kept.size} kept")
+  }
+
   test("simhash components merge the exact-copy cluster, keep others apart") {
     // corpus plants doc 100 = exact copy of doc 0 (hamming 0): the
     // pigeonhole band guarantee only covers dist ≤ 3, so (like the
