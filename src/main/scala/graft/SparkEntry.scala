@@ -21,12 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryCatalog.all ++ graft.queries.ExtraQueries.all
+    QueryCatalog.all ++ graft.queries.ExtraQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (seeded MinHash/LSH/xxhash64 signatures, heuristic language ID) —
     * those are asserted in ScalaTest specs instead. */
   def oracleSql: Map[String, String] =
-    QueryCatalog.oracles ++ graft.queries.ExtraQueries.oracles
+    QueryCatalog.oracles ++ graft.queries.ExtraQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

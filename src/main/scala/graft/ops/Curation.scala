@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-curation pipeline — the flagship "what this
+  * engine is for" dataflow, chaining the individually-tested stages in
+  * the order a real training-data build runs them:
+  *
+  *   1. language ID + quality scoring (one codegen'd byte-scan
+  *      projection per document — [[TextAnalysis]]);
+  *   2. filter: predicted language known (not "und") AND quality above
+  *      threshold — runs at scan speed, BEFORE anything shuffles, so at
+  *      100 TB the expensive stages below see only the surviving
+  *      fraction;
+  *   3. exact dedup, keep-first: one shuffle on the 16-byte text
+  *      digest, lowest doc_id survives per duplicate group (window
+  *      `row_number` — no join-back, single exchange);
+  *   4. per-(language, source) corpus statistics — the tiny rollup a
+  *      curation run reports.
+  *
+  * Stage ORDER is the 100 TB design decision: filters (cheap, selective,
+  * no shuffle) → dedup (one shuffle, carries only survivors) → stats
+  * (map-side-combinable agg over deduped rows). Near-dup stages
+  * ([[Dedup.minhashLshComponents]] and friends) slot in after exact
+  * dedup in production; the catalog query keeps the oracle-expressible
+  * exact stage so the whole composition is hash-gated end-to-end
+  * against DuckDB (`corpus_curation`), while the dedup stage's
+  * keep-first semantics are pinned on crafted duplicates in
+  * CurationSpec (the harness corpus has no exact duplicates — by
+  * construction it only exercises the stage's plumbing).
+  */
+object Curation {
+
+  /** Per-document curation projection: doc_id, source, lang_pred,
+    * n_tokens, quality (round-4, matching the oracle's arithmetic). */
+  def score(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("lang_pred", TextAnalysis.langId(t))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(t))
+      .withColumn("quality", TextAnalysis.qualityScore(t))
+  }
+
+  /** Stages 1–3: score → filter → exact-dedup (keep lowest id). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double): DataFrame = {
+    val filtered = score(docs, textCol)
+      .filter(col("lang_pred") =!= "und" && col("quality") >= minQuality)
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    filtered.withColumn("_fp", md5(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
+  /** Full pipeline: curated per-(lang_pred, source) statistics.
+    * Aggregates are exact-integer or order-insensitive (min/max) except
+    * avg_quality, which is rounded coarsely enough (2 dp) to absorb
+    * summation-order ULP differences between engines. */
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double): DataFrame =
+    curate(docs, idCol, textCol, minQuality)
+      .groupBy(col("lang_pred"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(avg(col("quality")), 2).as("avg_quality"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .orderBy(col("lang_pred"), col("source"))
+}

@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest-neighbor search:
+  * the third ANN path next to [[Similarity.lshTopK]] and
+  * [[IvfIndex.topK]], and the one that attacks a different bottleneck —
+  * *bytes per vector*, not candidates per query.
+  *
+  * The vector space is split into `m` subspaces; each subspace gets its
+  * own `k`-centroid codebook (deterministic distributed k-means, same
+  * contract as [[IvfIndex.train]]); a vector is stored as `m` small
+  * integers (its per-subspace nearest centroids). At 100 TB this is the
+  * difference between scanning 256 B/row of float32 and scanning
+  * `m` bytes/row of codes — a 32× scan-I/O reduction at m=8 for 64-dim
+  * embeddings — while the original vectors are fetched only for the
+  * shortlist re-rank:
+  *
+  *   1. ADC pass: score every corpus row against each query with the
+  *      query's lookup table (LUT[subspace][code] = dot of the query
+  *      subvector with that centroid; approximate inner product = sum
+  *      of `m` table lookups — flat codegen'd arithmetic, no UDF, no
+  *      per-element lambda). Reads ONLY (id, codes).
+  *   2. Shortlist: top-`shortlist` rows per query by ADC score.
+  *   3. Exact re-rank: join the shortlist ids back to the corpus
+  *      vectors, exact cosine, top-k. Vectors cross the wire for
+  *      shortlist rows only.
+  *
+  * Codebooks are trained on unit-normalized vectors so inner product
+  * approximates cosine — but NO per-row normalization happens in the
+  * scan paths: code assignment is an argmax over dot products, which is
+  * invariant to positive row scaling, and a query's LUT scales all of
+  * that query's ADC scores by the same 1/‖q‖ factor, leaving its
+  * ranking unchanged. (Training divides by the row norm inside the
+  * mean aggregation itself.) That keeps every per-row computation a
+  * codegen'd expression — no interpreted `transform` lambda anywhere.
+  * The final re-rank uses the exact cosine on the raw vectors, so with
+  * `shortlist >= |corpus|` the result is EXACTLY
+  * [[Similarity.bruteForceTopK]] — which is how the `ann_pq` catalog
+  * entry is oracle-gated end-to-end (same pattern as IVF's
+  * exhaustive-probe mode; pruned-shortlist recall is asserted in
+  * PqIndexSpec).
+  *
+  * Beyond-reference extension (SURVEY §7.2.8): the reference has no
+  * vector surface; PQ is public-literature ANN (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011) re-expressed
+  * as Spark aggregations.
+  */
+object PqIndex {
+
+  /** `m` codebooks of `k` centroids over `dsub`-dim subspaces
+    * (books(m)(k) is a length-`dsub` double array). */
+  final case class Codebooks(m: Int, dsub: Int, books: Array[Array[Array[Double]]]) {
+    def k: Int = books(0).length
+    def dim: Int = m * dsub
+  }
+
+  private def litVec(v: Array[Double]): Column = array(v.toIndexedSeq.map(lit): _*)
+
+  /** 1-based `slice` of subspace `mi` from a vector. */
+  private def sub(vec: Column, mi: Int, dsub: Int): Column =
+    slice(vec, mi * dsub + 1, dsub)
+
+  /** Best code for subspace `mi`: argmax over `k` literal centroids of
+    * the subvector inner product — flat codegen, and scale-invariant,
+    * so it accepts RAW vectors (see object doc). */
+  private def bestCode(vec: Column, cb: Codebooks, mi: Int): Column = {
+    val s = sub(vec, mi, cb.dsub)
+    val scored = cb.books(mi).zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.functions.dot_product(s, litVec(c)).as("s"),
+        lit(i).as("i"))
+    }
+    array_max(array(scored.toIndexedSeq: _*)).getField("i")
+  }
+
+  /** PQ codes for a (raw) vector: array of `m` centroid indices. */
+  def encode(vec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map(mi => bestCode(vec, cb, mi)): _*)
+
+  /** Per-query lookup table: LUT[mi][code] = query subvector · centroid
+    * (raw query — the uniform 1/‖q‖ factor cannot change that query's
+    * ranking). `m × k` doubles per query — queries are small by
+    * contract. */
+  def lut(qvec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { mi =>
+      val s = sub(qvec, mi, cb.dsub)
+      array(cb.books(mi).toIndexedSeq.map(c =>
+        graft.functions.functions.dot_product(s, litVec(c))): _*)
+    }: _*)
+
+  /** Approximate inner product: Σ over subspaces of LUT[mi][codes[mi]].
+    * `m` array lookups + adds — stays inside whole-stage codegen. */
+  def adcScore(codes: Column, lutCol: Column, m: Int): Column =
+    (0 until m).map { mi =>
+      element_at(element_at(lutCol, mi + 1), element_at(codes, mi + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Train `m` codebooks in parallel — every Lloyd iteration is ONE
+    * distributed aggregation covering all subspaces (assign all `m`
+    * codes per row, posexplode the vector once, mean per
+    * (subspace, cell, dim)); only `m×k×dsub` doubles reach the driver.
+    * Deterministic: evenly-spaced seed rows by id, fixed iterations.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks = {
+    val probe = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(probe.nonEmpty, "empty corpus")
+    val dim = probe(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // Raw vectors + a precomputed norm column: code assignment is
+    // scale-invariant, and the Lloyd mean divides by the norm inside
+    // the aggregation — no per-element lambda anywhere.
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(graft.functions.functions.dot_product(col(vecCol), col(vecCol))).as("nrm"))
+
+    val n = base.count()
+    val step = math.max(n / k, 1L)
+    val seeds = base.filter(pmod(col("id"), lit(step)) === 0)
+      .orderBy(col("id")).limit(k)
+      .select(col("v")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val nm = math.sqrt(v.map(x => x * x).sum)
+        if (nm > 0) v.map(_ / nm) else v
+      }
+    require(seeds.nonEmpty, "empty corpus")
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => seeds.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+    var cb = Codebooks(m, dsub, books)
+
+    (1 to iters).foreach { _ =>
+      val assigned = base.select(col("v"), col("nrm"), encode(col("v"), cb).as("cells"))
+      val means = assigned
+        .select(col("cells"), col("nrm"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("sub", (col("pos") / dsub).cast("int"))
+        .withColumn("cell", element_at(col("cells"), col("sub") + 1))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double") /
+          when(col("nrm") > 0, col("nrm")).otherwise(lit(1.0))).as("mean"))
+        .collect()
+      val next = cb.books.map(_.map(_.clone()))
+      means.foreach { r =>
+        val (s, cell, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(s)(cell)(pos - s * dsub) = r.getDouble(3)
+      }
+      cb = Codebooks(m, dsub, next)
+    }
+    cb
+  }
+
+  /** PQ top-k: ADC scan over codes → per-query shortlist → exact cosine
+    * re-rank of the shortlist against the raw vectors.
+    * `shortlist >= |corpus|` degenerates to exact brute force. */
+  def topK(queries: DataFrame, corpus: DataFrame, cb: Codebooks,
+      k: Int, shortlist: Int): DataFrame = {
+    val encoded = corpus.select(col("id"), encode(col("vec"), cb).as("codes"))
+    rerank(adcShortlist(encoded, queries, cb, shortlist), queries, corpus, k)
+  }
+
+  /** ADC + shortlist: the only stage that touches every corpus row, and
+    * it carries (id, codes) ONLY — no embedding payload enters the
+    * scan, the broadcast, or the shortlist shuffle. */
+  private def adcShortlist(encoded: DataFrame, queries: DataFrame,
+      cb: Codebooks, shortlist: Int): DataFrame = {
+    val ql = queries.select(col("qid"), lut(col("qvec"), cb).as("lut"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))
+    encoded.crossJoin(broadcast(ql))
+      .withColumn("adc", adcScore(col("codes"), col("lut"), cb.m))
+      .withColumn("srank", row_number().over(w))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("id"))
+  }
+
+  /** Exact re-rank: shortlist ids pull their vectors, exact cosine on
+    * the RAW (un-normalized) vectors — identical scoring and (score, id)
+    * tie-break to [[Similarity.bruteForceTopK]]. */
+  private def rerank(shortIds: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    shortIds.join(corpus, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", Similarity.cosine(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+  }
+
+  /** Ingest-time half: store (id, codes, vec) — codes and vectors in
+    * one parquet so the ADC pass prunes to the codes column (parquet
+    * columnar layout makes that the `m`-bytes-per-row scan) and the
+    * re-rank fetches vectors for shortlist rows only. */
+  def writeEncoded(corpus: DataFrame, cb: Codebooks, path: String): Unit =
+    corpus.select(col("id"), encode(col("vec"), cb).as("codes"), col("vec"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a [[writeEncoded]] corpus. The ADC stage reads ONLY
+    * (id, codes) — PqIndexSpec gates the scan's ReadSchema to prove the
+    * embedding column never reaches the exhaustive pass. */
+  def topKEncoded(spark: SparkSession, path: String, queries: DataFrame,
+      cb: Codebooks, k: Int, shortlist: Int): DataFrame = {
+    val stored = spark.read.parquet(path)
+    val encoded = stored.select(col("id"), col("codes"))
+    rerank(adcShortlist(encoded, queries, cb, shortlist), queries,
+      stored.select(col("id"), col("vec")), k)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.RangeJoin
+import graft.ops.{Curation, PqIndex, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Third wave of the query surface (round 7): the no-equi-key range
+  * join, the composed corpus-curation pipeline, and product-quantized
+  * ANN. Same oracle conventions as [[QueryCatalog]].
+  */
+object PipelineQueries {
+  import QueryCatalog.Q
+
+  /** Band join with NO equi-key: for every error event, how many
+    * click/view events (any user) landed in the preceding 5 minutes —
+    * burst/incident attribution over the event stream. The binned
+    * rewrite ([[graft.operators.RangeJoin]]) keeps it an equi-join on
+    * time bins; the naive inequality join Spark would otherwise plan is
+    * a nested loop (RangeJoinSpec gates both parity and the plan). */
+  val qRangeJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        Tables.tsSeconds(col("ts")).as("t_sec"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("t_sec"))
+    val probes = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("t_sec").as("p_sec"))
+    val counts = RangeJoin.bandJoin(errors, "t_sec", probes, "p_sec",
+        low = -300L, high = 0L)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_preceding"))
+    errors.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_preceding"), lit(0L)).as("n_preceding"))
+      .orderBy(col("event_id"))
+  }
+  val qRangeJoinSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS t_sec FROM events)
+      |SELECT err.event_id, count(p.t_sec) AS n_preceding
+      |FROM (SELECT event_id, t_sec FROM e WHERE event_type = 'error') err
+      |LEFT JOIN (SELECT t_sec FROM e WHERE event_type IN ('click', 'view')) p
+      |  ON p.t_sec >= err.t_sec - 300 AND p.t_sec < err.t_sec
+      |GROUP BY err.event_id
+      |ORDER BY err.event_id""".stripMargin
+
+  /** The composed curation pipeline ([[graft.ops.Curation]]): language
+    * ID + quality scoring → filter → exact dedup keep-first →
+    * per-(lang, source) stats, hash-gated end-to-end. Threshold 0.55
+    * sits near the corpus quality median, so the filter removes a
+    * material fraction (load-bearing, not decorative). */
+  val corpusCuration: Q = (s, dir) =>
+    Curation.report(Tables.documents(s, dir), "doc_id", "text",
+      minQuality = 0.55)
+
+  val corpusCurationSql: String = {
+    val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH lt AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(text, '\\s+'), x -> lower(x)) AS t
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id,
+       |    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS h_de,
+       |    len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS h_en,
+       |    len(list_filter(t, x -> list_contains(['el','la','los','las','es','y','que','de'], x))) AS h_es,
+       |    len(list_filter(t, x -> list_contains(['le','la','les','est','et','que','dans','une'], x))) AS h_fr,
+       |    len(list_filter(t, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS h_zh
+       |  FROM lt),
+       |lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |         WHEN h_zh >= h_fr AND h_zh >= h_es AND h_zh >= h_en AND h_zh >= h_de THEN 'zh'
+       |         WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       |         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       |         WHEN h_en >= h_de THEN 'en'
+       |         ELSE 'de' END AS lang_pred
+       |  FROM hits),
+       |scored AS (
+       |  SELECT d.doc_id, d.source, d.text, lang.lang_pred,
+       |    len(string_split_regex(d.text, '\\s+')) AS n_tokens,
+       |    round(
+       |      least(length(d.text) / 500.0, 1.0) * 0.4
+       |      + greatest(0.0, 1.0 - (CASE WHEN length(d.text) > 0
+       |          THEN CAST(length(regexp_replace(d.text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(d.text)
+       |          ELSE 0.0 END) * 5.0) * 0.3
+       |      + least((CASE WHEN len(string_split_regex(d.text, '\\s+')) > 0
+       |          THEN CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+       |                 t -> list_contains([$stops], t))) AS DOUBLE)
+       |               / len(string_split_regex(d.text, '\\s+'))
+       |          ELSE 0.0 END) * 4.0, 1.0) * 0.3, 4) AS quality
+       |  FROM documents d JOIN lang ON lang.doc_id = d.doc_id),
+       |kept AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM scored WHERE lang_pred <> 'und' AND quality >= 0.55)
+       |SELECT lang_pred, source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(avg(quality), 2) AS avg_quality,
+       |  min(quality) AS min_quality, max(quality) AS max_quality
+       |FROM kept WHERE rn = 1
+       |GROUP BY lang_pred, source
+       |ORDER BY lang_pred, source""".stripMargin
+  }
+
+  /** PQ ANN, oracle-gated in exhaustive-shortlist mode: with
+    * `shortlist >= |corpus|` the exact re-rank sees every row, so the
+    * full train→encode→ADC→shortlist→re-rank pipeline must reproduce
+    * brute-force top-k exactly (same DuckDB oracle as `ann_topk`,
+    * the same pattern that gates IVF's exhaustive-probe mode). The
+    * pruned configuration is approximate by design; its recall and the
+    * codes-only-scan property are asserted in PqIndexSpec. */
+  val annPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = PqIndex.train(corpus, "id", "vec", m = 8, k = 16, iters = 2)
+    PqIndex.topK(queries, corpus, cb, k = 10, shortlist = Int.MaxValue)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_range_join" -> qRangeJoin,
+    "corpus_curation" -> corpusCuration,
+    "ann_pq" -> annPq)
+
+  val oracles: Map[String, String] = Map(
+    "q_range_join" -> qRangeJoinSql,
+    "corpus_curation" -> corpusCurationSql,
+    "ann_pq" -> QueryCatalog.annTopKSql)
+}
