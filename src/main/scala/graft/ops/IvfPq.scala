@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composed warehouse-scale ANN index — [[IvfIndex]]'s
+  * coarse cells pick WHICH rows a probe touches (partition pruning),
+  * [[PqIndex]]'s codes decide HOW CHEAPLY each touched row is scored
+  * (m-byte ADC instead of full-vector cosine). The two levers are
+  * independent, which is exactly why production systems (FAISS's
+  * IVFPQ, per Jégou et al. 2011) compose them:
+  *
+  *   probe cost ≈ (probed fraction of corpus) × (bytes scored per row)
+  *
+  * IVF alone still drags full vectors through the probed cells; PQ
+  * alone still scans every row's codes. Composed, a 100 TB corpus
+  * probing 2 of 1024 cells reads ~0.2% of rows at ~3% of the bytes
+  * per row — and the exact re-rank fetches true vectors for shortlist
+  * rows only.
+  *
+  * Index layout on disk: `cell=<i>/…parquet(id, codes, vec)` — one
+  * directory per coarse cell (partition pruning), codes and vectors as
+  * separate columns in the same files (parquet's columnar layout makes
+  * the ADC scan codes-only; PqIndexSpec/IvfPqSpec gate the ReadSchema).
+  *
+  * Correctness gate: with every cell probed and an uncapped shortlist,
+  * the pipeline must reproduce brute force exactly (IvfPqSpec) — the
+  * same exhaustive-mode argument that oracle-gates `ann_ivf` and
+  * `ann_pq` individually.
+  */
+object IvfPq {
+
+  /** Ingest-time: assign cells, encode codes, store partitioned by
+    * cell. Both assignments are computed once, at write time. */
+  def writeIndex(corpus: DataFrame, centroids: Array[Array[Double]],
+      cb: PqIndex.Codebooks, path: String): Unit =
+    corpus.select(
+        IvfIndex.bestCell(col("vec"), centroids).as("cell"),
+        col("id"), PqIndex.encode(col("vec"), cb).as("codes"), col("vec"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a [[writeIndex]] corpus: `nProbe` cells per query pushed as
+    * a literal partition filter; ADC over (id, codes) inside the probed
+    * cells; per-query shortlist; exact cosine re-rank. */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+      centroids: Array[Array[Double]], cb: PqIndex.Codebooks,
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val qb = queries.select(col("qid"),
+      explode(IvfIndex.probeCells(col("qvec"), centroids, nProbe)).as("cell"),
+      PqIndex.lut(col("qvec"), cb).as("lut"))
+    val probed = qb.select("cell").distinct().collect().map(_.getInt(0))
+    val stored = spark.read.parquet(path)
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+    // ADC stage: (cell, id, codes) joined to the broadcast query probes
+    // on cell — each corpus row lives in exactly one cell, so no
+    // candidate de-dup is needed (unlike multi-table LSH).
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))
+    val shortIds = stored.select(col("cell"), col("id"), col("codes"))
+      .join(broadcast(qb), Seq("cell"))
+      .withColumn("adc", PqIndex.adcScore(col("codes"), col("lut"), cb.m))
+      .withColumn("srank", row_number().over(w))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("id"))
+    PqIndex.rerank(shortIds, queries, stored.select(col("id"), col("vec")), k)
+  }
+}

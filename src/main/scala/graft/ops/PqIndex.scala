@@ -163,7 +163,7 @@ object PqIndex {
   /** ADC + shortlist: the only stage that touches every corpus row, and
     * it carries (id, codes) ONLY — no embedding payload enters the
     * scan, the broadcast, or the shortlist shuffle. */
-  private def adcShortlist(encoded: DataFrame, queries: DataFrame,
+  private[ops] def adcShortlist(encoded: DataFrame, queries: DataFrame,
       cb: Codebooks, shortlist: Int): DataFrame = {
     val ql = queries.select(col("qid"), lut(col("qvec"), cb).as("lut"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))
@@ -177,7 +177,7 @@ object PqIndex {
   /** Exact re-rank: shortlist ids pull their vectors, exact cosine on
     * the RAW (un-normalized) vectors — identical scoring and (score, id)
     * tie-break to [[Similarity.bruteForceTopK]]. */
-  private def rerank(shortIds: DataFrame, queries: DataFrame,
+  private[ops] def rerank(shortIds: DataFrame, queries: DataFrame,
       corpus: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     shortIds.join(corpus, Seq("id"))
