@@ -31,8 +31,9 @@ object Bench {
     "d10_json_projection", "b7_path_derivation", "b8_serialize",
     "b10_zip_roundtrip", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_cos", "ann_topk", "ann_lsh",
-    "ann_ivf", "ann_pq", "text_stats", "text_fingerprint", "text_lang_id",
-    "multimodal_meta", "multimodal_frames", "q_range_join", "corpus_curation")
+    "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_fingerprint",
+    "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
+    "corpus_curation")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -64,6 +65,7 @@ object Bench {
     "text_lang_id" -> 3.0,
     "multimodal_frames" -> 3.0,
     "ann_pq" -> 12.0,
+    "ann_ivfpq" -> 10.0,
     "q_range_join" -> 3.0,
     "corpus_curation" -> 4.0)
 

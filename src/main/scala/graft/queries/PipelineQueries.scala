@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.RangeJoin
-import graft.ops.{Curation, PqIndex, TextAnalysis}
+import graft.ops.{Curation, IvfIndex, IvfPq, PqIndex, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Third wave of the query surface (round 7): the no-equi-key range
@@ -121,13 +121,37 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The COMPOSED IVF-PQ index, oracle-gated the same way: the query
+    * builds the on-disk index (cell-partitioned, PQ-encoded — write
+    * time at scale, inline here like the other index queries), then
+    * probes it with every cell and an uncapped shortlist, which must
+    * reproduce brute force exactly. The pruned two-lever configuration
+    * is recall- and plan-gated in IvfPqSpec. */
+  val annIvfPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val cb = PqIndex.train(corpus, "id", "vec", m = 8, k = 16, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-q").toFile.getAbsolutePath
+    IvfPq.writeIndex(corpus, centroids, cb, path)
+    IvfPq.topK(s, path, queries, centroids, cb,
+        k = 10, nProbe = 8, shortlist = Int.MaxValue)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
     "corpus_curation" -> corpusCuration,
-    "ann_pq" -> annPq)
+    "ann_pq" -> annPq,
+    "ann_ivfpq" -> annIvfPq)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
     "corpus_curation" -> corpusCurationSql,
-    "ann_pq" -> QueryCatalog.annTopKSql)
+    "ann_pq" -> QueryCatalog.annTopKSql,
+    "ann_ivfpq" -> QueryCatalog.annTopKSql)
 }
