@@ -130,11 +130,22 @@ object Bench {
       }
     }
     val present = runnable.filter(n => subset.forall(_.contains(n)))
+    // A sample that THROWS must never masquerade as a fast run: an
+    // instant failure records a near-zero wall time, wins the min, and
+    // sails under every budget (exactly how the seed-selection bug at
+    // sf1 hid inside a "0.2 s" ann_ivf for a full round). Track success
+    // per sample; a query with zero successful samples is reported in
+    // `failures` and forced into `budget_violations` with sentinel 9999.
+    val succeeded = scala.collection.mutable.Set[String]()
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        succeeded += name
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Three timed rounds, INTERLEAVED (round 1 of every query before
@@ -174,7 +185,12 @@ object Bench {
     val results = firstPass.map { case (n, t) =>
       n -> math.min(t, remeasured.getOrElse(n, Double.MaxValue))
     }
-    val violations = results.filter { case (n, t) => budgets.get(n).exists(t > _) }
+    // A query with zero successful samples is a hard failure: its tiny
+    // "times" are meaningless, so it always violates (sentinel 9999 s).
+    val failures = present.filterNot(succeeded.contains)
+    failures.foreach(n => System.err.println(s"[bench] HARD FAILURE: $n never completed"))
+    val violations = results.filter { case (n, t) => budgets.get(n).exists(t > _) } ++
+      failures.map(_ -> 9999.0)
     firstViolations.foreach { case (n, t) =>
       val re = remeasured(n)
       val verdict = if (budgets.get(n).exists(re > _)) "CONFIRMED" else "stall (cleared)"
@@ -194,6 +210,8 @@ object Bench {
     // only the validated names that actually ran.
     if (subset.isDefined)
       extraJson ++= s""","subset":${present.sorted.map(q).mkString("[", ",", "]")}"""
+    if (failures.nonEmpty)
+      extraJson ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(results)},"budget_violations":${obj(violations)}$extraJson,"sf":${q(sfDir)}}""")
     spark.stop()
   }

@@ -55,14 +55,15 @@ object IvfIndex {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 2): Array[Array[Double]] = {
-    val n = corpus.count()
-    val step = math.max(n / k, 1L)
-    // Deterministic evenly-spaced sample as initial centroids (id mod
-    // step — no global sort, scan-only; ids need not be dense, k seeds
-    // just need to be stable).
+    // Deterministic pseudo-random seed sample: order by a hash of the id
+    // (id tiebreak) and take k — a top-k, not a global sort. Seeding
+    // MUST NOT assume anything about id layout: the previous
+    // `id mod (n/k) == 0` scheme silently selected ZERO rows on sparse
+    // shifted ids (sf1 replicas live at c×1e8 + base, and no id in the
+    // corpus was divisible by the step), killing training while the
+    // bench misread the instant failure as a fast run.
     var centroids: Array[Array[Double]] = corpus
-      .filter(pmod(col(idCol), lit(step)) === 0)
-      .orderBy(col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)

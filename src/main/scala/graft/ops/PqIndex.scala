@@ -116,10 +116,10 @@ object PqIndex {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(graft.functions.functions.dot_product(col(vecCol), col(vecCol))).as("nrm"))
 
-    val n = base.count()
-    val step = math.max(n / k, 1L)
-    val seeds = base.filter(pmod(col("id"), lit(step)) === 0)
-      .orderBy(col("id")).limit(k)
+    // Deterministic pseudo-random seed sample by id hash — same
+    // id-layout-independence fix as IvfIndex.train (modulo sampling
+    // returns zero seeds on sparse shifted id layouts).
+    val seeds = base.orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select(col("v")).collect()
       .map { r =>
         val v = r.getSeq[Float](0).map(_.toDouble).toArray

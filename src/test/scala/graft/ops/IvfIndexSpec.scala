@@ -19,6 +19,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(cells.map(_.getLong(1)).sum == emb.count())
   }
 
+  test("training works on sparse shifted id layouts (sf1 replica regression)") {
+    // Replicated corpora shift ids by c×1e8; the old modulo-based seed
+    // sample selected ZERO rows there and training died with "empty
+    // corpus" (misread as a fast run by the bench). Seeding must be
+    // independent of id layout.
+    val emb = Tables.embeddings(spark, sf001)
+      .select(($"vec_id" * 100000000L + 7L).as("id"), $"embedding".as("vec"))
+    val centroids = IvfIndex.train(emb, "id", "vec", k = 4, iters = 1)
+    assert(centroids.length == 4)
+    val cb = PqIndex.train(emb, "id", "vec", m = 8, k = 4, iters = 1)
+    assert(cb.books.length == 8 && cb.books.forall(_.length == 4))
+  }
+
   test("IVF top-k recall vs brute force with generous probes") {
     val emb = Tables.embeddings(spark, sf001)
     val queries = emb.filter($"vec_id" < 10)
