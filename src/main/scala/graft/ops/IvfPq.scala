@@ -40,6 +40,23 @@ object IvfPq {
         col("id"), PqIndex.encode(col("vec"), cb).as("codes"), col("vec"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental maintenance: encode a DELTA batch with the EXISTING
+    * quantizers and append it into the partitioned layout — the daily
+    * ingest path at warehouse scale. No retraining, no rewrite: parquet
+    * append adds new files inside each touched `cell=` directory and
+    * never touches existing ones, so a concurrent prober keeps reading
+    * a consistent (slightly stale) index. Codebook drift under a
+    * shifting embedding distribution is handled by periodic
+    * retrain + [[writeIndex]] rewrite, not per-batch (the quantizers
+    * are frozen BETWEEN rewrites by design — recall degrades gradually
+    * and measurably, assignments never flap). */
+  def appendIndex(delta: DataFrame, centroids: Array[Array[Double]],
+      cb: PqIndex.Codebooks, path: String): Unit =
+    delta.select(
+        IvfIndex.bestCell(col("vec"), centroids).as("cell"),
+        col("id"), PqIndex.encode(col("vec"), cb).as("codes"), col("vec"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Probe a [[writeIndex]] corpus: `nProbe` cells per query pushed as
     * a literal partition filter; ADC over (id, codes) inside the probed
     * cells; per-query shortlist; exact cosine re-rank. */

@@ -47,4 +47,38 @@ class IvfPqSpec extends SparkSpec {
     assert(schemas.forall(s => !(s.contains("codes") && s.contains("vec"))),
       s"a scan reads codes AND vectors — ADC pass not pruned:\n$plan")
   }
+
+  test("incremental append: delta ingest ≡ full rewrite, existing files untouched") {
+    val (queries, corpus) = corpusAndQueries
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 4, iters = 2)
+    val cb = PqIndex.train(corpus, "id", "vec", m = 8, k = 8, iters = 2)
+    // base = ids < 60, delta = the rest; quantizers trained on the FULL
+    // corpus stand in for "trained at last rewrite"
+    val base = corpus.filter($"id" < 60)
+    val delta = corpus.filter($"id" >= 60)
+
+    val incr = java.nio.file.Files.createTempDirectory("ivfpq-incr").toFile.getAbsolutePath
+    IvfPq.writeIndex(base, centroids, cb, incr)
+    def listFiles(dir: String): Map[String, Long] = {
+      val root = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = listFiles(incr)
+    IvfPq.appendIndex(delta, centroids, cb, incr)
+    val after = listFiles(incr)
+    assert(before.keySet.subsetOf(after.keySet) && before.forall { case (p, m) => after(p) == m },
+      "append must only add files, never rewrite existing ones")
+    assert(after.size > before.size, "append must add files")
+
+    val full = java.nio.file.Files.createTempDirectory("ivfpq-full").toFile.getAbsolutePath
+    IvfPq.writeIndex(corpus, centroids, cb, full)
+    val probeIncr = key(IvfPq.topK(spark, incr, queries, centroids, cb,
+      k = 10, nProbe = 4, shortlist = Int.MaxValue))
+    val probeFull = key(IvfPq.topK(spark, full, queries, centroids, cb,
+      k = 10, nProbe = 4, shortlist = Int.MaxValue))
+    assert(probeIncr == probeFull, "appended index must probe identically to a rewrite")
+  }
 }
