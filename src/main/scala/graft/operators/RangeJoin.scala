@@ -66,4 +66,49 @@ object RangeJoin {
       right: DataFrame, rightT: String, low: Long, high: Long): DataFrame =
     left.join(right,
       col(rightT) >= col(leftT) + low && col(rightT) < col(leftT) + high)
+
+  /** Interval OVERLAP join: pairs of half-open intervals
+    * `[lStart, lEnd) × [rStart, rEnd)` with a non-empty intersection
+    * (`lStart < rEnd && rStart < lEnd`) — the interval×interval member
+    * of the family ([[bandJoin]] is point×window).
+    *
+    * Binned the same way, with two twists:
+    *   - each interval explodes to EVERY bin it covers
+    *     (`sequence(bin(start), bin(end-1))` — `binsHint` is the
+    *     expected interval-length/bin-width ratio: with bin width ≥
+    *     typical length that's ≤ 2 bins per row, and long outliers are
+    *     still CORRECT, just fatter);
+    *   - two overlapping intervals can share several bins, so a naive
+    *     bin-equi-join emits duplicates. Instead of a distinct shuffle,
+    *     each pair is emitted ONLY in the bin containing
+    *     `greatest(lStart, rStart)` — that point lies inside the
+    *     intersection, so exactly one covered bin wins, and the
+    *     multiplicity never exists to be removed (same
+    *     strip-the-redundancy-before-the-shuffle lesson as
+    *     Dedup.minhashLshPairs, applied one stage earlier).
+    *
+    * Empty intervals (end <= start) never match. Cost at 100 TB: one
+    * shuffle per side on the bin key, candidates bounded by per-bin
+    * occupancy × bins-per-interval.
+    */
+  def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    val l = left.filter(col(lEnd) > col(lStart))
+      .withColumn("_bin", explode(sequence(bin(col(lStart)), bin(col(lEnd) - 1))))
+    val r = right.filter(col(rEnd) > col(rStart))
+      .withColumn("_bin", explode(sequence(bin(col(rStart)), bin(col(rEnd) - 1))))
+    l.join(r, Seq("_bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_bin") === bin(greatest(col(lStart), col(rStart))))
+      .drop("_bin")
+  }
+
+  private[graft] def overlapJoinNaive(left: DataFrame, lStart: String,
+      lEnd: String, right: DataFrame, rStart: String, rEnd: String): DataFrame =
+    left.filter(col(lEnd) > col(lStart)).join(right.filter(col(rEnd) > col(rStart)),
+      col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
 }

@@ -40,6 +40,41 @@ class RangeJoinSpec extends SparkSpec {
     assert(byId(2L) == Set(-400L, -350L, -101L))
   }
 
+  test("overlap join ≡ naive on session-shaped intervals; each pair exactly once") {
+    // user sessions (from real events, 30-min gap) overlap-joined
+    // against incident windows (error event ± 2 min)
+    val ev = Tables.events(spark, sf001)
+      .select($"user_id", $"event_id", $"event_type", Tables.tsSeconds($"ts").as("t_sec"))
+    val sessions = graft.operators.Sessionize.sessionStats(
+        ev.select($"user_id", $"event_id", $"t_sec"), "user_id", "t_sec", 1800)
+      .select($"user_id", $"session_id", $"session_start".as("s_start"),
+        ($"session_end" + 1).as("s_end"))
+    val incidents = ev.filter($"event_type" === "error")
+      .select($"event_id".as("incident_id"),
+        ($"t_sec" - 120).as("i_start"), ($"t_sec" + 120).as("i_end"))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_id", "incident_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val binned = keys(RangeJoin.overlapJoin(sessions, "s_start", "s_end",
+      incidents, "i_start", "i_end", binWidth = 600))
+    val naive = keys(RangeJoin.overlapJoinNaive(sessions, "s_start", "s_end",
+      incidents, "i_start", "i_end"))
+    assert(binned.toSet == naive.toSet, "overlap rewrite must not change pairs")
+    assert(binned.length == binned.toSet.size,
+      "each overlapping pair must be emitted exactly once (no bin duplicates)")
+    assert(binned.nonEmpty, "sessions must overlap incidents on this corpus")
+  }
+
+  test("overlap join: intervals longer than the bin width still match correctly") {
+    val l = Seq((1L, 0L, 2500L), (2L, 3000L, 3001L)).toDF("lid", "ls", "le")
+    val r = Seq((10L, 2400L, 2600L), (11L, 900L, 901L), (12L, 2600L, 3200L),
+      (13L, 5000L, 5001L)).toDF("rid", "rs", "re")
+    val got = RangeJoin.overlapJoin(l, "ls", "le", r, "rs", "re", binWidth = 100)
+      .select($"lid", $"rid").collect().map(rw => (rw.getLong(0), rw.getLong(1)))
+    assert(got.toSet == Set((1L, 10L), (1L, 11L), (2L, 12L)), s"got ${got.toSet}")
+    assert(got.length == got.toSet.size, "exactly-once emission across many shared bins")
+  }
+
   test("plan is an equi-join on bins — never a nested loop") {
     val ev = Tables.events(spark, sf001)
       .select($"event_id", $"event_type", Tables.tsSeconds($"ts").as("t_sec"))

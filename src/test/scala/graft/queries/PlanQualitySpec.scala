@@ -67,6 +67,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("*("), "stats projection inside whole-stage codegen")
   }
 
+  test("q_range_join: band predicate becomes an equi-join on bins, no nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned rewrite must remove the nested loop:\n$p")
+  }
+
+  test("corpus_curation: scoring stays out of the shuffle; one exchange for dedup, one for the rollup") {
+    val p = plan("corpus_curation")
+    assert(!p.contains("lambdafunction"),
+      s"curation scoring must be codegen'd, not interpreted HOFs:\n$p")
+    assert(p.contains("partial_"), "rollup has map-side partial aggregation")
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"curation needs at most 2 hash shuffles (dedup window + rollup):\n$p")
+  }
+
+  test("ann_pq: ADC scan carries codes, not embeddings; queries broadcast") {
+    val p = plan("ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query LUTs must broadcast against the corpus codes:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"ADC scoring must be flat codegen'd lookups:\n$p")
+  }
+
   test("dedup_minhash_lsh banding: signature+banding fused into one aggregation") {
     // the fused DAG: signature+banding in ONE groupBy (candidate
     // de-dup downstream is a separate, deliberate shuffle — see
