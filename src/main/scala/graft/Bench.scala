@@ -33,7 +33,7 @@ object Bench {
     "dedup_simhash", "dedup_embedding_cos", "ann_topk", "ann_lsh",
     "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_fingerprint",
     "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
-    "corpus_curation")
+    "q_overlap_join", "corpus_curation")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -67,6 +67,7 @@ object Bench {
     "ann_pq" -> 12.0,
     "ann_ivfpq" -> 10.0,
     "q_range_join" -> 3.0,
+    "q_overlap_join" -> 4.0,
     "corpus_curation" -> 4.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,

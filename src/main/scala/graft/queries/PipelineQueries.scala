@@ -44,6 +44,55 @@ object PipelineQueries {
       |GROUP BY err.event_id
       |ORDER BY err.event_id""".stripMargin
 
+  /** Interval×interval OVERLAP join ([[RangeJoin.overlapJoin]]): user
+    * sessions (30-min gap sessionization) × incident windows (error
+    * event ± 2 min, any user) — which sessions were exposed to which
+    * incidents. Both interval sets derive from the events table, so
+    * DuckDB replays the whole composition: sessionize → windows →
+    * overlap predicate. The binned rewrite emits each pair exactly once
+    * (no distinct), gated in RangeJoinSpec. */
+  val qOverlapJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsSeconds(col("ts")).as("t_sec"))
+    val sessions = graft.operators.Sessionize.sessionStats(
+        ev.select(col("user_id"), col("event_id"), col("t_sec")),
+        "user_id", "t_sec", gapSeconds = 1800)
+      .select(col("user_id"), col("session_id"),
+        col("session_start").as("s_start"), (col("session_end") + 1).as("s_end"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        (col("t_sec") - 120).as("i_start"), (col("t_sec") + 120).as("i_end"))
+    RangeJoin.overlapJoin(sessions, "s_start", "s_end",
+        incidents, "i_start", "i_end", binWidth = 600)
+      .select(col("user_id"), col("session_id"), col("incident_id"))
+      .orderBy(col("user_id"), col("session_id"), col("incident_id"))
+  }
+  val qOverlapJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS t_sec FROM events),
+      |marked AS (
+      |  SELECT user_id, t_sec,
+      |    CASE WHEN t_sec - lag(t_sec) OVER (PARTITION BY user_id ORDER BY t_sec) > 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, t_sec,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY t_sec
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |sessions AS (
+      |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |    min(t_sec) AS s_start, max(t_sec) + 1 AS s_end
+      |  FROM sess GROUP BY user_id, session_id),
+      |incidents AS (
+      |  SELECT event_id AS incident_id, t_sec - 120 AS i_start, t_sec + 120 AS i_end
+      |  FROM e WHERE event_type = 'error')
+      |SELECT user_id, session_id, incident_id
+      |FROM sessions JOIN incidents ON s_start < i_end AND i_start < s_end
+      |ORDER BY user_id, session_id, incident_id""".stripMargin
+
   /** The composed curation pipeline ([[graft.ops.Curation]]): language
     * ID + quality scoring → filter → exact dedup keep-first →
     * per-(lang, source) stats, hash-gated end-to-end. Threshold 0.55
@@ -145,12 +194,14 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
+    "q_overlap_join" -> qOverlapJoin,
     "corpus_curation" -> corpusCuration,
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
+    "q_overlap_join" -> qOverlapJoinSql,
     "corpus_curation" -> corpusCurationSql,
     "ann_pq" -> QueryCatalog.annTopKSql,
     "ann_ivfpq" -> QueryCatalog.annTopKSql)

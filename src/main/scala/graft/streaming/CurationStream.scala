@@ -59,4 +59,26 @@ object CurationStream {
       eventTimeMs = _.ts.getTime, eventTimeCol = "ts",
       delay = delay, ttlMs = ttlMs)
   }
+
+  /** The streaming analog of [[graft.ops.Curation.report]]: tumbling
+    * event-time windows over a CURATED document stream, per (window,
+    * lang, source) — watermark-bounded state, append-mode emission when
+    * each window closes.
+    *
+    * Runs as its OWN query over the curated sink, not fused onto
+    * [[curate]]: Spark's stateful-correctness check rejects a windowed
+    * aggregation chained after `flatMapGroupsWithState` in one query
+    * (the dedup may emit rows the downstream watermark already passed),
+    * and it is right to — the supported composition is
+    * `curate → durable sink → readStream → report`, which is also the
+    * operational shape a 100 TB pipeline wants (the curated corpus IS
+    * the product; reports are cheap derived queries over it). */
+  def report(curated: Dataset[CuratedDoc], windowLength: String,
+      delay: String): DataFrame =
+    curated.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLength), col("lang_pred"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(avg(col("quality")), 2).as("avg_quality"))
 }

@@ -73,6 +73,35 @@ class CurationStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed report: closed windows emit curated per-source counts") {
+    // report runs as its own query over the curated sink (Spark rejects
+    // dedup→window fused in one query — see CurationStream.report doc),
+    // so feed it a curated-doc stream directly.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[CurationStream.CuratedDoc]
+    val q = CurationStream.report(mem.toDS(), "10 minutes", "1 minute")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curation_report").start()
+    def doc(id: Long, src: String, t: Timestamp, quality: Double) =
+      CurationStream.CuratedDoc(id, src, s"text $id", t, "en", 10L, quality)
+    try {
+      mem.addData(
+        doc(1L, "s1", ts(0), 0.6), doc(2L, "s1", ts(1), 0.8),
+        doc(3L, "s2", ts(2), 0.7))
+      q.processAllAvailable()
+      // advance the watermark far past the first window so it closes
+      mem.addData(doc(4L, "s9", ts(60), 0.5))
+      q.processAllAvailable()
+      mem.addData(doc(5L, "s9", ts(120), 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("curation_report")
+        .select($"source", $"n_docs", $"sum_tokens", $"avg_quality").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+      assert(rows.contains(("s1", 2L, 20L, 0.7)) && rows.contains(("s2", 1L, 10L, 0.7)),
+        s"first window must emit curated counts per source: $rows")
+    } finally q.stop()
+  }
+
   test("batch input is rejected") {
     val e = intercept[IllegalArgumentException] {
       CurationStream.curate(
