@@ -54,6 +54,19 @@ object Curation {
       .drop("_fp", "_rn")
   }
 
+  /** The production composition promised above: [[curate]]'s exact
+    * stage followed by CLUSTER-LEVEL MinHash near-dup removal
+    * ([[Dedup.dedupByMinhash]]: verified star edges + connected
+    * components, one representative per near-dup cluster, output linear
+    * in corpus size). Stage order still does the 100 TB work: the
+    * shingle/banding machinery only ever sees documents that survived
+    * the scan-speed filters AND exact dedup. */
+  def curateNearDup(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, numHashes: Int = 64, bands: Int = 16,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    Dedup.dedupByMinhash(curate(docs, idCol, textCol, minQuality),
+      idCol, textCol, numHashes, bands, n, threshold)
+
   /** Full pipeline: curated per-(lang_pred, source) statistics.
     * Aggregates are exact-integer or order-insensitive (min/max) except
     * avg_quality, which is rounded coarsely enough (2 dp) to absorb

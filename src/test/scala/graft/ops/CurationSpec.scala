@@ -49,6 +49,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("near-dup composition: cluster members collapse to one representative after filters") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    val docs = Seq(
+      // near-dup cluster: same long text with tiny local edits
+      (10L, base + "alpha ending", "sA"),
+      (11L, base + "beta ending", "sA"),
+      (12L, base + "gamma ending", "sB"),
+      // distinct doc, passes filters
+      (20L, "a cat sat on the mat with a hat and that is that and more " * 8, "sB"),
+      // near-dup of the cluster but und-language? no — filtered for low quality instead
+      (30L, "a b", "sC"))
+      .toDF("doc_id", "text", "source")
+    val kept = Curation.curateNearDup(docs, "doc_id", "text", minQuality = 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L),
+      s"cluster -> min-id representative, distinct kept, low-quality dropped: $kept")
+  }
+
   test("curation plan: filters reach the scan before any exchange") {
     val plan = Curation.curate(Tables.documents(spark, sf001),
       "doc_id", "text", minQuality = 0.55).queryExecution.executedPlan.toString
