@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.RangeJoin
-import graft.ops.{Curation, IvfIndex, IvfPq, PqIndex, TextAnalysis}
+import graft.ops.{Curation, IvfIndex, IvfPq, PqIndex, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Third wave of the query surface (round 7): the no-equi-key range
@@ -192,9 +192,40 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Deterministic stratified mix sampling ([[graft.ops.Sampling]]):
+    * per-language keep rates over the documents table, membership a
+    * pure function of (seed, doc_id) via the portable md5-60 hash —
+    * DuckDB recomputes the exact uniform per row, so the sample is
+    * hash-checked row-for-row, not statistically. */
+  val qSampleMix: Q = (s, dir) => {
+    Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        rates = Map("en" -> 0.25, "de" -> 1.0, "es" -> 0.5, "fr" -> 0.75),
+        defaultRate = 0.1, seed = "mix1")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+  val qSampleMixSql: String = {
+    // value of the first 15 hex digits of md5('mix1' || doc_id) — the
+    // same engine-portable md5-60 construction the simhash oracle uses
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id, lang,
+       |    substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15) AS h15
+       |  FROM documents),
+       |u AS (SELECT doc_id, lang, CAST($hexVal AS DOUBLE) / 1152921504606846976.0 AS unif
+       |      FROM hashed)
+       |SELECT doc_id, lang FROM u
+       |WHERE unif < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0
+       |                       WHEN 'es' THEN 0.5 WHEN 'fr' THEN 0.75 ELSE 0.1 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
     "q_overlap_join" -> qOverlapJoin,
+    "q_sample_mix" -> qSampleMix,
     "corpus_curation" -> corpusCuration,
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq)
@@ -202,6 +233,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
     "q_overlap_join" -> qOverlapJoinSql,
+    "q_sample_mix" -> qSampleMixSql,
     "corpus_curation" -> corpusCurationSql,
     "ann_pq" -> QueryCatalog.annTopKSql,
     "ann_ivfpq" -> QueryCatalog.annTopKSql)

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf001)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  test("membership is a pure function of (seed, key): re-runs identical, seeds independent") {
+    val r = Map("en" -> 0.3)
+    val a = ids(Sampling.stratifiedSample(docs, "doc_id", "lang", r, 0.3, "s1"))
+    val b = ids(Sampling.stratifiedSample(docs, "doc_id", "lang", r, 0.3, "s1"))
+    assert(a == b, "same seed ⇒ same sample")
+    val c = ids(Sampling.stratifiedSample(docs, "doc_id", "lang", r, 0.3, "s2"))
+    assert(a != c, "different seed ⇒ different sample family")
+  }
+
+  test("rates are edge-exact: 0 keeps nothing, 1 keeps everything") {
+    val n = docs.count()
+    assert(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, defaultRate = 1.0).count() == n)
+    assert(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, defaultRate = 0.0).count() == 0)
+  }
+
+  test("samples nest: raising a rate only adds rows") {
+    val small = ids(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, defaultRate = 0.2))
+    val large = ids(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, defaultRate = 0.6))
+    assert(small.subsetOf(large),
+      s"20% sample must be a subset of the 60% sample (|small∖large| = ${(small -- large).size})")
+    assert(small.size < large.size)
+  }
+
+  test("per-stratum rates steer the mix") {
+    val mixed = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.0, "de" -> 1.0), defaultRate = 0.5)
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("en"), "rate 0 stratum fully dropped")
+    assert(byLang("de") == totals("de"), "rate 1 stratum fully kept")
+    // default-rate strata land near half (binomial tolerance)
+    val others = (totals.keySet - "en" - "de").toSeq
+    val keptFrac = others.map(l => byLang.getOrElse(l, 0L)).sum.toDouble /
+      others.map(totals).sum
+    assert(keptFrac > 0.3 && keptFrac < 0.7, s"default-rate fraction $keptFrac")
+  }
+}
