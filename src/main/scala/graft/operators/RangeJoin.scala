@@ -67,6 +67,31 @@ object RangeJoin {
     left.join(right,
       col(rightT) >= col(leftT) + low && col(rightT) < col(leftT) + high)
 
+  /** [[bandJoin]] with salted shuffle for pathological hot bins (a
+    * burst second can put millions of rows into ONE time bin on both
+    * sides — then the bin equi-join itself becomes the straggler).
+    * Composes [[graft.ops.Skew.saltedJoin]] over the bin key: the
+    * probe side's hot-bin rows spread across `salt` sub-partitions
+    * (salted by `saltBy`, a unique-ish probe column), the left side's
+    * (already 2×-exploded) candidates replicate `salt`× — so use when
+    * `left` is the small side (incidents vs. a firehose), and prefer
+    * plain [[bandJoin]] + AQE skew-split otherwise (see Skew.scala's
+    * heuristic). Output is row-identical to [[bandJoin]]. */
+  def bandJoinSalted(left: DataFrame, leftT: String, right: DataFrame,
+      rightT: String, low: Long, high: Long, saltBy: String,
+      salt: Int = 16): DataFrame = {
+    require(low < high, s"empty band: [$low, $high)")
+    val w = high - low
+    def bin(c: org.apache.spark.sql.Column) = ((c - pmod(c, lit(w))) / w).cast("long")
+    val l = left.withColumn("_bins",
+      array(bin(col(leftT) + low), bin(col(leftT) + low) + 1))
+      .withColumn("_bin", explode(col("_bins"))).drop("_bins")
+    val r = right.withColumn("_bin", bin(col(rightT)))
+    graft.ops.Skew.saltedJoin(r, l, Seq("_bin"), col(saltBy), salt)
+      .filter(col(rightT) >= col(leftT) + low && col(rightT) < col(leftT) + high)
+      .drop("_bin")
+  }
+
   /** Interval OVERLAP join: pairs of half-open intervals
     * `[lStart, lEnd) × [rStart, rEnd)` with a non-empty intersection
     * (`lStart < rEnd && rStart < lEnd`) — the interval×interval member

@@ -40,6 +40,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(byId(2L) == Set(-400L, -350L, -101L))
   }
 
+  test("salted band join ≡ plain band join, including on a planted hot bin") {
+    val ev = Tables.events(spark, sf001)
+      .select($"event_id", $"event_type", Tables.tsSeconds($"ts").as("t_sec"))
+    val left = ev.filter($"event_type" === "error").select($"event_id", $"t_sec")
+    // plant a hot bin: all probes collapsed onto one second, plus the real ones
+    val burst = spark.range(500).select((lit(86_400L)).as("p_sec"))
+    val right = ev.filter($"event_type" =!= "error").select($"t_sec".as("p_sec"))
+      .union(burst)
+    val plain = RangeJoin.bandJoin(left, "t_sec", right, "p_sec", -300L, 0L)
+      .groupBy($"event_id").count()
+    val salted = RangeJoin.bandJoinSalted(left, "t_sec", right, "p_sec",
+        -300L, 0L, saltBy = "p_sec", salt = 8)
+      .groupBy($"event_id").count()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(salted) == m(plain), "salting must not change the join result")
+  }
+
   test("overlap join ≡ naive on session-shaped intervals; each pair exactly once") {
     // user sessions (from real events, 30-min gap) overlap-joined
     // against incident windows (error event ± 2 min)
