@@ -101,7 +101,7 @@ object PqIndex {
     * distributed aggregation covering all subspaces (assign all `m`
     * codes per row, posexplode the vector once, mean per
     * (subspace, cell, dim)); only `m×k×dsub` doubles reach the driver.
-    * Deterministic: evenly-spaced seed rows by id, fixed iterations.
+    * Deterministic: id-hash-sampled seed rows, fixed iterations.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks = {

@@ -6,8 +6,10 @@ import graft.ops.{Curation, IvfIndex, IvfPq, PqIndex, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Third wave of the query surface (round 7): the no-equi-key range
-  * join, the composed corpus-curation pipeline, and product-quantized
-  * ANN. Same oracle conventions as [[QueryCatalog]].
+  * and interval-overlap joins, the composed corpus-curation pipeline,
+  * deterministic stratified mix sampling, and product-quantized ANN
+  * (standalone + composed IVF-PQ). Same oracle conventions as
+  * [[QueryCatalog]].
   */
 object PipelineQueries {
   import QueryCatalog.Q
