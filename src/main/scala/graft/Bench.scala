@@ -30,7 +30,7 @@ object Bench {
     "d2_rules_join", "d12_cdc_last_state", "sync_pipeline_filtered",
     "d10_json_projection", "b7_path_derivation", "b8_serialize",
     "b10_zip_roundtrip", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cos", "ann_topk", "ann_lsh",
+    "dedup_simhash", "dedup_cluster", "dedup_embedding_cos", "ann_topk", "ann_lsh",
     "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_fingerprint",
     "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
     "q_overlap_join", "q_sample_mix", "corpus_curation")
@@ -66,6 +66,7 @@ object Bench {
     "multimodal_frames" -> 3.0,
     "ann_pq" -> 12.0,
     "ann_ivfpq" -> 10.0,
+    "dedup_cluster" -> 15.0,
     "q_range_join" -> 3.0,
     "q_overlap_join" -> 4.0,
     "q_sample_mix" -> 3.0,

@@ -384,9 +384,17 @@ object Dedup {
   }
 
   /** Connected components over a star-edge relation by iterated
-    * min-label propagation (driver loop; two shuffles per iteration;
-    * state localCheckpointed so lineage stays flat). Converges in
-    * O(log diameter) — star topologies keep the diameter small. */
+    * min-label propagation WITH pointer jumping (driver loop; three
+    * shuffles per iteration; state localCheckpointed so lineage stays
+    * flat). The edge-propagation step alone moves a label ONE hop per
+    * iteration — linear in component diameter, and transitive bucket
+    * chains grow diameter with cluster size (found the hard way: a
+    * 128-member cluster at sf0.001 has diameter > 10, so a
+    * propagate-only loop capped at 10 iterations left the cluster
+    * split one merge short of DuckDB's recursive-CTE fixpoint). The
+    * compression step (`label ← label(label)`) halves remaining path
+    * lengths each round, restoring genuine O(log diameter)
+    * convergence — the property a billion-row component graph needs. */
   def componentsFromStar(ids: DataFrame, star: DataFrame,
       maxIters: Int = 10): DataFrame = {
     val st = star.persist()
@@ -398,8 +406,15 @@ object Dedup {
       while (!converged && iter < maxIters) {
         val viaEdges = edges.join(labels, edges("root") === labels("id"))
           .select(edges("id").as("id"), col("label"))
-        val next = labels.select(col("id"), col("label")).union(viaEdges)
+        val relabeled = labels.select(col("id"), col("label")).union(viaEdges)
           .groupBy("id").agg(min(col("label")).as("label"))
+        // pointer jumping: follow the label's own label (labels are ids
+        // of the same node set, so the self-join always resolves; label
+        // values only ever decrease, so label(label(id)) <= label(id))
+        val next = relabeled.as("a")
+          .join(relabeled.select(col("id").as("_lid"), col("label").as("_llabel")),
+            col("a.label") === col("_lid"))
+          .select(col("a.id").as("id"), col("_llabel").as("label"))
           .localCheckpoint(true)
         val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
           .filter(col("label") =!= col("prev")).limit(1).count()
@@ -418,12 +433,17 @@ object Dedup {
     * `maxDist`; transitive chains merge, which is the cluster semantics
     * (a pairwise `simhashPairs` would emit O(cluster²)). */
   def simhashComponents(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxIters: Int = 10): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol).persist()
+      maxDist: Int = 3, maxIters: Int = 10,
+      tokenHash: Column => Column = xxhash64(_), bits: Int = 64,
+      bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, s"bits $bits not divisible by $bands bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sigs = simhashSignatures(df, idCol, textCol, tokenHash, bits).persist()
     try {
       val banded = sigs.select(col("id"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
         .toDF("id", "band", "bucket")
       val verified = starEdges(banded)
         .join(sigs.toDF("id", "sigA"), Seq("id"))
