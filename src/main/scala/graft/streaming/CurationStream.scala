@@ -33,9 +33,19 @@ object CurationStream {
   final case class CuratedDoc(doc_id: Long, source: String, text: String,
     ts: java.sql.Timestamp, lang_pred: String, n_tokens: Long, quality: Double)
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  // MessageDigest is stateful and not thread-safe; one instance per
+  // executor thread instead of one allocation per row (this runs inside
+  // the keyed dedup's per-row key extraction).
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5hex(s: String): String = {
+    val d = md5.get()
+    d.reset()
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Curate a streaming document feed. Input columns: doc_id (long),
     * source (string), text (string), `eventTimeCol` (timestamp).
