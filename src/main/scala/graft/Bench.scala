@@ -31,7 +31,7 @@ object Bench {
     "d10_json_projection", "b7_path_derivation", "b8_serialize",
     "b10_zip_roundtrip", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_cluster", "dedup_embedding_cos", "ann_topk", "ann_lsh",
-    "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_fingerprint",
+    "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_tfidf", "text_fingerprint",
     "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
     "q_overlap_join", "q_sample_mix", "corpus_curation")
 
@@ -70,7 +70,8 @@ object Bench {
     "q_range_join" -> 3.0,
     "q_overlap_join" -> 4.0,
     "q_sample_mix" -> 3.0,
-    "corpus_curation" -> 4.0)
+    "corpus_curation" -> 4.0,
+    "text_tfidf" -> 5.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -87,6 +87,37 @@ object TextAnalysis {
     * expression, [[graft.functions.RollingHashExpr]]). */
   def fingerprint(text: Column): Column = rolling_hash(text)
 
+  /** TF-IDF top terms per group (e.g. per source): the standard
+    * "what characterizes this slice of the corpus" analysis a mix
+    * report runs next to [[stats]].
+    *
+    * tf = raw token count within the group; idf = ln((N+1)/(df+1)) + 1
+    * (smoothed, N = total docs, df = docs containing the token);
+    * score = tf × idf, top-`k` terms per group by (score, token).
+    * All plain DataFrame aggregations — explode → two groupBys + a
+    * window — so map-side partial aggregation and AQE apply; nothing
+    * is collected. At 100 TB the token→df relation is the big
+    * intermediate; it shuffles once, keyed by token.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("_id"), col(groupCol).as("group"),
+      explode(split(col(textCol), "\\s+")).as("token"))
+    val n = df.count()
+    val docFreq = toks.select(col("_id"), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val termFreq = toks.groupBy("group", "token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("score").desc, col("token"))
+    termFreq.join(docFreq, Seq("token"))
+      .withColumn("score", round(col("tf") *
+        (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("group"), col("token"), col("score"), col("rk"))
+  }
+
   /** Full per-document text-stats projection. The token statistics are
     * computed once per row (single `_ts` struct, shared by the derived
     * columns) — one byte scan + two regex passes per document.

@@ -224,6 +224,35 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** TF-IDF top terms per source ([[TextAnalysis.tfIdfTopTerms]]):
+    * the "what characterizes this slice" report next to text_stats.
+    * Spark `log` is natural log; DuckDB's `log` is base-10, so the
+    * oracle uses `ln` — scores rounded to 4 dp before ranking in BOTH
+    * engines so the rank tie-break (score desc, token) is identical. */
+  val textTfidf: Q = (s, dir) => {
+    TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+        groupCol = "source", k = 5)
+      .select(col("group").as("source"), col("token"), col("score"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+  val textTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split_regex(text, '\s+')) AS token
+      |  FROM documents),
+      |df_t AS (
+      |  SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks)
+      |  GROUP BY token),
+      |tf_t AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY source, token),
+      |scored AS (
+      |  SELECT source, token,
+      |    round(tf * (ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+      |  FROM tf_t JOIN df_t USING (token)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rk
+      |  FROM scored)
+      |SELECT source, token, score, rk FROM ranked WHERE rk <= 5
+      |ORDER BY source, rk""".stripMargin
+
   /** CLUSTER-level near-dup dedup, oracle-gated end-to-end — the last
     * major component family that was spec-only. The simhash variant is
     * fully deterministic in any engine: portable md5-60 signatures
@@ -290,6 +319,7 @@ object PipelineQueries {
     "q_sample_mix" -> qSampleMix,
     "corpus_curation" -> corpusCuration,
     "dedup_cluster" -> dedupCluster,
+    "text_tfidf" -> textTfidf,
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq)
 
@@ -299,6 +329,7 @@ object PipelineQueries {
     "q_sample_mix" -> qSampleMixSql,
     "corpus_curation" -> corpusCurationSql,
     "dedup_cluster" -> dedupClusterSql,
+    "text_tfidf" -> textTfidfSql,
     "ann_pq" -> QueryCatalog.annTopKSql,
     "ann_ivfpq" -> QueryCatalog.annTopKSql)
 }
