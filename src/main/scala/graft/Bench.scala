@@ -105,9 +105,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Warm the JVM/codegen once on the smallest SF so measured times are
-    // compute, not first-call classloading.
-    SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Warm the JVM/codegen once so measured times are compute, not
+    // first-call classloading. A warmup failure must not kill the run
+    // before the JSON artifact exists — the measured rounds will
+    // surface the same error as a per-query hard failure.
+    try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     // Only headline names that actually resolve in the registry can run;
     // validate the subset against THIS list (not raw `headline`) so a
@@ -137,20 +140,22 @@ object Bench {
     // A sample that THROWS must never masquerade as a fast run: an
     // instant failure records a near-zero wall time, wins the min, and
     // sails under every budget (exactly how the seed-selection bug at
-    // sf1 hid inside a "0.2 s" ann_ivf for a full round). Track success
-    // per sample; a query with zero successful samples is reported in
-    // `failures` and forced into `budget_violations` with sentinel 9999.
-    val succeeded = scala.collection.mutable.Set[String]()
+    // sf1 hid inside a "0.2 s" ann_ivf for a full round). A failed
+    // sample therefore contributes +∞ — the min only ever reflects
+    // samples that produced every row. A query with NO successful
+    // sample stays infinite, is reported in `failures`, and is forced
+    // into `budget_violations` with sentinel 9999 (never into the
+    // finite `queries`/total numbers).
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        succeeded += name
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Double.PositiveInfinity
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // Three timed rounds, INTERLEAVED (round 1 of every query before
     // round 2 of any), min per query: the shared VM shows intermittent
@@ -186,12 +191,13 @@ object Bench {
 
     // Final per-query time: min over every sample taken (interleaved
     // rounds plus any solo re-measure) — the best observed quiet time.
-    val results = firstPass.map { case (n, t) =>
-      n -> math.min(t, remeasured.getOrElse(n, Double.MaxValue))
+    val allResults = firstPass.map { case (n, t) =>
+      n -> math.min(t, remeasured.getOrElse(n, Double.PositiveInfinity))
     }
-    // A query with zero successful samples is a hard failure: its tiny
-    // "times" are meaningless, so it always violates (sentinel 9999 s).
-    val failures = present.filterNot(succeeded.contains)
+    // Hard failures (no successful sample anywhere) stay infinite —
+    // excluded from the finite per-query numbers, always violating.
+    val (results, failed) = allResults.partition(_._2.isFinite)
+    val failures = failed.map(_._1)
     failures.foreach(n => System.err.println(s"[bench] HARD FAILURE: $n never completed"))
     val violations = results.filter { case (n, t) => budgets.get(n).exists(t > _) } ++
       failures.map(_ -> 9999.0)
@@ -201,8 +207,12 @@ object Bench {
       System.err.println(
         f"[bench] BUDGET VIOLATION first-pass: $n $t%.1f s, solo re-measure $re%.1f s (budget ${budgets(n)}%.1f s) → $verdict")
     }
+    // Non-finite values (hard-failure sentinels) must never reach the
+    // JSON line — clamp to the 9999 failure sentinel.
     def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => f"${q(k)}:$v%.3f" }.mkString("{", ",", "}")
+      kv.map { case (k, v) =>
+        f"${q(k)}:${if (v.isFinite) v else 9999.0}%.3f"
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val extraJson = new StringBuilder
     if (firstViolations.nonEmpty) {
