@@ -118,6 +118,33 @@ object TextAnalysis {
       .select(col("group"), col("token"), col("score"), col("rk"))
   }
 
+  /** Per-group KL divergence of the token distribution against the
+    * whole-corpus distribution — the "how far does this slice drift
+    * from the mix" number a data-mix report pairs with
+    * [[tfIdfTopTerms]]. KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s/p_c);
+    * every group token exists corpus-wide, so the ratio is always
+    * defined. Two token-keyed aggregations and a broadcast-size join
+    * of per-group totals — the corpus-wide token relation shuffles
+    * once; nothing reaches the driver.
+    */
+  def tokenKlDivergence(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("group"),
+      explode(split(col(textCol), "\\s+")).as("token"))
+    val corpusTf = toks.groupBy("token").agg(count(lit(1)).as("ctf"))
+    val corpusN = toks.count()
+    val groupTf = toks.groupBy("group", "token").agg(count(lit(1)).as("gtf"))
+    val groupN = toks.groupBy("group").agg(count(lit(1)).as("gn"))
+    groupTf.join(corpusTf, Seq("token"))
+      .join(broadcast(groupN), Seq("group"))
+      .withColumn("term",
+        (col("gtf") / col("gn")) *
+          log((col("gtf") / col("gn")) / (col("ctf") / lit(corpusN.toDouble))))
+      .groupBy("group")
+      .agg(round(sum(col("term")), 3).as("kl"),
+        count(lit(1)).as("n_distinct_tokens"))
+  }
+
   /** Full per-document text-stats projection. The token statistics are
     * computed once per row (single `_ts` struct, shared by the derived
     * columns) — one byte scan + two regex passes per document.

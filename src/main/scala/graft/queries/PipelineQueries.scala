@@ -253,6 +253,30 @@ object PipelineQueries {
       |SELECT source, token, score, rk FROM ranked WHERE rk <= 5
       |ORDER BY source, rk""".stripMargin
 
+  /** Per-source KL divergence of token distributions vs the corpus
+    * ([[TextAnalysis.tokenKlDivergence]]): the drift number a mix
+    * report pairs with TF-IDF. Sum rounded to 3 dp — summation order
+    * differs between engines, the round absorbs the ULP drift. */
+  val qMixDivergence: Q = (s, dir) => {
+    TextAnalysis.tokenKlDivergence(Tables.documents(s, dir), "doc_id", "text",
+        groupCol = "source")
+      .select(col("group").as("source"), col("kl"), col("n_distinct_tokens"))
+      .orderBy(col("source"))
+  }
+  val qMixDivergenceSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+      |ctf AS (SELECT token, count(*) AS ctf FROM toks GROUP BY token),
+      |cn AS (SELECT count(*) AS n FROM toks),
+      |gtf AS (SELECT source, token, count(*) AS gtf FROM toks GROUP BY source, token),
+      |gn AS (SELECT source, count(*) AS gn FROM toks GROUP BY source)
+      |SELECT source,
+      |  round(sum((gtf / gn) * ln((gtf / gn) / (ctf / (SELECT CAST(n AS DOUBLE) FROM cn)))), 3) AS kl,
+      |  count(*) AS n_distinct_tokens
+      |FROM gtf JOIN ctf USING (token) JOIN gn USING (source)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** CLUSTER-level near-dup dedup, oracle-gated end-to-end — the last
     * major component family that was spec-only. The simhash variant is
     * fully deterministic in any engine: portable md5-60 signatures
@@ -320,6 +344,7 @@ object PipelineQueries {
     "corpus_curation" -> corpusCuration,
     "dedup_cluster" -> dedupCluster,
     "text_tfidf" -> textTfidf,
+    "q_mix_divergence" -> qMixDivergence,
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq)
 
@@ -330,6 +355,7 @@ object PipelineQueries {
     "corpus_curation" -> corpusCurationSql,
     "dedup_cluster" -> dedupClusterSql,
     "text_tfidf" -> textTfidfSql,
+    "q_mix_divergence" -> qMixDivergenceSql,
     "ann_pq" -> QueryCatalog.annTopKSql,
     "ann_ivfpq" -> QueryCatalog.annTopKSql)
 }
