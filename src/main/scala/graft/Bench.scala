@@ -33,7 +33,8 @@ object Bench {
     "dedup_simhash", "dedup_cluster", "dedup_embedding_cos", "ann_topk", "ann_lsh",
     "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_tfidf", "text_fingerprint",
     "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
-    "q_overlap_join", "q_sample_mix", "q_mix_divergence", "corpus_curation")
+    "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
+    "corpus_curation")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -72,7 +73,8 @@ object Bench {
     "q_sample_mix" -> 3.0,
     "corpus_curation" -> 4.0,
     "text_tfidf" -> 5.0,
-    "q_mix_divergence" -> 4.0)
+    "q_mix_divergence" -> 4.0,
+    "q_sample_quota" -> 4.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.RangeJoin
 import graft.ops.{Curation, Dedup, IvfIndex, IvfPq, PqIndex, Sampling, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Third wave of the query surface (round 7): the no-equi-key range
@@ -152,6 +153,49 @@ object PipelineQueries {
        |GROUP BY lang_pred, source
        |ORDER BY lang_pred, source""".stripMargin
   }
+
+  /** The [[TextAnalysis.qualityScore]] formula as DuckDB SQL over a
+    * text column — identical arithmetic shape to the Spark expression
+    * (same operand order, round 4), shared by the quota-sampling
+    * oracle; corpus_curation carries its own inline copy. */
+  private def qualitySqlExpr(t: String): String = {
+    val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""round(
+       |      least(length($t) / 500.0, 1.0) * 0.4
+       |      + greatest(0.0, 1.0 - (CASE WHEN length($t) > 0
+       |          THEN CAST(length(regexp_replace($t, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length($t)
+       |          ELSE 0.0 END) * 5.0) * 0.3
+       |      + least((CASE WHEN len(string_split_regex($t, '\\s+')) > 0
+       |          THEN CAST(len(list_filter(string_split_regex($t, '\\s+'),
+       |                 tk -> list_contains([$stops], tk))) AS DOUBLE)
+       |               / len(string_split_regex($t, '\\s+'))
+       |          ELSE 0.0 END) * 4.0, 1.0) * 0.3, 4)""".stripMargin
+  }
+
+  /** Quota sampling — the other half of mix construction next to
+    * rate-based [[qSampleMix]]: keep the top-`k` HIGHEST-QUALITY docs
+    * per source (window top-k; at scale the per-key window is the
+    * [[graft.ops.Skew.saltedTopK]] shape if a source is hot). Rank
+    * ties break on doc_id in both engines, and quality is the round-4
+    * score both engines compute identically (text_stats precedent). */
+  val qSampleQuota: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    Curation.score(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("doc_id"), col("quality"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+  val qSampleQuotaSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, ${qualitySqlExpr("text")} AS quality FROM documents),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT source, doc_id, quality, rk FROM ranked WHERE rk <= 5
+       |ORDER BY source, rk""".stripMargin
 
   /** PQ ANN, oracle-gated in exhaustive-shortlist mode: with
     * `shortlist >= |corpus|` the exact re-rank sees every row, so the
@@ -345,6 +389,7 @@ object PipelineQueries {
     "dedup_cluster" -> dedupCluster,
     "text_tfidf" -> textTfidf,
     "q_mix_divergence" -> qMixDivergence,
+    "q_sample_quota" -> qSampleQuota,
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq)
 
@@ -356,6 +401,7 @@ object PipelineQueries {
     "dedup_cluster" -> dedupClusterSql,
     "text_tfidf" -> textTfidfSql,
     "q_mix_divergence" -> qMixDivergenceSql,
+    "q_sample_quota" -> qSampleQuotaSql,
     "ann_pq" -> QueryCatalog.annTopKSql,
     "ann_ivfpq" -> QueryCatalog.annTopKSql)
 }

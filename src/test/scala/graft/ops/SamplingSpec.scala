@@ -38,6 +38,32 @@ class SamplingSpec extends SparkSpec {
     assert(small.size < large.size)
   }
 
+  test("sampling is stateless: identical membership on a stream, across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = docs.select($"doc_id", $"lang").as[(Long, String)].collect().toSeq
+    val batchKept = ids(Sampling.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.4), 0.2, "st1"))
+    val mem = MemoryStream[(Long, String)]
+    val sampled = Sampling.stratifiedSample(
+      mem.toDS().toDF("doc_id", "lang"), "doc_id", "lang",
+      Map("en" -> 0.4), 0.2, "st1")
+    val q = sampled.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("sample_stream").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      val streamKept = spark.table("sample_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept,
+        "hash-membership must not depend on execution mode or batch boundaries")
+    } finally q.stop()
+  }
+
   test("per-stratum rates steer the mix") {
     val mixed = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.0, "de" -> 1.0), defaultRate = 0.5)
