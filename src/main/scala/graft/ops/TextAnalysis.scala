@@ -102,17 +102,40 @@ object TextAnalysis {
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The not-null filters are the joins' inferred constraints, made
+    // explicit so every consumer branch has the IDENTICAL subtree —
+    // otherwise constraint inference pushes IsNotNull into some branches
+    // only, canonical plans diverge, and exchange reuse breaks.
     val toks = df.select(col(idCol).as("_id"), col(groupCol).as("group"),
       explode(split(col(textCol), "\\s+")).as("token"))
-    val n = df.count()
-    val docFreq = toks.select(col("_id"), col("token")).distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    val termFreq = toks.groupBy("group", "token").agg(count(lit(1)).as("tf"))
+      .filter(col("group").isNotNull && col("token").isNotNull)
+    // ONE wide aggregation over the exploded relation; tf, df, and the
+    // corpus doc count all derive from it, so the scan+explode+exchange
+    // executes once and the three consumers reuse the shuffle stage
+    // (ReusedExchange — gated in PlanQualitySpec). Previously df/tf each
+    // re-derived the token relation and N was a separate driver count()
+    // job: 3 corpus scans where one suffices.
+    val docTf = toks.groupBy("_id", "group", "token")
+      .agg(count(lit(1)).as("dtf"))
+    // Every consumer must reference `dtf` in a form the optimizer can't
+    // eliminate — count(dtf) gets rewritten to count(1) (dtf is
+    // non-null) and then pruned from this branch, diverging the
+    // canonical subtree and defeating exchange reuse. sum(dtf≥1 ? 1:0)
+    // is exactly the per-token document count and keeps dtf live.
+    val docFreq = docTf.groupBy("token")
+      .agg(sum(when(col("dtf") >= 1, 1L).otherwise(0L)).as("df"))
+    val termFreq = docTf.groupBy("group", "token").agg(sum("dtf").as("tf"))
+    // N = docs contributing tokens (≡ all docs for non-null text, the
+    // documents-table contract), as a 1-row broadcast — in-plan, not a
+    // driver-blocking job.
+    val nDocs = docTf.groupBy("_id").agg(sum(col("dtf")).as("_doc_toks"))
+      .agg(count(col("_doc_toks")).as("n"))
     val w = Window.partitionBy(col("group"))
       .orderBy(col("score").desc, col("token"))
     termFreq.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") *
-        (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+        (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("group"), col("token"), col("score"), col("rk"))
@@ -123,23 +146,34 @@ object TextAnalysis {
     * from the mix" number a data-mix report pairs with
     * [[tfIdfTopTerms]]. KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s/p_c);
     * every group token exists corpus-wide, so the ratio is always
-    * defined. Two token-keyed aggregations and a broadcast-size join
-    * of per-group totals — the corpus-wide token relation shuffles
-    * once; nothing reaches the driver.
+    * defined.
+    *
+    * Single-pass: the per-(group, token) counts are the ONE aggregation
+    * over the exploded relation; corpus counts, per-group totals, and
+    * the corpus total all re-aggregate it, so the documents scan and
+    * its shuffle execute once and every consumer reuses the stage
+    * (ReusedExchange — gated in PlanQualitySpec). The previous shape
+    * re-derived the exploded relation for each of 4 consumers including
+    * a driver-blocking `count()` job — 4 corpus scans at 100 TB where
+    * one suffices.
     */
   def tokenKlDivergence(df: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame = {
+    // Explicit not-null filters keep every consumer's subtree canonically
+    // identical (see tfIdfTopTerms) so the exchange is reused, not re-run.
     val toks = df.select(col(groupCol).as("group"),
       explode(split(col(textCol), "\\s+")).as("token"))
-    val corpusTf = toks.groupBy("token").agg(count(lit(1)).as("ctf"))
-    val corpusN = toks.count()
+      .filter(col("group").isNotNull && col("token").isNotNull)
     val groupTf = toks.groupBy("group", "token").agg(count(lit(1)).as("gtf"))
-    val groupN = toks.groupBy("group").agg(count(lit(1)).as("gn"))
+    val corpusTf = groupTf.groupBy("token").agg(sum("gtf").as("ctf"))
+    val groupN = groupTf.groupBy("group").agg(sum("gtf").as("gn"))
+    val corpusN = groupN.agg(sum("gn").as("cn")) // 1 row, broadcast below
     groupTf.join(corpusTf, Seq("token"))
       .join(broadcast(groupN), Seq("group"))
+      .crossJoin(broadcast(corpusN))
       .withColumn("term",
         (col("gtf") / col("gn")) *
-          log((col("gtf") / col("gn")) / (col("ctf") / lit(corpusN.toDouble))))
+          log((col("gtf") / col("gn")) / (col("ctf") / col("cn").cast("double"))))
       .groupBy("group")
       .agg(round(sum(col("term")), 3).as("kl"),
         count(lit(1)).as("n_distinct_tokens"))

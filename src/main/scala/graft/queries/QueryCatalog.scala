@@ -56,7 +56,11 @@ object QueryCatalog {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** TPC-H Q3-style: broadcast dimension filter + join + top-k. */
+  /** TPC-H Q3-style: dimension filter + join + top-k. Customer scales
+    * WITH the fact tables (TPC-H grows it with SF), so it carries no
+    * broadcast hint — at gate SFs AQE broadcasts the filtered side on
+    * its own; at 100× a forced hint would OOM the driver where a
+    * shuffle join is the right plan. */
   val q3TopOrders: Q = (s, dir) => {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -67,7 +71,7 @@ object QueryCatalog {
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("orderdate"),
@@ -91,7 +95,12 @@ object QueryCatalog {
       |LIMIT 10""".stripMargin
 
   /** TPC-H Q5-style multi-join star aggregation (region→nation→customer
-    * →orders→lineitem→supplier), broadcast on all dims. */
+    * →orders→lineitem→supplier). Broadcast hints ONLY on the
+    * fixed-cardinality dims (region = 5 rows, nation = 25 rows — size
+    * independent of SF). Customer and supplier scale with SF, so they
+    * are unhinted: AQE broadcasts them at gate SFs where they're
+    * kilobytes, and falls back to a shuffle join at the 100× design
+    * point where a forced broadcast would fail. */
   val q5RegionRevenue: Q = (s, dir) => {
     val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(s, dir)
@@ -101,8 +110,8 @@ object QueryCatalog {
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

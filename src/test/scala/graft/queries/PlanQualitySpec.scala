@@ -90,6 +90,20 @@ class PlanQualitySpec extends SparkSpec {
       s"ADC scoring must be flat codegen'd lookups:\n$p")
   }
 
+  test("text_tfidf: documents scanned once — tf/df/N derive from one exploded aggregation") {
+    val p = plan("text_tfidf")
+    assert(p.split("FileScan parquet").length - 1 == 1,
+      s"tf, df and the corpus doc count must reuse one scan+exchange:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ShuffleQueryStage"),
+      s"downstream aggregations must reuse the token shuffle stage:\n$p")
+  }
+
+  test("q_mix_divergence: documents scanned once — corpus stats derive from group stats") {
+    val p = plan("q_mix_divergence")
+    assert(p.split("FileScan parquet").length - 1 == 1,
+      s"corpusTf/groupN/corpusN must reuse the groupTf exchange, not re-scan:\n$p")
+  }
+
   test("dedup_minhash_lsh banding: signature+banding fused into one aggregation") {
     // the fused DAG: signature+banding in ONE groupBy (candidate
     // de-dup downstream is a separate, deliberate shuffle — see
