@@ -150,6 +150,57 @@ object SyncOps {
   def scrubSystemMetadata(df: DataFrame): DataFrame =
     df.drop(KrmModel.scrubCols: _*)
 
+  /** D1-for-snapshot-sources — synthesize a CDC event batch from two
+    * consecutive FULL snapshots: upserts for keys that are new or whose
+    * payload changed, tombstones (`op='delete'`) for keys that vanished,
+    * nothing for unchanged keys. This reproduces the reference's
+    * NotFound→isDeleted semantics
+    * (/root/reference/syncer/controllers/krmsyncer_controller.go:415-423)
+    * for sources that can't watch — a watch source *observes* deletes; a
+    * snapshot source must *infer* them, and without this diff a
+    * snapshot-only pipeline silently never deletes.
+    *
+    * Change detection is a digest over the payload columns (apiVersion,
+    * labels, annotations, spec, status), null-safe on both sides, so
+    * re-upserting an unchanged document costs nothing downstream. The
+    * output has the event-stream shape ([[KrmModel.krmSchema]] minus the
+    * scrub columns a destination snapshot doesn't carry, plus `op`) and
+    * feeds the existing plan/merge path unchanged.
+    *
+    * Scale: ONE full-outer shuffle join on the merge key — both sides
+    * partition once; at 100 TB store consecutive snapshots bucketed on
+    * the merge key (the [[graft.streaming.ParquetDest]] layout or
+    * `bucketBy`) and the join co-locates without a shuffle. The emitted
+    * batch is only the churn (typically ≪ snapshot size), so everything
+    * downstream scales with change volume, not corpus volume.
+    */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val key = KrmModel.mergeKey
+    val payload = Seq("apiVersion", "labels", "annotations", "spec", "status")
+    def digest(side: String): Column =
+      md5(to_json(struct(payload.map(c => col(side + "." + c)): _*)))
+    val p = prev.alias("p")
+    val c = curr.alias("c")
+    val joinCond = key.map(k => col("p." + k) <=> col("c." + k)).reduce(_ && _)
+    val hasC = col("c.name").isNotNull
+    val hasP = col("p.name").isNotNull
+    val changed = !(digest("c") <=> digest("p"))
+    p.join(c, joinCond, "full_outer")
+      .filter(!hasC || !hasP || changed)
+      .select((
+        key.map(k => coalesce(col("c." + k), col("p." + k)).as(k)) ++ Seq(
+          // tombstones keep the vanished document's apiVersion (the
+          // identity they chase); payloads are null like watch tombstones
+          when(hasC, col("c.apiVersion")).otherwise(col("p.apiVersion")).as("apiVersion"),
+          when(hasC, col("c.labels")).otherwise(lit(null)).as("labels"),
+          when(hasC, col("c.annotations")).otherwise(lit(null)).as("annotations"),
+          when(hasC, col("c.spec")).otherwise(lit(null).cast("string")).as("spec"),
+          when(hasC, col("c.status")).otherwise(lit(null).cast("string")).as("status"),
+          when(hasC, lit("upsert")).otherwise(lit("delete")).as("op"))): _*)
+      .select("apiGroup", "apiVersion", "kind", "namespace", "name",
+        "labels", "annotations", "spec", "status", "op")
+  }
+
   /** D9+D12+D13 — idempotent merge of a (possibly replayed) batch of
     * projected documents into a destination snapshot:
     *

@@ -253,7 +253,7 @@ object QueryCatalog {
     val entries = Tables.documents(s, dir).select(
       concat(lit("docs/"), col("doc_id").cast("string"), lit(".json")).as("path"),
       to_json(struct(col("doc_id"), col("source"))).as("data"))
-    val out = java.nio.file.Files.createTempDirectory("zip-rt").toFile.getAbsolutePath
+    val out = graft.Staging.dirFor("zip-rt")
     graft.sinks.ZipSink.writeSharded(entries, out)
     s.read.format("graft-zip").load(out)
       .select(col("path"), md5(col("data")).as("data_md5"))
@@ -379,6 +379,46 @@ object QueryCatalog {
       |  FROM events) t
       |WHERE rn = 1 AND op <> 'delete'
       |ORDER BY user_id""".stripMargin
+
+  /** D1 for snapshot-only sources — [[SyncOps.snapshotDiff]] oracle-gated:
+    * two full "snapshots" are derived deterministically from documents
+    * (prev = doc_id % 5 ≠ 0; curr = doc_id % 3 ≠ 0 with the payload of
+    * every doc_id % 4 = 0 row changed), so the diff must emit exactly
+    * the inserts, payload-changes, and synthesized tombstones that
+    * DuckDB's full-outer-join formulation finds — and drop unchanged
+    * keys. Payloads are md5(text) strings: engine-portable, no JSON
+    * escaping concerns. */
+  val d1SnapshotDiff: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    def krm(df: DataFrame, spec: Column): DataFrame =
+      df.select(lit("g").as("apiGroup"), lit("v1").as("apiVersion"),
+        lit("Doc").as("kind"), lit("default").as("namespace"),
+        concat(lit("doc-"), col("doc_id")).as("name"),
+        lit(null).cast("map<string,string>").as("labels"),
+        lit(null).cast("map<string,string>").as("annotations"),
+        spec.as("spec"), lit(null).cast("string").as("status"))
+    val prev = krm(docs.filter(col("doc_id") % 5 =!= 0), md5(col("text")))
+    val curr = krm(docs.filter(col("doc_id") % 3 =!= 0),
+      when(col("doc_id") % 4 === 0, concat(md5(col("text")), lit("v2")))
+        .otherwise(md5(col("text"))))
+    SyncOps.snapshotDiff(prev, curr)
+      .select(col("name"), col("op"), col("spec"))
+      .orderBy(col("name"))
+  }
+  val d1SnapshotDiffSql: String =
+    """WITH prev AS (
+      |  SELECT 'doc-' || doc_id AS name, md5(text) AS spec
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |curr AS (
+      |  SELECT 'doc-' || doc_id AS name,
+      |    CASE WHEN doc_id % 4 = 0 THEN md5(text) || 'v2' ELSE md5(text) END AS spec
+      |  FROM documents WHERE doc_id % 3 <> 0)
+      |SELECT coalesce(c.name, p.name) AS name,
+      |  CASE WHEN c.name IS NULL THEN 'delete' ELSE 'upsert' END AS op,
+      |  c.spec AS spec
+      |FROM prev p FULL OUTER JOIN curr c ON p.name = c.name
+      |WHERE c.name IS NULL OR p.name IS NULL OR p.spec IS DISTINCT FROM c.spec
+      |ORDER BY name""".stripMargin
 
   /** The composed sync data plane (D2→D7 filters + D10 projection) as
     * one oracle-checked query: events-as-KRM-documents matched against
@@ -758,6 +798,7 @@ object QueryCatalog {
     "d10_json_projection" -> d10JsonProjection,
     "d11_scrub" -> d11Scrub,
     "d12_cdc_last_state" -> d12CdcLastState,
+    "d1_snapshot_diff" -> d1SnapshotDiff,
     "sync_pipeline_filtered" -> syncPipelineFiltered,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_top" -> dedupJaccardTop,
@@ -789,6 +830,7 @@ object QueryCatalog {
     "d10_json_projection" -> d10JsonProjectionSql,
     "d11_scrub" -> d11ScrubSql,
     "d12_cdc_last_state" -> d12CdcLastStateSql,
+    "d1_snapshot_diff" -> d1SnapshotDiffSql,
     "sync_pipeline_filtered" -> syncPipelineFilteredSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_top" -> dedupJaccardTopSql,

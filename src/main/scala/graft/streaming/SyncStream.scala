@@ -132,25 +132,87 @@ object SyncStream {
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        runBatch(spark, batch, configProvider(), destDirFor, watcher,
+          onErrors, numBuckets)
+        ()
+      }
+      .start()
+  }
+
+  /** The shared micro-batch body: events × rules → project → route →
+    * incremental merge per destination. Used by the watch-source and
+    * snapshot-source streaming paths. */
+  private def runBatch(spark: SparkSession, events: DataFrame,
+      configs: Seq[SyncerConfig], destDirFor: String => String,
+      watcher: WatcherId, onErrors: DataFrame => Unit,
+      numBuckets: Int): Unit = {
+    if (configs.isEmpty) return
+    val (projected, errors) =
+      planWithErrors(events, SyncOps.rulesDF(spark, configs), watcher)
+    // The projection is referenced once per destination — persist it
+    // so the scan→join→project stage runs once, not per destination.
+    projected.persist()
+    try {
+      onErrors(errors)
+      destKeys(configs, watcher).foreach { k =>
+        ParquetDest.mergeIncremental(spark, destDirFor(k),
+          projected.filter(col("destKey") === k).drop("destKey"), numBuckets)
+      }
+    } finally { projected.unpersist(); () }
+  }
+
+  /** Snapshot-source sync: each micro-batch is a FULL state snapshot
+    * (not a change feed) — sources that can only be listed/exported
+    * periodically, never watched. Events are synthesized by diffing the
+    * batch against the previously committed snapshot
+    * ([[SyncOps.snapshotDiff]]): upserts for new/changed keys and — the
+    * capability a snapshot source otherwise lacks — tombstones for
+    * vanished keys (the reference's NotFound→isDeleted,
+    * krmsyncer_controller.go:415-423). The synthesized batch then runs
+    * the identical plan→project→merge body as the watch path.
+    *
+    * The previous snapshot is kept in `stateDir/snap-<batchId>`; the
+    * diff base for batch N is the highest committed snapshot with id
+    * < N, so a crash between the destination merge and the state write
+    * replays batch N against the SAME base → the same synthesized
+    * events → a no-op through the idempotent merge (at-least-once →
+    * exactly-once visible effects, like the watch path). Snapshots
+    * older than the current base are GC'd after commit.
+    */
+  def startSnapshotSync(
+      spark: SparkSession,
+      snapshotStream: DataFrame,
+      configProvider: () => Seq[SyncerConfig],
+      destDirFor: String => String,
+      watcher: WatcherId,
+      checkpointDir: String,
+      stateDir: String,
+      queryName: String = "krm-snapshot-sync",
+      onErrors: DataFrame => Unit = _ => (),
+      numBuckets: Int = 16): StreamingQuery = {
+    snapshotStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (snap: DataFrame, batchId: Long) =>
         val configs = configProvider()
         if (configs.nonEmpty) {
-          val (projected, errors) =
-            planWithErrors(batch, SyncOps.rulesDF(spark, configs), watcher)
-          // The projection is referenced once per destination — persist it
-          // so the scan→join→project stage runs once, not per destination.
-          projected.persist()
-          try {
-            onErrors(errors)
-            destKeys(configs, watcher).foreach { k =>
-              ParquetDest.mergeIncremental(spark, destDirFor(k),
-                projected.filter(col("destKey") === k).drop("destKey"), numBuckets)
-            }
-          } finally { projected.unpersist(); () }
+          val prev = SnapshotState.latestBefore(spark, stateDir, batchId)
+            .getOrElse(snap.filter(lit(false)))
+          runBatch(spark, SyncOps.snapshotDiff(prev, snap),
+            configs, destDirFor, watcher, onErrors, numBuckets)
+          SnapshotState.commit(spark, stateDir, batchId, snap)
         }
         ()
       }
       .start()
   }
+
+  /** Batch-mode snapshot reconcile against one destination snapshot —
+    * the scheduled-export twin of [[applyBatch]]. */
+  def applySnapshotBatch(prevSnapshot: DataFrame, currSnapshot: DataFrame,
+      configs: Seq[SyncerConfig], dest: DataFrame, watcherMode: String): DataFrame =
+    applyBatch(SyncOps.snapshotDiff(prevSnapshot, currSnapshot),
+      configs, dest, watcherMode)
 
   /** Single-destination convenience overload (legacy topology): every
     * syncer's output lands in `destDir`, watcher known only by mode. */
@@ -354,6 +416,52 @@ object ParquetDest {
           fs.delete(p, true); ()
         case _ => ()
       }
+    }
+  }
+}
+
+/** Previous-snapshot state for the snapshot-diff source
+  * ([[SyncStream.startSnapshotSync]]): one immutable parquet dir per
+  * micro-batch, `snap-<batchId>`, committed by the Spark write's
+  * `_SUCCESS` marker. The diff base for batch N is the highest
+  * committed id strictly below N — a pure function of (stateDir,
+  * batchId), so a replayed batch re-derives the same base even if its
+  * own half-written `snap-N` survived the crash (mode=overwrite
+  * clobbers it). All I/O via the Hadoop FileSystem, like ParquetDest.
+  */
+object SnapshotState {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+  private val SnapRe = """snap-(\d+)""".r
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def committedIds(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).iterator.map(_.getPath.getName).collect {
+      case SnapRe(n) => n.toLong
+    }.filter(id => fs.exists(new Path(root, s"snap-$id/_SUCCESS"))).toSeq
+
+  /** Highest committed snapshot with id < batchId, if any. */
+  def latestBefore(spark: SparkSession, stateDir: String,
+      batchId: Long): Option[DataFrame] = {
+    val (fs, root) = fsOf(spark, stateDir)
+    val ids = committedIds(fs, root).filter(_ < batchId)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(new Path(root, s"snap-${ids.max}").toString))
+  }
+
+  /** Persist this batch's snapshot as the next diff base, then GC all
+    * but the two most recent (current + the replay base for an
+    * in-flight retry of the next batch). */
+  def commit(spark: SparkSession, stateDir: String, batchId: Long,
+      snap: DataFrame): Unit = {
+    val (fs, root) = fsOf(spark, stateDir)
+    snap.write.mode("overwrite").parquet(new Path(root, s"snap-$batchId").toString)
+    committedIds(fs, root).sorted.dropRight(2).foreach { id =>
+      fs.delete(new Path(root, s"snap-$id"), true); ()
     }
   }
 }
