@@ -27,7 +27,8 @@ object Bench {
     "q_events_hourly", "q_pivot", "q_asof_join", "q_sessionize",
     "q_rollup", "q_percentiles", "q_distinct_agg", "q_semi_join",
     "q_anti_join", "q_set_ops", "q_above_type_avg",
-    "d2_rules_join", "d12_cdc_last_state", "sync_pipeline_filtered",
+    "d2_rules_join", "d12_cdc_last_state", "d1_snapshot_diff",
+    "sync_pipeline_filtered",
     "d10_json_projection", "b7_path_derivation", "b8_serialize",
     "b10_zip_roundtrip", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_cluster", "dedup_embedding_cos", "ann_topk", "ann_lsh",
@@ -39,6 +40,18 @@ object Bench {
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
   val budgetsSf01: Map[String, Double] = Map(
+    // relational + sync core (quiet mins 0.24-1.08 s; driver host runs
+    // ~1.5-2× slower than a quiet local measure, budgets sized off the
+    // r7 driver artifact ×2 with a 2 s floor)
+    "q1_agg" -> 2.0,
+    "q3_top_orders" -> 2.5,
+    "q5_region_revenue" -> 4.0,
+    "q_window_top_orders" -> 3.0,
+    "q_events_hourly" -> 2.0,
+    "d2_rules_join" -> 2.0,
+    "d12_cdc_last_state" -> 2.0,
+    "d1_snapshot_diff" -> 3.0,
+    "sync_pipeline_filtered" -> 3.0,
     "dedup_minhash_lsh" -> 20.0,
     "dedup_simhash" -> 10.0,
     "ann_topk" -> 4.0,
@@ -112,8 +125,11 @@ object Bench {
     // first-call classloading. A warmup failure must not kill the run
     // before the JSON artifact exists — the measured rounds will
     // surface the same error as a per-query hard failure.
+    // NonFatal only: an OutOfMemoryError/VM failure must abort the run —
+    // timings measured after one are untrustworthy.
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     // Only headline names that actually resolve in the registry can run;
     // validate the subset against THIS list (not raw `headline`) so a
@@ -155,7 +171,7 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         Double.PositiveInfinity
       }

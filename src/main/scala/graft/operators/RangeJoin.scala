@@ -99,10 +99,10 @@ object RangeJoin {
     *
     * Binned the same way, with two twists:
     *   - each interval explodes to EVERY bin it covers
-    *     (`sequence(bin(start), bin(end-1))` — `binsHint` is the
-    *     expected interval-length/bin-width ratio: with bin width ≥
-    *     typical length that's ≤ 2 bins per row, and long outliers are
-    *     still CORRECT, just fatter);
+    *     (`sequence(bin(start), bin(end-1))`): the fan-out per row is
+    *     ~interval-length/`binWidth`, so pick `binWidth` at or above
+    *     the typical interval length for ≤ 2 bins per row — long
+    *     outliers are still CORRECT, just fatter;
     *   - two overlapping intervals can share several bins, so a naive
     *     bin-equi-join emits duplicates. Instead of a distinct shuffle,
     *     each pair is emitted ONLY in the bin containing

@@ -343,8 +343,9 @@ object Dedup {
     *   2. STAR edges only — every bucket member links to its bucket's
     *      min id. Linear in bucket occupancy, never pairwise, so a
     *      giant duplicate cluster costs O(cluster), not O(cluster²);
-    *   3. connected components by iterated min-label propagation over
-    *      the star graph (driver loop, each iteration two shuffles;
+    *   3. connected components by iterated min-label propagation with
+    *      pointer jumping over the star graph (driver loop, three
+    *      shuffles per iteration: propagate, relabel, pointer-jump;
     *      converges in O(log diameter) — bucket stars keep the diameter
     *      small). Iteration state is localCheckpointed so lineage
     *      doesn't grow.

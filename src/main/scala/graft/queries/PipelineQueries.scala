@@ -230,7 +230,7 @@ object PipelineQueries {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
     val cb = PqIndex.train(corpus, "id", "vec", m = 8, k = 16, iters = 2)
-    val path = java.nio.file.Files.createTempDirectory("ivfpq-q").toFile.getAbsolutePath
+    val path = graft.Staging.dirFor("ivfpq-q")
     IvfPq.writeIndex(corpus, centroids, cb, path)
     IvfPq.topK(s, path, queries, centroids, cb,
         k = 10, nProbe = 8, shortlist = Int.MaxValue)
