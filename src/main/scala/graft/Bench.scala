@@ -35,7 +35,7 @@ object Bench {
     "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_tfidf", "text_fingerprint",
     "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
     "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
-    "corpus_curation")
+    "corpus_curation", "corpus_curation_neardup")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -85,6 +85,8 @@ object Bench {
     "q_overlap_join" -> 4.0,
     "q_sample_mix" -> 3.0,
     "corpus_curation" -> 4.0,
+    // composes curation + full cluster dedup (quiet min 8.3 s sf0.1)
+    "corpus_curation_neardup" -> 20.0,
     "text_tfidf" -> 5.0,
     "q_mix_divergence" -> 4.0,
     "q_sample_quota" -> 4.0)

@@ -67,6 +67,18 @@ object Curation {
     Dedup.dedupByMinhash(curate(docs, idCol, textCol, minQuality),
       idCol, textCol, numHashes, bands, n, threshold)
 
+  /** The oracle-portable twin of [[curateNearDup]]: same stage order,
+    * with the cluster stage on md5-60 SimHash signatures
+    * ([[Dedup.dedupBySimhash]]) that DuckDB recomputes exactly — so the
+    * WHOLE production composition (score → filter → exact dedup →
+    * near-dup cluster collapse) is hash-gated end-to-end
+    * (`corpus_curation_neardup`), not just its stages individually. */
+  def curateNearDupSimhash(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, maxDist: Int = 3): DataFrame =
+    Dedup.dedupBySimhash(curate(docs, idCol, textCol, minQuality),
+      idCol, textCol, maxDist,
+      tokenHash = Dedup.md5TokenHash60, bits = 60, bands = 4)
+
   /** Full pipeline: curated per-(lang_pred, source) statistics.
     * Aggregates are exact-integer or order-insensitive (min/max) except
     * avg_quality, which is rounded coarsely enough (2 dp) to absorb

@@ -468,6 +468,22 @@ object Dedup {
       .drop(idCol + "_keep")
   }
 
+  /** [[dedupByMinhash]]'s SimHash twin: one representative (component
+    * min id) per near-dup cluster from [[simhashComponents]]. With the
+    * portable md5 token hash ([[md5TokenHash60]]) the whole composition
+    * is DuckDB-replayable — how `corpus_curation_neardup` hash-gates
+    * the production curate→cluster-dedup chain end-to-end. */
+  def dedupBySimhash(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, tokenHash: Column => Column = xxhash64(_),
+      bits: Int = 64, bands: Int = 4): DataFrame = {
+    val comps = simhashComponents(df, idCol, textCol, maxDist,
+      tokenHash = tokenHash, bits = bits, bands = bands)
+    df.join(comps.filter(col("id") === col("component"))
+        .select(col("id").as(idCol + "_keep")),
+      col(idCol) === col(idCol + "_keep"))
+      .drop(idCol + "_keep")
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

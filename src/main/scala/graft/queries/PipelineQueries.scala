@@ -381,11 +381,117 @@ object PipelineQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** The PRODUCTION curation composition ([[Curation.curateNearDupSimhash]]),
+    * oracle-gated end-to-end: scan-speed score+filter → exact dedup →
+    * cluster-level near-dup collapse (one representative per SimHash
+    * component) → per-(lang, source) rollup. `corpus_curation` gates
+    * the exact-stage composition; this gates the full chain including
+    * the near-dup stage, using the portable md5-60 signatures so DuckDB
+    * replays score→filter→dedup→signatures→star→components→rollup in
+    * one recursive query. Load-bearing at sf0.01: the near-dup stage
+    * removes docs the exact stage kept. */
+  val corpusCurationNearDup: Q = (s, dir) =>
+    Curation.curateNearDupSimhash(Tables.documents(s, dir), "doc_id", "text",
+        minQuality = 0.55)
+      .groupBy(col("lang_pred"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(avg(col("quality")), 2).as("avg_quality"))
+      .orderBy(col("lang_pred"), col("source"))
+
+  val corpusCurationNearDupSql: String = {
+    val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val sums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
+    val recomb = (0 until 60).map(j =>
+      s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val bandExprs = (0 until 4).map(b => s"(sig >> ${b * 15}) & 32767").mkString(", ")
+    s"""WITH RECURSIVE lt AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(text, '\\s+'), x -> lower(x)) AS t
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id,
+       |    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS h_de,
+       |    len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS h_en,
+       |    len(list_filter(t, x -> list_contains(['el','la','los','las','es','y','que','de'], x))) AS h_es,
+       |    len(list_filter(t, x -> list_contains(['le','la','les','est','et','que','dans','une'], x))) AS h_fr,
+       |    len(list_filter(t, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS h_zh
+       |  FROM lt),
+       |lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |         WHEN h_zh >= h_fr AND h_zh >= h_es AND h_zh >= h_en AND h_zh >= h_de THEN 'zh'
+       |         WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       |         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       |         WHEN h_en >= h_de THEN 'en'
+       |         ELSE 'de' END AS lang_pred
+       |  FROM hits),
+       |scored AS (
+       |  SELECT d.doc_id, d.source, d.text, lang.lang_pred,
+       |    len(string_split_regex(d.text, '\\s+')) AS n_tokens,
+       |    round(
+       |      least(length(d.text) / 500.0, 1.0) * 0.4
+       |      + greatest(0.0, 1.0 - (CASE WHEN length(d.text) > 0
+       |          THEN CAST(length(regexp_replace(d.text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(d.text)
+       |          ELSE 0.0 END) * 5.0) * 0.3
+       |      + least((CASE WHEN len(string_split_regex(d.text, '\\s+')) > 0
+       |          THEN CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+       |                 t -> list_contains([$stops], t))) AS DOUBLE)
+       |               / len(string_split_regex(d.text, '\\s+'))
+       |          ELSE 0.0 END) * 4.0, 1.0) * 0.3, 4) AS quality
+       |  FROM documents d JOIN lang ON lang.doc_id = d.doc_id),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM scored WHERE lang_pred <> 'und' AND quality >= 0.55)
+       |  WHERE rn = 1),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM kept)),
+       |hashed AS (
+       |  SELECT doc_id, ($hexVal) AS h
+       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
+       |counts AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id AS id, CAST($recomb AS BIGINT) AS sig FROM counts),
+       |banded AS (
+       |  SELECT id, band, bucket FROM (
+       |    SELECT id, unnest([$bandExprs]) AS bucket, unnest([0, 1, 2, 3]) AS band
+       |    FROM sigs)),
+       |mins AS (SELECT band, bucket, min(id) AS root FROM banded GROUP BY band, bucket),
+       |star AS (
+       |  SELECT DISTINCT b.id, m.root FROM banded b JOIN mins m USING (band, bucket)
+       |  WHERE b.id <> m.root),
+       |verified AS (
+       |  SELECT s.id, s.root FROM star s
+       |  JOIN sigs a ON a.id = s.id JOIN sigs r ON r.id = s.root
+       |  WHERE bit_count(xor(a.sig, r.sig)) <= 3),
+       |edges AS (
+       |  SELECT id AS src, root AS dst FROM verified
+       |  UNION SELECT root, id FROM verified),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM sigs
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |reps AS (SELECT id FROM comp WHERE id = component)
+       |SELECT lang_pred, source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(avg(quality), 2) AS avg_quality
+       |FROM kept JOIN reps ON kept.doc_id = reps.id
+       |GROUP BY lang_pred, source
+       |ORDER BY lang_pred, source""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
     "q_overlap_join" -> qOverlapJoin,
     "q_sample_mix" -> qSampleMix,
     "corpus_curation" -> corpusCuration,
+    "corpus_curation_neardup" -> corpusCurationNearDup,
     "dedup_cluster" -> dedupCluster,
     "text_tfidf" -> textTfidf,
     "q_mix_divergence" -> qMixDivergence,
@@ -398,6 +504,7 @@ object PipelineQueries {
     "q_overlap_join" -> qOverlapJoinSql,
     "q_sample_mix" -> qSampleMixSql,
     "corpus_curation" -> corpusCurationSql,
+    "corpus_curation_neardup" -> corpusCurationNearDupSql,
     "dedup_cluster" -> dedupClusterSql,
     "text_tfidf" -> textTfidfSql,
     "q_mix_divergence" -> qMixDivergenceSql,
