@@ -35,7 +35,9 @@ object Bench {
     "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_tfidf", "text_fingerprint",
     "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
     "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
-    "corpus_curation", "corpus_curation_neardup")
+    "corpus_curation", "corpus_curation_neardup",
+    "text_gopher_quality", "text_decontaminate", "text_pii_scrub",
+    "q_pack_shards", "q_mix_temperature")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -89,7 +91,13 @@ object Bench {
     "corpus_curation_neardup" -> 20.0,
     "text_tfidf" -> 5.0,
     "q_mix_divergence" -> 4.0,
-    "q_sample_quota" -> 4.0)
+    "q_sample_quota" -> 4.0,
+    // round-8 corpus-ops family (quiet mins measured 2026-08-13)
+    "text_gopher_quality" -> 3.0,
+    "text_decontaminate" -> 4.0,
+    "text_pii_scrub" -> 4.0,
+    "q_pack_shards" -> 3.0,
+    "q_mix_temperature" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -22,7 +22,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryCatalog.all ++ graft.queries.ExtraQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.CorpusOpsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -30,5 +31,6 @@ object SparkEntry {
     * those are asserted in ScalaTest specs instead. */
   def oracleSql: Map[String, String] =
     QueryCatalog.oracles ++ graft.queries.ExtraQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.CorpusOpsQueries.oracles
 }

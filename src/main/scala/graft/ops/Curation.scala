@@ -79,6 +79,36 @@ object Curation {
       idCol, textCol, maxDist,
       tokenHash = Dedup.md5TokenHash60, bits = 60, bands = 4)
 
+  /** Benchmark decontamination: drop every corpus document that shares
+    * at least one word `n`-gram with the evaluation set — the overlap
+    * filter that keeps test sets out of training data. Membership is
+    * exact n-gram identity (the standard 8–13-gram rule, `n`
+    * calibrated to document length), computed over 64-bit shingle
+    * hashes ([[Dedup.shingleHashes]]'s codegen'd relation: the corpus
+    * shuffle carries 8-byte keys, never gram strings).
+    *
+    * 100 TB shape: the eval set is FIXED-SIZE (benchmarks are KBs–MBs,
+    * the corpus is TBs), so its distinct shingle set is broadcast and
+    * the corpus side never shuffles for the membership probe — one
+    * scan-speed semi-join, then one id-keyed shuffle to distinct the
+    * contaminated ids before the anti-join. Collision risk of hashing
+    * (two different grams colliding in 64 bits AND only thereby
+    * contaminating a doc) is ~m·b/2⁶⁴ for m corpus × b bench shingles —
+    * negligible next to the false-positive rate of n-gram matching
+    * itself.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val corpusSh = Dedup.shingleHashes(corpus, idCol, textCol, n)
+    val benchSh = Dedup.shingleHashes(bench, benchIdCol, benchTextCol, n)
+      .select(col("shingle")).distinct()
+    val contaminated = corpusSh
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Full pipeline: curated per-(lang_pred, source) statistics.
     * Aggregates are exact-integer or order-insensitive (min/max) except
     * avg_quality, which is rounded coarsely enough (2 dp) to absorb

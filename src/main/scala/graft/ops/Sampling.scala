@@ -43,4 +43,69 @@ object Sampling {
     df.filter(hashUniform(col(keyCol), seed) <
       coalesce(element_at(rateMap, col(strataCol)), lit(defaultRate)))
   }
+
+  /** Token-budget shard packing: assign documents to training shards so
+    * consecutive documents (by `idCol`, within each `groupCol`
+    * partition) accumulate into shards of ~`budgetTokens` tokens —
+    * sequence-packing at document granularity, the step between a
+    * curated corpus and a trainer's shard manifest.
+    *
+    * `shard = floor(exclusive-prefix-sum(tokens) / budget)`: greedy
+    * streaming packing, so a document larger than the remaining budget
+    * OVERFLOWS its shard rather than splitting (shards can exceed the
+    * budget by at most one document; no document is ever split).
+    * Deterministic — a pure function of the (group, id) order, so
+    * re-runs and retries produce identical manifests.
+    *
+    * 100 TB shape: the prefix sum is a window per GROUP partition
+    * (source, dump, date bucket...), so shards parallelize across
+    * groups and no global single-partition sort exists anywhere. A
+    * corpus-global packing would need the classic two-phase distributed
+    * prefix sum (per-partition totals → broadcast offsets); grouped
+    * packing is what real pipelines run (shards don't mix sources), so
+    * that variant is deliberately not implemented.
+    */
+  def packShards(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_prior", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("_prior") / lit(budgetTokens.toDouble)).cast("long"))
+      .drop("_prior")
+  }
+
+  /** Temperature-based mix plan: per-group sampling targets that
+    * flatten the natural size distribution, `w_g ∝ n_g^tau` (tau < 1
+    * up-weights small sources — the standard multilingual/multi-source
+    * rebalancing). Returns (group, n_docs, weight, target, rate):
+    * `target = round(budget · w_g)` documents wanted from the group,
+    * `rate = min(1, target/n_docs)` the per-group keep rate to feed
+    * [[stratifiedSample]].
+    *
+    * tau defaults to 0.5 computed via `sqrt`, which IEEE 754 rounds
+    * correctly — bit-identical across engines, unlike `pow`, so the
+    * plan is oracle-checkable (`q_mix_temperature`). Tiny output (one
+    * row per group); the only corpus-sized work is the count
+    * aggregation.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, budget: Long,
+      tau: Double = 0.5): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val wRaw = if (tau == 0.5) sqrt(col("n_docs"))
+      else pow(col("n_docs").cast("double"), lit(tau))
+    val counts = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(wRaw).as("_z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("weight", round(wRaw / col("_z"), 4))
+      .withColumn("target",
+        floor(lit(budget.toDouble) * wRaw / col("_z") + 0.5).cast("long"))
+      .withColumn("rate",
+        round(least(lit(1.0), col("target").cast("double") / col("n_docs")), 4))
+      .select(col("group"), col("n_docs"), col("weight"), col("target"),
+        col("rate"))
+  }
 }

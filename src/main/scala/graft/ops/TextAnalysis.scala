@@ -179,6 +179,87 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct_tokens"))
   }
 
+  /** Repetition-based quality signals (the Gopher/C4-style filters a
+    * pretraining corpus runs before anything expensive): per document,
+    *
+    *   - `top_bigram_frac` — fraction of all bigram occurrences taken
+    *     by the single most frequent bigram (boilerplate/template pages
+    *     score high);
+    *   - `dup_trigram_frac` — fraction of trigram occurrences that are
+    *     repeats of an earlier trigram in the same document (looping /
+    *     stuttering generators score high);
+    *   - `keep` — the composite gate: ≥ `minTokens` tokens, mean token
+    *     length in a natural band, and both repetition signals under
+    *     their thresholds.
+    *
+    * Per-document signals need no cross-document state, so this is a
+    * SHUFFLE-FREE projection: the codegen'd
+    * [[graft.functions.RepetitionStatsExpr]] computes all four gram
+    * counters in one byte scan per row (an explode → groupBy
+    * formulation materializes ~L gram rows per document and shuffles
+    * them twice — measured 17× slower at sf0.1). Plan-gated to one
+    * FileScan and zero hash exchanges in CorpusOpsSpec.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxTopBigramFrac: Double = 0.06,
+      maxDupTrigramFrac: Double = 0.02): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol).as("doc_id"),
+        tokenStats(t).as("_ts"),
+        bridge.column(graft.functions.RepetitionStatsExpr(bridge.expression(t)))
+          .as("_rs"))
+      .select(col("doc_id"),
+        col("_ts").getField("n_tokens").as("n_tokens"),
+        round(ratio(col("_ts").getField("total_token_chars"),
+          col("_ts").getField("n_tokens")), 4).as("mean_token_len"),
+        round(when(col("_rs").getField("n_bigrams") > 0,
+          col("_rs").getField("top_bigrams").cast("double") /
+            col("_rs").getField("n_bigrams")).otherwise(lit(0.0)), 4)
+          .as("top_bigram_frac"),
+        round(when(col("_rs").getField("n_trigrams") > 0,
+          (col("_rs").getField("n_trigrams") -
+            col("_rs").getField("distinct_trigrams")).cast("double") /
+            col("_rs").getField("n_trigrams")).otherwise(lit(0.0)), 4)
+          .as("dup_trigram_frac"))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens &&
+          col("mean_token_len").between(2.0, 12.0) &&
+          col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("dup_trigram_frac") <= maxDupTrigramFrac)
+  }
+
+  /** PII patterns, valid under BOTH Java regex (Spark) and RE2-style
+    * engines — no backreferences, no lookaround — so an external system
+    * auditing the scrub reproduces it exactly. */
+  val piiEmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Pattern: String = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val piiLongNumberPattern: String = "\\d{9,}"
+
+  /** Scrub emails, IPv4 addresses, and ≥9-digit number runs (ids,
+    * phone-ish strings) to typed placeholders — the redaction pass a
+    * training corpus runs before anything leaves the raw zone. Order
+    * matters and is fixed: emails first (they contain dots + digits),
+    * then IPv4 (dot-separated short digit runs, untouched by the email
+    * pass), then long digit runs (≥9, so IPv4 octets never match).
+    * Three codegen'd `regexp_replace` passes — scan speed, no UDF.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailPattern, "<EMAIL>"),
+        piiIpv4Pattern, "<IP>"),
+      piiLongNumberPattern, "<NUM>")
+
+  /** struct(n_email, n_ip, n_num) — per-document redaction counts on
+    * the ORIGINAL text (the audit row a scrub job emits next to the
+    * cleaned column). Patterns are mutually non-overlapping on counts:
+    * emails carry no 9-digit runs or dotted quads, IPv4 octets are ≤3
+    * digits. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(piiEmailPattern)).as("n_email"),
+    regexp_count(text, lit(piiIpv4Pattern)).as("n_ip"),
+    regexp_count(text, lit(piiLongNumberPattern)).as("n_num"))
+
   /** Full per-document text-stats projection. The token statistics are
     * computed once per row (single `_ts` struct, shared by the derived
     * columns) — one byte scan + two regex passes per document.
