@@ -37,7 +37,7 @@ object Bench {
     "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
     "corpus_curation", "corpus_curation_neardup",
     "text_gopher_quality", "text_decontaminate", "text_pii_scrub",
-    "q_pack_shards", "q_mix_temperature")
+    "q_pack_shards", "q_mix_temperature", "q_mix_apply")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -82,13 +82,16 @@ object Bench {
     "multimodal_frames" -> 3.0,
     "ann_pq" -> 12.0,
     "ann_ivfpq" -> 10.0,
-    "dedup_cluster" -> 15.0,
+    // size-dispatched components (r8): quiet min 1.4 s; headroom for
+    // the driver host
+    "dedup_cluster" -> 6.0,
     "q_range_join" -> 3.0,
     "q_overlap_join" -> 4.0,
     "q_sample_mix" -> 3.0,
     "corpus_curation" -> 4.0,
-    // composes curation + full cluster dedup (quiet min 8.3 s sf0.1)
-    "corpus_curation_neardup" -> 20.0,
+    // composes curation + full cluster dedup (quiet min 1.8 s sf0.1
+    // after the r8 size-dispatched components)
+    "corpus_curation_neardup" -> 8.0,
     "text_tfidf" -> 5.0,
     "q_mix_divergence" -> 4.0,
     "q_sample_quota" -> 4.0,
@@ -97,7 +100,8 @@ object Bench {
     "text_decontaminate" -> 4.0,
     "text_pii_scrub" -> 4.0,
     "q_pack_shards" -> 3.0,
-    "q_mix_temperature" -> 3.0)
+    "q_mix_temperature" -> 3.0,
+    "q_mix_apply" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

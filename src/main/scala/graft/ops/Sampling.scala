@@ -77,6 +77,21 @@ object Sampling {
       .drop("_prior")
   }
 
+  /** Execute a data-derived mix plan ([[temperatureMix]] output or any
+    * (group, rate) relation): broadcast the tiny plan onto the corpus
+    * and keep rows by the same seeded md5-60 uniform as
+    * [[stratifiedSample]] — deterministic, nested in the rates, and
+    * oracle-checkable row-for-row. This is the composition a mix build
+    * actually runs: plan rates from corpus counts, then sample with
+    * them — [[stratifiedSample]]'s static `Map` can't express rates
+    * that the same job just computed.
+    */
+  def applyMixPlan(df: DataFrame, keyCol: String, strataCol: String,
+      plan: DataFrame, seed: String = "graft"): DataFrame =
+    df.join(broadcast(plan.select(col("group").as(strataCol), col("rate"))),
+        Seq(strataCol))
+      .filter(hashUniform(col(keyCol), seed) < col("rate"))
+
   /** Temperature-based mix plan: per-group sampling targets that
     * flatten the natural size distribution, `w_g ∝ n_g^tau` (tau < 1
     * up-weights small sources — the standard multilingual/multi-source

@@ -183,40 +183,90 @@ object CorpusOpsQueries {
       |FROM p GROUP BY source, shard
       |ORDER BY source, shard""".stripMargin
 
-  /** Temperature mix plan ([[Sampling.temperatureMix]]): per-source
-    * targets for a 1000-doc budget at tau = 0.5 (sqrt flattening —
-    * IEEE-exact, so cross-engine deterministic where pow would not
-    * be). */
+  /** Temperature mix plan ([[Sampling.temperatureMix]]): per-LANGUAGE
+    * targets for a 250-doc budget at tau = 0.5 (sqrt flattening —
+    * IEEE-exact, so cross-engine deterministic where pow would not be).
+    * Grouping is by `lang` because the fixture's language distribution
+    * is skewed (en ≈ 40%) where sources are uniform — the flattening
+    * is load-bearing: en's natural ~39% share plans to ~29%. Budget
+    * 250 keeps every rate strictly below 1 at all SFs (n ∝ SF but
+    * target ∝ sqrt(n)/z is SF-invariant, so rates only shrink as data
+    * grows). */
   val qMixTemperature: Q = (s, dir) =>
-    Sampling.temperatureMix(Tables.documents(s, dir), "source",
-        budget = 1000L)
+    Sampling.temperatureMix(Tables.documents(s, dir), "lang",
+        budget = 250L)
       .orderBy(col("group"))
 
   val qMixTemperatureSql: String =
     """WITH c AS (
-      |  SELECT source AS "group", count(*) AS n_docs
-      |  FROM documents GROUP BY source),
+      |  SELECT lang AS "group", count(*) AS n_docs
+      |  FROM documents GROUP BY lang),
       |z AS (SELECT sum(sqrt(n_docs)) AS z FROM c),
       |m AS (
       |  SELECT "group", n_docs,
       |    round(sqrt(n_docs) / z, 4) AS weight,
-      |    CAST(floor(1000.0 * sqrt(n_docs) / z + 0.5) AS BIGINT) AS target
+      |    CAST(floor(250.0 * sqrt(n_docs) / z + 0.5) AS BIGINT) AS target
       |  FROM c, z)
       |SELECT "group", n_docs, weight, target,
       |  round(least(1.0, CAST(target AS DOUBLE) / n_docs), 4) AS rate
       |FROM m ORDER BY "group"""".stripMargin
+
+  /** Plan → execute composition ([[Sampling.temperatureMix]] →
+    * [[Sampling.applyMixPlan]]): compute per-language rates from corpus
+    * counts, then deterministically sample with them in the same job —
+    * the full "build the mix" dataflow, hash-gated row-for-row (DuckDB
+    * recomputes both the rates and the md5-60 membership uniform).
+    * Budget 250 (see [[qMixTemperature]]) keeps every rate < 1, so the
+    * sample is a strict, language-rebalanced subset at all SFs. */
+  val qMixApply: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val plan = Sampling.temperatureMix(docs, "lang", budget = 250L)
+    Sampling.applyMixPlan(docs, "doc_id", "lang", plan, seed = "mixT")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMixApplySql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |z AS (SELECT sum(sqrt(n_docs)) AS z FROM c),
+       |plan AS (
+       |  SELECT lang, n_docs,
+       |    CAST(floor(250.0 * sqrt(n_docs) / z + 0.5) AS BIGINT) AS target
+       |  FROM c, z),
+       |rates AS (
+       |  SELECT lang,
+       |    round(least(1.0, CAST(target AS DOUBLE) / n_docs), 4) AS rate
+       |  FROM plan),
+       |hashed AS (
+       |  SELECT doc_id, lang,
+       |    substring(md5('mixT' || CAST(doc_id AS VARCHAR)), 1, 15) AS h15
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, lang,
+       |    CAST($hexVal AS DOUBLE) / 1152921504606846976.0 AS unif
+       |  FROM hashed)
+       |SELECT u.doc_id, u.lang FROM u JOIN rates USING (lang)
+       |WHERE u.unif < rates.rate
+       |ORDER BY u.doc_id""".stripMargin
+  }
 
   val all: Map[String, Q] = Map(
     "text_gopher_quality" -> textGopherQuality,
     "text_decontaminate" -> textDecontaminate,
     "text_pii_scrub" -> textPiiScrub,
     "q_pack_shards" -> qPackShards,
-    "q_mix_temperature" -> qMixTemperature)
+    "q_mix_temperature" -> qMixTemperature,
+    "q_mix_apply" -> qMixApply)
 
   val oracles: Map[String, String] = Map(
     "text_gopher_quality" -> textGopherQualitySql,
     "text_decontaminate" -> textDecontaminateSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "q_pack_shards" -> qPackShardsSql,
-    "q_mix_temperature" -> qMixTemperatureSql)
+    "q_mix_temperature" -> qMixTemperatureSql,
+    "q_mix_apply" -> qMixApplySql)
 }

@@ -191,6 +191,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byGroup("small")._2.toDouble / 500 > 0.2)
   }
 
+  test("applyMixPlan: executes the plan's rates; samples nest in the budget") {
+    val docs = graft.Tables.documents(spark, sf001)
+    def sample(budget: Long) = {
+      val plan = Sampling.temperatureMix(docs, "lang", budget)
+      Sampling.applyMixPlan(docs, "doc_id", "lang", plan, "mixT")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val small = sample(100L)
+    val large = sample(300L)
+    assert(small.nonEmpty && small.size < large.size)
+    assert(small.subsetOf(large),
+      "raising the budget only raises rates, and the md5-60 uniform nests in the rate")
+  }
+
   test("temperatureMix: tau=1 is proportional (no flattening)") {
     val d = (Seq.fill(300)("x") ++ Seq.fill(100)("y"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "source")

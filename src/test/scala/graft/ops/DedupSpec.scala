@@ -125,6 +125,28 @@ class DedupSpec extends SparkSpec {
       s"one representative per cluster, all singletons: $kept")
   }
 
+  test("componentsFromStar: driver union-find ≡ distributed pointer jumping on deep chains") {
+    // A 64-node transitive chain (diameter 63 — deeper than any planted
+    // cluster), a star, and singletons. Star edges point one hop back,
+    // so only transitive resolution produces the right labels.
+    val chain = (1 until 64).map(i => (i.toLong, (i - 1).toLong))
+    val starE = (200 until 210).map(i => (i.toLong, 199L))
+    val star = (chain ++ starE).toDF("id", "root")
+    val ids = ((0 until 64) ++ (199 until 210) ++ Seq(500, 501))
+      .map(_.toLong).toDF("id")
+    def run(threshold: Long) =
+      Dedup.componentsFromStar(ids, star, maxIters = 10,
+          localEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(Long.MaxValue)   // driver union-find branch
+    val dist = run(0L)               // distributed pointer-jumping branch
+    assert(local == dist, "both branches must produce the identical labeling")
+    (0 until 64).foreach(i => assert(local(i.toLong) == 0L,
+      s"chain node $i must resolve to 0"))
+    (199 until 210).foreach(i => assert(local(i.toLong) == 199L))
+    assert(local(500L) == 500L && local(501L) == 501L)
+  }
+
   test("giant duplicate cluster dedups in linear work (no pairwise stage)") {
     // One 1500-replica near-dup cluster + 20 singletons. The pairwise
     // path would imply ~1.1M verified pairs; the star path emits ≤1500
