@@ -206,27 +206,52 @@ object TextAnalysis {
     val t = col(textCol)
     df.select(col(idCol).as("doc_id"),
         tokenStats(t).as("_ts"),
-        bridge.column(graft.functions.RepetitionStatsExpr(bridge.expression(t)))
-          .as("_rs"))
+        repetitionExpr(t).as("_rs"))
       .select(col("doc_id"),
         col("_ts").getField("n_tokens").as("n_tokens"),
         round(ratio(col("_ts").getField("total_token_chars"),
           col("_ts").getField("n_tokens")), 4).as("mean_token_len"),
-        round(when(col("_rs").getField("n_bigrams") > 0,
-          col("_rs").getField("top_bigrams").cast("double") /
-            col("_rs").getField("n_bigrams")).otherwise(lit(0.0)), 4)
-          .as("top_bigram_frac"),
-        round(when(col("_rs").getField("n_trigrams") > 0,
-          (col("_rs").getField("n_trigrams") -
-            col("_rs").getField("distinct_trigrams")).cast("double") /
-            col("_rs").getField("n_trigrams")).otherwise(lit(0.0)), 4)
-          .as("dup_trigram_frac"))
+        topBigramFrac(col("_rs")).as("top_bigram_frac"),
+        dupTrigramFrac(col("_rs")).as("dup_trigram_frac"))
       .withColumn("keep",
         col("n_tokens") >= minTokens &&
           col("mean_token_len").between(2.0, 12.0) &&
           col("top_bigram_frac") <= maxTopBigramFrac &&
           col("dup_trigram_frac") <= maxDupTrigramFrac)
   }
+
+  /** The composite repetition/length gate as ONE boolean column — the
+    * filter-stage form of [[repetitionStats]] for composing into batch
+    * or streaming pipelines (`docs.filter(repetitionKeep(col("text")))`
+    * before the stateful stages). Same rounded arithmetic and
+    * thresholds as the report's `keep` column, via the shared helpers,
+    * so the two forms cannot drift. */
+  def repetitionKeep(text: Column, minTokens: Int = 20,
+      maxTopBigramFrac: Double = 0.06,
+      maxDupTrigramFrac: Double = 0.02): Column = {
+    val ts = tokenStats(text)
+    val rs = repetitionExpr(text)
+    val nTokens = ts.getField("n_tokens")
+    val meanLen = round(ratio(ts.getField("total_token_chars"), nTokens), 4)
+    nTokens >= minTokens &&
+      meanLen.between(2.0, 12.0) &&
+      topBigramFrac(rs) <= maxTopBigramFrac &&
+      dupTrigramFrac(rs) <= maxDupTrigramFrac
+  }
+
+  private def repetitionExpr(text: Column): Column =
+    bridge.column(graft.functions.RepetitionStatsExpr(bridge.expression(text)))
+
+  private def topBigramFrac(rs: Column): Column =
+    round(when(rs.getField("n_bigrams") > 0,
+      rs.getField("top_bigrams").cast("double") / rs.getField("n_bigrams"))
+      .otherwise(lit(0.0)), 4)
+
+  private def dupTrigramFrac(rs: Column): Column =
+    round(when(rs.getField("n_trigrams") > 0,
+      (rs.getField("n_trigrams") - rs.getField("distinct_trigrams"))
+        .cast("double") / rs.getField("n_trigrams"))
+      .otherwise(lit(0.0)), 4)
 
   /** PII patterns, valid under BOTH Java regex (Spark) and RE2-style
     * engines — no backreferences, no lookaround — so an external system

@@ -73,6 +73,52 @@ class CurationStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrub + repetition gate compose as stateless prefix stages, batch ≡ stream") {
+    // The round-8 quality ops are pure projections, so they slot in
+    // front of the stateful dedup in BOTH execution modes unchanged:
+    // scrubPii(text) → filter(repetitionKeep) → curate.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    // the suite's goodText/otherText are REPEATED sentences — the
+    // repetition gate rightly rejects those; these have all-distinct
+    // bigrams plus enough stopwords to pass langId + quality
+    val variedA = (1 to 15).map(i => s"the w$i and u$i").mkString(" ")
+    val variedB = (1 to 15).map(i => s"is v$i of k$i").mkString(" ")
+    val repetitive = ("spam spam " * 40).trim           // top-bigram gate rejects
+    val withPii = variedA + " mail me at a@b.io"         // scrubbed, then passes
+    val rows = Seq(
+      (1L, "s1", withPii), (2L, "s1", repetitive), (3L, "s2", variedB))
+
+    def stages(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("text", TextAnalysis.scrubPii(col("text")))
+      .filter(TextAnalysis.repetitionKeep(col("text")))
+
+    val batch = Curation.curate(
+        stages(rows.toDF("doc_id", "source", "text")), "doc_id", "text", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    val curated = CurationStream.curate(
+      stages(mem.toDS().toDF("doc_id", "source", "text", "ts")),
+      minQuality = 0.3, eventTimeCol = "ts", delay = "1 minute",
+      ttlMs = 3_600_000L)
+    val q = curated.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curation_strict").start()
+    try {
+      mem.addData(rows.map { case (id, src, txt) => (id, src, txt, ts(id.toInt)) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_strict").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch == Set(1L, 3L), s"repetitive doc gated out, PII doc passes: $batch")
+      val texts = spark.table("curation_strict").collect()
+        .map(_.getAs[String]("text")).mkString
+      assert(!texts.contains("a@b.io") && texts.contains("<EMAIL>"),
+        "the curated stream must carry the scrubbed text")
+    } finally q.stop()
+  }
+
   test("windowed report: closed windows emit curated per-source counts") {
     // report runs as its own query over the curated sink (Spark rejects
     // dedup→window fused in one query — see CurationStream.report doc),
