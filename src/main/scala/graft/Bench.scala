@@ -37,7 +37,8 @@ object Bench {
     "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
     "corpus_curation", "corpus_curation_neardup",
     "text_gopher_quality", "text_decontaminate", "text_pii_scrub",
-    "q_pack_shards", "q_mix_temperature", "q_mix_apply")
+    "q_pack_shards", "q_mix_temperature", "q_mix_apply",
+    "corpus_pipeline")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -101,7 +102,10 @@ object Bench {
     "text_pii_scrub" -> 4.0,
     "q_pack_shards" -> 3.0,
     "q_mix_temperature" -> 3.0,
-    "q_mix_apply" -> 3.0)
+    "q_mix_apply" -> 3.0,
+    // full composed build: gate → curate → cluster collapse →
+    // decontaminate → pack (quiet min 3.2 s sf0.1, 5.9 s sf1)
+    "corpus_pipeline" -> 9.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

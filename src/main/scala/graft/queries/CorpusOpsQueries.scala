@@ -254,13 +254,182 @@ object CorpusOpsQueries {
        |ORDER BY u.doc_id""".stripMargin
   }
 
+  /** THE full training-data build as one hash-gated dataflow —
+    * repetition gate → language/quality curation + exact dedup →
+    * SimHash near-dup cluster collapse → benchmark decontamination →
+    * token-budget shard packing — emitting the per-shard manifest a
+    * trainer consumes. Stage ORDER is the 100 TB argument end-to-end:
+    * scan-speed gates first (repetition is a shuffle-free byte scan),
+    * the one-exchange exact dedup next, cluster machinery only over
+    * survivors, the broadcast decontamination probe over the deduped
+    * remnant, packing last over the smallest relation. Every stage is
+    * load-bearing at sf0.01 and the ENTIRE composition — including the
+    * recursive component resolution — replays as one DuckDB query. */
+  val corpusPipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val gated = corpus.filter(TextAnalysis.repetitionKeep(col("text")))
+    val curated = Curation.curateNearDupSimhash(gated, "doc_id", "text",
+      minQuality = 0.55)
+    val clean = Curation.decontaminate(curated, "doc_id", "text",
+      bench, "doc_id", "text", n = 3)
+    Sampling.packShards(
+        clean.select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens", budgetTokens = 500L)
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  val corpusPipelineSql: String = {
+    val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val sums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
+    val recomb = (0 until 60).map(j =>
+      s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val bandExprs = (0 until 4).map(b => s"(sig >> ${b * 15}) & 32767").mkString(", ")
+    s"""WITH RECURSIVE corp AS (
+       |  SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS tk
+       |  FROM documents WHERE doc_id % 97 <> 0),
+       |gx AS (
+       |  SELECT doc_id, len(tk) AS n_tokens,
+       |    round(CASE WHEN len(tk) > 0
+       |      THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+       |      ELSE 0.0 END, 4) AS mean_token_len,
+       |    unnest(list_concat(
+       |      list_transform(range(1, len(tk)),
+       |        i -> '2 ' || tk[i] || ' ' || tk[i+1]),
+       |      list_transform(range(1, len(tk) - 1),
+       |        i -> '3 ' || tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS kg
+       |  FROM corp),
+       |gc AS (
+       |  SELECT doc_id, n_tokens, mean_token_len, kg, count(*) AS c
+       |  FROM gx GROUP BY ALL),
+       |gp AS (
+       |  SELECT doc_id, n_tokens, mean_token_len,
+       |    max(CASE WHEN kg LIKE '2 %' THEN c END) AS top2,
+       |    sum(CASE WHEN kg LIKE '2 %' THEN c END) AS tot2,
+       |    sum(CASE WHEN kg LIKE '3 %' THEN c END) AS tot3,
+       |    count(CASE WHEN kg LIKE '3 %' THEN 1 END) AS dist3
+       |  FROM gc GROUP BY doc_id, n_tokens, mean_token_len),
+       |gate AS (
+       |  SELECT doc_id FROM gp
+       |  WHERE n_tokens >= 20 AND mean_token_len BETWEEN 2.0 AND 12.0
+       |    AND round(coalesce(CAST(top2 AS DOUBLE) / tot2, 0.0), 4) <= 0.06
+       |    AND round(coalesce(CAST(tot3 - dist3 AS DOUBLE) / tot3, 0.0), 4) <= 0.02),
+       |lt AS (
+       |  SELECT c.doc_id,
+       |    list_transform(c.tk, x -> lower(x)) AS t
+       |  FROM corp c JOIN gate USING (doc_id)),
+       |hits AS (
+       |  SELECT doc_id,
+       |    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS h_de,
+       |    len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS h_en,
+       |    len(list_filter(t, x -> list_contains(['el','la','los','las','es','y','que','de'], x))) AS h_es,
+       |    len(list_filter(t, x -> list_contains(['le','la','les','est','et','que','dans','une'], x))) AS h_fr,
+       |    len(list_filter(t, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS h_zh
+       |  FROM lt),
+       |lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |         WHEN h_zh >= h_fr AND h_zh >= h_es AND h_zh >= h_en AND h_zh >= h_de THEN 'zh'
+       |         WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       |         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       |         WHEN h_en >= h_de THEN 'en'
+       |         ELSE 'de' END AS lang_pred
+       |  FROM hits),
+       |scored AS (
+       |  SELECT d.doc_id, d.source, d.text, lang.lang_pred,
+       |    len(d.tk) AS n_tokens,
+       |    round(
+       |      least(length(d.text) / 500.0, 1.0) * 0.4
+       |      + greatest(0.0, 1.0 - (CASE WHEN length(d.text) > 0
+       |          THEN CAST(length(regexp_replace(d.text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(d.text)
+       |          ELSE 0.0 END) * 5.0) * 0.3
+       |      + least((CASE WHEN len(d.tk) > 0
+       |          THEN CAST(len(list_filter(d.tk,
+       |                 t -> list_contains([$stops], t))) AS DOUBLE)
+       |               / len(d.tk)
+       |          ELSE 0.0 END) * 4.0, 1.0) * 0.3, 4) AS quality
+       |  FROM corp d JOIN lang ON lang.doc_id = d.doc_id),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM scored WHERE lang_pred <> 'und' AND quality >= 0.55)
+       |  WHERE rn = 1),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM kept)),
+       |hashed AS (
+       |  SELECT doc_id, ($hexVal) AS h
+       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
+       |counts AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id AS id, CAST($recomb AS BIGINT) AS sig FROM counts),
+       |banded AS (
+       |  SELECT id, band, bucket FROM (
+       |    SELECT id, unnest([$bandExprs]) AS bucket, unnest([0, 1, 2, 3]) AS band
+       |    FROM sigs)),
+       |mins AS (SELECT band, bucket, min(id) AS root FROM banded GROUP BY band, bucket),
+       |star AS (
+       |  SELECT DISTINCT b.id, m.root FROM banded b JOIN mins m USING (band, bucket)
+       |  WHERE b.id <> m.root),
+       |verified AS (
+       |  SELECT s.id, s.root FROM star s
+       |  JOIN sigs a ON a.id = s.id JOIN sigs r ON r.id = s.root
+       |  WHERE bit_count(xor(a.sig, r.sig)) <= 3),
+       |edges AS (
+       |  SELECT id AS src, root AS dst FROM verified
+       |  UNION SELECT root, id FROM verified),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM sigs
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |reps AS (SELECT id FROM comp WHERE id = component),
+       |survivors AS (
+       |  SELECT k.doc_id, k.source, k.text, k.n_tokens
+       |  FROM kept k JOIN reps ON k.doc_id = reps.id),
+       |stri AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |    ELSE list_transform(range(1, len(tk) - 1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM survivors)),
+       |btri AS (
+       |  SELECT DISTINCT unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |    ELSE list_transform(range(1, len(tk) - 1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+       |  FROM (SELECT string_split_regex(text, '\\s+') AS tk
+       |        FROM documents WHERE doc_id % 97 = 0)),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM stri WHERE sh IN (SELECT sh FROM btri)),
+       |clean AS (
+       |  SELECT * FROM survivors
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |p AS (
+       |  SELECT source, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM clean)
+       |SELECT source, CAST(floor(prior / 500.0) AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM p GROUP BY source, shard
+       |ORDER BY source, shard""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "text_gopher_quality" -> textGopherQuality,
     "text_decontaminate" -> textDecontaminate,
     "text_pii_scrub" -> textPiiScrub,
     "q_pack_shards" -> qPackShards,
     "q_mix_temperature" -> qMixTemperature,
-    "q_mix_apply" -> qMixApply)
+    "q_mix_apply" -> qMixApply,
+    "corpus_pipeline" -> corpusPipeline)
 
   val oracles: Map[String, String] = Map(
     "text_gopher_quality" -> textGopherQualitySql,
@@ -268,5 +437,6 @@ object CorpusOpsQueries {
     "text_pii_scrub" -> textPiiScrubSql,
     "q_pack_shards" -> qPackShardsSql,
     "q_mix_temperature" -> qMixTemperatureSql,
-    "q_mix_apply" -> qMixApplySql)
+    "q_mix_apply" -> qMixApplySql,
+    "corpus_pipeline" -> corpusPipelineSql)
 }
