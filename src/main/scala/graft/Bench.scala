@@ -37,7 +37,7 @@ object Bench {
     "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
     "corpus_curation", "corpus_curation_neardup",
     "text_gopher_quality", "text_decontaminate", "text_pii_scrub",
-    "q_pack_shards", "q_mix_temperature", "q_mix_apply",
+    "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
     "corpus_pipeline")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
@@ -101,6 +101,7 @@ object Bench {
     "text_decontaminate" -> 4.0,
     "text_pii_scrub" -> 4.0,
     "q_pack_shards" -> 3.0,
+    "q_pack_global" -> 3.0,
     "q_mix_temperature" -> 3.0,
     "q_mix_apply" -> 3.0,
     // full composed build: gate → curate → cluster collapse →

@@ -59,11 +59,10 @@ object Sampling {
     *
     * 100 TB shape: the prefix sum is a window per GROUP partition
     * (source, dump, date bucket...), so shards parallelize across
-    * groups and no global single-partition sort exists anywhere. A
-    * corpus-global packing would need the classic two-phase distributed
-    * prefix sum (per-partition totals → broadcast offsets); grouped
-    * packing is what real pipelines run (shards don't mix sources), so
-    * that variant is deliberately not implemented.
+    * groups and no global single-partition sort exists anywhere.
+    * Grouped packing is what real pipelines run (shards don't mix
+    * sources); for the corpus-global manifest see [[packShardsGlobal]]
+    * (two-phase distributed prefix sum).
     */
   def packShards(df: DataFrame, idCol: String, groupCol: String,
       tokensCol: String, budgetTokens: Long): DataFrame = {
@@ -91,6 +90,51 @@ object Sampling {
     df.join(broadcast(plan.select(col("group").as(strataCol), col("rate"))),
         Seq(strataCol))
       .filter(hashUniform(col(keyCol), seed) < col("rate"))
+
+  /** CORPUS-GLOBAL token-budget packing — [[packShards]] without a
+    * group column, via the classic two-phase distributed prefix sum
+    * expressed relationally (no global sort of the corpus anywhere):
+    *
+    *   1. bucket rows by id range (`bucket = floor(id / bucketWidth)` —
+    *      monotone in id, so bucket order ≡ global id order);
+    *   2. per-bucket token totals (one map-side-combinable aggregation)
+    *      → exclusive prefix over the TINY totals relation (the only
+    *      single-partition window, ~corpus/bucketWidth rows by
+    *      construction);
+    *   3. per-bucket windows (partition-parallel, like the grouped
+    *      variant) + broadcast bucket offsets →
+    *      `global prior = bucket offset + within-bucket prior`,
+    *      `shard = floor(prior / budget)`.
+    *
+    * Deterministic — a pure function of ids, independent of
+    * partitioning (no `repartitionByRange` sampling, no
+    * `spark_partition_id`). Same greedy-overflow semantics as
+    * [[packShards]]. Pick `bucketWidth` so corpus/bucketWidth rows fit
+    * one task comfortably; the default 2²⁰ puts a 10¹² -doc corpus at
+    * ~10⁶ bucket-total rows.
+    */
+  def packShardsGlobal(df: DataFrame, idCol: String, tokensCol: String,
+      budgetTokens: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("_bucket",
+      floor(col(idCol) / lit(bucketWidth.toDouble)).cast("long"))
+    val wOff = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("_bucket")
+      .agg(sum(col(tokensCol)).as("_btot"))
+      .withColumn("_boff", coalesce(sum(col("_btot")).over(wOff), lit(0L)))
+      .select(col("_bucket"), col("_boff"))
+    val wIn = Window.partitionBy(col("_bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("_prior",
+        col("_boff") + coalesce(sum(col(tokensCol)).over(wIn), lit(0L)))
+      .withColumn("shard",
+        floor(col("_prior") / lit(budgetTokens.toDouble)).cast("long"))
+      .drop("_bucket", "_boff", "_prior")
+  }
 
   /** Temperature-based mix plan: per-group sampling targets that
     * flatten the natural size distribution, `w_g ∝ n_g^tau` (tau < 1

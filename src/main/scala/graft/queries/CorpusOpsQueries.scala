@@ -183,6 +183,40 @@ object CorpusOpsQueries {
       |FROM p GROUP BY source, shard
       |ORDER BY source, shard""".stripMargin
 
+  /** Corpus-GLOBAL shard packing ([[Sampling.packShardsGlobal]]): the
+    * two-phase distributed prefix sum — per-id-range bucket totals →
+    * exclusive prefix over the tiny totals relation → partition-
+    * parallel per-bucket windows + broadcast offsets. bucketWidth 64
+    * exercises the multi-bucket path from sf0.001 up (8+ buckets);
+    * DuckDB replays it as one global window, which is exactly the
+    * equivalence the bucketing must preserve. */
+  val qPackGlobal: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.packShardsGlobal(d, "doc_id", "n_tokens",
+        budgetTokens = 500L, bucketWidth = 64L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  val qPackGlobalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(text, '\s+')) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM d)
+      |SELECT CAST(floor(prior / 500.0) AS BIGINT) AS shard,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM p GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
   /** Temperature mix plan ([[Sampling.temperatureMix]]): per-LANGUAGE
     * targets for a 250-doc budget at tau = 0.5 (sqrt flattening —
     * IEEE-exact, so cross-engine deterministic where pow would not be).
@@ -427,6 +461,7 @@ object CorpusOpsQueries {
     "text_decontaminate" -> textDecontaminate,
     "text_pii_scrub" -> textPiiScrub,
     "q_pack_shards" -> qPackShards,
+    "q_pack_global" -> qPackGlobal,
     "q_mix_temperature" -> qMixTemperature,
     "q_mix_apply" -> qMixApply,
     "corpus_pipeline" -> corpusPipeline)
@@ -436,6 +471,7 @@ object CorpusOpsQueries {
     "text_decontaminate" -> textDecontaminateSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "q_pack_shards" -> qPackShardsSql,
+    "q_pack_global" -> qPackGlobalSql,
     "q_mix_temperature" -> qMixTemperatureSql,
     "q_mix_apply" -> qMixApplySql,
     "corpus_pipeline" -> corpusPipelineSql)

@@ -172,6 +172,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.toSet == b.toSet && a.nonEmpty)
   }
 
+  test("packShardsGlobal: bucketed two-phase prefix sum ≡ one global window") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val bucketed = Sampling.packShardsGlobal(d, "doc_id", "n_tokens", 500L,
+        bucketWidth = 64L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    // reference: the single-partition global window (fine at spec scale)
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val global = d.withColumn("_prior",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard", floor(col("_prior") / 500.0).cast("long"))
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(bucketed == global && bucketed.nonEmpty,
+      "bucket order ≡ id order, so the two-phase result must equal the global window")
+    assert(bucketed.values.max >= 2, "multiple shards at spec scale")
+  }
+
+  test("packShardsGlobal plan: the only single-partition exchange is over bucket totals") {
+    val p = SparkEntryPlans.executedPlan(spark, "q_pack_global", sf001)
+    assert(p.split("Exchange SinglePartition").length - 1 <= 1,
+      s"the corpus must never be globally re-sorted — only the tiny bucket-totals " +
+        s"relation may pass through a single partition:\n$p")
+  }
+
   // ---------------- temperatureMix ----------------
 
   test("temperatureMix: sqrt flattening up-weights small sources; rates cap at 1") {
