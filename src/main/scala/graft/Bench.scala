@@ -38,7 +38,7 @@ object Bench {
     "corpus_curation", "corpus_curation_neardup",
     "text_gopher_quality", "text_decontaminate", "text_pii_scrub",
     "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
-    "corpus_pipeline")
+    "corpus_pipeline", "q_layout_scan")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -106,7 +106,9 @@ object Bench {
     "q_mix_apply" -> 3.0,
     // full composed build: gate → curate → cluster collapse →
     // decontaminate → pack (quiet min 3.2 s sf0.1, 5.9 s sf1)
-    "corpus_pipeline" -> 9.0)
+    "corpus_pipeline" -> 9.0,
+    // clustered write + filtered re-read (quiet min 0.7 s sf0.1)
+    "q_layout_scan" -> 5.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -456,6 +456,33 @@ object CorpusOpsQueries {
        |ORDER BY source, shard""".stripMargin
   }
 
+  /** Layout roundtrip ([[graft.ops.Layout.writeClustered]]): events
+    * clustered by user_id into range-partitioned, within-sorted parquet
+    * (session staging dir), re-read under a user_id range predicate,
+    * aggregated. The oracle runs the same filter+agg on the RAW table —
+    * layout must change which bytes are read, never the result. The
+    * pruning mechanics (row-group spans, PushedFilters) are gated in
+    * LayoutSpec; this query hash-gates result invariance end-to-end. */
+  val qLayoutScan: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val out = graft.Staging.dirFor("layout-scan")
+    graft.ops.Layout.writeClustered(ev, out, Seq("user_id"), numFiles = 8)
+    s.read.parquet(out)
+      .filter(col("user_id").between(10, 19))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qLayoutScanSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+      |FROM events WHERE user_id BETWEEN 10 AND 19
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
     "text_gopher_quality" -> textGopherQuality,
     "text_decontaminate" -> textDecontaminate,
@@ -464,7 +491,8 @@ object CorpusOpsQueries {
     "q_pack_global" -> qPackGlobal,
     "q_mix_temperature" -> qMixTemperature,
     "q_mix_apply" -> qMixApply,
-    "corpus_pipeline" -> corpusPipeline)
+    "corpus_pipeline" -> corpusPipeline,
+    "q_layout_scan" -> qLayoutScan)
 
   val oracles: Map[String, String] = Map(
     "text_gopher_quality" -> textGopherQualitySql,
@@ -474,5 +502,6 @@ object CorpusOpsQueries {
     "q_pack_global" -> qPackGlobalSql,
     "q_mix_temperature" -> qMixTemperatureSql,
     "q_mix_apply" -> qMixApplySql,
-    "corpus_pipeline" -> corpusPipelineSql)
+    "corpus_pipeline" -> corpusPipelineSql,
+    "q_layout_scan" -> qLayoutScanSql)
 }

@@ -27,9 +27,14 @@ class StagingSpec extends SparkSpec {
     val strays = appeared.filter(n => n.contains("zip-rt") || n.contains("ivfpq"))
     assert(strays.isEmpty, s"artifact queries strayed outside the staging root: $strays")
     // one reused dir per query name under the root, not one per sample
+    // (other suites share the session root — assert containment and
+    // per-name uniqueness, not an exact set)
     val staged = Files.list(Staging.rootPath).iterator().asScala
       .map(_.getFileName.toString).toSeq
-    assert(staged.sorted == Seq("ivfpq-q", "zip-rt"),
-      s"expected exactly one staging dir per artifact query, got $staged")
+    assert(staged.contains("ivfpq-q") && staged.contains("zip-rt"),
+      s"artifact queries must stage under the session root, got $staged")
+    assert(staged.count(_.startsWith("zip-rt")) == 1 &&
+      staged.count(_.startsWith("ivfpq-q")) == 1,
+      s"repeated runs must REUSE one dir per query name, got $staged")
   }
 }
