@@ -36,7 +36,8 @@ object Bench {
     "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
     "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
     "corpus_curation", "corpus_curation_neardup",
-    "text_gopher_quality", "text_decontaminate", "text_pii_scrub",
+    "text_gopher_quality", "text_decontaminate", "text_decontaminate_bloom",
+    "text_pii_scrub",
     "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
     "corpus_pipeline", "q_layout_scan")
 
@@ -99,6 +100,8 @@ object Bench {
     // round-8 corpus-ops family (quiet mins measured 2026-08-13)
     "text_gopher_quality" -> 3.0,
     "text_decontaminate" -> 4.0,
+    // adds the sketch-build aggregation + count over the bench split
+    "text_decontaminate_bloom" -> 5.0,
     "text_pii_scrub" -> 4.0,
     "q_pack_shards" -> 3.0,
     "q_pack_global" -> 3.0,

@@ -109,6 +109,47 @@ object Curation {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]] for eval sets too big to broadcast raw: probe a
+    * BLOOM FILTER of the bench shingles instead of the distinct-set
+    * hash relation. A raw 64-bit shingle set broadcasts at 8 B/key plus
+    * hash-table overhead (~30 B/key in a BroadcastHashJoin); the bloom
+    * sketch at 1% fpp costs ~1.2 B/key — two orders of magnitude
+    * smaller for a billion-shingle eval suite, turning an
+    * un-broadcastable probe side back into a map-side filter.
+    *
+    * Correctness is NOT approximate: a bloom filter has no false
+    * negatives, so the pre-filter passes a superset of true matches,
+    * and the exact semi-join on the (tiny) surviving candidate set
+    * kills the false positives — the result is row-identical to
+    * [[decontaminate]] at any `fpp` (CurationSpec pins equality at
+    * fpp = 0.5). The fpp knob trades sketch size against wasted exact
+    * probes only.
+    *
+    * Plan shape at 100 TB: one distributed aggregation builds the
+    * sketch (map-side partial blooms OR-merged at the driver — the same
+    * topology as building any broadcast), the corpus scan applies
+    * `might_contain` at scan speed with no shuffle, and only candidate
+    * shingles (|true matches| + fpp·|corpus shingles|) reach the exact
+    * verify join.
+    */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchSh = Dedup.shingleHashes(bench, benchIdCol, benchTextCol, n)
+      .select(col("shingle")).distinct()
+    val expected = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("shingle", expected, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val candidates = Dedup.shingleHashes(corpus, idCol, textCol, n)
+      .filter(mightContain(col("shingle")))
+    val contaminated = candidates
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Full pipeline: curated per-(lang_pred, source) statistics.
     * Aggregates are exact-integer or order-insensitive (min/max) except
     * avg_quality, which is rounded coarsely enough (2 dp) to absorb

@@ -99,6 +99,24 @@ object CorpusOpsQueries {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Bloom-probed decontamination ([[Curation.decontaminateBloom]]):
+    * the same eval split and trigram rule as `text_decontaminate`, with
+    * the broadcast distinct-set probe replaced by the bloom-sketch
+    * pre-filter + exact verify join — the configuration for eval suites
+    * too large to broadcast raw. Result is row-identical (bloom passes
+    * a superset, the verify join kills false positives), so the SAME
+    * oracle SQL hash-gates both paths; fpp here is the production 1%.
+    * The fpp-independence of the result is pinned in CurationSpec. */
+  val textDecontaminateBloom: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    Curation.decontaminateBloom(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, fpp = 0.01)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrub ([[TextAnalysis.scrubPii]]): the fixture corpus carries
     * no PII by construction, so the query SYNTHESIZES a deterministic
     * contact suffix from table data (email on every 3rd doc, IPv4 on
@@ -486,6 +504,7 @@ object CorpusOpsQueries {
   val all: Map[String, Q] = Map(
     "text_gopher_quality" -> textGopherQuality,
     "text_decontaminate" -> textDecontaminate,
+    "text_decontaminate_bloom" -> textDecontaminateBloom,
     "text_pii_scrub" -> textPiiScrub,
     "q_pack_shards" -> qPackShards,
     "q_pack_global" -> qPackGlobal,
@@ -497,6 +516,7 @@ object CorpusOpsQueries {
   val oracles: Map[String, String] = Map(
     "text_gopher_quality" -> textGopherQualitySql,
     "text_decontaminate" -> textDecontaminateSql,
+    "text_decontaminate_bloom" -> textDecontaminateSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "q_pack_shards" -> qPackShardsSql,
     "q_pack_global" -> qPackGlobalSql,

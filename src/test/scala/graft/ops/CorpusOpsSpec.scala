@@ -142,6 +142,43 @@ class CorpusOpsSpec extends SparkSpec {
       s"membership probe must be a broadcast semi-join:\n$p")
   }
 
+  test("decontaminateBloom: row-identical to exact decontaminate, at production AND pathological fpp") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val exact = Curation.decontaminate(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // fpp 0.5: the sketch is deliberately terrible — half of all clean
+    // shingles leak through the pre-filter. The exact verify join must
+    // absorb every false positive; only sketch SIZE may change.
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Curation.decontaminateBloom(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == exact, s"fpp=$fpp must not change the result")
+    }
+  }
+
+  test("decontaminateBloom: the pre-filter prunes the candidate relation before the verify join") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val allShingles = Dedup.shingleHashes(corpus, "doc_id", "text", 3).count()
+    // Rebuild the candidate relation exactly as decontaminateBloom does
+    // (bloom at 1% fpp) and check it is a small fraction of the corpus
+    // shingle volume — the claim that makes the sketch worth building.
+    val benchSh = Dedup.shingleHashes(bench, "doc_id", "text", 3)
+      .select(col("shingle")).distinct()
+    val bloom = benchSh.stat.bloomFilter("shingle", math.max(benchSh.count(), 1L), 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mc = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val candidates = Dedup.shingleHashes(corpus, "doc_id", "text", 3)
+      .filter(mc(col("shingle"))).count()
+    assert(candidates < allShingles / 2,
+      s"bloom pre-filter kept $candidates of $allShingles corpus shingles — not pruning")
+  }
+
   // ---------------- packShards ----------------
 
   test("packShards: greedy streaming pack, overflow documents don't split") {
