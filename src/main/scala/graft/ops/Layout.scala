@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Write-time data layout for scan pruning — the storage-side lever the
   * read-side pushdown needs. Spark prunes directory PARTITIONS for
@@ -33,6 +33,56 @@ object Layout {
     require(numFiles > 0, "numFiles must be positive")
     df.repartitionByRange(numFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Z-order (Morton-curve) clustering across MULTIPLE filter columns.
+    * [[writeClustered]] on one column makes that column's row-group
+    * spans tight and leaves every other column's spans full-range — a
+    * table filtered sometimes by user and sometimes by time prunes
+    * nothing on the second pattern. Interleaving the bits of both
+    * columns into one sort key makes each row group a hyper-rectangle
+    * of the multi-dim space: with `numFiles` splits, each dimension's
+    * spans shrink by ~numFiles^(1/d) instead of one dimension taking
+    * the whole numFiles× collapse — the standard lakehouse trade when
+    * no single filter column dominates.
+    *
+    * Mechanics: per-column bounds come from ONE tiny min/max agg (a
+    * single collected row — the normalization that lets a 0..1500 user
+    * id interleave meaningfully with epoch-nanos timestamps); each
+    * column scales to `bits` bits; the z-value is a statically unrolled
+    * OR of shift/mask terms (plain `functions` ops — whole-stage
+    * codegen, no UDF); then range-partition + sort-within on z exactly
+    * like [[writeClustered]]. The z column is dropped before write —
+    * layout is invisible in the schema, visible only in the footers
+    * ([[rowGroupRanges]]) and the bytes a filtered scan reads.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(zCols.size >= 2,
+      "z-order needs >= 2 columns; use writeClustered for one")
+    require(numFiles > 0, "numFiles must be positive")
+    require(bits > 0 && bits * zCols.size <= 62,
+      s"bits*cols must fit a long: $bits*${zCols.size}")
+    val aggExprs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val scale = 1L << bits
+    val scaled: Seq[Column] = zCols.indices.map { i =>
+      val lo = bounds.getDouble(2 * i)
+      val span = math.max(bounds.getDouble(2 * i + 1) - lo, 1.0)
+      least(lit(scale - 1), greatest(lit(0L),
+        ((col(zCols(i)).cast("double") - lit(lo)) / lit(span) *
+          lit(scale.toDouble)).cast("long")))
+    }
+    val n = zCols.size
+    val zv = (for { b <- 0 until bits; i <- 0 until n }
+      yield shiftleft(shiftright(scaled(i), b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce(_ bitwiseOR _)
+    df.withColumn("_z", zv)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
 

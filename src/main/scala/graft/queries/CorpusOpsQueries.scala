@@ -501,6 +501,38 @@ object CorpusOpsQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Z-order layout roundtrip ([[graft.ops.Layout.writeZOrdered]]):
+    * events Morton-clustered on (user_id, ts), re-read under a
+    * TWO-dimensional predicate (user range × one-week time slice),
+    * aggregated. Oracle runs the same filter+agg on the raw table —
+    * multi-dim layout, like single-dim, must change only which bytes
+    * are read. The both-dimensions span collapse (and the control: a
+    * single-column clustering collapsing only itself) is measured in
+    * LayoutSpec from parquet footers. */
+  val qLayoutZorder: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val out = graft.Staging.dirFor("layout-zorder")
+    graft.ops.Layout.writeZOrdered(ev, out, Seq("user_id", "ts"), numFiles = 8)
+    s.read.parquet(out)
+      .filter(col("user_id").between(3, 12) &&
+        Tables.tsSeconds(col("ts")).between(1704672000L, 1705276800L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qLayoutZorderSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+      |FROM events
+      |WHERE user_id BETWEEN 3 AND 12
+      |  AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1704672000 AND 1705276800
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
     "text_gopher_quality" -> textGopherQuality,
     "text_decontaminate" -> textDecontaminate,
@@ -511,7 +543,8 @@ object CorpusOpsQueries {
     "q_mix_temperature" -> qMixTemperature,
     "q_mix_apply" -> qMixApply,
     "corpus_pipeline" -> corpusPipeline,
-    "q_layout_scan" -> qLayoutScan)
+    "q_layout_scan" -> qLayoutScan,
+    "q_layout_zorder" -> qLayoutZorder)
 
   val oracles: Map[String, String] = Map(
     "text_gopher_quality" -> textGopherQualitySql,
@@ -523,5 +556,6 @@ object CorpusOpsQueries {
     "q_mix_temperature" -> qMixTemperatureSql,
     "q_mix_apply" -> qMixApplySql,
     "corpus_pipeline" -> corpusPipelineSql,
-    "q_layout_scan" -> qLayoutScanSql)
+    "q_layout_scan" -> qLayoutScanSql,
+    "q_layout_zorder" -> qLayoutZorderSql)
 }

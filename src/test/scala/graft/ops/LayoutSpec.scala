@@ -44,6 +44,46 @@ class LayoutSpec extends SparkSpec {
     assert(agg(spark.read.parquet(out)) == agg(events))
   }
 
+  test("z-order: BOTH dimensions' row-group spans collapse; single-column clustering collapses only its own") {
+    // sf0.01: enough distinct user_ids (150) that the interleave has
+    // bits to work with — sf0.001's 15 users make the dimension too
+    // coarse to measure collapse robustly.
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val raw = graft.Staging.dirFor("layout-z-raw")
+    val zed = graft.Staging.dirFor("layout-z-z")
+    val single = graft.Staging.dirFor("layout-z-single")
+    ev.repartition(8).write.mode("overwrite").parquet(raw)
+    Layout.writeZOrdered(ev, zed, Seq("user_id", "ts"), numFiles = 8)
+    Layout.writeClustered(ev, single, Seq("user_id"), numFiles = 8)
+    def spans(dir: String, c: String): Long =
+      Layout.rowGroupRanges(spark, dir, c).map { case (lo, hi) => hi - lo + 1 }.sum
+    // measured sf0.01: user_id 1200 → 711 (1.7×), ts 2.07e16 → 7.0e15
+    // (3.0×) — the ~numFiles^(1/2) per-dimension split, modulo range-
+    // partition boundaries not landing exactly on bit boundaries
+    assert(spans(zed, "user_id") * 14 <= spans(raw, "user_id") * 10,
+      s"z-order must collapse user_id spans ≥1.4×: z=${spans(zed, "user_id")} raw=${spans(raw, "user_id")}")
+    assert(spans(zed, "ts") * 2 <= spans(raw, "ts"),
+      s"z-order must collapse ts spans ≥2×: z=${spans(zed, "ts")} raw=${spans(raw, "ts")}")
+    // the control: clustering by user_id alone leaves ts spans at
+    // ~full range — the gap z-ordering exists to close
+    assert(spans(single, "ts") * 10 >= spans(raw, "ts") * 8,
+      s"single-column clustering must NOT collapse ts: single=${spans(single, "ts")} raw=${spans(raw, "ts")}")
+  }
+
+  test("z-order is result-invariant: z-clustered read ≡ raw under two-dimensional filters") {
+    val out = graft.Staging.dirFor("layout-z-rt")
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    Layout.writeZOrdered(ev, out, Seq("user_id", "ts"), numFiles = 8)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("user_id").between(3, 7) &&
+          Tables.tsSeconds(col("ts")) >= 1704672000L)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg(spark.read.parquet(out)) == agg(ev))
+  }
+
   test("the range predicate reaches the clustered scan as a pushed filter") {
     val out = graft.Staging.dirFor("layout-spec-push")
     Layout.writeClustered(events, out, Seq("user_id"), numFiles = 8)
