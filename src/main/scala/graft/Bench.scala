@@ -39,7 +39,7 @@ object Bench {
     "text_gopher_quality", "text_decontaminate", "text_decontaminate_bloom",
     "text_pii_scrub",
     "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
-    "corpus_pipeline", "q_layout_scan", "q_layout_zorder")
+    "corpus_pipeline", "q_layout_scan", "q_layout_zorder", "q_bucket_join")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -113,7 +113,9 @@ object Bench {
     // clustered write + filtered re-read (quiet min 0.7 s sf0.1)
     "q_layout_scan" -> 5.0,
     // z-ordered write (adds the bounds agg + 32-term z projection)
-    "q_layout_zorder" -> 5.0)
+    "q_layout_zorder" -> 5.0,
+    // two bucketed writes (each pays its one exchange) + the join
+    "q_bucket_join" -> 8.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

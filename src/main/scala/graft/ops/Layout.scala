@@ -86,6 +86,34 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Bucketed write: pre-shuffle a table ONCE at write time so every
+    * later equi-join/aggregation on the bucket key runs shuffle-free.
+    * A 100 TB fact table joined on its key in every downstream query
+    * otherwise re-shuffles 100 TB per query; bucketing moves that
+    * exchange into the single write. `bucketBy` + `sortBy` records the
+    * hash-partitioning AND per-bucket order in the catalog, so Spark
+    * plans a sort-merge join over co-located bucket files with no
+    * Exchange (and no re-sort) on either bucketed side — LayoutSpec
+    * asserts exactly that plan shape against the raw-scan control.
+    *
+    * The table registers in the session catalog with its data at
+    * `path` (external table) — callers pass scratch or warehouse
+    * storage; nothing writes to a default warehouse root. Read back
+    * with `spark.table(tableName)`: the bucketing metadata lives in
+    * the catalog entry, not the files, so a plain parquet read of the
+    * same path would shuffle again. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    require(numBuckets > 0, "numBuckets must be positive")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(tableName)
+  }
+
   /** Per-row-group (min, max) of a long column across all parquet files
     * under `dir` — the direct measure of layout quality: the narrower
     * these ranges, the more row groups a range predicate skips. Footer

@@ -533,6 +533,36 @@ object CorpusOpsQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Bucketed-join roundtrip ([[graft.ops.Layout.writeBucketed]]):
+    * orders and lineitem pre-bucketed on the join key (the write pays
+    * the one exchange), then joined and aggregated through the catalog
+    * tables. The shuffle-free plan shape is gated in LayoutSpec
+    * (zero Exchange upstream of the SortMergeJoin, raw-scan control
+    * shuffles); this query hash-gates that the bucketed layout changes
+    * nothing about results. */
+  val qBucketJoin: Q = (s, dir) => {
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"))
+    graft.ops.Layout.writeBucketed(ord, "graft_bucket_orders",
+      graft.Staging.dirFor("bucket-orders"), Seq("o_orderkey"), 8)
+    graft.ops.Layout.writeBucketed(li, "graft_bucket_lineitem",
+      graft.Staging.dirFor("bucket-lineitem"), Seq("l_orderkey"), 8)
+    s.table("graft_bucket_lineitem")
+      .join(s.table("graft_bucket_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qBucketJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, Q] = Map(
     "text_gopher_quality" -> textGopherQuality,
     "text_decontaminate" -> textDecontaminate,
@@ -544,7 +574,8 @@ object CorpusOpsQueries {
     "q_mix_apply" -> qMixApply,
     "corpus_pipeline" -> corpusPipeline,
     "q_layout_scan" -> qLayoutScan,
-    "q_layout_zorder" -> qLayoutZorder)
+    "q_layout_zorder" -> qLayoutZorder,
+    "q_bucket_join" -> qBucketJoin)
 
   val oracles: Map[String, String] = Map(
     "text_gopher_quality" -> textGopherQualitySql,
@@ -557,5 +588,6 @@ object CorpusOpsQueries {
     "q_mix_apply" -> qMixApplySql,
     "corpus_pipeline" -> corpusPipelineSql,
     "q_layout_scan" -> qLayoutScanSql,
-    "q_layout_zorder" -> qLayoutZorderSql)
+    "q_layout_zorder" -> qLayoutZorderSql,
+    "q_bucket_join" -> qBucketJoinSql)
 }

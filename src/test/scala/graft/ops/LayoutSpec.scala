@@ -84,6 +84,43 @@ class LayoutSpec extends SparkSpec {
     assert(agg(spark.read.parquet(out)) == agg(ev))
   }
 
+  test("bucketed join: both sides bucketed on the key → zero shuffle exchanges; raw scans shuffle both") {
+    val ord = Tables.orders(spark, sf001).select("o_orderkey", "o_orderpriority")
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_extendedprice")
+    Layout.writeBucketed(ord, "graft_spec_bucket_orders",
+      graft.Staging.dirFor("bucket-spec-orders"), Seq("o_orderkey"), 8)
+    Layout.writeBucketed(li, "graft_spec_bucket_lineitem",
+      graft.Staging.dirFor("bucket-spec-lineitem"), Seq("l_orderkey"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the large-large plan: broadcast would mask the shuffle
+      // this layout exists to eliminate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def joined(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+      val bucketed = joined(spark.table("graft_spec_bucket_orders"),
+        spark.table("graft_spec_bucket_lineitem"))
+      val raw = joined(ord, li)
+      val bPlan = bucketed.queryExecution.executedPlan.toString
+      // the join itself must be exchange-free; the final single-key
+      // aggregation may still exchange, so assert on the join inputs:
+      // no shuffle anywhere upstream of the SortMergeJoin
+      val joinSection = bPlan.split("HashAggregate").last
+      assert(joinSection.contains("SortMergeJoin"), s"expected SMJ:\n$bPlan")
+      assert(!joinSection.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$bPlan")
+      val rPlan = raw.queryExecution.executedPlan.toString
+      assert(rPlan.contains("Exchange"),
+        s"control: the raw-scan join should shuffle:\n$rPlan")
+      // layout must never change results
+      val b = bucketed.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val r = raw.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(b == r)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("the range predicate reaches the clustered scan as a pushed filter") {
     val out = graft.Staging.dirFor("layout-spec-push")
     Layout.writeClustered(events, out, Seq("user_id"), numFiles = 8)
