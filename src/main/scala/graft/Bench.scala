@@ -9,8 +9,47 @@ import org.apache.spark.sql.SparkSession
   * Timing forces full materialization through the noop DSv2 sink (every
   * row produced, nothing collected to the driver) — `count()` alone
   * would let Catalyst prune aggregates and under-report scan cost.
+  *
+  * Besides wall time the artifact records per-query SHUFFLE and SPILL
+  * bytes (`shuffle_bytes`/`spill_bytes`, from task metrics via a
+  * SparkListener). Bytes are the stall-immune half of the signal: a
+  * co-tenant CPU stall can triple a wall time but cannot move a byte
+  * count, and shuffle volume is the number that predicts 100 TB
+  * behavior — a query whose time regresses with unchanged bytes hit
+  * the host; one whose bytes grew hit a plan regression.
   */
 object Bench {
+
+  /** Accumulates shuffle-write + disk-spill bytes from completed tasks.
+    * Registered once; per-sample values are snapshot diffs around each
+    * query run. The listener bus delivers asynchronously, so the
+    * snapshot reader ([[settle]]) polls until the counters go quiet. */
+  private final class ByteMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val shuffle = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    /** Wait for the async bus to drain: counters unchanged for two
+      * consecutive 100 ms polls, capped at 3 s. */
+    def settle(): (Long, Long) = {
+      var last = (shuffle.get, spill.get)
+      var quiet = 0
+      var waited = 0
+      while (quiet < 2 && waited < 3000) {
+        Thread.sleep(100); waited += 100
+        val now = (shuffle.get, spill.get)
+        if (now == last) quiet += 1 else { quiet = 0; last = now }
+      }
+      last
+    }
+  }
 
   /** Headline set: the scan/agg/join/window core plus every non-trivial
     * extension family member — ANN (brute/LSH/IVF), dedup (exact/LSH/
@@ -148,6 +187,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val byteMetrics = new ByteMetricsListener
+    spark.sparkContext.addSparkListener(byteMetrics)
 
     // Warm the JVM/codegen once so measured times are compute, not
     // first-call classloading. A warmup failure must not kill the run
@@ -193,15 +234,21 @@ object Bench {
     // sample stays infinite, is reported in `failures`, and is forced
     // into `budget_violations` with sentinel 9999 (never into the
     // finite `queries`/total numbers).
-    def timeOnce(name: String): Double = {
+    // (sec, shuffleBytes, spillBytes); byte counts are snapshot diffs
+    // around the run (settle() before the timer starts and after it
+    // stops — the ~200 ms bus-drain polls never land inside a timing).
+    def timeOnce(name: String): (Double, Long, Long) = {
+      val (sh0, sp0) = byteMetrics.settle()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (sh1, sp1) = byteMetrics.settle()
+        (sec, sh1 - sh0, sp1 - sp0)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        Double.PositiveInfinity
+        (Double.PositiveInfinity, -1L, -1L)
       }
     }
     // Three timed rounds, INTERLEAVED (round 1 of every query before
@@ -211,7 +258,17 @@ object Bench {
     // interleaving spreads a query's samples minutes apart so one stall
     // can contaminate at most one of them.
     val rounds = (1 to 3).map(_ => present.map(n => n -> timeOnce(n)).toMap)
-    val firstPass = present.map(n => n -> rounds.map(_(n)).min)
+    val firstPass = present.map(n => n -> rounds.map(_(n)._1).min)
+    // Per-query bytes: min over SUCCESSFUL samples. Shuffle volume is
+    // deterministic modulo AQE runtime decisions; the min is the
+    // leanest plan observed and is what byte budgets would gate on.
+    def byteMin(sel: ((Double, Long, Long)) => Long): Seq[(String, Long)] =
+      present.flatMap { n =>
+        val vs = rounds.map(_(n)).filter(s => s._1.isFinite && sel(s) >= 0).map(sel)
+        if (vs.nonEmpty) Some(n -> vs.min) else None
+      }
+    val shuffleBytes = byteMin(_._2)
+    val spillBytes = byteMin(_._3)
     val budgets = if (sfDir.endsWith("sf0.1")) budgetsSf01 else Map.empty[String, Double]
     val firstViolations = firstPass.filter { case (n, t) => budgets.get(n).exists(t > _) }
 
@@ -231,7 +288,7 @@ object Bench {
         System.err.println(s"[bench] re-measuring solo (stall check): ${names.mkString(",")}")
         val extras = (1 to 4).map { r =>
           if (r > 1) Thread.sleep(20000)
-          names.map(n => n -> timeOnce(n)).toMap
+          names.map(n => n -> timeOnce(n)._1).toMap
         }
         names.map(n => n -> extras.map(_(n)).min).toMap
       }
@@ -260,6 +317,8 @@ object Bench {
       kv.map { case (k, v) =>
         f"${q(k)}:${if (v.isFinite) v else 9999.0}%.3f"
       }.mkString("{", ",", "}")
+    def objL(kv: Seq[(String, Long)]): String =
+      kv.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val extraJson = new StringBuilder
     if (firstViolations.nonEmpty) {
@@ -273,6 +332,8 @@ object Bench {
       extraJson ++= s""","subset":${present.sorted.map(q).mkString("[", ",", "]")}"""
     if (failures.nonEmpty)
       extraJson ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
+    extraJson ++= s""","shuffle_bytes":${objL(shuffleBytes)}"""
+    extraJson ++= s""","spill_bytes":${objL(spillBytes.filter(_._2 > 0))}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(results)},"budget_violations":${obj(violations)}$extraJson,"sf":${q(sfDir)}}""")
     spark.stop()
   }
