@@ -70,7 +70,8 @@ object Bench {
     "sync_pipeline_filtered",
     "d10_json_projection", "b7_path_derivation", "b8_serialize",
     "b10_zip_roundtrip", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_cluster", "dedup_embedding_cos", "ann_topk", "ann_lsh",
+    "dedup_simhash", "dedup_cluster", "dedup_embedding_cos", "dedup_incremental",
+    "ann_topk", "ann_lsh",
     "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_tfidf", "text_fingerprint",
     "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
     "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
@@ -96,6 +97,8 @@ object Bench {
     "d1_snapshot_diff" -> 3.0,
     "sync_pipeline_filtered" -> 3.0,
     "dedup_minhash_lsh" -> 20.0,
+    // index build (4/5 corpus) + batch probe + pruned verify
+    "dedup_incremental" -> 15.0,
     "dedup_simhash" -> 10.0,
     "ann_topk" -> 4.0,
     "ann_lsh" -> 4.0,

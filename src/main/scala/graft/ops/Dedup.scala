@@ -535,6 +535,56 @@ object Dedup {
     } finally { sigs.unpersist(false); () }
   }
 
+  /** The corpus band index for INCREMENTAL ingestion dedup: (id, band,
+    * bucket), one fixed-width row per document per band. Built once
+    * over the accumulated corpus and persisted (parquet, partitionable
+    * by band); each accepted batch appends its own rows. At 100 TB this
+    * is the difference between hashing the whole corpus nightly and
+    * hashing only the day's arrivals. */
+  def bandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, n: Int = 3): DataFrame =
+    bandedBuckets(shingleHashes(corpus, idCol, textCol, n), numHashes, bands)
+
+  /** Probe a NEW batch against a prebuilt [[bandIndex]]: verified
+    * near-dup pairs (id1 = existing corpus doc, id2 = new doc,
+    * jaccard ≥ threshold). The incremental cost profile is the point:
+    *   - only the NEW docs are shingled and signed (one scan of the
+    *     batch, never the corpus);
+    *   - the index probe is an equi-join on (band, bucket) — the new
+    *     side is batch-sized, and at warehouse scale the index side
+    *     prunes to the probed buckets;
+    *   - the corpus text is re-read ONLY for verification and ONLY for
+    *     candidate ids: the tiny candidate-id set broadcasts into a
+    *     semi-join, so corpus shingling touches |candidates| docs,
+    *     not the corpus.
+    * `corpus` and `newDocs` must come from separate reads (fresh scans)
+    * so the verify union's children carry distinct attribute ids.
+    * Candidate recall equals the batch variant's ([[minhashLshPairs]])
+    * — identical signature math, bucket collision across the split
+    * instead of within it; DedupSpec pins cross-split agreement. */
+  def newVsCorpusPairs(corpus: DataFrame, index: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val newSh = shingleHashes(newDocs, idCol, textCol, n).persist()
+    val cands = index.toDF("cid", "band", "bucket")
+      .join(bandedBuckets(newSh, numHashes, bands).toDF("nid", "band", "bucket"),
+        Seq("band", "bucket"))
+      .select(col("cid").as("id1"), col("nid").as("id2")).distinct()
+      .persist()
+    try {
+      val candIds = cands.select(col("id1").as(idCol)).distinct()
+      val corpusSh = shingleHashes(
+        corpus.join(broadcast(candIds), Seq(idCol), "left_semi"),
+        idCol, textCol, n)
+      verifyPairs(corpusSh.union(newSh), cands, threshold).localCheckpoint(true)
+    } finally {
+      cands.unpersist(false)
+      newSh.unpersist(false)
+      ()
+    }
+  }
+
   /** Keep one representative (the component's min id) per near-dup
     * cluster: the deduplicated corpus, linear in input size. */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,

@@ -535,6 +535,53 @@ object QueryCatalog {
       |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
       |ORDER BY jaccard DESC, id1, id2""".stripMargin
 
+  /** Incremental ingestion dedup ([[Dedup.bandIndex]] +
+    * [[Dedup.newVsCorpusPairs]]): the corpus (doc_id % 5 ≠ 0) is
+    * band-indexed ONCE to staging parquet; the "day's batch"
+    * (doc_id % 5 = 0) is then shingled, probed against the index, and
+    * verified — the corpus is never re-hashed, and its text is re-read
+    * only for the broadcast-pruned candidate ids. Same signature
+    * config as `dedup_minhash_lsh` (64 hashes / 32 bands, whose 100%
+    * candidate recall at ≥0.5 this corpus already hash-proves), so the
+    * oracle is the exact cross-split Jaccard join. */
+  val dedupIncremental: Q = (s, dir) => {
+    val idxDir = graft.Staging.dirFor("inc-dedup-index")
+    Dedup.bandIndex(Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", numHashes = 64, bands = 32)
+      .write.mode("overwrite").parquet(idxDir)
+    Dedup.newVsCorpusPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+        s.read.parquet(idxDir),
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+  }
+  val dedupIncrementalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(t) >= 3
+      |        THEN unnest(list_transform(range(1, len(t) - 1),
+      |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |        ELSE unnest([array_to_string(t, ' ')]) END AS sh
+      |    FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh
+      |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2,
+      |  round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = id1
+      |JOIN sizes s2 ON s2.doc_id = id2
+      |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
+      |ORDER BY jaccard DESC, id1, id2""".stripMargin
+
   /** SimHash signatures, oracle-gated via the engine-portable md5-based
     * 60-bit token hash ([[Dedup.md5TokenHash60]]): DuckDB recomputes the
     * exact signatures (distinct tokens → per-bit ±1 sums → sign
@@ -803,6 +850,7 @@ object QueryCatalog {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_top" -> dedupJaccardTop,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cos" -> dedupEmbeddingCos,
     "ann_topk" -> annTopK,
@@ -835,6 +883,7 @@ object QueryCatalog {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_top" -> dedupJaccardTopSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cos" -> dedupEmbeddingCosSql,
     "ann_topk" -> annTopKSql,

@@ -98,6 +98,57 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 100L)))
   }
 
+  test("incremental dedup: new batch probed against the corpus band index finds exactly the cross pairs") {
+    // corpus = base docs; "new batch" = the planted dup/near-dups plus a
+    // genuinely novel doc — the nightly-ingestion shape
+    val corp = (0 until 20).map(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+    val batch = {
+      val near1 = { val t = mkText(1).split(" "); t(30) = "CHANGED"; t.mkString(" ") }
+      Seq((100L, mkText(0)), (101L, near1), (200L, mkText(999)))
+        .toDF("doc_id", "text")
+    }
+    val index = Dedup.bandIndex(corp, "doc_id", "text", numHashes = 64, bands = 32)
+    val pairs = Dedup.newVsCorpusPairs(corp, index, batch, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L), (1L, 101L)),
+      s"expected the exact copy and the near-copy, got $pairs")
+  }
+
+  test("incremental dedup agrees with the batch variant on the cross-split pairs") {
+    val all = corpus
+    val corp = corpus.filter($"doc_id" < 100L)
+    val batch = corpus.filter($"doc_id" >= 100L)
+    val batchPairs: Set[(Long, Long)] = Dedup.minhashLshPairs(all, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = batchPairs
+      .filter { case (a, b) => (a < 100) != (b < 100) }
+      .map { case (a, b) => if (a < 100) (a, b) else (b, a) }
+    val got = Dedup.newVsCorpusPairs(corp,
+        Dedup.bandIndex(corp, "doc_id", "text", numHashes = 64, bands = 32),
+        batch, "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"cross-split pairs: got $got expected $expected")
+  }
+
+  test("incremental dedup plan: corpus text is re-read only behind the broadcast candidate prune") {
+    val corp = (0 until 20).map(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+    val batch = Seq((100L, mkText(0))).toDF("doc_id", "text")
+    // newVsCorpusPairs returns a checkpointed result (its plan is
+    // opaque), so assert on the constituent prune plan it builds: the
+    // semi-join of corpus on candidate ids must broadcast, never
+    // shuffle the corpus
+    val newSh = Dedup.shingleHashes(batch, "doc_id", "text", 3)
+    val cands = Dedup.bandIndex(corp, "doc_id", "text", 64, 32).toDF("cid", "band", "bucket")
+      .join(Dedup.bandedBuckets(newSh, 64, 32).toDF("nid", "band", "bucket"), Seq("band", "bucket"))
+      .select(col("cid").as("doc_id")).distinct()
+    val pruned = corp.join(broadcast(cands), Seq("doc_id"), "left_semi")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate prune must broadcast:\n$p")
+  }
+
   test("minhash components: duplicate clusters collapse to one representative each") {
     // 6 clusters of 4 near-identical variants (tag prefix, jaccard≈0.95)
     // + 4 unrelated singletons. bands=32/rows=2 ⇒ within-cluster band
