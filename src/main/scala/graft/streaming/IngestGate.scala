@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming near-duplicate ingestion gate — the continuous twin of
+  * [[graft.ops.Dedup.newVsCorpusPairs]]: every arriving micro-batch is
+  * (1) cluster-deduped WITHIN the batch ([[Dedup.dedupByMinhash]] —
+  * two copies arriving together must not both pass), then (2) probed
+  * against the accumulated corpus's persisted band index; survivors
+  * are appended to the accepted-corpus sink AND their band rows to the
+  * index, so batch N+1's probe sees batch N's acceptances.
+  *
+  * Incremental cost per batch is the point (the same profile as the
+  * batch op): only the batch is shingled; the index probe is an
+  * equi-join on (band, bucket); accepted-corpus text is re-read only
+  * behind the broadcast candidate-id prune for Jaccard verification.
+  * The accumulated corpus is never re-hashed.
+  *
+  * Replay idempotence: both sinks are written as one `batch=<id>`
+  * subdirectory per micro-batch in OVERWRITE mode, so a foreachBatch
+  * retry of the same epoch replaces its own output instead of
+  * duplicating it (asserted in IngestGateSpec by re-running an epoch).
+  * Readers see the accepted corpus as a plain partitioned parquet
+  * table (`batch` becomes a partition column).
+  */
+object IngestGate {
+
+  /** Gate ONE batch. Returns the number of accepted documents.
+    * Extracted from the foreachBatch closure so the idempotence and
+    * gating semantics are directly testable. Input columns: `idCol`
+    * (long), `textCol` (string) — extra columns pass through to the
+    * accepted sink. */
+  def gateBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      acceptedDir: String, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 32, n: Int = 3,
+      threshold: Double = 0.5): Long = {
+    val spark = batch.sparkSession
+    // (1) in-batch cluster dedup: one representative per near-dup
+    // cluster inside the batch (size-dispatched components — a batch's
+    // duplicate graph is tiny, so this is driver union-find in practice)
+    val inBatch = Dedup.dedupByMinhash(batch, idCol, textCol,
+      numHashes, bands, n, threshold)
+    // (2) probe the accumulated index, if any batch came before
+    val survivors = readIfAny(spark, indexDir) match {
+      case Some(indexRaw) =>
+        // drop the batch partition column the epoch layout introduces
+        val index = indexRaw.select("id", "band", "bucket")
+        val corpus = spark.read.parquet(acceptedDir)
+        val dupIds = Dedup.newVsCorpusPairs(corpus, index, inBatch,
+            idCol, textCol, numHashes, bands, n, threshold)
+          .select(col("id2").as(idCol)).distinct()
+        inBatch.join(dupIds, Seq(idCol), "left_anti")
+      case None => inBatch
+    }
+    val accepted = survivors.persist()
+    try {
+      val nAccepted = accepted.count()
+      // overwrite-by-epoch: a replayed batch replaces its own output
+      accepted.write.mode("overwrite")
+        .parquet(s"$acceptedDir/batch=$batchId")
+      Dedup.bandIndex(accepted, idCol, textCol, numHashes, bands, n)
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/batch=$batchId")
+      nAccepted
+    } finally { accepted.unpersist(false); () }
+  }
+
+  /** Run the gate over a streaming document feed. */
+  def start(docs: DataFrame, indexDir: String, acceptedDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 64, bands: Int = 32,
+      n: Int = 3, threshold: Double = 0.5): StreamingQuery = {
+    require(docs.isStreaming, "IngestGate.start needs a streaming input; " +
+      "use Dedup.newVsCorpusPairs for a one-shot batch")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        gateBatch(b, id, indexDir, acceptedDir, idCol, textCol,
+          numHashes, bands, n, threshold)
+        ()
+      }
+      .start()
+  }
+
+  /** The accumulated parquet relation under `dir`, or None before the
+    * first epoch commits (schema inference over an empty root throws). */
+  private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(dir)
+      if (df.schema.isEmpty) None else Some(df)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+}

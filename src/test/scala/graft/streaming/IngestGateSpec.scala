@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The streaming near-dup ingestion gate: in-batch collapse, cross-batch
+  * index probe, index growth, and epoch-replay idempotence. */
+class IngestGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab: IndexedSeq[String] =
+    (0 until 150).map(i => s"v$i")
+
+  private def mkText(seed: Int, words: Int = 60): String = {
+    val rnd = new scala.util.Random(seed)
+    (1 to words).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  private def nearCopy(seed: Int): String = {
+    val t = mkText(seed).split(" "); t(30) = "ALTERED"; t.mkString(" ")
+  }
+
+  test("gateBatch: in-batch near-dups collapse, cross-batch dups rejected via the index, novel docs pass") {
+    val idx = graft.Staging.dirFor("ingate-idx")
+    val acc = graft.Staging.dirFor("ingate-acc")
+    // epoch 0: A, B novel — both accepted
+    val b0 = Seq((1L, mkText(1)), (2L, mkText(2))).toDF("doc_id", "text")
+    assert(IngestGate.gateBatch(b0, 0L, idx, acc, "doc_id", "text") == 2L)
+    // epoch 1: A' (near-dup of accepted A) rejected by the index probe;
+    // C and C' arrive together — in-batch collapse keeps only C;
+    // D novel passes
+    val b1 = Seq(
+      (10L, nearCopy(1)),   // vs corpus → rejected
+      (11L, mkText(7)),     // C
+      (12L, nearCopy(7)),   // C' in-batch near-dup of C → rejected
+      (13L, mkText(8))      // D novel
+    ).toDF("doc_id", "text")
+    assert(IngestGate.gateBatch(b1, 1L, idx, acc, "doc_id", "text") == 2L)
+    val accepted = spark.read.parquet(acc)
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(1L, 2L, 11L, 13L), s"got $accepted")
+    // the index covers exactly the accepted corpus — batch 2 will see
+    // batch 1's acceptances
+    val indexed = spark.read.parquet(idx)
+      .select("id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 11L, 13L), s"index ids: $indexed")
+    // epoch 2: near-dup of a doc accepted in epoch 1 → rejected
+    val b2 = Seq((20L, nearCopy(8))).toDF("doc_id", "text")
+    assert(IngestGate.gateBatch(b2, 2L, idx, acc, "doc_id", "text") == 0L)
+  }
+
+  test("gateBatch epoch replay is idempotent: re-running a batch id replaces its output") {
+    val idx = graft.Staging.dirFor("ingate-replay-idx")
+    val acc = graft.Staging.dirFor("ingate-replay-acc")
+    val b0 = Seq((1L, mkText(1)), (2L, mkText(2))).toDF("doc_id", "text")
+    IngestGate.gateBatch(b0, 0L, idx, acc, "doc_id", "text")
+    // a foreachBatch retry re-delivers the same epoch
+    IngestGate.gateBatch(b0, 0L, idx, acc, "doc_id", "text")
+    assert(spark.read.parquet(acc).count() == 2L,
+      "replayed epoch must overwrite, not duplicate")
+    assert(spark.read.parquet(idx).select("id").distinct().count() == 2L)
+  }
+
+  test("streaming end-to-end: the gate runs under foreachBatch with cross-batch memory") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = graft.Staging.dirFor("ingate-s-idx")
+    val acc = graft.Staging.dirFor("ingate-s-acc")
+    val ckp = graft.Staging.dirFor("ingate-s-ckp")
+    val mem = MemoryStream[(Long, String)]
+    val q = IngestGate.start(mem.toDS().toDF("doc_id", "text"),
+      idx, acc, ckp)
+    try {
+      mem.addData((1L, mkText(1)), (2L, mkText(2)))
+      q.processAllAvailable()
+      mem.addData((10L, nearCopy(1)), (11L, mkText(7)))
+      q.processAllAvailable()
+      val accepted = spark.read.parquet(acc)
+        .select("doc_id").as[Long].collect().toSet
+      assert(accepted == Set(1L, 2L, 11L), s"got $accepted")
+    } finally q.stop()
+  }
+}
