@@ -72,7 +72,8 @@ object Bench {
     "b10_zip_roundtrip", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_cluster", "dedup_embedding_cos", "dedup_incremental",
     "ann_topk", "ann_lsh",
-    "ann_ivf", "ann_pq", "ann_ivfpq", "text_stats", "text_tfidf", "text_fingerprint",
+    "ann_ivf", "ann_pq", "ann_ivfpq", "ann_ivf_pruned", "ann_ivfpq_pruned",
+    "text_stats", "text_tfidf", "text_fingerprint",
     "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
     "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
     "corpus_curation", "corpus_curation_neardup",
@@ -126,6 +127,10 @@ object Bench {
     "multimodal_frames" -> 3.0,
     "ann_pq" -> 12.0,
     "ann_ivfpq" -> 10.0,
+    // pruned production modes: strictly less work than their oracle
+    // twins (fewer probed cells, capped shortlist)
+    "ann_ivf_pruned" -> 15.0,
+    "ann_ivfpq_pruned" -> 10.0,
     // size-dispatched components (r8): quiet min 1.4 s; headroom for
     // the driver host
     "dedup_cluster" -> 6.0,

@@ -238,6 +238,42 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** PRODUCTION-pruned ANN configurations in the timed surface, WITHOUT
+    * oracles (approximate by design → the driver records the weaker
+    * rows-only check; recall floors are asserted in IvfIndexSpec /
+    * IvfPqSpec). The hash-gated `ann_ivf`/`ann_pq`/`ann_ivfpq` run
+    * deliberately brute-force-shaped exhaustive configurations so
+    * DuckDB can replay them exactly — without these pruned rows the
+    * TIMING story would be brute-force-shaped too, and the artifact
+    * would show the oracle tax as if it were the operator's cost. */
+  val annIvfPruned: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    IvfIndex.topK(queries, corpus, centroids, k = 10, nProbe = 2)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annIvfPqPruned: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val cb = PqIndex.train(corpus, "id", "vec", m = 8, k = 16, iters = 2)
+    val path = graft.Staging.dirFor("ivfpq-pruned-q")
+    IvfPq.writeIndex(corpus, centroids, cb, path)
+    IvfPq.topK(s, path, queries, centroids, cb,
+        k = 10, nProbe = 2, shortlist = 50)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Deterministic stratified mix sampling ([[graft.ops.Sampling]]):
     * per-language keep rates over the documents table, membership a
     * pure function of (seed, doc_id) via the portable md5-60 hash —
@@ -497,7 +533,9 @@ object PipelineQueries {
     "q_mix_divergence" -> qMixDivergence,
     "q_sample_quota" -> qSampleQuota,
     "ann_pq" -> annPq,
-    "ann_ivfpq" -> annIvfPq)
+    "ann_ivfpq" -> annIvfPq,
+    "ann_ivf_pruned" -> annIvfPruned,
+    "ann_ivfpq_pruned" -> annIvfPqPruned)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
