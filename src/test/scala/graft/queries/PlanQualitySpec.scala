@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 
 /** Physical-plan quality gates for the headline queries: the properties
   * that matter at 100 TB — predicate pushdown reaching the parquet scan,
@@ -117,6 +118,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 1,
       s"fused signature+banding needs exactly one shuffle:\n$p")
     assert(p.contains("ngram_hashes"), "codegen'd shingle expr feeds the agg")
+  }
+
+  test("aggregate pushdown: bare MIN/MAX/COUNT answer from parquet footers, no data pages") {
+    // The stats-only scan path: a 100 TB table's row count or column
+    // extrema should cost footer reads, not a full scan. Needs the
+    // DSv2 parquet reader (aggregate pushdown is v2-only) — flip both
+    // confs for this test, restore after.
+    val conf = spark.conf
+    val prevV1 = conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try {
+      conf.set("spark.sql.sources.useV1SourceList", "")
+      conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val df = spark.read.parquet(s"$sf001/orders.parquet")
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("lo"),
+          max(col("o_orderkey")).as("hi"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation") && p.contains("MIN(o_orderkey)"),
+        s"expected the aggregate at the scan:\n$p")
+      // and the footer answer must equal the data-page answer
+      val r = df.collect().head
+      conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val full = spark.read.parquet(s"$sf001/orders.parquet")
+        .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+        .collect().head
+      assert(r.getLong(0) == full.getLong(0) && r.getLong(1) == full.getLong(1) &&
+        r.getLong(2) == full.getLong(2))
+    } finally {
+      conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
+    }
   }
 }
 
