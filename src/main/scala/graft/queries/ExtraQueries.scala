@@ -109,6 +109,32 @@ object ExtraQueries {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** CUBE — every grouping-set combination plus the bit-vector
+    * `grouping_id` (Spark) ≡ `GROUPING(a, b)` (DuckDB): both encode
+    * the rolled-up columns as the same big-endian bit mask, so the id
+    * is hash-comparable across engines, and it disambiguates a real
+    * 'ALL'-valued key from a rolled-up one (the coalesce trick alone
+    * cannot). */
+  val qCube: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+  }
+  val qCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
   /** Exact interpolated percentiles per group: Spark's `percentile`
     * uses the same linear-interpolation definition as ANSI
     * `percentile_cont`, so values match DuckDB bit-for-bit after
@@ -268,6 +294,7 @@ object ExtraQueries {
     "q_set_ops" -> qSetOps,
     "q_distinct_agg" -> qDistinctAgg,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_asof_join" -> qAsofJoin,
     "q_sessionize" -> qSessionize,
     "q_percentiles" -> qPercentiles,
@@ -281,6 +308,7 @@ object ExtraQueries {
     "q_set_ops" -> qSetOpsSql,
     "q_distinct_agg" -> qDistinctAggSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_sessionize" -> qSessionizeSql,
     "q_percentiles" -> qPercentilesSql,
