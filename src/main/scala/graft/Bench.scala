@@ -64,7 +64,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_top_orders", "q5_region_revenue", "q_window_top_orders",
     "q_events_hourly", "q_pivot", "q_asof_join", "q_sessionize",
-    "q_rollup", "q_cube", "q_percentiles", "q_distinct_agg", "q_semi_join",
+    "q_rollup", "q_cube", "q_skew_topk", "q_percentiles", "q_distinct_agg",
+    "q_semi_join",
     "q_anti_join", "q_set_ops", "q_above_type_avg",
     "d2_rules_join", "d12_cdc_last_state", "d1_snapshot_diff",
     "sync_pipeline_filtered",
@@ -113,6 +114,7 @@ object Bench {
     "b10_zip_roundtrip" -> 8.0,
     "q_rollup" -> 3.0,
     "q_cube" -> 3.0,
+    "q_skew_topk" -> 3.0,
     "q_percentiles" -> 5.0,
     "q_distinct_agg" -> 3.0,
     "q_semi_join" -> 3.0,

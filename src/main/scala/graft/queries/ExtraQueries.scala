@@ -135,6 +135,33 @@ object ExtraQueries {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY gid, status, priority""".stripMargin
 
+  /** Salted two-phase top-k ([[graft.ops.Skew.saltedTopK]]) in the
+    * oracle surface: per-event-type top-5 by value (event_id
+    * tiebreak — the ordering must be total for phase equivalence).
+    * The oracle is the SINGLE-window formulation: salting is
+    * semantically invisible, which is exactly the claim — the hot
+    * key's sort runs `salt`-way parallel and the result cannot tell.
+    * The single-partition-window failure mode it prevents and both
+    * plan gates live in SkewSpec. */
+  val qSkewTopk: Q = (s, dir) => {
+    graft.ops.Skew.saltedTopK(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        keys = Seq("event_type"),
+        order = Seq(col("value").desc, col("event_id")),
+        k = 5, saltBy = col("event_id"), salt = 8)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"), col("rank"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+  val qSkewTopkSql: String =
+    """SELECT event_type, event_id, round(value, 2) AS value, rank FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id) AS rank
+      |  FROM events) t
+      |WHERE rank <= 5
+      |ORDER BY event_type, rank""".stripMargin
+
   /** Exact interpolated percentiles per group: Spark's `percentile`
     * uses the same linear-interpolation definition as ANSI
     * `percentile_cont`, so values match DuckDB bit-for-bit after
@@ -295,6 +322,7 @@ object ExtraQueries {
     "q_distinct_agg" -> qDistinctAgg,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
+    "q_skew_topk" -> qSkewTopk,
     "q_asof_join" -> qAsofJoin,
     "q_sessionize" -> qSessionize,
     "q_percentiles" -> qPercentiles,
@@ -309,6 +337,7 @@ object ExtraQueries {
     "q_distinct_agg" -> qDistinctAggSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_skew_topk" -> qSkewTopkSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_sessionize" -> qSessionizeSql,
     "q_percentiles" -> qPercentilesSql,
