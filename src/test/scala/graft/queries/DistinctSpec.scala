@@ -20,6 +20,28 @@ class DistinctSpec extends SparkSpec {
     assert(err <= 0.06, s"exact=$exact approx=$approx err=$err (3x rsd bound)")
   }
 
+  test("approx_percentile within rank-error bound of exact; partition-merge invariant") {
+    // The 100 TB quantile path (one pass, mergeable sketches — see
+    // ExtraQueries.qPercentiles doc). approx_percentile(accuracy a)
+    // bounds RANK error by n/a, not value error: convert via the
+    // empirical CDF. And the sketch must be MERGEABLE — the same
+    // answer (same bound) regardless of how rows were partitioned,
+    // which is what makes it distributable at all.
+    val ord = Tables.orders(spark, sf001).select(col("o_totalprice"))
+    val n = ord.count().toDouble
+    val acc = 1000
+    def approxP(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(expr(s"approx_percentile(o_totalprice, 0.5, $acc)")).head().getDouble(0)
+    val exactP = ord.agg(expr("percentile(o_totalprice, 0.5)")).head().getDouble(0)
+    for (df <- Seq(ord.coalesce(1), ord.repartition(7))) {
+      val a = approxP(df)
+      // rank of the approx answer must be within n/acc of n/2
+      val rank = ord.filter(col("o_totalprice") <= a).count().toDouble
+      assert(math.abs(rank - n / 2) <= 2 * n / acc + 1,
+        s"rank error: exact median $exactP, approx $a, rank $rank of $n")
+    }
+  }
+
   test("approx distinct per group tracks exact ordering") {
     val li = Tables.lineitem(spark, sf001)
     val rows = li.groupBy(col("l_returnflag"))
