@@ -67,6 +67,8 @@ object Layout {
     val aggExprs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    require(!bounds.anyNull,
+      s"z-order columns must be non-null numeric (empty input or all-null column among ${zCols.mkString(",")})")
     val scale = 1L << bits
     val scaled: Seq[Column] = zCols.indices.map { i =>
       val lo = bounds.getDouble(2 * i)

@@ -43,12 +43,22 @@ object IngestGate {
     // duplicate graph is tiny, so this is driver union-find in practice)
     val inBatch = Dedup.dedupByMinhash(batch, idCol, textCol,
       numHashes, bands, n, threshold)
-    // (2) probe the accumulated index, if any batch came before
+    // (2) probe the accumulated index, if any batch came before.
+    // CRITICAL on both reads: exclude THIS epoch's own partition — a
+    // foreachBatch retry re-delivers an epoch whose output already
+    // committed, and probing a doc against its own prior copy forms a
+    // self-pair ((x,x), union-doubled sizes → jaccard exactly 1/3)
+    // that at threshold ≤ 1/3 would self-reject the whole epoch and
+    // then OVERWRITE its committed output with an empty directory.
+    // Excluding batch=batchId also keeps newVsCorpusPairs' disjoint-id
+    // contract: the replayed docs exist on the corpus side only in the
+    // excluded partition.
     val survivors = readIfAny(spark, indexDir) match {
       case Some(indexRaw) =>
-        // drop the batch partition column the epoch layout introduces
-        val index = indexRaw.select("id", "band", "bucket")
+        val index = indexRaw.filter(col("batch") =!= batchId)
+          .select("id", "band", "bucket")
         val corpus = spark.read.parquet(acceptedDir)
+          .filter(col("batch") =!= batchId)
         val dupIds = Dedup.newVsCorpusPairs(corpus, index, inBatch,
             idCol, textCol, numHashes, bands, n, threshold)
           .select(col("id2").as(idCol)).distinct()
@@ -86,12 +96,23 @@ object IngestGate {
   }
 
   /** The accumulated parquet relation under `dir`, or None before the
-    * first epoch commits (schema inference over an empty root throws). */
-  private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] =
-    try {
-      val df = spark.read.parquet(dir)
-      if (df.schema.isEmpty) None else Some(df)
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
+    * first epoch commits. Cold start is detected by LISTING (missing
+    * root or no files yet), never by swallowing read errors — a
+    * corrupt or unreadable index must fail the epoch loudly, not
+    * silently skip the dedup probe and let duplicates contaminate the
+    * accepted corpus. */
+  private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(path) && {
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = f.isFile && f.getLen > 0 && !f.getPath.getName.startsWith("_")
+      }
+      found
     }
+    if (hasData) Some(spark.read.parquet(dir)) else None
+  }
 }

@@ -61,6 +61,28 @@ class IngestGateSpec extends SparkSpec {
     assert(spark.read.parquet(idx).select("id").distinct().count() == 2L)
   }
 
+  test("epoch replay never self-rejects: the replayed epoch's own partition is excluded from the probe") {
+    // At threshold ≤ 1/3 a replayed doc probed against its own prior
+    // copy would self-pair at jaccard exactly 1/3 (union-doubled
+    // sizes), reject the whole epoch, and overwrite its committed
+    // output with an empty directory. The gate must exclude
+    // batch=batchId from both the index and the corpus reads.
+    val idx = graft.Staging.dirFor("ingate-selfpair-idx")
+    val acc = graft.Staging.dirFor("ingate-selfpair-acc")
+    val b0 = Seq((1L, mkText(1)), (2L, mkText(2))).toDF("doc_id", "text")
+    assert(IngestGate.gateBatch(b0, 0L, idx, acc, "doc_id", "text",
+      threshold = 0.3) == 2L)
+    // retry of the same epoch after its sinks committed
+    assert(IngestGate.gateBatch(b0, 0L, idx, acc, "doc_id", "text",
+      threshold = 0.3) == 2L,
+      "replayed epoch must not be probed against its own output")
+    assert(spark.read.parquet(acc).count() == 2L)
+    // and a LATER epoch still sees epoch 0 in the index
+    val b1 = Seq((10L, nearCopy(1))).toDF("doc_id", "text")
+    assert(IngestGate.gateBatch(b1, 1L, idx, acc, "doc_id", "text",
+      threshold = 0.3) == 0L)
+  }
+
   test("streaming end-to-end: the gate runs under foreachBatch with cross-batch memory") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val idx = graft.Staging.dirFor("ingate-s-idx")
