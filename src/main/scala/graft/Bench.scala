@@ -246,19 +246,24 @@ object Bench {
     // into `budget_violations` with sentinel 9999 (never into the
     // finite `queries`/total numbers).
     // (sec, shuffleBytes, spillBytes); byte counts are snapshot diffs
-    // around the run (settle() before the timer starts and after it
-    // stops — the ~200 ms bus-drain polls never land inside a timing).
+    // around the run, and the end-settle snapshot carries forward as
+    // the next sample's baseline — one ~200 ms bus-drain poll per
+    // sample instead of two, never inside a timing. A FAILED sample
+    // still settles so its straggler task events cannot leak into the
+    // next query's byte delta.
+    var settled = byteMetrics.settle()
     def timeOnce(name: String): (Double, Long, Long) = {
-      val (sh0, sp0) = byteMetrics.settle()
+      val (sh0, sp0) = settled
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        val (sh1, sp1) = byteMetrics.settle()
-        (sec, sh1 - sh0, sp1 - sp0)
+        settled = byteMetrics.settle()
+        (sec, settled._1 - sh0, settled._2 - sp0)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        settled = byteMetrics.settle()
         (Double.PositiveInfinity, -1L, -1L)
       }
     }

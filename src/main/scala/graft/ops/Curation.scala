@@ -135,19 +135,40 @@ object Curation {
   def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 8, fpp: Double = 0.01): DataFrame = {
-    val spark = corpus.sparkSession
+    // The bench shingle relation feeds three consumers (the sizing
+    // count, the bloom build, the exact verify join); the premise of
+    // this function is that it is BIG, so derive it once: persist, let
+    // the count materialize the cache, and eagerly checkpoint the
+    // (tiny) contaminated-id set so the cache can be dropped before
+    // the lazy result escapes.
     val benchSh = Dedup.shingleHashes(bench, benchIdCol, benchTextCol, n)
-      .select(col("shingle")).distinct()
+      .select(col("shingle")).distinct().persist()
+    try {
+      val contaminated = bloomCandidates(corpus, idCol, textCol, benchSh, n, fpp)
+        .join(benchSh, Seq("shingle"), "left_semi")
+        .select(col("id").as(idCol)).distinct()
+        .localCheckpoint(true)
+      corpus.join(contaminated, Seq(idCol), "left_anti")
+    } finally {
+      benchSh.unpersist(false)
+      ()
+    }
+  }
+
+  /** [[decontaminateBloom]]'s pre-filter stage: corpus (id, shingle)
+    * rows surviving the bloom probe. Package-private so the pruning
+    * spec exercises the production candidate construction instead of
+    * re-deriving it. `benchSh` is the distinct bench shingle relation
+    * (callers persist it when it has other consumers). */
+  private[graft] def bloomCandidates(corpus: DataFrame, idCol: String,
+      textCol: String, benchSh: DataFrame, n: Int, fpp: Double): DataFrame = {
+    val spark = corpus.sparkSession
     val expected = math.max(benchSh.count(), 1L)
     val bloom = benchSh.stat.bloomFilter("shingle", expected, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
-    val candidates = Dedup.shingleHashes(corpus, idCol, textCol, n)
+    Dedup.shingleHashes(corpus, idCol, textCol, n)
       .filter(mightContain(col("shingle")))
-    val contaminated = candidates
-      .join(benchSh, Seq("shingle"), "left_semi")
-      .select(col("id").as(idCol)).distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Full pipeline: curated per-(lang_pred, source) statistics.

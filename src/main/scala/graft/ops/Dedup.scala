@@ -559,6 +559,14 @@ object Dedup {
     *     not the corpus.
     * `corpus` and `newDocs` must come from separate reads (fresh scans)
     * so the verify union's children carry distinct attribute ids.
+    * A doc id present on BOTH sides is safe: the verify union tags each
+    * side with a source marker, so the two docs stay distinct documents
+    * — a corpus doc and a new doc that share an id and identical text
+    * score a true 1.0 (the new doc IS a duplicate of the stored one),
+    * never a merged-shingle-set artifact. Callers that re-deliver the
+    * SAME stored doc (streaming epoch replay) must still exclude its
+    * own copy upstream or it will legitimately match itself — see
+    * [[graft.streaming.IngestGate]]'s batch-partition exclusion.
     * Candidate recall equals the batch variant's ([[minhashLshPairs]])
     * — identical signature math, bucket collision across the split
     * instead of within it; DedupSpec pins cross-split agreement. */
@@ -577,7 +585,19 @@ object Dedup {
       val corpusSh = shingleHashes(
         corpus.join(broadcast(candIds), Seq(idCol), "left_semi"),
         idCol, textCol, n)
-      verifyPairs(corpusSh.union(newSh), cands, threshold).localCheckpoint(true)
+      // Tag ids with their side before the union: without this, an id
+      // appearing in both relations would pool both docs' shingles
+      // under one key, doubling verifyPairs' size terms and roughly
+      // halving every jaccard that id participates in.
+      def tagged(side: Int, c: Column) =
+        struct(lit(side).as("side"), c.as("v"))
+      val taggedSh = corpusSh.select(tagged(0, col("id")).as("id"), col("shingle"))
+        .union(newSh.select(tagged(1, col("id")).as("id"), col("shingle")))
+      val taggedCands = cands.select(
+        tagged(0, col("id1")).as("id1"), tagged(1, col("id2")).as("id2"))
+      verifyPairs(taggedSh, taggedCands, threshold)
+        .select(col("id1.v").as("id1"), col("id2.v").as("id2"), col("jaccard"))
+        .localCheckpoint(true)
     } finally {
       cands.unpersist(false)
       newSh.unpersist(false)

@@ -165,16 +165,13 @@ class CorpusOpsSpec extends SparkSpec {
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
     val allShingles = Dedup.shingleHashes(corpus, "doc_id", "text", 3).count()
-    // Rebuild the candidate relation exactly as decontaminateBloom does
-    // (bloom at 1% fpp) and check it is a small fraction of the corpus
-    // shingle volume — the claim that makes the sketch worth building.
+    // Exercise the PRODUCTION candidate stage (bloom at 1% fpp) and
+    // check it keeps a small fraction of the corpus shingle volume —
+    // the claim that makes the sketch worth building.
     val benchSh = Dedup.shingleHashes(bench, "doc_id", "text", 3)
       .select(col("shingle")).distinct()
-    val bloom = benchSh.stat.bloomFilter("shingle", math.max(benchSh.count(), 1L), 0.01)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mc = udf((h: Long) => bloomB.value.mightContainLong(h))
-    val candidates = Dedup.shingleHashes(corpus, "doc_id", "text", 3)
-      .filter(mc(col("shingle"))).count()
+    val candidates = Curation.bloomCandidates(
+      corpus, "doc_id", "text", benchSh, n = 3, fpp = 0.01).count()
     assert(candidates < allShingles / 2,
       s"bloom pre-filter kept $candidates of $allShingles corpus shingles — not pruning")
   }

@@ -115,6 +115,30 @@ class DedupSpec extends SparkSpec {
       s"expected the exact copy and the near-copy, got $pairs")
   }
 
+  test("incremental dedup scores shared ids as distinct documents, not a merged shingle pool") {
+    // A doc id present in BOTH relations (a replayed batch, or plain id
+    // reuse across sources) must not pool shingles under one key: that
+    // doubles both size terms and roughly halves every jaccard the id
+    // participates in. Corpus doc 7 and new doc 7 share an id with
+    // IDENTICAL text → the pair must score a true 1.0; and a genuine
+    // near-copy (id 101 of corpus doc 1) in the same batch must keep
+    // its full score despite the overlap elsewhere in the batch.
+    val corp = (0 until 20).map(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+    val batch = {
+      val near1 = { val t = mkText(1).split(" "); t(30) = "CHANGED"; t.mkString(" ") }
+      Seq((7L, mkText(7)), (101L, near1)).toDF("doc_id", "text")
+    }
+    val index = Dedup.bandIndex(corp, "doc_id", "text", numHashes = 64, bands = 32)
+    val got = Dedup.newVsCorpusPairs(corp, index, batch, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got.keySet == Set((7L, 7L), (1L, 101L)), s"pairs: $got")
+    assert(got((7L, 7L)) == 1.0,
+      s"identical text under a shared id must score 1.0, got ${got((7L, 7L))}")
+    assert(got((1L, 101L)) >= 0.5, s"near-copy under-scored: ${got((1L, 101L))}")
+  }
+
   test("incremental dedup agrees with the batch variant on the cross-split pairs") {
     val all = corpus
     val corp = corpus.filter($"doc_id" < 100L)

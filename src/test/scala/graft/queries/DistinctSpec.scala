@@ -33,13 +33,21 @@ class DistinctSpec extends SparkSpec {
     def approxP(df: org.apache.spark.sql.DataFrame): Double =
       df.agg(expr(s"approx_percentile(o_totalprice, 0.5, $acc)")).head().getDouble(0)
     val exactP = ord.agg(expr("percentile(o_totalprice, 0.5)")).head().getDouble(0)
-    for (df <- Seq(ord.coalesce(1), ord.repartition(7))) {
+    val answers = Seq(ord.coalesce(1), ord.repartition(7)).map { df =>
       val a = approxP(df)
       // rank of the approx answer must be within n/acc of n/2
       val rank = ord.filter(col("o_totalprice") <= a).count().toDouble
       assert(math.abs(rank - n / 2) <= 2 * n / acc + 1,
         s"rank error: exact median $exactP, approx $a, rank $rank of $n")
+      a
     }
+    // The merge-invariance half of the claim: the 1-partition and
+    // 7-partition sketches must agree on the answer itself, not just
+    // each sit inside the bound. (At this n and accuracy the summaries
+    // never compress, so merge order cannot move the result; a
+    // difference here means partition-merge sensitivity crept in.)
+    assert(answers.distinct.size == 1,
+      s"partition-merge changed the answer: ${answers.mkString(" vs ")} (exact $exactP)")
   }
 
   test("approx distinct per group tracks exact ordering") {
