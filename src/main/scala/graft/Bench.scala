@@ -81,7 +81,8 @@ object Bench {
     "text_gopher_quality", "text_decontaminate", "text_decontaminate_bloom",
     "text_pii_scrub",
     "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
-    "corpus_pipeline", "q_layout_scan", "q_layout_zorder", "q_bucket_join")
+    "corpus_pipeline", "q_layout_scan", "q_layout_zorder", "q_bucket_join",
+    "text_bm25", "text_bm25_indexed")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -165,7 +166,11 @@ object Bench {
     // z-ordered write (adds the bounds agg + 32-term z projection)
     "q_layout_zorder" -> 5.0,
     // two bucketed writes (each pays its one exchange) + the join
-    "q_bucket_join" -> 8.0)
+    "q_bucket_join" -> 8.0,
+    // BM25 pair (quiet mins 0.70 / 1.95 s sf0.1; the indexed path pays
+    // its postings write inside the timed query)
+    "text_bm25" -> 2.0,
+    "text_bm25_indexed" -> 4.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

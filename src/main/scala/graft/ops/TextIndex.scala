@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text ranked retrieval: an inverted postings index and BM25
+  * (Robertson/Spärck Jones probabilistic relevance) top-k scoring —
+  * the lexical complement of the embedding ANN family
+  * ([[Similarity]]/[[IvfIndex]]/[[PqIndex]]). A training-data pipeline
+  * uses this for retrieval-based dedup ("is this doc already covered"),
+  * contamination triage, and corpus exploration, where exact-token
+  * semantics beat embedding recall.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - the postings relation (token, id, tf, dl) is built in ONE
+  *     explode→aggregate pass; the per-doc length `dl` is computed at
+  *     scan time (an array expression, no shuffle) and denormalized
+  *     into each posting row — the classic search-engine trick that
+  *     keeps query-time scoring free of any corpus-wide join;
+  *   - [[writePostings]] pays that pass once at write time and lays
+  *     the postings out partitioned by a token-hash bucket, so a query
+  *     probes ≤ |query terms| partitions via literal partition filters
+  *     (the same layout contract as [[Similarity.writeLshBucketed]]);
+  *   - query-time cost is bucket occupancy, never corpus size: pruned
+  *     postings join a broadcast per-term df relation and a broadcast
+  *     1-row stats relation, aggregate per doc (the only shuffle,
+  *     keyed by doc id, |terms|·df rows), and window-top-k.
+  *
+  * Scores are rounded to 4 dp before ranking, ties broken by doc id —
+  * the [[TextAnalysis.tfIdfTopTerms]] cross-engine convention, which
+  * lets DuckDB replay the whole computation (`text_bm25` oracle).
+  */
+object TextIndex {
+
+  /** Whitespace tokens, empty strings dropped — must stay in lockstep
+    * with the oracle's `string_split_regex(text, '\s+')` replay. */
+  private def tokens(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), t => t =!= "")
+
+  /** Inverted postings: one row per distinct (token, doc) with the
+    * term frequency and the (denormalized) document token count.
+    * One scan, one aggregation exchange keyed by (id, dl, token) —
+    * `dl` is functionally dependent on `id`, so the extra key changes
+    * nothing about the shuffle. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("token"))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .select("token", "id", "tf", "dl")
+
+  /** Corpus stats BM25 needs besides the postings: document count and
+    * mean document length, over docs with ≥1 token (a doc with no
+    * tokens can never match — keeping it out of N/avgdl makes the
+    * inline and DuckDB formulations agree without a zero-length
+    * special case). A scan-level aggregate: no explode, no shuffle
+    * beyond the 1-row reduction. */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(size(tokens(col(textCol))).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+  /** BM25 top-k over an inline corpus — builds the (term-pruned)
+    * postings on the fly. Two passes over `docs`: the cheap stats
+    * scan (no explode) and the postings pass; the term filter lands
+    * BELOW the postings aggregation, so only query-term tokens survive
+    * the explode into the exchange. The df relation re-aggregates the
+    * pruned postings; it references `tf` in an un-eliminable form so
+    * both consumers share one canonical aggregate subtree and the
+    * exchange is reused (the [[TextAnalysis.tfIdfTopTerms]] lesson).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+      .filter(col("token").isin(queryTerms.distinct: _*))
+    score(post, corpusStats(docs, textCol), k, k1, b)
+  }
+
+  /** Write the postings index: `<path>/postings` partitioned by
+    * `tb = pmod(xxhash64(token), nBuckets)` (directory count is
+    * `nBuckets`, never vocabulary size) and the 1-row corpus stats at
+    * `<path>/stats`. The explode pass over the corpus happens HERE,
+    * once; queries only ever read probed buckets. */
+  def writePostings(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    postings(docs, idCol, textCol)
+      .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    corpusStats(docs, textCol)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a [[writePostings]] index: the query terms'
+    * bucket ids become a literal partition filter (TextIndexSpec gates
+    * `PartitionFilters`), so the scan opens ≤ |terms| of the
+    * `nBuckets` directories; df is derived from the pruned postings
+    * (exact — a term's postings live entirely in its bucket). Result
+    * is row-identical to the inline [[bm25TopK]] — the `text_bm25`
+    * oracle SQL gates both. */
+  def bm25TopKIndexed(spark: SparkSession, path: String,
+      queryTerms: Seq[String], k: Int, nBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qt = queryTerms.distinct
+    val buckets = qt.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets)).as("tb"))
+      .distinct().as[Long].collect()
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets.toIndexedSeq: _*) &&
+        col("token").isin(qt: _*))
+    score(post, spark.read.parquet(s"$path/stats"), k, k1, b)
+  }
+
+  /** Shared scoring tail: per-term df over the pruned postings
+    * (broadcast), idf = ln((N − df + ½)/(df + ½) + 1) (the
+    * Lucene-style floor-at-zero variant), per-posting contribution
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), summed per doc,
+    * rounded, top-k by (score desc, id). */
+  private def score(post: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    // sum(when(tf≥1)) — not count(1) — keeps `tf` referenced so this
+    // branch's aggregate subtree stays canonically identical to the
+    // scoring branch's and the postings exchange is reused.
+    val dfRel = post.groupBy("token")
+      .agg(sum(when(col("tf") >= 1, 1L).otherwise(0L)).as("df"))
+    post
+      .join(broadcast(dfRel), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id").agg(round(sum(col("contrib")), 4).as("score"))
+      // Distributed top-k (TakeOrderedAndProject — per-partition heads
+      // merged on the driver, no single-partition exchange); the rank
+      // window then only ever sees k rows.
+      .orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("id"))))
+      .select(col("id"), col("score"), col("rk"))
+  }
+}

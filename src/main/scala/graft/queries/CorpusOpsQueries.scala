@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Curation, Sampling, TextAnalysis}
+import graft.ops.{Curation, Sampling, TextAnalysis, TextIndex}
 import org.apache.spark.sql.functions._
 
 /** Fourth wave of the query surface (round 8): the corpus-operations
@@ -563,7 +563,56 @@ object CorpusOpsQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** BM25 ranked retrieval ([[graft.ops.TextIndex.bm25TopK]]): top-50
+    * docs for a fixed 3-term query — the lexical complement of the ANN
+    * family, used for retrieval dedup and contamination triage. Scores
+    * rounded to 4 dp before ranking in BOTH engines (the text_tfidf
+    * convention), ties by doc id, so rank order is cross-engine
+    * deterministic. */
+  val textBm25: Q = (s, dir) =>
+    TextIndex.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 50)
+      .orderBy(col("rk"))
+
+  val textBm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |dl_t AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_t),
+      |post AS (
+      |  SELECT token, doc_id, count(*) AS tf FROM toks
+      |  WHERE token IN ('spark', 'window', 'merge') GROUP BY token, doc_id),
+      |df_t AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+      |scored AS (
+      |  SELECT doc_id AS id,
+      |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      |  FROM post JOIN df_t USING (token) JOIN dl_t USING (doc_id) CROSS JOIN stats
+      |  GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT id, score, row_number() OVER (ORDER BY score DESC, id) AS rk
+      |  FROM scored)
+      |SELECT id, score, rk FROM ranked WHERE rk <= 50 ORDER BY rk""".stripMargin
+
+  /** The same retrieval through a [[graft.ops.TextIndex.writePostings]]
+    * write-time index: token-hash-bucketed postings probed via literal
+    * partition filters. Row-identical to the inline path by contract —
+    * it shares [[textBm25Sql]], the decontaminate_bloom gating trick.
+    * The explode pass over the corpus happens at WRITE time; the timed
+    * query reads ≤ |terms| bucket directories. */
+  val textBm25Indexed: Q = (s, dir) => {
+    val idx = graft.Staging.dirFor("bm25-postings")
+    TextIndex.writePostings(Tables.documents(s, dir), "doc_id", "text",
+      idx, nBuckets = 64)
+    TextIndex.bm25TopKIndexed(s, idx, Seq("spark", "window", "merge"),
+        k = 50, nBuckets = 64)
+      .orderBy(col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
+    "text_bm25" -> textBm25,
+    "text_bm25_indexed" -> textBm25Indexed,
     "text_gopher_quality" -> textGopherQuality,
     "text_decontaminate" -> textDecontaminate,
     "text_decontaminate_bloom" -> textDecontaminateBloom,
@@ -578,6 +627,8 @@ object CorpusOpsQueries {
     "q_bucket_join" -> qBucketJoin)
 
   val oracles: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql,
+    "text_bm25_indexed" -> textBm25Sql,
     "text_gopher_quality" -> textGopherQualitySql,
     "text_decontaminate" -> textDecontaminateSql,
     "text_decontaminate_bloom" -> textDecontaminateSql,
