@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Curation, Sampling, TextAnalysis, TextIndex}
+import graft.ops.{Chunking, Curation, Sampling, TextAnalysis, TextIndex}
 import org.apache.spark.sql.functions._
 
 /** Fourth wave of the query surface (round 8): the corpus-operations
@@ -610,7 +610,126 @@ object CorpusOpsQueries {
       .orderBy(col("rk"))
   }
 
+  /** Context-window chunking ([[graft.ops.Chunking.chunk]]): 32-token
+    * windows at stride 24 (8-token overlap) — zero-shuffle narrow
+    * projection, every chunk carried as its portable md5-60 hash plus
+    * reconstruction coordinates. The oracle replays the window-start
+    * contract (multiples of stride in [0, min(n−1, n−size+stride−1)]),
+    * the slice, and the hash. */
+  val textChunk: Q = (s, dir) =>
+    Chunking.chunk(Tables.documents(s, dir), "doc_id", "text",
+        size = 32, stride = 24)
+      .orderBy(col("id"), col("chunk_idx"))
+
+  val textChunkSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |sized AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+       |starts AS (
+       |  SELECT doc_id, ts, n,
+       |    unnest(generate_series(0, least(n - 1, greatest(n - 32 + 24 - 1, 0)), 24)) AS st
+       |  FROM sized),
+       |chunks AS (
+       |  SELECT doc_id, st // 24 AS chunk_idx, st AS tok_start,
+       |    list_slice(ts, st + 1, st + 32) AS chunk
+       |  FROM starts),
+       |hashed AS (
+       |  SELECT doc_id, chunk_idx, tok_start, len(chunk) AS n_tokens,
+       |    substring(md5(array_to_string(chunk, ' ')), 1, 15) AS h15
+       |  FROM chunks)
+       |SELECT doc_id AS id, chunk_idx, tok_start, n_tokens,
+       |  CAST($hexVal AS BIGINT) AS chunk_hash
+       |FROM hashed ORDER BY id, chunk_idx""".stripMargin
+  }
+
+  /** Portable HyperLogLog distinct counts ([[graft.ops.Sketches]]):
+    * per event type, sketched distinct event ids AND distinct user
+    * ids, both p=9 (m=512), next to their exact counts. BOTH sketches
+    * come out of ONE pass over events (tagged explode → shared
+    * register aggregation — the single-pass lesson from
+    * tokenKlDivergence applied to sketch families); the exact counts
+    * are a second scan. Cardinalities are chosen by the data: event_id
+    * (~2k/group at sf0.01) exercises the raw-HLL branch, user_id
+    * (~150/group) the linear-counting branch — the oracle replays the
+    * whole computation including the branch pick, so BOTH corrections
+    * are hash-gated. */
+  val qHllDistinct: Q = (s, dir) => {
+    import graft.ops.Sketches
+    val ev = Tables.events(s, dir)
+    // one corpus pass for both sketches: tag each row into the two
+    // value domains, then group registers by (event_type, tag). The
+    // tag rides inside the hashed string as a domain separator.
+    val tagged = ev.select(col("event_type"),
+        explode(array(
+          struct(lit("E").as("tag"), col("event_id").cast("string").as("v")),
+          struct(lit("U").as("tag"), col("user_id").cast("string").as("v")))).as("x"))
+      .select(col("event_type"), col("x.tag").as("tag"),
+        concat(col("x.tag"), lit("|"), col("x.v")).as("tv"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(tagged, Seq("event_type", "tag"), col("tv"),
+        seed = "hll", p = 9),
+      Seq("event_type", "tag"), p = 9)
+    val wide = est.groupBy(col("event_type")).agg(
+      max(when(col("tag") === "E", col("approx"))).as("approx_events"),
+      max(when(col("tag") === "U", col("approx"))).as("approx_users"))
+    val exact = ev.groupBy(col("event_type")).agg(
+      countDistinct(col("event_id")).as("exact_events"),
+      countDistinct(col("user_id")).as("exact_users"))
+    exact.join(wide, Seq("event_type"))
+      .select(col("event_type"), col("exact_events"), col("approx_events"),
+        col("exact_users"), col("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val qHllDistinctSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH vals AS (
+       |  SELECT event_type, 'E' AS tag, 'E|' || CAST(event_id AS VARCHAR) AS tv FROM events
+       |  UNION ALL
+       |  SELECT event_type, 'U' AS tag, 'U|' || CAST(user_id AS VARCHAR) AS tv FROM events),
+       |hashed AS (
+       |  SELECT event_type, tag, substring(md5('hll' || tv), 1, 15) AS h15 FROM vals),
+       |hv AS (SELECT event_type, tag, CAST($hexVal AS BIGINT) AS h FROM hashed),
+       |regs AS (
+       |  SELECT event_type, tag, h & 511 AS j,
+       |    max(52 - length(ltrim(bin(h >> 9), '0'))) AS mj
+       |  FROM hv GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT event_type, tag,
+       |    sum(1::BIGINT << (52 - mj)) AS s_occ, count(*) AS occupied
+       |  FROM regs GROUP BY 1, 2),
+       |est AS (
+       |  SELECT event_type, tag,
+       |    CASE WHEN e_raw <= 1280.0 AND zeros > 0
+       |         THEN round(512.0 * ln(512.0 / zeros), 2)
+       |         ELSE round(e_raw, 2) END AS approx
+       |  FROM (SELECT event_type, tag, 512 - occupied AS zeros,
+       |          (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+       |            * CAST(1::BIGINT << 52 AS DOUBLE)
+       |            / CAST(s_occ + (512 - occupied) * (1::BIGINT << 52) AS DOUBLE) AS e_raw
+       |        FROM agg)),
+       |exact AS (
+       |  SELECT event_type, count(DISTINCT event_id) AS exact_events,
+       |         count(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY 1)
+       |SELECT x.event_type, exact_events,
+       |  max(CASE WHEN tag = 'E' THEN approx END) AS approx_events,
+       |  exact_users,
+       |  max(CASE WHEN tag = 'U' THEN approx END) AS approx_users
+       |FROM exact x JOIN est USING (event_type)
+       |GROUP BY x.event_type, exact_events, exact_users
+       |ORDER BY event_type""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "text_chunk" -> textChunk,
+    "q_hll_distinct" -> qHllDistinct,
     "text_bm25" -> textBm25,
     "text_bm25_indexed" -> textBm25Indexed,
     "text_gopher_quality" -> textGopherQuality,
@@ -627,6 +746,8 @@ object CorpusOpsQueries {
     "q_bucket_join" -> qBucketJoin)
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" -> textChunkSql,
+    "q_hll_distinct" -> qHllDistinctSql,
     "text_bm25" -> textBm25Sql,
     "text_bm25_indexed" -> textBm25Sql,
     "text_gopher_quality" -> textGopherQualitySql,

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking ([[Chunking]]): the window-start contract
+  * on crafted token counts (overlap, redundant-tail drop, gap strides,
+  * short docs), full-coverage property, hash portability across docs,
+  * and the zero-shuffle plan gate. Cross-engine replay is the
+  * `text_chunk` oracle. */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(n: Int, id: Long = 1L) =
+    Seq((id, (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+
+  private def windows(n: Int, size: Int, stride: Int): Seq[(Long, Long, Long)] =
+    Chunking.chunk(doc(n), "doc_id", "text", size, stride)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "tok_start", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+
+  test("overlapping windows: full-size bodies, short tail, redundant tail dropped") {
+    // n=10, size=8, stride=4: naive starts {0,4,8} but [8,10) ⊆ [4,10)
+    // adds no new tokens — the contract drops it.
+    assert(windows(10, 8, 4) == Seq((0L, 0L, 8L), (1L, 4L, 6L)))
+    // n=13: start 8's window [8,13) reaches past [4,12) — kept.
+    assert(windows(13, 8, 4) == Seq((0L, 0L, 8L), (1L, 4L, 8L), (2L, 8L, 5L)))
+  }
+
+  test("gap stride (stride > size) samples without emitting empty windows") {
+    // n=10, size=2, stride=5: a naive upper bound n−size+stride−1 = 12
+    // would admit start 10 — an EMPTY window; the n−1 clamp forbids it.
+    assert(windows(10, 2, 5) == Seq((0L, 0L, 2L), (1L, 5L, 2L)))
+    // n=11 legitimately has a 1-token window at start 10.
+    assert(windows(11, 2, 5) == Seq((0L, 0L, 2L), (1L, 5L, 2L), (2L, 10L, 1L)))
+  }
+
+  test("docs shorter than the window yield exactly one full-doc chunk") {
+    assert(windows(3, 8, 4) == Seq((0L, 0L, 3L)))
+  }
+
+  test("stride ≤ size covers every token exactly (no holes)") {
+    val ws = windows(23, 8, 6)
+    assert(ws == Seq((0L, 0L, 8L), (1L, 6L, 8L), (2L, 12L, 8L), (3L, 18L, 5L)))
+    val covered = ws.flatMap { case (_, st, nt) => st until (st + nt) }.toSet
+    assert(covered == (0L until 23L).toSet, "every token index in some chunk")
+  }
+
+  test("identical window text hashes identically across documents") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val hs = Chunking.chunk(docs, "doc_id", "text", size = 6, stride = 6)
+      .select("chunk_hash").as[Long].collect()
+    assert(hs.length == 2 && hs.distinct.length == 1,
+      "chunk hash is a pure function of window text — cross-doc chunk dedup joins on it")
+  }
+
+  test("null and token-free documents produce no chunks") {
+    val docs = Seq((1L, "a b"), (2L, null), (3L, "   ")).toDF("doc_id", "text")
+    val ids = Chunking.chunk(docs, "doc_id", "text", 4, 4)
+      .select("id").as[Long].collect().toSeq
+    assert(ids == Seq(1L))
+  }
+
+  test("plan: chunking is a narrow, shuffle-free projection") {
+    val p = Chunking.chunk(doc(50), "doc_id", "text", 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"chunking must be embarrassingly parallel — zero exchanges:\n$p")
+  }
+}
