@@ -82,7 +82,8 @@ object Bench {
     "text_pii_scrub",
     "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
     "corpus_pipeline", "q_layout_scan", "q_layout_zorder", "q_bucket_join",
-    "text_bm25", "text_bm25_indexed", "text_chunk", "q_hll_distinct")
+    "text_bm25", "text_bm25_indexed", "text_chunk", "q_hll_distinct",
+    "text_span_scrub")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -174,7 +175,9 @@ object Bench {
     // narrow zero-shuffle chunking / two-sketch single-pass HLL
     // (quiet mins 0.67 / 1.07 s sf0.1)
     "text_chunk" -> 2.0,
-    "q_hll_distinct" -> 3.0)
+    "q_hll_distinct" -> 3.0,
+    // span df + kept-list agg + pruned rebuild rescan (quiet min 1.41 s)
+    "text_span_scrub" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

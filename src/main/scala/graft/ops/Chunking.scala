@@ -39,6 +39,56 @@ object Chunking {
   private def tokens(textCol: Column): Column =
     filter(split(textCol, "\\s+"), t => t =!= "")
 
+  /** Cross-document repeated-span removal (C4/RefinedWeb-style
+    * boilerplate scrub): split each doc into DISJOINT `span`-token
+    * windows, count each distinct span's cross-doc document frequency,
+    * drop spans appearing in more than `maxDf` docs, and rebuild the
+    * scrubbed token stream from the kept windows. Near-duplicate and
+    * templated documents share exact spans (headers, footers, license
+    * blocks); span-level df is the classic signal that removes the
+    * shared boilerplate while keeping each doc's unique content.
+    *
+    * Output: `(id, n_spans, n_kept, n_tokens_clean, clean_hash)` with
+    * `clean_hash` the md5-60 of the space-rejoined scrubbed stream
+    * (narrow artifact; reconstruction coordinates live in [[chunk]]).
+    *
+    * Scale shape: span df is one aggregation keyed by the 8-byte span
+    * hash (count-distinct-doc under it — the exchange carries (hash,
+    * id) pairs, linear in corpus spans); the verdict joins back to the
+    * span relation and reduces to a per-doc kept-index LIST, so the
+    * only shuffled payloads are hashes and integer indices. The
+    * rebuild then RE-SCANS the base table (column-pruned to id+text)
+    * and re-slices locally — two cheap scans instead of shuttling the
+    * corpus text through two exchanges, the right trade at 100 TB
+    * where scan bandwidth is plentiful and shuffle is the bottleneck.
+    * The per-doc re-slice is a HOF lambda (interpreted, not codegen) —
+    * bounded by kept-span count per doc, far off the hot path.
+    */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      span: Int, maxDf: Long = 1L): DataFrame = {
+    require(span > 0, "span must be positive")
+    val spans = chunk(docs, idCol, textCol, size = span, stride = span)
+    val dfRel = spans.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("id")).as("df"))
+    val perDoc = spans.join(dfRel, Seq("chunk_hash"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops nulls, so the when() keeps only surviving
+        // window indices; sort restores document order.
+        sort_array(collect_list(when(col("df") <= maxDf, col("chunk_idx"))))
+          .as("kept"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .join(perDoc, Seq("id"))
+      .withColumn("ct", flatten(transform(col("kept"),
+        i => slice(col("ts"), (i * span + 1).cast("int"), lit(span)))))
+      .select(col("id"), col("n_spans"), col("n_kept"),
+        org.apache.spark.sql.functions.size(col("ct")).as("n_tokens_clean"),
+        Dedup.md5TokenHash60(array_join(col("ct"), " ")).as("clean_hash"))
+  }
+
   /** One row per (doc, window): `(id, chunk_idx, tok_start, n_tokens,
     * chunk_hash)` with `chunk_hash` the engine-portable md5-60 of the
     * space-rejoined window ([[Dedup.md5TokenHash60]]). */

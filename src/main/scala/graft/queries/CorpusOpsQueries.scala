@@ -646,6 +646,59 @@ object CorpusOpsQueries {
        |FROM hashed ORDER BY id, chunk_idx""".stripMargin
   }
 
+  /** Cross-document repeated-span scrub
+    * ([[graft.ops.Chunking.scrubRepeatedSpans]]): 8-token disjoint
+    * spans, drop any span shared by ≥2 docs (maxDf=1) — at sf0.01 this
+    * touches ~93 of 500 docs (the near-dup/templated share), so the
+    * gate is load-bearing. The oracle replays span df (count distinct
+    * doc), the keep verdict, and the rebuilt-stream hash. */
+  val textSpanScrub: Q = (s, dir) =>
+    Chunking.scrubRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        span = 8, maxDf = 1L)
+      .orderBy(col("id"))
+
+  val textSpanScrubSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val hexVal2 = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15c, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |sized AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+       |starts AS (
+       |  SELECT doc_id, ts, unnest(generate_series(0, n - 1, 8)) AS st FROM sized),
+       |chunks AS (
+       |  SELECT doc_id, st // 8 AS ci, list_slice(ts, st + 1, st + 8) AS chunk
+       |  FROM starts),
+       |hashed AS (
+       |  SELECT doc_id, ci, chunk,
+       |    substring(md5(array_to_string(chunk, ' ')), 1, 15) AS h15
+       |  FROM chunks),
+       |hv AS (SELECT doc_id, ci, chunk, CAST($hexVal AS BIGINT) AS h FROM hashed),
+       |df AS (SELECT h, count(DISTINCT doc_id) AS df FROM hv GROUP BY h),
+       |joined AS (SELECT doc_id, ci, chunk, df FROM hv JOIN df USING (h)),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(count(*) FILTER (WHERE df <= 1) AS BIGINT) AS n_kept
+       |  FROM joined GROUP BY doc_id),
+       |clean AS (
+       |  SELECT doc_id, flatten(list(chunk ORDER BY ci)) AS ct
+       |  FROM joined WHERE df <= 1 GROUP BY doc_id),
+       |final AS (
+       |  SELECT p.doc_id, n_spans, n_kept,
+       |    CAST(COALESCE(len(c.ct), 0) AS INTEGER) AS n_tokens_clean,
+       |    -- DuckDB array_to_string of an empty/NULL list is NULL, Spark's
+       |    -- array_join is '' — coalesce at the string level
+       |    substring(md5(COALESCE(array_to_string(c.ct, ' '), '')), 1, 15) AS h15c
+       |  FROM perdoc p LEFT JOIN clean c USING (doc_id))
+       |SELECT doc_id AS id, n_spans, n_kept, n_tokens_clean,
+       |  CAST($hexVal2 AS BIGINT) AS clean_hash
+       |FROM final ORDER BY id""".stripMargin
+  }
+
   /** Portable HyperLogLog distinct counts ([[graft.ops.Sketches]]):
     * per event type, sketched distinct event ids AND distinct user
     * ids, both p=9 (m=512), next to their exact counts. BOTH sketches
@@ -729,6 +782,7 @@ object CorpusOpsQueries {
 
   val all: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
+    "text_span_scrub" -> textSpanScrub,
     "q_hll_distinct" -> qHllDistinct,
     "text_bm25" -> textBm25,
     "text_bm25_indexed" -> textBm25Indexed,
@@ -747,6 +801,7 @@ object CorpusOpsQueries {
 
   val oracles: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
+    "text_span_scrub" -> textSpanScrubSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "text_bm25" -> textBm25Sql,
     "text_bm25_indexed" -> textBm25Sql,

@@ -64,6 +64,38 @@ class ChunkingSpec extends SparkSpec {
     assert(ids == Seq(1L))
   }
 
+  private def md5_60(s: String): Long =
+    Seq(s).toDF("t").select(Dedup.md5TokenHash60(col("t"))).as[Long].head()
+
+  test("scrubRepeatedSpans drops cross-doc boilerplate, keeps unique content, rebuilds in order") {
+    val docs = Seq(
+      (1L, "h1 h2 h3 h4 a b c d"),  // header + unique body
+      (2L, "h1 h2 h3 h4 e f g h"),  // same header, different body
+      (3L, "x y z w"),              // untouched
+      (4L, "h1 h2 h3 h4"),          // all boilerplate → empty
+      (5L, "h1 h2 h3 h4 t1 t2")     // partial-tail span survives
+    ).toDF("doc_id", "text")
+    val r = Chunking.scrubRepeatedSpans(docs, "doc_id", "text", span = 4, maxDf = 1L)
+      .orderBy("id")
+      .as[(Long, Long, Long, Int, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 2L, 1L, 4, md5_60("a b c d")),
+      (2L, 2L, 1L, 4, md5_60("e f g h")),
+      (3L, 1L, 1L, 4, md5_60("x y z w")),
+      (4L, 1L, 0L, 0, md5_60("")),
+      (5L, 2L, 1L, 2, md5_60("t1 t2"))))
+  }
+
+  test("scrubRepeatedSpans with maxDf=2 tolerates pairs, still removes 3-way spans") {
+    val docs = Seq(
+      (1L, "p q r s"), (2L, "p q r s"), (3L, "p q r s"), // df=3 → dropped
+      (4L, "u v w x"), (5L, "u v w x")                   // df=2 → kept
+    ).toDF("doc_id", "text")
+    val kept = Chunking.scrubRepeatedSpans(docs, "doc_id", "text", span = 4, maxDf = 2L)
+      .select("id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("plan: chunking is a narrow, shuffle-free projection") {
     val p = Chunking.chunk(doc(50), "doc_id", "text", 32, 24)
       .queryExecution.executedPlan.toString
