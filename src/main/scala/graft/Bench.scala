@@ -83,7 +83,7 @@ object Bench {
     "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
     "corpus_pipeline", "q_layout_scan", "q_layout_zorder", "q_bucket_join",
     "text_bm25", "text_bm25_indexed", "text_chunk", "q_hll_distinct",
-    "text_span_scrub")
+    "text_span_scrub", "q_cms_topk")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -177,7 +177,9 @@ object Bench {
     "text_chunk" -> 2.0,
     "q_hll_distinct" -> 3.0,
     // span df + kept-list agg + pruned rebuild rescan (quiet min 1.41 s)
-    "text_span_scrub" -> 3.0)
+    "text_span_scrub" -> 3.0,
+    // vocab agg + 4x16-cell sketch (quiet min 0.79 s, flat to sf1)
+    "q_cms_topk" -> 2.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

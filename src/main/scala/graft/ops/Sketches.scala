@@ -99,4 +99,52 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
       seed: String, p: Int = 9): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, value, seed, p), groupCols, p)
+
+  // ------------------------------------------------------------------
+  // Count-min sketch: the frequency member of the sketch family
+  // (HLL answers "how many distinct", CMS answers "how often is X").
+  // ------------------------------------------------------------------
+
+  /** The d seeded bucket hashes of a value — shared by build and
+    * lookup so the two sides can never drift. */
+  private def cmsHashes(value: Column, seed: String, d: Int, w: Int): Column =
+    array((0 until d).map(i =>
+      struct(lit(i).as("i"),
+        pmod(Dedup.md5TokenHash60(concat(lit(s"$seed$i|"), value.cast("string"))),
+          lit(w.toLong)).as("bucket"))): _*)
+
+  /** Build a count-min sketch of `value` frequencies: `(i, bucket, c)`
+    * with `c = Σ` occurrences hashing to that cell — `d` independent
+    * rows of `w` counters. The sketch is `d·w` cells REGARDLESS of
+    * vocabulary or corpus size (one aggregation exchange keyed by
+    * (i, bucket), map-side combined), and sketches of disjoint splits
+    * merge by cell-wise `c` addition — re-run [[cmsLookup]] after a
+    * union-and-sum. Point estimates only ever OVER-count (collisions
+    * add, never subtract): error ≤ e·N/w with prob 1−e^(−d).
+    * All-integer arithmetic — the `q_cms_topk` oracle replays it with
+    * zero rounding concerns. */
+  def cmsSketch(df: DataFrame, value: Column, seed: String,
+      d: Int = 4, w: Int = 1024, weight: Column = lit(1L)): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d ≥ 1 rows of w ≥ 2 counters, got d=$d w=$w")
+    // `weight` lets a pre-aggregated (value, count) relation build the
+    // same sketch as raw occurrences (SketchesSpec pins the identity) —
+    // when a query computes exact counts anyway, the sketch derives
+    // from the vocab-sized relation instead of a second corpus pass.
+    df.select(explode(cmsHashes(value, seed, d, w)).as("x"), weight.as("wt"))
+      .groupBy(col("x.i").as("i"), col("x.bucket").as("bucket"))
+      .agg(sum(col("wt")).cast("long").as("c"))
+  }
+
+  /** Estimate each candidate's frequency from the sketch:
+    * `est(v) = min_i c[i][h_i(v)]` (0 when every cell is absent —
+    * possible only for values never sketched). The sketch side is tiny
+    * by construction, so it broadcasts; candidates stream past it. */
+  def cmsLookup(sketch: DataFrame, candidates: DataFrame, value: Column,
+      seed: String, d: Int = 4, w: Int = 1024): DataFrame =
+    candidates.select(value.as("v"),
+        explode(cmsHashes(value, seed, d, w)).as("x"))
+      .join(broadcast(sketch),
+        col("x.i") === col("i") && col("x.bucket") === col("bucket"), "left")
+      .groupBy(col("v"))
+      .agg(coalesce(min(col("c")), lit(0L)).as("est"))
 }

@@ -780,9 +780,62 @@ object CorpusOpsQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Count-min heavy hitters ([[graft.ops.Sketches.cmsSketch]]): the
+    * top-20 tokens by exact count next to their CMS estimates at a
+    * deliberately TINY sketch (d=4, w=16 for a 31-token vocabulary) so
+    * collisions are guaranteed and the min-over-rows semantics is
+    * load-bearing, not vacuous. The sketch derives from the exact
+    * vocab relation via the weighted build (one corpus pass; the
+    * (token) aggregation exchange is shared by the top-k and the
+    * sketch branches). All-integer — the oracle replays hash, cells,
+    * and min with zero rounding. */
+  val qCmsTopk: Q = (s, dir) => {
+    import graft.ops.Sketches
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    val top = vocab.orderBy(col("n_exact").desc, col("token")).limit(20)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n_exact").desc, col("token"))))
+    val sketch = Sketches.cmsSketch(vocab, col("token"), "cm", d = 4, w = 16,
+      weight = col("n_exact"))
+    val est = Sketches.cmsLookup(sketch, top, col("token"), "cm", d = 4, w = 16)
+    top.join(est, col("token") === col("v"))
+      .select(col("token"), col("n_exact"), col("est").as("n_cms"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  val qCmsTopkSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+       |  FROM documents WHERE text IS NOT NULL),
+       |vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY token),
+       |top20 AS (
+       |  SELECT token, n_exact, CAST(row_number() OVER (ORDER BY n_exact DESC, token) AS INTEGER) AS rk
+       |  FROM vocab QUALIFY rk <= 20),
+       |hashed AS (
+       |  SELECT token, n_exact, i,
+       |    substring(md5('cm' || CAST(i AS VARCHAR) || '|' || token), 1, 15) AS h15
+       |  FROM vocab CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+       |hv AS (SELECT token, n_exact, i, CAST($hexVal AS BIGINT) % 16 AS bucket FROM hashed),
+       |cells AS (SELECT i, bucket, sum(n_exact) AS c FROM hv GROUP BY 1, 2),
+       |est AS (
+       |  SELECT h.token, CAST(min(c.c) AS BIGINT) AS n_cms
+       |  FROM hv h JOIN cells c ON h.i = c.i AND h.bucket = c.bucket
+       |  GROUP BY h.token)
+       |SELECT t.token, t.n_exact, e.n_cms, t.rk
+       |FROM top20 t JOIN est e USING (token)
+       |ORDER BY rk""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "text_span_scrub" -> textSpanScrub,
+    "q_cms_topk" -> qCmsTopk,
     "q_hll_distinct" -> qHllDistinct,
     "text_bm25" -> textBm25,
     "text_bm25_indexed" -> textBm25Indexed,
@@ -802,6 +855,7 @@ object CorpusOpsQueries {
   val oracles: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
     "text_span_scrub" -> textSpanScrubSql,
+    "q_cms_topk" -> qCmsTopkSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "text_bm25" -> textBm25Sql,
     "text_bm25_indexed" -> textBm25Sql,

@@ -57,6 +57,56 @@ class SketchesSpec extends SparkSpec {
     assert(one == many, s"max-based sketch cannot depend on arrival order: $one vs $many")
   }
 
+  private def tokenStream = Tables.documents(spark, sf001)
+    .filter(col("text").isNotNull)
+    .select(explode(org.apache.spark.sql.functions.filter(
+      split(col("text"), "\\s+"), t => t =!= "")).as("token"))
+
+  test("CMS never underestimates; wide sketch is collision-free exact") {
+    val toks = tokenStream
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    // tiny sketch: collisions guaranteed (31 tokens into 16 buckets)
+    val tiny = Sketches.cmsLookup(
+        Sketches.cmsSketch(toks, col("token"), "t1", d = 4, w = 16),
+        exact, col("token"), "t1", d = 4, w = 16)
+      .join(exact, col("v") === col("token"))
+      .select("v", "est", "n").as[(String, Long, Long)].collect()
+    assert(tiny.nonEmpty && tiny.forall { case (_, est, n) => est >= n },
+      s"CMS must only over-count: ${tiny.filter(t => t._2 < t._3).toSeq}")
+    assert(tiny.exists { case (_, est, n) => est > n },
+      "w=16 over a 31-token vocab must actually collide somewhere")
+    // wide sketch: every token exact
+    val wide = Sketches.cmsLookup(
+        Sketches.cmsSketch(toks, col("token"), "t1", d = 4, w = 4096),
+        exact, col("token"), "t1", d = 4, w = 4096)
+      .join(exact, col("v") === col("token"))
+      .select("est", "n").as[(Long, Long)].collect()
+    assert(wide.forall { case (est, n) => est == n },
+      "4096 buckets for 31 tokens: min over 4 rows must hit a clean cell")
+  }
+
+  test("CMS weighted build from pre-aggregated counts equals the raw-occurrence build") {
+    val toks = tokenStream
+    val raw = Sketches.cmsSketch(toks, col("token"), "t2", d = 4, w = 16)
+    val agg = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val weighted = Sketches.cmsSketch(agg, col("token"), "t2", d = 4, w = 16,
+      weight = col("n"))
+    assert(raw.as[(Int, Long, Long)].collect().toSet ==
+      weighted.as[(Int, Long, Long)].collect().toSet,
+      "sketching (value, count) with weights must be cell-identical to raw occurrences")
+  }
+
+  test("CMS sketches of disjoint splits merge by cell-wise addition") {
+    val toks = tokenStream.withColumn("half", xxhash64(col("token")) % 2 === 0)
+    val whole = Sketches.cmsSketch(toks, col("token"), "t3", d = 4, w = 16)
+    val a = Sketches.cmsSketch(toks.filter(col("half")), col("token"), "t3", d = 4, w = 16)
+    val b = Sketches.cmsSketch(toks.filter(!col("half")), col("token"), "t3", d = 4, w = 16)
+    val merged = a.union(b).groupBy("i", "bucket").agg(sum("c").as("c"))
+    assert(merged.as[(Int, Long, Long)].collect().toSet ==
+      whole.as[(Int, Long, Long)].collect().toSet,
+      "cell-wise sum of split sketches must equal the whole-corpus sketch")
+  }
+
   test("plan: two aggregation exchanges total — registers then group rollup") {
     val li = Tables.lineitem(spark, sf001).withColumn("g", col("l_returnflag"))
     val q = Sketches.hllDistinct(li, Seq("g"), col("l_orderkey"), "s5", p = 9)
