@@ -136,6 +136,44 @@ object Sampling {
       .drop("_bucket", "_boff", "_prior")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis exponential-key race: each row draws
+    * `wkey = −ln(u)/weight` from its deterministic uniform and the k
+    * SMALLEST keys win (a heavier row's key shrinks proportionally, so
+    * inclusion probability tracks weight). The textbook sequential
+    * algorithm keeps a cumulative-weight walk no distributed engine
+    * can run; the key form is stateless per row + a top-k — THE
+    * distributed formulation, and because `u` is the seeded md5-60
+    * uniform (not `rand()`), the sample inherits [[stratifiedSample]]'s
+    * reproducibility: a pure function of (seed, key), identical across
+    * re-runs and partitionings, and the k=10 sample is a prefix of the
+    * k=20 sample (rank nesting).
+    *
+    * Keys are rounded to 8 dp (ties then broken by `keyCol`) so the
+    * `q_sample_weighted` oracle can replay the ranking cross-engine —
+    * the [[graft.ops.TextAnalysis]] ln convention. Rows with
+    * non-positive weight are excluded (a zero-weight row must never
+    * win; `−ln(u)/0` is ill-defined).
+    *
+    * 100 TB shape: one window top-k per group partition. For a hot
+    * group (or the global k-of-corpus case) compose with the salted
+    * two-phase top-k exactly as `q_skew_topk` does for plain ranking —
+    * the key is just another ORDER BY column.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: String, groupCols: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("wkey"), col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey",
+        round(-log(hashUniform(col(keyCol), seed)) /
+          col(weightCol).cast("double"), 8))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Temperature-based mix plan: per-group sampling targets that
     * flatten the natural size distribution, `w_g ∝ n_g^tau` (tau < 1
     * up-weights small sources — the standard multilingual/multi-source

@@ -832,10 +832,43 @@ object CorpusOpsQueries {
        |ORDER BY rk""".stripMargin
   }
 
+  /** Weighted sample without replacement
+    * ([[graft.ops.Sampling.weightedSample]]): 10 docs per source,
+    * weight = n_chars (longer docs proportionally likelier). The
+    * oracle replays the uniform, the −ln(u)/w key, the 8-dp rounding,
+    * and the per-group race. */
+  val qSampleWeighted: Q = (s, dir) =>
+    Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
+        k = 10, seed = "ws", groupCols = Seq("source"))
+      .select(col("source"), col("doc_id").as("id"), col("wkey"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+
+  val qSampleWeightedSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH hashed AS (
+       |  SELECT source, doc_id, n_chars,
+       |    substring(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 15) AS h15
+       |  FROM documents WHERE n_chars > 0),
+       |keyed AS (
+       |  SELECT source, doc_id,
+       |    round(-ln(CAST($hexVal AS DOUBLE) / 1152921504606846976.0)
+       |      / CAST(n_chars AS DOUBLE), 8) AS wkey
+       |  FROM hashed),
+       |ranked AS (
+       |  SELECT source, doc_id AS id, wkey,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY wkey, doc_id) AS INTEGER) AS rk
+       |  FROM keyed)
+       |SELECT source, id, wkey, rk FROM ranked WHERE rk <= 10
+       |ORDER BY source, rk""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "text_span_scrub" -> textSpanScrub,
     "q_cms_topk" -> qCmsTopk,
+    "q_sample_weighted" -> qSampleWeighted,
     "q_hll_distinct" -> qHllDistinct,
     "text_bm25" -> textBm25,
     "text_bm25_indexed" -> textBm25Indexed,
@@ -856,6 +889,7 @@ object CorpusOpsQueries {
     "text_chunk" -> textChunkSql,
     "text_span_scrub" -> textSpanScrubSql,
     "q_cms_topk" -> qCmsTopkSql,
+    "q_sample_weighted" -> qSampleWeightedSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "text_bm25" -> textBm25Sql,
     "text_bm25_indexed" -> textBm25Sql,

@@ -64,6 +64,34 @@ class SamplingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("weightedSample: inclusion tracks weight; deterministic, nested, positive-only") {
+    import spark.implicits._
+    // 100 heavy rows (weight 100) among 900 light (weight 1): heavy mass
+    // is 10000 vs 900, so a k=50 race should be dominated by heavy rows.
+    val pool = ((1 to 100).map(i => (i.toLong, 100L)) ++
+      (101 to 1000).map(i => (i.toLong, 1L))).toDF("id", "w")
+      .withColumn("g", lit("all"))
+    val picked = Sampling.weightedSample(pool, "id", "w", k = 50, seed = "t",
+        groupCols = Seq("g"))
+      .select("id").as[Long].collect().toSet
+    val heavy = picked.count(_ <= 100L)
+    assert(heavy >= 35, s"weight-100 rows must dominate the sample: $heavy/50 heavy")
+    // deterministic across partitionings
+    val again = Sampling.weightedSample(pool.repartition(7), "id", "w", k = 50,
+      seed = "t", groupCols = Seq("g")).select("id").as[Long].collect().toSet
+    assert(again == picked, "sample must be a pure function of (seed, key, weight)")
+    // rank nesting: the k=10 sample is a prefix of the k=50 sample
+    val k10 = Sampling.weightedSample(pool, "id", "w", k = 10, seed = "t",
+      groupCols = Seq("g")).select("id").as[Long].collect().toSet
+    assert(k10.subsetOf(picked), "raising k must only add rows")
+    // non-positive weights can never win
+    val withZero = pool.union(Seq((2000L, 0L), (2001L, -5L)).toDF("id", "w")
+      .withColumn("g", lit("all")))
+    val z = Sampling.weightedSample(withZero, "id", "w", k = 2000, seed = "t",
+      groupCols = Seq("g")).select("id").as[Long].collect().toSet
+    assert(!z.contains(2000L) && !z.contains(2001L))
+  }
+
   test("per-stratum rates steer the mix") {
     val mixed = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.0, "de" -> 1.0), defaultRate = 0.5)
