@@ -96,6 +96,34 @@ class ChunkingSpec extends SparkSpec {
     assert(kept == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("streaming twin: chunking a document stream matches the batch result") {
+    // Chunking is stateless per document, so the SAME operator runs
+    // unchanged inside a streaming query — no watermark, no state
+    // store; each micro-batch chunks its own documents.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val chunked = Chunking.chunk(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", size = 8, stride = 6)
+    val q = chunked.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chunk_stream").start()
+    try {
+      mem.addData((1L, (1 to 23).map(i => s"t$i").mkString(" ")))
+      q.processAllAvailable()
+      mem.addData((2L, "a b c"))
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream")
+        .select("id", "chunk_idx", "tok_start", "n_tokens", "chunk_hash")
+        .as[(Long, Long, Long, Int, Long)].collect().toSet
+      val batch = Chunking.chunk(
+        Seq((1L, (1 to 23).map(i => s"t$i").mkString(" ")), (2L, "a b c"))
+          .toDF("doc_id", "text"), "doc_id", "text", size = 8, stride = 6)
+        .as[(Long, Long, Long, Int, Long)].collect().toSet
+      assert(got == batch, "stream chunks must equal batch chunks")
+    } finally q.stop()
+  }
+
   test("plan: chunking is a narrow, shuffle-free projection") {
     val p = Chunking.chunk(doc(50), "doc_id", "text", 32, 24)
       .queryExecution.executedPlan.toString

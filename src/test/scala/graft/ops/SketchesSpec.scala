@@ -107,6 +107,17 @@ class SketchesSpec extends SparkSpec {
       "cell-wise sum of split sketches must equal the whole-corpus sketch")
   }
 
+  test("plan: CMS lookup broadcasts the sketch — candidates never shuffle for the join") {
+    val toks = tokenStream
+    val sketch = Sketches.cmsSketch(toks, col("token"), "t4", d = 4, w = 16)
+    val cands = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val q = Sketches.cmsLookup(sketch, cands, col("token"), "t4", d = 4, w = 16)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d·w-cell sketch must broadcast (it is corpus-size-independent):\n$p")
+  }
+
   test("plan: two aggregation exchanges total — registers then group rollup") {
     val li = Tables.lineitem(spark, sf001).withColumn("g", col("l_returnflag"))
     val q = Sketches.hllDistinct(li, Seq("g"), col("l_orderkey"), "s5", p = 9)
