@@ -83,7 +83,7 @@ object Bench {
     "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
     "corpus_pipeline", "q_layout_scan", "q_layout_zorder", "q_bucket_join",
     "text_bm25", "text_bm25_indexed", "text_chunk", "q_hll_distinct",
-    "text_span_scrub", "q_cms_topk", "q_sample_weighted")
+    "text_span_scrub", "q_cms_topk", "q_sample_weighted", "text_rank")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -181,7 +181,10 @@ object Bench {
     // vocab agg + 4x16-cell sketch (quiet min 0.79 s, flat to sf1)
     "q_cms_topk" -> 2.0,
     // per-group exponential-key top-k (quiet min 0.52 s, flat to sf1)
-    "q_sample_weighted" -> 2.0)
+    "q_sample_weighted" -> 2.0,
+    // one corpus pass + 10 vocab-sized iterations, each localCheckpointed
+    // (quiet min 3.33 s sf0.1, FLAT to sf1 — iteration cost is vocab-bound)
+    "text_rank" -> 7.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

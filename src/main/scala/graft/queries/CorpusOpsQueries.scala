@@ -864,11 +864,46 @@ object CorpusOpsQueries {
        |ORDER BY source, rk""".stripMargin
   }
 
+  /** TextRank keyword salience ([[graft.ops.TextRank.tokenRank]]):
+    * 10 damped PageRank iterations over the adjacent-token
+    * co-occurrence graph. The oracle replays every iteration in a
+    * recursive CTE — the numeric-fixpoint sibling of `dedup_cluster`'s
+    * label-fixpoint replay. */
+  val textRankQ: Q = (s, dir) =>
+    graft.ops.TextRank.tokenRank(Tables.documents(s, dir), "text",
+        iterations = 10, damping = 0.85)
+      .orderBy(col("rk"))
+
+  val textRankSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+      |  FROM documents WHERE text IS NOT NULL),
+      |sized AS (SELECT ts, len(ts) AS n FROM toks WHERE len(ts) > 1),
+      |idx AS (SELECT ts, unnest(generate_series(1, n - 1)) AS i FROM sized),
+      |pairs AS (SELECT ts[i] AS a, ts[i + 1] AS b FROM idx WHERE ts[i] <> ts[i + 1]),
+      |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+      |edges AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS w FROM sym GROUP BY a, b),
+      |deg AS (SELECT a, sum(w) AS deg FROM edges GROUP BY a),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+      |ew AS (SELECT e.a AS src, e.b AS dst, e.w, d.deg FROM edges e JOIN deg d USING (a)),
+      |ranks(iter, node, r) AS (
+      |  SELECT 0, a, 1.0 / n FROM deg CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT r.iter + 1, e.dst,
+      |    (1.0 - 0.85) / nn.n + 0.85 * sum(r.r * e.w / e.deg)
+      |  FROM ranks r JOIN ew e ON e.src = r.node CROSS JOIN nn
+      |  WHERE r.iter < 10
+      |  GROUP BY r.iter, e.dst, nn.n)
+      |SELECT token, r, CAST(row_number() OVER (ORDER BY r DESC, token) AS INTEGER) AS rk
+      |FROM (SELECT node AS token, round(r, 6) AS r FROM ranks WHERE iter = 10)
+      |ORDER BY rk""".stripMargin
+
   val all: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "text_span_scrub" -> textSpanScrub,
     "q_cms_topk" -> qCmsTopk,
     "q_sample_weighted" -> qSampleWeighted,
+    "text_rank" -> textRankQ,
     "q_hll_distinct" -> qHllDistinct,
     "text_bm25" -> textBm25,
     "text_bm25_indexed" -> textBm25Indexed,
@@ -890,6 +925,7 @@ object CorpusOpsQueries {
     "text_span_scrub" -> textSpanScrubSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_sample_weighted" -> qSampleWeightedSql,
+    "text_rank" -> textRankSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "text_bm25" -> textBm25Sql,
     "text_bm25_indexed" -> textBm25Sql,
