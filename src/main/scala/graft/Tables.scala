@@ -24,13 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default; read it as a long of epoch-nanoseconds (set at read time
-    * so the conf holds in any caller's session). Queries convert with
-    * [[tsSeconds]] / [[tsHourEpoch]]. */
+  /** `events.ts` is normalized to a LONG of epoch-nanoseconds no matter
+    * the physical parquet type, so downstream integer-exact time math
+    * ([[tsSeconds]] / [[tsHourEpoch]]) and the Z-order interleave see a
+    * stable numeric column across data regenerations:
+    *  - TIMESTAMP(NANOS) files (Spark rejects by default) read as the
+    *    nanos long directly via `nanosAsLong`;
+    *  - TIMESTAMP(MICROS/MILLIS) files (possibly NTZ) read as timestamp
+    *    and convert (`unix_micros * 1000` — exact, no float). The NTZ →
+    *    instant cast goes through the session timezone, which is pinned
+    *    UTC here so the wall-clock is read exactly as DuckDB's `epoch()`
+    *    reads a naive timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
 
   /** Epoch seconds from the nanos-long `ts` column. Exact integer math:
