@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
@@ -98,11 +97,13 @@ object IvfIndex {
   }
 
   private def probeJoin(cb: DataFrame, qb: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    cb.join(broadcast(qb), Seq("cell"))
+    // Two-phase rank (Similarity.rankPerQuery): the qid-only window
+    // never sees the full scored candidate set — phase 1 prunes inside
+    // (qid, salt-bucket) first, so the final sort is over ≤ salt×k rows
+    // per query instead of every scored row of every probed cell.
+    val scored = cb.join(broadcast(qb), Seq("cell"))
       .withColumn("score", Similarity.cosine(col("qvec"), col("vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Similarity.rankPerQuery(scored, col("score"), k)
       .select(col("qid"), col("id"), col("score"), col("rank"))
   }
 

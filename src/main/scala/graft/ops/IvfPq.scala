@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ: the composed warehouse-scale ANN index — [[IvfIndex]]'s
@@ -71,13 +70,13 @@ object IvfPq {
       .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
     // ADC stage: (cell, id, codes) joined to the broadcast query probes
     // on cell — each corpus row lives in exactly one cell, so no
-    // candidate de-dup is needed (unlike multi-table LSH).
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))
-    val shortIds = stored.select(col("cell"), col("id"), col("codes"))
+    // candidate de-dup is needed (unlike multi-table LSH). Shortlist cut
+    // is two-phase (Similarity.rankPerQuery) so the qid-only window only
+    // sorts phase-1 survivors, never a query's whole probed-cell scan.
+    val scored = stored.select(col("cell"), col("id"), col("codes"))
       .join(broadcast(qb), Seq("cell"))
       .withColumn("adc", PqIndex.adcScore(col("codes"), col("lut"), cb.m))
-      .withColumn("srank", row_number().over(w))
-      .filter(col("srank") <= shortlist)
+    val shortIds = Similarity.rankPerQuery(scored, col("adc"), shortlist)
       .select(col("qid"), col("id"))
     PqIndex.rerank(shortIds, queries, stored.select(col("id"), col("vec")), k)
   }

@@ -166,11 +166,13 @@ object PqIndex {
   private[ops] def adcShortlist(encoded: DataFrame, queries: DataFrame,
       cb: Codebooks, shortlist: Int): DataFrame = {
     val ql = queries.select(col("qid"), lut(col("qvec"), cb).as("lut"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))
-    encoded.crossJoin(broadcast(ql))
+    // The ADC scan deliberately touches every corpus row, so the
+    // shortlist cut MUST be two-phase (Similarity.rankPerQuery): a
+    // qid-only window here would sort one query's entire scored corpus
+    // in a single reducer.
+    val scored = encoded.crossJoin(broadcast(ql))
       .withColumn("adc", adcScore(col("codes"), col("lut"), cb.m))
-      .withColumn("srank", row_number().over(w))
-      .filter(col("srank") <= shortlist)
+    Similarity.rankPerQuery(scored, col("adc"), shortlist)
       .select(col("qid"), col("id"))
   }
 

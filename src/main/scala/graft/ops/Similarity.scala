@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -34,6 +33,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.functions.cosine_sim(a, b)
 
+  /** Two-phase per-query ranking of a scored candidate relation:
+    * delegates to [[Skew.saltedTopK]] so the `qid`-partitioned window —
+    * which would otherwise funnel EVERY scored row of one query into a
+    * single reducer's sort (the 100 TB straggler: an exhaustive ADC or
+    * brute-force scan has |corpus| rows per query) — only ever sees the
+    * ≤ `salt × k` phase-1 survivors. Ordering is total (`order` desc,
+    * unique `id` tiebreak), so the result is row-identical to the
+    * single-window form (oracle-gated by `q_skew_topk`; the two-window
+    * plan shape is gated in AnnReductionSpec). */
+  private[ops] def rankPerQuery(scored: DataFrame, order: Column, k: Int): DataFrame =
+    Skew.saltedTopK(scored, Seq("qid"), Seq(order.desc, col("id")), k,
+      saltBy = col("id"))
+
   /** Exact top-k neighbors for each query vector.
     *
     * @param queries (qid, qvec) — small; broadcast.
@@ -42,9 +54,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("score", cosine(col("qvec"), col("vec")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankPerQuery(scored, col("score"), k)
       .select(col("qid"), col("id"), col("score"), col("rank"))
   }
 
@@ -96,10 +106,8 @@ object Similarity {
       .distinct()
       .join(broadcast(queries), Seq("qid"))
       .join(corpus, Seq("id"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    cands.withColumn("score", cosine(col("qvec"), col("vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankPerQuery(cands.withColumn("score", cosine(col("qvec"), col("vec"))),
+        col("score"), k)
       .select(col("qid"), col("id"), col("score"), col("rank"))
   }
 
@@ -136,10 +144,8 @@ object Similarity {
       .select(col("qid"), col("id"), col("vec"))
       .dropDuplicates("qid", "id")
       .join(broadcast(queries), Seq("qid"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    cands.withColumn("score", cosine(col("qvec"), col("vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankPerQuery(cands.withColumn("score", cosine(col("qvec"), col("vec"))),
+        col("score"), k)
       .select(col("qid"), col("id"), col("score"), col("rank"))
   }
 
