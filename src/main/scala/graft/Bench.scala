@@ -83,7 +83,8 @@ object Bench {
     "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
     "corpus_pipeline", "q_layout_scan", "q_layout_zorder", "q_bucket_join",
     "text_bm25", "text_bm25_indexed", "text_chunk", "q_hll_distinct",
-    "text_span_scrub", "q_cms_topk", "q_sample_weighted", "text_rank")
+    "text_span_scrub", "q_cms_topk", "q_sample_weighted", "text_rank",
+    "q_quantile_sketch")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -184,7 +185,9 @@ object Bench {
     "q_sample_weighted" -> 2.0,
     // one corpus pass + 10 vocab-sized iterations, each localCheckpointed
     // (quiet min 3.33 s sf0.1, FLAT to sf1 — iteration cost is vocab-bound)
-    "text_rank" -> 7.0)
+    "text_rank" -> 7.0,
+    // bin histogram + bounded per-group window over ≤ bins rows
+    "q_quantile_sketch" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be
@@ -369,7 +372,31 @@ object Bench {
       extraJson ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
     extraJson ++= s""","shuffle_bytes":${objL(shuffleBytes)}"""
     extraJson ++= s""","spill_bytes":${objL(spillBytes.filter(_._2 > 0))}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(results)},"budget_violations":${obj(violations)}$extraJson,"sf":${q(sfDir)}}""")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(results)},"budget_violations":${obj(violations)}$extraJson,"sf":${q(sfDir)}}"""
+    // Full-fidelity record (per-query 3-decimal timings + byte metrics +
+    // stall diagnostics) goes to a stable file the round commits — the
+    // driver's output capture keeps only the LAST ~2000 chars, and
+    // BENCH_r08/r09 both lost their per-query maps when the only copy of
+    // this line straddled that cap.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_artifact.json"), fullLine + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] WARNING: bench_artifact.json not written: ${e.getMessage}") }
+    println(fullLine)
+    // Lean twin printed LAST so one COMPLETE parseable JSON line always
+    // sits inside the tail window: 2-decimal values, no byte maps (those
+    // live in bench_artifact.json). ~1.9 KB at the full 79-query surface.
+    def obj2(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) =>
+        f"${q(k)}:${if (v.isFinite) v else 9999.0}%.2f"
+      }.mkString("{", ",", "}")
+    val leanExtra = new StringBuilder
+    if (subset.isDefined)
+      leanExtra ++= s""","subset":${present.sorted.map(q).mkString("[", ",", "]")}"""
+    if (failures.nonEmpty)
+      leanExtra ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${obj2(results)},"budget_violations":${obj2(violations)}$leanExtra,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
