@@ -147,4 +147,70 @@ object Sketches {
         col("x.i") === col("i") && col("x.bucket") === col("bucket"), "left")
       .groupBy(col("v"))
       .agg(coalesce(min(col("c")), lit(0L)).as("est"))
+
+  // ------------------------------------------------------------------
+  // Fixed-bin quantile sketch: the QUANTILE member of the sketch family
+  // (HLL: "how many distinct", CMS: "how often", this: "what value at
+  // rank q"). Spark's approx_percentile (t-digest) is the production
+  // default (bound-checked in SketchesSpec), but its sketch bytes are
+  // engine-private; this portable twin keeps the family's discipline:
+  // integer-exact counts, DuckDB-replayable end-to-end, merge ≡ whole.
+  // ------------------------------------------------------------------
+
+  /** Per-group equi-width bin histogram of `value`: `(groupCols…, bin,
+    * cnt)` with `bin = floor((value − lo)/width)` — one row per
+    * OCCUPIED bin. This relation IS the mergeable sketch: sketches of
+    * disjoint splits merge by per-bin `cnt` addition (union then
+    * re-sum — SketchesSpec pins split-merge ≡ whole), and its size is
+    * bounded by the bin count of the value RANGE, never the corpus.
+    * One aggregation exchange keyed by (group, bin), map-side combined:
+    * the exchange input is `partitions × groups × bins` worst-case no
+    * matter how many rows are sketched — the same scale shape as
+    * [[hllRegisters]]/[[cmsSketch]].
+    *
+    * All counts are exact integers; the only float is the
+    * `floor((v−lo)/width)` bin assignment, the identical IEEE double
+    * expression DuckDB evaluates — no rounding convention needed. */
+  def histogramSketch(df: DataFrame, groupCols: Seq[String], value: Column,
+      lo: Double, width: Double): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    df.select((groupCols.map(col) :+
+        floor((value - lit(lo)) / lit(width)).cast("long").as("bin")): _*)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sketch → per-group quantile estimates `(groupCols…, <name>…, n)`.
+    * For each requested `(name, q)`: target rank `⌈q·n⌉`, answer = the
+    * LOWER EDGE of the first bin (ascending) whose cumulative count
+    * reaches it. The exact q-quantile lies inside that bin by
+    * construction, so the estimate is within one `width` of truth and
+    * its rank error is bounded by the bin's mass (both pinned in
+    * SketchesSpec). Idempotent over merged sketches (the inner re-sum
+    * collapses duplicate bin rows — the merge IS a re-aggregation).
+    *
+    * The cumulative window runs over the SKETCH (≤ bins rows per
+    * group), not the data — a per-group window here is the bounded
+    * kind, nothing like the per-query full-corpus windows
+    * AnnReductionSpec bans. */
+  def histogramQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      lo: Double, width: Double, qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty, "need at least one quantile")
+    val keyCols = groupCols.map(col)
+    val wCum = Window.partitionBy(keyCols: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val withCum = sketch
+      .groupBy((keyCols :+ col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val ests = qs.map { case (name, q) =>
+      round(min(when(col("cum") >= ceil(lit(q) * col("n")),
+        lit(lo) + col("bin") * lit(width))), 2).as(name)
+    }
+    withCum.groupBy(keyCols: _*)
+      .agg(ests.head, (ests.tail :+ max(col("n")).as("n")): _*)
+  }
 }

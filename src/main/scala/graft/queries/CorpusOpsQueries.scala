@@ -898,8 +898,47 @@ object CorpusOpsQueries {
       |FROM (SELECT node AS token, round(r, 6) AS r FROM ranks WHERE iter = 10)
       |ORDER BY rk""".stripMargin
 
+  /** Portable fixed-bin quantile sketch
+    * ([[graft.ops.Sketches.histogramSketch]]): per order status, p50
+    * and p95 of o_totalprice estimated from the (bin, cnt) histogram
+    * relation (lo=0, width=5000 — ~90 occupied bins for the ~450k
+    * price range), next to the exact interpolated percentiles for
+    * context. The sketch answer is the chosen bin's lower edge, so it
+    * is exact-to-the-bin and the oracle replays the WHOLE estimate —
+    * bin assignment, cumulative rank pick, edge arithmetic — not just
+    * the counts (`q_percentiles` remains the exact-path twin; this is
+    * the one-pass mergeable 100 TB path, merge ≡ whole pinned in
+    * SketchesSpec). */
+  val qQuantileSketch: Q = (s, dir) => {
+    import graft.ops.Sketches
+    val ord = Tables.orders(s, dir)
+    val sk = Sketches.histogramSketch(ord, Seq("o_orderstatus"),
+      col("o_totalprice"), lo = 0.0, width = 5000.0)
+    Sketches.histogramQuantiles(sk, Seq("o_orderstatus"), lo = 0.0,
+        width = 5000.0, qs = Seq("p50_est" -> 0.5, "p95_est" -> 0.95))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qQuantileSketchSql: String =
+    """WITH s AS (
+      |  SELECT o_orderstatus, CAST(floor((o_totalprice - 0.0) / 5000.0) AS BIGINT) AS bin,
+      |         count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |c AS (
+      |  SELECT o_orderstatus, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
+      |    sum(cnt) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM s)
+      |SELECT o_orderstatus,
+      |  round(min(CASE WHEN cum >= ceil(0.5 * n) THEN 0.0 + bin * 5000.0 END), 2) AS p50_est,
+      |  round(min(CASE WHEN cum >= ceil(0.95 * n) THEN 0.0 + bin * 5000.0 END), 2) AS p95_est,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM c GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
+    "q_quantile_sketch" -> qQuantileSketch,
     "text_span_scrub" -> textSpanScrub,
     "q_cms_topk" -> qCmsTopk,
     "q_sample_weighted" -> qSampleWeighted,
@@ -922,6 +961,7 @@ object CorpusOpsQueries {
 
   val oracles: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
+    "q_quantile_sketch" -> qQuantileSketchSql,
     "text_span_scrub" -> textSpanScrubSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_sample_weighted" -> qSampleWeightedSql,

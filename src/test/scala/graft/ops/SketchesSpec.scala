@@ -130,4 +130,95 @@ class SketchesSpec extends SparkSpec {
       s"register agg + group rollup; the estimate's merge re-agg must reuse the\n" +
         s"(group, j) partitioning, not add a third shuffle:\n$p")
   }
+
+  // ----------------------------------------------------------------
+  // Fixed-bin quantile sketch
+  // ----------------------------------------------------------------
+
+  private def ordersByStatus = Tables.orders(spark, sf001)
+
+  test("histogram quantile lands in the bin containing the exact quantile") {
+    // est = lower edge of the first bin whose cumulative count reaches
+    // ⌈q·n⌉ ⇒ the value AT rank ⌈q·n⌉ (the definition the sketch
+    // discretizes) lies in [est, est + width). Every group, both qs.
+    import org.apache.spark.sql.expressions.Window
+    val width = 5000.0
+    val sk = Sketches.histogramSketch(ordersByStatus, Seq("o_orderstatus"),
+      col("o_totalprice"), lo = 0.0, width = width)
+    val est = Sketches.histogramQuantiles(sk, Seq("o_orderstatus"), 0.0, width,
+        Seq("p50_est" -> 0.5, "p95_est" -> 0.95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val wr = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    val wn = Window.partitionBy(col("o_orderstatus"))
+    val ranked = ordersByStatus
+      .withColumn("r", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+    val exact = Seq(0.5 -> "p50", 0.95 -> "p95").map { case (q, nm) =>
+      nm -> ranked.filter(col("r") === ceil(lit(q) * col("n")))
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }.toMap
+    est.foreach { case (g, (e50, e95)) =>
+      val v50 = exact("p50")(g)
+      val v95 = exact("p95")(g)
+      assert(v50 >= e50 && v50 < e50 + width,
+        s"$g p50: rank-target value $v50 outside bin [$e50, ${e50 + width})")
+      assert(v95 >= e95 && v95 < e95 + width,
+        s"$g p95: rank-target value $v95 outside bin [$e95, ${e95 + width})")
+    }
+  }
+
+  test("histogram rank error is bounded by the chosen bin's mass") {
+    val width = 5000.0
+    val sk = Sketches.histogramSketch(ordersByStatus, Seq("o_orderstatus"),
+      col("o_totalprice"), lo = 0.0, width = width).cache()
+    val est = Sketches.histogramQuantiles(sk, Seq("o_orderstatus"), 0.0, width,
+        Seq("p50_est" -> 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    est.foreach { case (g, e50, n) =>
+      val target = math.ceil(0.5 * n).toLong
+      // true rank of the estimate (count of values < est) and of the
+      // bin's far edge bracket the target rank
+      val below = ordersByStatus.filter(col("o_orderstatus") === g &&
+        col("o_totalprice") < e50).count()
+      val upto = ordersByStatus.filter(col("o_orderstatus") === g &&
+        col("o_totalprice") < e50 + width).count()
+      assert(below < target && target <= upto,
+        s"$g: target rank $target outside the chosen bin [$below, $upto]")
+    }
+    sk.unpersist()
+  }
+
+  test("histogram sketches of disjoint splits merge to the whole by bin-wise addition") {
+    val whole = Sketches.histogramSketch(ordersByStatus, Seq("o_orderstatus"),
+      col("o_totalprice"), 0.0, 5000.0)
+    val a = Sketches.histogramSketch(
+      ordersByStatus.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"),
+      col("o_totalprice"), 0.0, 5000.0)
+    val b = Sketches.histogramSketch(
+      ordersByStatus.filter(col("o_orderkey") % 2 =!= 0), Seq("o_orderstatus"),
+      col("o_totalprice"), 0.0, 5000.0)
+    val merged = a.union(b).groupBy("o_orderstatus", "bin").agg(sum("cnt").as("cnt"))
+    assert(merged.as[(String, Long, Long)].collect().toSet ==
+      whole.as[(String, Long, Long)].collect().toSet,
+      "bin-wise sum of split sketches must equal the whole-corpus sketch")
+    // and the quantile step over the merged relation equals the whole —
+    // the estimate consumes the sketch, never the data
+    val qa = Sketches.histogramQuantiles(a.union(b), Seq("o_orderstatus"),
+      0.0, 5000.0, Seq("p50_est" -> 0.5)).collect().toSet
+    val qw = Sketches.histogramQuantiles(whole, Seq("o_orderstatus"),
+      0.0, 5000.0, Seq("p50_est" -> 0.5)).collect().toSet
+    assert(qa == qw, "quantiles from merged splits must equal whole-corpus quantiles")
+  }
+
+  test("histogram sketch size is bounded by the value range, not the corpus") {
+    val sk = Sketches.histogramSketch(ordersByStatus, Seq("o_orderstatus"),
+      col("o_totalprice"), 0.0, 5000.0)
+    val rows = sk.count()
+    val maxBins = ordersByStatus.select(
+      (ceil(max(col("o_totalprice")) / 5000.0) + 1).cast("long")).head().getLong(0)
+    val groups = ordersByStatus.select("o_orderstatus").distinct().count()
+    assert(rows <= maxBins * groups,
+      s"sketch rows $rows exceed groups×bins bound ${maxBins * groups}")
+  }
 }
