@@ -241,4 +241,7 @@ object functions {
 
   /** Codegen'd single-pass cosine similarity over `array<float|double>`. */
   def cosine_sim(a: Column, b: Column): Column = col(CosineSimExpr(expr(a), expr(b)))
+
+  /** Header-only media probe: binary → struct(format, width, height). */
+  def image_meta(c: Column): Column = col(ImageMetaExpr(expr(c)))
 }

@@ -824,6 +824,34 @@ object QueryCatalog {
       |FROM documents
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** REAL multimodal ingestion: Spark's `binaryFile` source over
+    * committed PNG/JPEG/GIF files (JDK-encoder outputs, see
+    * [[graft.tools.GenImageFixtures]]), format + dimensions recovered
+    * from the BYTES alone by the codegen'd header probe
+    * ([[graft.functions.ImageMeta]]) — magic number, PNG IHDR, JPEG
+    * SOF walk, GIF descriptor. The oracle replays the generator's
+    * write-time manifest (name, length, md5, format, w, h): truth
+    * recorded independently of the parser under test, and the md5
+    * pins that the engine saw the exact committed bytes end-to-end.
+    * The fixture set is deliberately sf-independent — header parsing
+    * costs O(header) per blob no matter the corpus, which is the whole
+    * 100 TB argument for probing at the edge instead of decoding. */
+  val multimodalReal: Q = (s, dir) => {
+    val bf = s.read.format("binaryFile").load("/root/repo/fixtures/images")
+    bf.select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("length"), col("content"))
+      .withColumn("meta", graft.functions.functions.image_meta(col("content")))
+      .select(col("file"), col("length"),
+        col("meta.format").as("format"), col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("file"))
+  }
+  val multimodalRealSql: String =
+    """SELECT file, length, format, width, height, content_md5
+      |FROM '/root/repo/fixtures/images_manifest.parquet'
+      |ORDER BY file""".stripMargin
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -859,7 +887,8 @@ object QueryCatalog {
     "text_fingerprint" -> textFingerprint,
     "text_lang_id" -> textLangId,
     "multimodal_meta" -> multimodalMeta,
-    "multimodal_frames" -> multimodalFrames)
+    "multimodal_frames" -> multimodalFrames,
+    "multimodal_real" -> multimodalReal)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -892,5 +921,6 @@ object QueryCatalog {
     "text_fingerprint" -> textFingerprintSql,
     "text_lang_id" -> textLangIdSql,
     "multimodal_meta" -> multimodalMetaSql,
-    "multimodal_frames" -> multimodalFramesSql)
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_real" -> multimodalRealSql)
 }
