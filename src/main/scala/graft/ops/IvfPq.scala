@@ -56,6 +56,33 @@ object IvfPq {
         col("id"), PqIndex.encode(col("vec"), cb).as("codes"), col("vec"))
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** Streaming-epoch variant of [[appendIndex]]: the delta lands under
+    * `path/batch=<id>/cell=<c>/` in OVERWRITE mode, so a foreachBatch
+    * RETRY of an epoch replaces its own prior output instead of
+    * appending duplicates (the [[graft.streaming.IngestGate]] sink
+    * discipline applied to the ANN index — plain `append` mode cannot
+    * be replay-idempotent). Probes read `path` whole: `batch` and
+    * `cell` are both partition columns, so the probed-cell filter still
+    * prunes directories, just one level down.
+    *
+    * Quantizers stay FROZEN across epochs (passed in, never refit) —
+    * assignments never flap, recall degrades gradually as the embedding
+    * distribution drifts. Retrain trigger, documented contract: rebuild
+    * via [[IvfPq.writeIndex]] when appended rows since the last full
+    * rewrite exceed ~20% of the rewritten corpus, or when the appended
+    * deltas' mean best-cell cosine drops materially below the trained
+    * corpus's (both computable from the index itself: row counts per
+    * `batch`, scores from a sampled re-assignment pass). */
+  def appendIndexEpoch(delta: DataFrame, centroids: Array[Array[Double]],
+      cb: PqIndex.Codebooks, path: String, batchId: Long,
+      idCol: String = "id", vecCol: String = "vec"): Unit =
+    delta.select(
+        IvfIndex.bestCell(col(vecCol), centroids).as("cell"),
+        col(idCol).as("id"), PqIndex.encode(col(vecCol), cb).as("codes"),
+        col(vecCol).as("vec"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/batch=$batchId")
+
   /** Probe a [[writeIndex]] corpus: `nProbe` cells per query pushed as
     * a literal partition filter; ADC over (id, codes) inside the probed
     * cells; per-query shortlist; exact cosine re-rank. */

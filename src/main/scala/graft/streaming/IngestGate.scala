@@ -28,15 +28,27 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IngestGate {
 
+  /** Optional ANN sink for gated epochs: survivors carrying an
+    * embedding column are ALSO appended to an IVF-PQ index with these
+    * FROZEN quantizers ([[graft.ops.IvfPq.appendIndexEpoch]] — same
+    * overwrite-by-epoch discipline as the band index, so replays stay
+    * idempotent; retrain policy documented there). The gate thus keeps
+    * the near-dup index AND the similarity index in lockstep with the
+    * accepted corpus — batch N+1 can probe batch N's acceptances both
+    * ways. */
+  final case class AnnSink(dir: String, vecCol: String,
+    centroids: Array[Array[Double]], codebooks: graft.ops.PqIndex.Codebooks)
+
   /** Gate ONE batch. Returns the number of accepted documents.
     * Extracted from the foreachBatch closure so the idempotence and
     * gating semantics are directly testable. Input columns: `idCol`
     * (long), `textCol` (string) — extra columns pass through to the
-    * accepted sink. */
+    * accepted sink (and `ann.vecCol`, when an [[AnnSink]] is given, to
+    * the ANN index). */
   def gateBatch(batch: DataFrame, batchId: Long, indexDir: String,
       acceptedDir: String, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 32, n: Int = 3,
-      threshold: Double = 0.5): Long = {
+      threshold: Double = 0.5, ann: Option[AnnSink] = None): Long = {
     val spark = batch.sparkSession
     // (1) in-batch cluster dedup: one representative per near-dup
     // cluster inside the batch (size-dispatched components — a batch's
@@ -74,6 +86,10 @@ object IngestGate {
       Dedup.bandIndex(accepted, idCol, textCol, numHashes, bands, n)
         .write.mode("overwrite")
         .parquet(s"$indexDir/batch=$batchId")
+      ann.foreach { a =>
+        graft.ops.IvfPq.appendIndexEpoch(accepted, a.centroids, a.codebooks,
+          a.dir, batchId, idCol = idCol, vecCol = a.vecCol)
+      }
       nAccepted
     } finally { accepted.unpersist(false); () }
   }
@@ -82,14 +98,15 @@ object IngestGate {
   def start(docs: DataFrame, indexDir: String, acceptedDir: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 64, bands: Int = 32,
-      n: Int = 3, threshold: Double = 0.5): StreamingQuery = {
+      n: Int = 3, threshold: Double = 0.5,
+      ann: Option[AnnSink] = None): StreamingQuery = {
     require(docs.isStreaming, "IngestGate.start needs a streaming input; " +
       "use Dedup.newVsCorpusPairs for a one-shot batch")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         gateBatch(b, id, indexDir, acceptedDir, idCol, textCol,
-          numHashes, bands, n, threshold)
+          numHashes, bands, n, threshold, ann)
         ()
       }
       .start()

@@ -83,6 +83,56 @@ class IngestGateSpec extends SparkSpec {
       threshold = 0.3) == 0L)
   }
 
+  test("AnnSink: streamed epoch appends probe identically to a full rewrite; replay idempotent") {
+    import graft.Tables
+    import graft.ops.{IvfIndex, IvfPq, PqIndex}
+    import org.apache.spark.sql.functions.col
+    val idx = graft.Staging.dirFor("ingate-ann-idx")
+    val acc = graft.Staging.dirFor("ingate-ann-acc")
+    val annDir = graft.Staging.dirFor("ingate-ann-pq")
+    val fullDir = graft.Staging.dirFor("ingate-ann-full")
+    // doc rows: novel texts (all pass the gate) carrying real embeddings
+    val vecs = Tables.embeddings(spark, sf001).filter(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def doc(id: Long): (Long, String, Seq[Float]) = (id, mkText(id.toInt), vecs(id))
+    // FROZEN quantizers, trained once on the stream's own embedding
+    // distribution (at scale: the last full rewrite's corpus)
+    val trainDf = Tables.embeddings(spark, sf001).filter(col("vec_id") < 60)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = IvfIndex.train(trainDf, "id", "vec", k = 4)
+    val cb = PqIndex.train(trainDf, "id", "vec", m = 4, k = 8)
+    val ann = Some(IngestGate.AnnSink(annDir, "vec", cents, cb))
+    // three gated epochs
+    val e0 = Seq(doc(1L), doc(2L), doc(3L)).toDF("doc_id", "text", "vec")
+    val e1 = Seq(doc(10L), doc(11L)).toDF("doc_id", "text", "vec")
+    val e2 = Seq(doc(20L), doc(21L), doc(22L)).toDF("doc_id", "text", "vec")
+    assert(IngestGate.gateBatch(e0, 0L, idx, acc, "doc_id", "text", ann = ann) == 3L)
+    assert(IngestGate.gateBatch(e1, 1L, idx, acc, "doc_id", "text", ann = ann) == 2L)
+    assert(IngestGate.gateBatch(e2, 2L, idx, acc, "doc_id", "text", ann = ann) == 3L)
+    // full rewrite of the SAME accepted corpus with the same quantizers
+    val acceptedVecs = spark.read.parquet(acc)
+      .select(col("doc_id").as("id"), col("vec"))
+    IvfPq.writeIndex(acceptedVecs, cents, cb, fullDir)
+    val queries = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 103)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def probe(path: String): Seq[(Long, Long, Int)] =
+      IvfPq.topK(spark, path, queries, cents, cb, k = 3, nProbe = 4, shortlist = 64)
+        .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val streamed = probe(annDir)
+    assert(streamed.nonEmpty && streamed == probe(fullDir),
+      "epoch-appended index must answer probes exactly like a full rewrite")
+    // a foreachBatch retry of epoch 1 must not change the index
+    assert(IngestGate.gateBatch(e1, 1L, idx, acc, "doc_id", "text", ann = ann) == 2L)
+    assert(probe(annDir) == streamed, "replayed epoch must leave probes unchanged")
+    // and the probed-cell filter still prunes: only probed cells are read
+    val plan = IvfPq.topK(spark, annDir, queries, cents, cb, 3, 1, 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"cell probe must remain a partition filter under batch=/cell= layout:\n$plan")
+  }
+
   test("streaming end-to-end: the gate runs under foreachBatch with cross-batch memory") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val idx = graft.Staging.dirFor("ingate-s-idx")
