@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Chunking, Curation, Sampling, TextAnalysis, TextIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fourth wave of the query surface (round 8): the corpus-operations
@@ -317,26 +318,60 @@ object CorpusOpsQueries {
     * remnant, packing last over the smallest relation. Every stage is
     * load-bearing at sf0.01 and the ENTIRE composition — including the
     * recursive component resolution — replays as one DuckDB query. */
-  val corpusPipeline: Q = (s, dir) => {
+  /** Stages shared by both pipeline variants: gate → curate+dedup →
+    * cluster collapse → decontaminate. Returns the clean survivor
+    * relation (all document columns intact — v2 chunks its text). */
+  private def pipelineClean(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
     val gated = corpus.filter(TextAnalysis.repetitionKeep(col("text")))
     val curated = Curation.curateNearDupSimhash(gated, "doc_id", "text",
       minQuality = 0.55)
-    val clean = Curation.decontaminate(curated, "doc_id", "text",
+    Curation.decontaminate(curated, "doc_id", "text",
       bench, "doc_id", "text", n = 3)
-    Sampling.packShards(
-        clean.select(col("doc_id"), col("source"),
-          col("n_tokens").cast("long").as("n_tokens")),
-        "doc_id", "source", "n_tokens", budgetTokens = 500L)
+  }
+
+  private def packReport(packIn: DataFrame): DataFrame =
+    Sampling.packShards(packIn, "doc_id", "source", "n_tokens",
+        budgetTokens = 500L)
       .groupBy(col("source"), col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"))
       .orderBy(col("source"), col("shard"))
+
+  val corpusPipeline: Q = (s, dir) => {
+    val clean = pipelineClean(s, dir)
+    packReport(clean.select(col("doc_id"), col("source"),
+      col("n_tokens").cast("long").as("n_tokens")))
   }
 
-  val corpusPipelineSql: String = {
+  /** Pipeline v2 — v1 plus CHUNK-LEVEL cross-document dedup between
+    * decontamination and packing: document-level near-dup collapse
+    * keeps one doc per cluster, but templated boilerplate SPANS still
+    * recur across *different* surviving documents;
+    * [[graft.ops.Chunking.scrubRepeatedSpans]] (8-token disjoint
+    * spans, drop df ≥ 2) removes them, and shards pack on the
+    * POST-SCRUB token counts — the budget buys unique tokens, not
+    * boilerplate. The scrub slots between the broadcast
+    * decontamination probe and the pack because it is the narrowest
+    * point after text is last needed: its exchanges carry (60-bit
+    * hash, id) pairs only, over survivors only. The whole composition
+    * — v1's recursive components plus span df, keep verdicts, and the
+    * rebuilt token counts — replays as ONE DuckDB query. */
+  val corpusPipelineV2: Q = (s, dir) => {
+    val clean = pipelineClean(s, dir)
+    val scrubbed = Chunking.scrubRepeatedSpans(
+      clean.select(col("doc_id"), col("text")), "doc_id", "text",
+      span = 8, maxDf = 1L)
+    packReport(clean.select(col("doc_id"), col("source"))
+      .join(scrubbed.select(col("id").as("doc_id"),
+        col("n_tokens_clean").cast("long").as("n_tokens")), Seq("doc_id")))
+  }
+
+  /** Everything through the `clean` CTE — shared by both pipeline
+    * oracles (v1 packs clean directly; v2 span-scrubs first). */
+  private def pipelinePrefixSql: String = {
     val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
     val hexVal = (0 until 15).map(i =>
       s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
@@ -462,16 +497,53 @@ object CorpusOpsQueries {
        |  SELECT DISTINCT doc_id FROM stri WHERE sh IN (SELECT sh FROM btri)),
        |clean AS (
        |  SELECT * FROM survivors
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-       |p AS (
-       |  SELECT source, n_tokens,
-       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-       |  FROM clean)
-       |SELECT source, CAST(floor(prior / 500.0) AS BIGINT) AS shard,
-       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-       |FROM p GROUP BY source, shard
-       |ORDER BY source, shard""".stripMargin
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
+  }
+
+  private val packTailSql: String =
+    """SELECT source, CAST(floor(prior / 500.0) AS BIGINT) AS shard,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM p GROUP BY source, shard
+      |ORDER BY source, shard""".stripMargin
+
+  val corpusPipelineSql: String =
+    pipelinePrefixSql + ",\n" +
+      """p AS (
+        |  SELECT source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM clean)
+        |""".stripMargin + packTailSql
+
+  val corpusPipelineV2Sql: String = {
+    pipelinePrefixSql + ",\n" +
+      s"""ctk AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+         |  FROM clean),
+         |sized2 AS (SELECT doc_id, source, tk, len(tk) AS n FROM ctk WHERE len(tk) > 0),
+         |sp AS (
+         |  SELECT doc_id, source,
+         |    list_slice(tk, st + 1, st + 8) AS chunk
+         |  FROM (SELECT doc_id, source, tk,
+         |          unnest(generate_series(0, n - 1, 8)) AS st
+         |        FROM sized2)),
+         |sph AS (
+         |  SELECT doc_id, source, len(chunk) AS ntk,
+         |    substring(md5(array_to_string(chunk, ' ')), 1, 15) AS h15
+         |  FROM sp),
+         |spdf AS (SELECT h15, count(DISTINCT doc_id) AS df FROM sph GROUP BY h15),
+         |keptt AS (
+         |  SELECT doc_id, source,
+         |    coalesce(sum(CASE WHEN df <= 1 THEN ntk END), 0) AS n_tokens
+         |  FROM sph JOIN spdf USING (h15)
+         |  GROUP BY doc_id, source),
+         |p AS (
+         |  SELECT source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM keptt)
+         |""".stripMargin + packTailSql
   }
 
   /** Layout roundtrip ([[graft.ops.Layout.writeClustered]]): events
@@ -955,6 +1027,7 @@ object CorpusOpsQueries {
     "q_mix_temperature" -> qMixTemperature,
     "q_mix_apply" -> qMixApply,
     "corpus_pipeline" -> corpusPipeline,
+    "corpus_pipeline_v2" -> corpusPipelineV2,
     "q_layout_scan" -> qLayoutScan,
     "q_layout_zorder" -> qLayoutZorder,
     "q_bucket_join" -> qBucketJoin)
@@ -978,6 +1051,7 @@ object CorpusOpsQueries {
     "q_mix_temperature" -> qMixTemperatureSql,
     "q_mix_apply" -> qMixApplySql,
     "corpus_pipeline" -> corpusPipelineSql,
+    "corpus_pipeline_v2" -> corpusPipelineV2Sql,
     "q_layout_scan" -> qLayoutScanSql,
     "q_layout_zorder" -> qLayoutZorderSql,
     "q_bucket_join" -> qBucketJoinSql)
