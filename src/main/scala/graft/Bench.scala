@@ -84,7 +84,8 @@ object Bench {
     "corpus_pipeline", "q_layout_scan", "q_layout_zorder", "q_bucket_join",
     "text_bm25", "text_bm25_indexed", "text_chunk", "q_hll_distinct",
     "text_span_scrub", "q_cms_topk", "q_sample_weighted", "text_rank",
-    "q_quantile_sketch", "multimodal_real", "corpus_pipeline_v2")
+    "q_quantile_sketch", "multimodal_real", "corpus_pipeline_v2",
+    "q_sample_reservoir")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -191,7 +192,9 @@ object Bench {
     // sf-independent fixture scan (40 files) + O(header) byte probe
     "multimodal_real" -> 3.0,
     // v1 + chunk-level span scrub over survivors (narrow hash exchanges)
-    "corpus_pipeline_v2" -> 12.0)
+    "corpus_pipeline_v2" -> 12.0,
+    // hash + TakeOrdered cut; rank window sees <= k rows
+    "q_sample_reservoir" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -174,6 +174,40 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Deterministic distributed reservoir sample: a uniform k-of-corpus
+    * sample in ONE pass with NO global sort — each row draws its seeded
+    * md5-60 integer key and the k smallest keys win ([[weightedSample]]
+    * with uniform weights, specialized to the global case). The global
+    * cut runs as `orderBy(key).limit(k)` = TakeOrderedAndProject:
+    * per-partition top-k heaps merged on the driver — k rows per
+    * partition cross the wire, never the corpus, and no
+    * `Window.partitionBy()` single-partition exchange (the 100 TB
+    * failure mode of a windowed global rank; same lesson as
+    * `bm25TopK`). The rank window after the cut sees ≤ k rows.
+    *
+    * Properties (all spec-pinned, SamplingSpec):
+    *   - reproducible: membership is a pure function of (seed, key) —
+    *     identical across runs, partitionings, and engines (integer
+    *     keys, zero rounding);
+    *   - nested: the k-sample is a prefix of the (k+m)-sample;
+    *   - mergeable: reservoirs of disjoint splits union-and-re-cut to
+    *     exactly the whole-corpus reservoir — the streaming/sharded
+    *     maintenance path.
+    */
+  def reservoirSample(df: DataFrame, keyCol: String, k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // RAW md5-60 long, not the normalized [0,1) double of
+    // [[hashUniform]]: ordering is identical, and integer keys make
+    // the oracle replay exact with no float conventions at all.
+    df.withColumn("ukey",
+        Dedup.md5TokenHash60(concat(lit(seed), col(keyCol).cast("string"))))
+      .orderBy(col("ukey"), col(keyCol)).limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("ukey"), col(keyCol))).cast("int"))
+  }
+
   /** Temperature-based mix plan: per-group sampling targets that
     * flatten the natural size distribution, `w_g ∝ n_g^tau` (tau < 1
     * up-weights small sources — the standard multilingual/multi-source

@@ -936,6 +936,34 @@ object CorpusOpsQueries {
        |ORDER BY source, rk""".stripMargin
   }
 
+  /** Deterministic global reservoir sample
+    * ([[graft.ops.Sampling.reservoirSample]]): uniform 50-of-corpus by
+    * smallest seeded md5-60 key, cut via TakeOrderedAndProject (no
+    * global-sort exchange). Integer keys — the oracle replays hash,
+    * order, and rank with zero rounding concerns. */
+  val qSampleReservoir: Q = (s, dir) =>
+    Sampling.reservoirSample(Tables.documents(s, dir), "doc_id",
+        k = 50, seed = "rsv")
+      .select(col("doc_id"), col("source"), col("ukey"), col("rk"))
+      .orderBy(col("rk"))
+
+  val qSampleReservoirSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source,
+       |    substring(md5('rsv' || CAST(doc_id AS VARCHAR)), 1, 15) AS h15
+       |  FROM documents),
+       |keyed AS (SELECT doc_id, source, CAST($hexVal AS BIGINT) AS ukey FROM hashed),
+       |ranked AS (
+       |  SELECT doc_id, source, ukey,
+       |    CAST(row_number() OVER (ORDER BY ukey, doc_id) AS INTEGER) AS rk
+       |  FROM keyed)
+       |SELECT doc_id, source, ukey, rk FROM ranked WHERE rk <= 50
+       |ORDER BY rk""".stripMargin
+  }
+
   /** TextRank keyword salience ([[graft.ops.TextRank.tokenRank]]):
     * 10 damped PageRank iterations over the adjacent-token
     * co-occurrence graph. The oracle replays every iteration in a
@@ -1014,6 +1042,7 @@ object CorpusOpsQueries {
     "text_span_scrub" -> textSpanScrub,
     "q_cms_topk" -> qCmsTopk,
     "q_sample_weighted" -> qSampleWeighted,
+    "q_sample_reservoir" -> qSampleReservoir,
     "text_rank" -> textRankQ,
     "q_hll_distinct" -> qHllDistinct,
     "text_bm25" -> textBm25,
@@ -1038,6 +1067,7 @@ object CorpusOpsQueries {
     "text_span_scrub" -> textSpanScrubSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_sample_weighted" -> qSampleWeightedSql,
+    "q_sample_reservoir" -> qSampleReservoirSql,
     "text_rank" -> textRankSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "text_bm25" -> textBm25Sql,

@@ -92,6 +92,30 @@ class SamplingSpec extends SparkSpec {
     assert(!z.contains(2000L) && !z.contains(2001L))
   }
 
+  test("reservoir sample: reproducible, nested, mergeable, no global-sort exchange") {
+    val pool = docs.select($"doc_id", $"source")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rk").select("doc_id").as[Long].collect().toSeq
+    val r50 = ids(Sampling.reservoirSample(pool, "doc_id", 50, "rs"))
+    assert(r50.size == 50 && r50.distinct.size == 50)
+    // reproducible across partitionings (pure function of seed+key)
+    assert(ids(Sampling.reservoirSample(pool.repartition(13), "doc_id", 50, "rs")) == r50)
+    // nested: k=20 is the prefix of k=50
+    assert(ids(Sampling.reservoirSample(pool, "doc_id", 20, "rs")) == r50.take(20))
+    // mergeable: split reservoirs union-and-re-cut to the whole
+    val a = Sampling.reservoirSample(pool.filter($"doc_id" % 2 === 0), "doc_id", 50, "rs")
+    val b = Sampling.reservoirSample(pool.filter($"doc_id" % 2 =!= 0), "doc_id", 50, "rs")
+    val merged = ids(Sampling.reservoirSample(
+      a.drop("rk").unionByName(b.drop("rk")).drop("ukey"), "doc_id", 50, "rs"))
+    assert(merged == r50, "union of split reservoirs re-cut must equal the whole-corpus reservoir")
+    // plan: the global cut is TakeOrdered, never a single-partition sort
+    val q = Sampling.reservoirSample(pool, "doc_id", 50, "rs")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global k-cut must be per-partition heads + driver merge:\n$plan")
+  }
+
   test("per-stratum rates steer the mix") {
     val mixed = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.0, "de" -> 1.0), defaultRate = 0.5)
