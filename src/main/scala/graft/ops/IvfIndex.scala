@@ -133,4 +133,29 @@ object IvfIndex {
       .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
     probeJoin(cb, qb, k)
   }
+
+  /** METADATA-FILTERED probe of a [[writeIndexed]] corpus — the
+    * "filtered vector search" every production retrieval system needs
+    * (only rows matching a relational predicate may rank). This is the
+    * PRE-filter formulation: the predicate is applied to the indexed
+    * scan itself, so BOTH prunings compose in one FileScan — the probed
+    * cells as `PartitionFilters` (directory pruning) and the metadata
+    * predicate as `PushedFilters` (row-group stats pruning on the
+    * non-vector column). Scoring touches only rows that survive both,
+    * so a 1%-selective predicate cuts the scored set 100× BEFORE any
+    * distance math; a post-filter would score everything and then
+    * starve top-k of qualified rows. Exact within the probed cells
+    * (exhaustive probe ⇒ exactly brute-force-over-filtered —
+    * `ann_filtered`'s oracle; plan shape gated in IvfIndexSpec). */
+  def topKIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, centroids: Array[Array[Double]],
+      k: Int, nProbe: Int, predicate: Column): DataFrame = {
+    val qb = queries.withColumn("cell",
+      explode(probeCells(col("qvec"), centroids, nProbe)))
+    val probed = qb.select("cell").distinct().collect().map(_.getInt(0))
+    val cb = spark.read.parquet(path)
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+      .filter(predicate)
+    probeJoin(cb, qb, k)
+  }
 }

@@ -294,6 +294,46 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Metadata-FILTERED vector search
+    * ([[graft.ops.IvfIndex.topKIndexedFiltered]]): top-10 among corpus
+    * rows whose `label` passes a relational predicate, served from the
+    * on-disk cell-partitioned index — cell probe as PartitionFilters,
+    * label predicate as PushedFilters, ONE scan, both prunings
+    * composed (plan-gated in IvfIndexSpec). Probe is exhaustive here so
+    * the result is exactly brute-force-over-the-filtered-corpus, which
+    * the oracle replays with a WHERE clause; the production lever is
+    * `nProbe`, same as `ann_ivf_pruned`. */
+  val annFiltered: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val path = graft.Staging.dirFor("ann-filtered-ivf")
+    IvfIndex.writeIndexed(corpus, centroids, path)
+    IvfIndex.topKIndexedFiltered(s, path, queries, centroids,
+        k = 10, nProbe = 8, predicate = col("label") % 3 === 0)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+  val annFilteredSql: String =
+    """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |      FROM embeddings WHERE vec_id >= 5 AND label % 3 = 0),
+      |scored AS (
+      |  SELECT qid, id,
+      |    list_dot_product(qvec, vec) /
+      |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS raw,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      list_dot_product(qvec, vec) /
+      |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) DESC, id) AS rank
+      |  FROM c CROSS JOIN q)
+      |SELECT qid, id, round(raw, 4) AS score, rank
+      |FROM scored WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   /** Correlated-subquery pattern: parts priced above their type's
     * average (decorrelated to a window/self-join by both engines). */
   val qAboveTypeAvg: Q = (s, dir) => {
@@ -327,7 +367,8 @@ object ExtraQueries {
     "q_sessionize" -> qSessionize,
     "q_percentiles" -> qPercentiles,
     "q_pivot" -> qPivot,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "ann_filtered" -> annFiltered)
 
   val oracles: Map[String, String] = Map(
     "q_above_type_avg" -> qAboveTypeAvgSql,
@@ -342,5 +383,6 @@ object ExtraQueries {
     "q_sessionize" -> qSessionizeSql,
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,
-    "ann_ivf" -> QueryCatalog.annTopKSql)
+    "ann_ivf" -> QueryCatalog.annTopKSql,
+    "ann_filtered" -> annFilteredSql)
 }

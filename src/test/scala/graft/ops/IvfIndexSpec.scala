@@ -79,4 +79,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"probe must prune partitions:\n$plan")
   }
+
+  test("filtered probe: metadata predicate and cell probe compose in ONE scan") {
+    import org.apache.spark.sql.functions.round
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 3)
+      .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+    val cents = IvfIndex.train(corpus, "id", "vec", k = 4)
+    val path = graft.Staging.dirFor("ivf-filtered")
+    IvfIndex.writeIndexed(corpus, cents, path)
+    val pred = $"label" % 3 === 0
+    val got = IvfIndex.topKIndexedFiltered(spark, path, queries, cents,
+      k = 5, nProbe = 4, predicate = pred)
+    // exhaustive probe ⇒ exactly brute force over the pre-filtered corpus
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"id", round($"score", 6).as("s"), $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(queries, corpus.filter(pred), k = 5)
+    assert(key(got) == key(brute), "filtered probe ≡ brute force over filtered corpus")
+    // every ranked row satisfies the predicate (no post-filter starvation)
+    val labels = got.join(corpus.select($"id", $"label"), Seq("id"))
+      .select("label").collect().map(_.getInt(0))
+    assert(labels.nonEmpty && labels.forall(_ % 3 == 0))
+    // plan: ONE FileScan carrying BOTH prunings — probed cells as
+    // PartitionFilters, the label predicate as PushedFilters
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell probe must stay a partition filter:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
+      s"label predicate must push into the indexed scan:\n$plan")
+  }
 }
