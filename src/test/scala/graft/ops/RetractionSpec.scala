@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import graft.streaming.IngestGate
+import org.apache.spark.sql.functions._
+
+/** Delete propagation ([[Retraction]]): victims disappear from every
+  * gate sink (accepted corpus, band index, ANN index), only the
+  * partitions that actually held victims are rewritten (untouched
+  * partitions keep their exact files), and retraction is idempotent. */
+class RetractionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab: IndexedSeq[String] = (0 until 150).map(i => s"w$i")
+  private def mkText(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    (1 to 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  private def fileSet(dir: String): Set[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getAbsolutePath, f.length())).toSet
+  }
+
+  test("retractAll: victims leave corpus, band index, and ANN index; untouched epochs keep their files; idempotent") {
+    val idx = graft.Staging.dirFor("retract-idx")
+    val acc = graft.Staging.dirFor("retract-acc")
+    val ann = graft.Staging.dirFor("retract-ann")
+    val vecs = Tables.embeddings(spark, sf001).filter($"vec_id" < 40)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def doc(id: Long) = (id, mkText(id.toInt), vecs(id))
+    val trainDf = Tables.embeddings(spark, sf001).filter($"vec_id" < 40)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = IvfIndex.train(trainDf, "id", "vec", k = 4)
+    val cb = PqIndex.train(trainDf, "id", "vec", m = 4, k = 8)
+    val annSink = Some(IngestGate.AnnSink(ann, "vec", cents, cb))
+    // two epochs; victims live only in epoch 0
+    val e0 = Seq(doc(1L), doc(2L), doc(3L)).toDF("doc_id", "text", "vec")
+    val e1 = Seq(doc(10L), doc(11L)).toDF("doc_id", "text", "vec")
+    assert(IngestGate.gateBatch(e0, 0L, idx, acc, "doc_id", "text", ann = annSink) == 3L)
+    assert(IngestGate.gateBatch(e1, 1L, idx, acc, "doc_id", "text", ann = annSink) == 2L)
+    val epoch1Files = (fileSet(s"$acc/batch=1") ++ fileSet(s"$idx/batch=1")
+      ++ fileSet(s"$ann/batch=1"))
+
+    Retraction.retractAll(spark, Seq(1L, 3L), "doc_id", acc, idx, Some(ann))
+
+    // victims gone from every sink; survivors intact
+    assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet
+      == Set(2L, 10L, 11L))
+    assert(spark.read.parquet(idx).select("id").as[Long].collect().toSet
+      == Set(2L, 10L, 11L))
+    assert(spark.read.parquet(ann).select("id").as[Long].collect().toSet
+      == Set(2L, 10L, 11L))
+    // ANN probes still work and can never return a victim
+    val queries = Tables.embeddings(spark, sf001)
+      .filter($"vec_id" >= 100 && $"vec_id" < 102)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val probed = IvfPq.topK(spark, ann, queries, cents, cb,
+      k = 3, nProbe = 4, shortlist = 64)
+      .select("id").as[Long].collect().toSet
+    assert(probed.nonEmpty && !probed.contains(1L) && !probed.contains(3L))
+    // epoch 1 held no victims — its files must be byte-identical
+    assert((fileSet(s"$acc/batch=1") ++ fileSet(s"$idx/batch=1")
+      ++ fileSet(s"$ann/batch=1")) == epoch1Files,
+      "partitions without victims must not be rewritten")
+    // idempotent: same delete list again rewrites nothing
+    val accFiles = fileSet(acc)
+    Retraction.retractAll(spark, Seq(1L, 3L), "doc_id", acc, idx, Some(ann))
+    assert(fileSet(acc) == accFiles, "re-retracting must be a no-op")
+  }
+}
