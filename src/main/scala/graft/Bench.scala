@@ -401,11 +401,15 @@ object Bench {
         f"${q(k)}:${if (v.isFinite) v else 9999.0}%.2f"
       }.mkString("{", ",", "}")
     val leanExtra = new StringBuilder
+    // violations matter exactly when non-empty; omitting the empty map
+    // buys headroom against the tail cap as the headline grows
+    if (violations.nonEmpty)
+      leanExtra ++= s""","budget_violations":${obj2(violations)}"""
     if (subset.isDefined)
       leanExtra ++= s""","subset":${present.sorted.map(q).mkString("[", ",", "]")}"""
     if (failures.nonEmpty)
       leanExtra ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${obj2(results)},"budget_violations":${obj2(violations)}$leanExtra,"sf":${q(sfDir)}}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${obj2(results)}$leanExtra,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
