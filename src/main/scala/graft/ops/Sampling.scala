@@ -164,14 +164,26 @@ object Sampling {
       k: Int, seed: String, groupCols: Seq[String] = Nil): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("wkey"), col(keyCol))
-    df.filter(col(weightCol) > 0)
+    val keyed = df.filter(col(weightCol) > 0)
       .withColumn("wkey",
         round(-log(hashUniform(col(keyCol), seed)) /
           col(weightCol).cast("double"), 8))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    if (groupCols.isEmpty) {
+      // GLOBAL k: `Window.partitionBy()` would funnel the whole corpus
+      // into one partition's sort — cut with orderBy+limit instead
+      // (TakeOrderedAndProject, per-partition heads merged on the
+      // driver; the [[reservoirSample]] shape). The rank window then
+      // sees ≤ k rows. Row-identical to the windowed form
+      // (SamplingSpec pins it).
+      keyed.orderBy(col("wkey"), col(keyCol)).limit(k)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("wkey"), col(keyCol))))
+    } else {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("wkey"), col(keyCol))
+      keyed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+    }
   }
 
   /** Deterministic distributed reservoir sample: a uniform k-of-corpus

@@ -90,6 +90,14 @@ class SamplingSpec extends SparkSpec {
     val z = Sampling.weightedSample(withZero, "id", "w", k = 2000, seed = "t",
       groupCols = Seq("g")).select("id").as[Long].collect().toSet
     assert(!z.contains(2000L) && !z.contains(2001L))
+    // GLOBAL case (no groups): identical result to the grouped form on
+    // a single group, via TakeOrdered instead of a one-partition window
+    val global = Sampling.weightedSample(pool, "id", "w", k = 50, seed = "t")
+    assert(global.select("id").as[Long].collect().toSet == picked,
+      "global cut must be row-identical to the single-group windowed form")
+    global.collect()
+    assert(global.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "global weighted k-cut must not be a single-partition window sort")
   }
 
   test("reservoir sample: reproducible, nested, mergeable, no global-sort exchange") {
