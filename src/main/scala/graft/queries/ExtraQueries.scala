@@ -334,6 +334,33 @@ object ExtraQueries {
       |FROM scored WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** Embedding-column analytics: per-label corpus statistics — count,
+    * mean L2 norm (through the codegen'd [[Similarity.dot]] inside the
+    * aggregation), and leading centroid components. The everyday
+    * health-check query over an embedding table (collapsed labels,
+    * norm drift after a re-embed) — one scan, one group-by exchange,
+    * map-side partials; 4-dp rounding absorbs the engines' different
+    * float-summation orders. */
+  val qEmbeddingStats: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val dv = graft.ops.Similarity.dot(col("embedding"), col("embedding"))
+    emb.groupBy(col("label")).agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(sqrt(dv)), 4).as("avg_norm"),
+        round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("c0"),
+        round(avg(element_at(col("embedding"), 2).cast("double")), 4).as("c1"))
+      .orderBy(col("label"))
+  }
+  val qEmbeddingStatsSql: String =
+    """SELECT label, count(*) AS n_vecs,
+      |  round(avg(sqrt(list_dot_product(dv, dv))), 4) AS avg_norm,
+      |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
+      |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS c1
+      |FROM (SELECT label, embedding,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      |      FROM embeddings)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   /** Correlated-subquery pattern: parts priced above their type's
     * average (decorrelated to a window/self-join by both engines). */
   val qAboveTypeAvg: Q = (s, dir) => {
@@ -368,7 +395,8 @@ object ExtraQueries {
     "q_percentiles" -> qPercentiles,
     "q_pivot" -> qPivot,
     "ann_ivf" -> annIvf,
-    "ann_filtered" -> annFiltered)
+    "ann_filtered" -> annFiltered,
+    "q_embedding_stats" -> qEmbeddingStats)
 
   val oracles: Map[String, String] = Map(
     "q_above_type_avg" -> qAboveTypeAvgSql,
@@ -384,5 +412,6 @@ object ExtraQueries {
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,
     "ann_ivf" -> QueryCatalog.annTopKSql,
-    "ann_filtered" -> annFilteredSql)
+    "ann_filtered" -> annFilteredSql,
+    "q_embedding_stats" -> qEmbeddingStatsSql)
 }
