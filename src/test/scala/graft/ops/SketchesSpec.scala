@@ -211,6 +211,46 @@ class SketchesSpec extends SparkSpec {
     assert(qa == qw, "quantiles from merged splits must equal whole-corpus quantiles")
   }
 
+  test("histogram sketch: streaming micro-batch sketches merge to the batch sketch") {
+    // The sketch relation is the state a streaming aggregation carries:
+    // per-micro-batch sketches accumulate by the SAME bin-wise re-sum
+    // that merges splits, so a foreachBatch accumulator is exactly the
+    // batch sketch — quantiles included.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.orders(spark, sf001)
+      .select($"o_orderstatus", $"o_totalprice")
+      .as[(String, Double)].collect().toSeq
+    val mem = MemoryStream[(String, Double)]
+    val acc = graft.Staging.dirFor("hist-stream-acc")
+    val q = mem.toDF.toDF("o_orderstatus", "o_totalprice").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Sketches.histogramSketch(b, Seq("o_orderstatus"),
+            col("o_totalprice"), 0.0, 5000.0)
+          .write.mode("overwrite").parquet(s"$acc/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", graft.Staging.dirFor("hist-stream-ckp"))
+      .start()
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(acc)
+      .groupBy("o_orderstatus", "bin").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.histogramSketch(ordersByStatus, Seq("o_orderstatus"),
+      col("o_totalprice"), 0.0, 5000.0)
+    assert(streamed.as[(String, Long, Long)].collect().toSet ==
+      whole.as[(String, Long, Long)].collect().toSet,
+      "accumulated micro-batch sketches must equal the batch sketch")
+    val qs = Sketches.histogramQuantiles(streamed, Seq("o_orderstatus"),
+      0.0, 5000.0, Seq("p50_est" -> 0.5)).collect().toSet
+    val qb = Sketches.histogramQuantiles(whole, Seq("o_orderstatus"),
+      0.0, 5000.0, Seq("p50_est" -> 0.5)).collect().toSet
+    assert(qs == qb, "quantiles from the streamed sketch must equal batch quantiles")
+  }
+
   test("histogram sketch size is bounded by the value range, not the corpus") {
     val sk = Sketches.histogramSketch(ordersByStatus, Seq("o_orderstatus"),
       col("o_totalprice"), 0.0, 5000.0)
