@@ -85,7 +85,8 @@ object Bench {
     "text_bm25", "text_bm25_indexed", "text_chunk", "q_hll_distinct",
     "text_span_scrub", "q_cms_topk", "q_sample_weighted", "text_rank",
     "q_quantile_sketch", "multimodal_real", "corpus_pipeline_v2",
-    "q_sample_reservoir", "ann_filtered", "q_embedding_stats")
+    "q_sample_reservoir", "ann_filtered", "q_embedding_stats",
+    "q_funnel", "q_resample_ffill")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -198,7 +199,11 @@ object Bench {
     // index write + filtered exhaustive probe (oracle tax, cf. ann_ivf)
     "ann_filtered" -> 15.0,
     // one scan, one group-by exchange over 10 labels
-    "q_embedding_stats" -> 3.0)
+    "q_embedding_stats" -> 3.0,
+    // user-keyed agg + user equi-join with residual time band
+    "q_funnel" -> 3.0,
+    // hourly grid explode + per-user carry-forward window (output-heavy)
+    "q_resample_ffill" -> 6.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

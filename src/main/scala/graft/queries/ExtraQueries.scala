@@ -334,6 +334,98 @@ object ExtraQueries {
       |FROM scored WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** Funnel analysis — the batch twin of the streaming funnel in
+    * [[graft.streaming.EventAggregates]]: users whose FIRST click is
+    * followed by a purchase within one hour, with the earliest such
+    * purchase. Shape at scale: one user-keyed aggregation for the
+    * anchor stage, then an equi-join on user with the time band as a
+    * residual predicate — user-partitioned work end to end, no
+    * cross-user data movement beyond the one keyed shuffle. */
+  val qFunnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), Tables.tsSeconds(col("ts")).as("t_sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("t_sec")).as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_sec"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("t_sec") > col("t_click") && col("t_sec") <= col("t_click") + 3600)
+      .groupBy(col("user_id"), col("t_click"))
+      .agg(min(col("t_sec")).as("t_purchase"))
+      .withColumn("secs_to_convert", col("t_purchase") - col("t_click"))
+      .orderBy(col("user_id"))
+  }
+  val qFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t_sec FROM events),
+      |clicks AS (
+      |  SELECT user_id, min(t_sec) AS t_click FROM e
+      |  WHERE event_type = 'click' GROUP BY user_id),
+      |conv AS (
+      |  SELECT c.user_id, c.t_click, min(p.t_sec) AS t_purchase
+      |  FROM clicks c JOIN e p ON p.user_id = c.user_id
+      |  WHERE p.event_type = 'purchase'
+      |    AND p.t_sec > c.t_click AND p.t_sec <= c.t_click + 3600
+      |  GROUP BY c.user_id, c.t_click)
+      |SELECT user_id, t_click, t_purchase, t_purchase - t_click AS secs_to_convert
+      |FROM conv ORDER BY user_id""".stripMargin
+
+  /** Time-grid resampling with forward fill — the gap-filling operator
+    * every metrics pipeline needs: each user's `value` stream resampled
+    * onto an hourly grid spanning that user's own observed range,
+    * missing hours carrying the last observation forward. Per-user
+    * work throughout: the observed relation aggregates on (user, hour),
+    * the grid explodes per user, and the carry-forward is a per-user
+    * window (bounded by the user's hour span — the hot-key remedy, if
+    * one user spanned years at second granularity, is Skew.scala). The
+    * per-hour representative value is the LATEST event's (max t_sec,
+    * event_id as tiebreak) — a total order both engines replay. */
+  val qResampleFfill: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        Tables.tsSeconds(col("ts")).as("t_sec"),
+        Tables.tsHourEpoch(col("ts")).as("hour"),
+        round(col("value"), 2).as("value"))
+    // latest observation per (user, hour): max_by over the total order
+    // (t_sec, event_id)
+    val hourly = ev.groupBy(col("user_id"), col("hour"))
+      .agg(max_by(col("value"),
+        struct(col("t_sec"), col("event_id"))).as("obs"))
+    val span = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled", last(col("obs"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("obs").isNotNull)
+      .select(col("user_id"), col("hour"), col("filled"), col("is_observed"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+  val qResampleFfillSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_sec,
+      |    CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS hour,
+      |    round(value, 2) AS value
+      |  FROM events),
+      |hourly AS (
+      |  SELECT user_id, hour, value AS obs FROM (
+      |    SELECT user_id, hour, value,
+      |      row_number() OVER (PARTITION BY user_id, hour
+      |                         ORDER BY t_sec DESC, event_id DESC) AS rn
+      |    FROM e) t WHERE rn = 1),
+      |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS hour FROM span)
+      |SELECT g.user_id, g.hour,
+      |  last_value(h.obs IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |  h.obs IS NOT NULL AS is_observed
+      |FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+      |ORDER BY user_id, hour""".stripMargin
+
   /** Embedding-column analytics: per-label corpus statistics — count,
     * mean L2 norm (through the codegen'd [[Similarity.dot]] inside the
     * aggregation), and leading centroid components. The everyday
@@ -396,7 +488,9 @@ object ExtraQueries {
     "q_pivot" -> qPivot,
     "ann_ivf" -> annIvf,
     "ann_filtered" -> annFiltered,
-    "q_embedding_stats" -> qEmbeddingStats)
+    "q_embedding_stats" -> qEmbeddingStats,
+    "q_funnel" -> qFunnel,
+    "q_resample_ffill" -> qResampleFfill)
 
   val oracles: Map[String, String] = Map(
     "q_above_type_avg" -> qAboveTypeAvgSql,
@@ -413,5 +507,7 @@ object ExtraQueries {
     "q_pivot" -> qPivotSql,
     "ann_ivf" -> QueryCatalog.annTopKSql,
     "ann_filtered" -> annFilteredSql,
-    "q_embedding_stats" -> qEmbeddingStatsSql)
+    "q_embedding_stats" -> qEmbeddingStatsSql,
+    "q_funnel" -> qFunnelSql,
+    "q_resample_ffill" -> qResampleFfillSql)
 }
