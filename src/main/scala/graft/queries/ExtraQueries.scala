@@ -336,7 +336,7 @@ object ExtraQueries {
 
   /** Funnel analysis — the batch twin of the streaming funnel in
     * [[graft.streaming.EventAggregates]]: users whose FIRST click is
-    * followed by a purchase within one hour, with the earliest such
+    * followed by a purchase within 24 hours, with the earliest such
     * purchase. Shape at scale: one user-keyed aggregation for the
     * anchor stage, then an equi-join on user with the time band as a
     * residual predicate — user-partitioned work end to end, no
@@ -349,7 +349,7 @@ object ExtraQueries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("t_sec"))
     clicks.join(purchases, Seq("user_id"))
-      .filter(col("t_sec") > col("t_click") && col("t_sec") <= col("t_click") + 3600)
+      .filter(col("t_sec") > col("t_click") && col("t_sec") <= col("t_click") + 86400)
       .groupBy(col("user_id"), col("t_click"))
       .agg(min(col("t_sec")).as("t_purchase"))
       .withColumn("secs_to_convert", col("t_purchase") - col("t_click"))
@@ -365,7 +365,7 @@ object ExtraQueries {
       |  SELECT c.user_id, c.t_click, min(p.t_sec) AS t_purchase
       |  FROM clicks c JOIN e p ON p.user_id = c.user_id
       |  WHERE p.event_type = 'purchase'
-      |    AND p.t_sec > c.t_click AND p.t_sec <= c.t_click + 3600
+      |    AND p.t_sec > c.t_click AND p.t_sec <= c.t_click + 86400
       |  GROUP BY c.user_id, c.t_click)
       |SELECT user_id, t_click, t_purchase, t_purchase - t_click AS secs_to_convert
       |FROM conv ORDER BY user_id""".stripMargin
