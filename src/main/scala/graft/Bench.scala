@@ -86,7 +86,7 @@ object Bench {
     "text_span_scrub", "q_cms_topk", "q_sample_weighted", "text_rank",
     "q_quantile_sketch", "multimodal_real", "corpus_pipeline_v2",
     "q_sample_reservoir", "ann_filtered", "q_embedding_stats",
-    "q_funnel", "q_resample_ffill")
+    "q_funnel", "q_resample_ffill", "q_retention")
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -203,7 +203,9 @@ object Bench {
     // user-keyed agg + user equi-join with residual time band
     "q_funnel" -> 3.0,
     // hourly grid explode + per-user carry-forward window (output-heavy)
-    "q_resample_ffill" -> 6.0)
+    "q_resample_ffill" -> 6.0,
+    // two user-keyed aggs + one user equi-join
+    "q_retention" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

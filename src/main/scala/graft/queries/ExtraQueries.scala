@@ -370,6 +370,36 @@ object ExtraQueries {
       |SELECT user_id, t_click, t_purchase, t_purchase - t_click AS secs_to_convert
       |FROM conv ORDER BY user_id""".stripMargin
 
+  /** Retention / cohort analysis — the third member of the
+    * event-analytics trio (funnel, retention, sessionization): users
+    * cohorted by the week of their FIRST event; for each (cohort,
+    * week-offset), how many distinct users were active. Two user-keyed
+    * aggregations and one user equi-join — the same
+    * stays-partitioned-by-user shape as [[qFunnel]]. */
+  val qRetention: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), Tables.tsSeconds(col("ts")).as("t_sec"))
+      .withColumn("week", (col("t_sec") - pmod(col("t_sec"), lit(604800L))) / 604800L)
+      .select(col("user_id"), col("week").cast("long").as("week"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+  val qRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST((CAST(floor(epoch(ts)) AS BIGINT)
+      |          - CAST(floor(epoch(ts)) AS BIGINT) % 604800) / 604800 AS BIGINT) AS week
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+      |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN cohort c USING (user_id)
+      |GROUP BY c.cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Time-grid resampling with forward fill — the gap-filling operator
     * every metrics pipeline needs: each user's `value` stream resampled
     * onto an hourly grid spanning that user's own observed range,
@@ -490,6 +520,7 @@ object ExtraQueries {
     "ann_filtered" -> annFiltered,
     "q_embedding_stats" -> qEmbeddingStats,
     "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
     "q_resample_ffill" -> qResampleFfill)
 
   val oracles: Map[String, String] = Map(
@@ -509,5 +540,6 @@ object ExtraQueries {
     "ann_filtered" -> annFilteredSql,
     "q_embedding_stats" -> qEmbeddingStatsSql,
     "q_funnel" -> qFunnelSql,
+    "q_retention" -> qRetentionSql,
     "q_resample_ffill" -> qResampleFfillSql)
 }
