@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST line of `sbt runMain` output as
+// bare JSON. Two sbt behaviors have broken that for three rounds running:
+// the logger decorates forked stdout with an "[info] " prefix, and sbt
+// appends a "[success] Total time: ..." line after the run returns.
+// StdoutOutput passes the forked JVM's stdout through verbatim (no
+// prefix); showSuccess := false drops the trailing [success] line, so the
+// process's own final println IS the final line of sbt output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -244,4 +244,22 @@ object functions {
 
   /** Header-only media probe: binary → struct(format, width, height). */
   def image_meta(c: Column): Column = col(ImageMetaExpr(expr(c)))
+
+  /** Argmax centroid index over a matrix-as-data quantizer (rows must be
+    * pre-normalized for cosine ordering). O(1) codegen size in k. */
+  def best_cell(vec: Column, unitCentroids: Array[Array[Double]]): Column =
+    col(BestCellExpr(expr(vec), unitCentroids))
+
+  /** Top-`nProbe` centroid indices, ascending by (score, index). */
+  def probe_cells(vec: Column, unitCentroids: Array[Array[Double]],
+      nProbe: Int): Column =
+    col(ProbeCellsExpr(expr(vec), unitCentroids, nProbe))
+
+  /** PQ codes (m per-subspace argmaxes) against a codebook-as-data. */
+  def pq_encode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    col(PqEncodeExpr(expr(vec), books))
+
+  /** Flat m·k ADC lookup table for a query vector. */
+  def pq_lut(qvec: Column, books: Array[Array[Array[Double]]]): Column =
+    col(PqLutExpr(expr(qvec), books))
 }

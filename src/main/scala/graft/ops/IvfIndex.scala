@@ -16,35 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private def litVec(v: Array[Double]): Column = array(v.toIndexedSeq.map(lit): _*)
+  /** Unit-normalize centroid rows once on the driver: the dot against a
+    * unit row gives the same ORDER over cells as the full cosine (the
+    * 1/‖vec‖ factor is constant per row), so neither scan-side division
+    * nor per-centroid norms are needed. Zero rows pass through as-is
+    * (dot 0 against everything, matching the old guarded division). */
+  private def unitRows(centroids: Array[Array[Double]]): Array[Array[Double]] =
+    centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c.clone() else c.map(_ / n)
+    }
 
-  private def dotD(a: Column, b: Column): Column =
-    graft.functions.functions.dot_product(a, b)
-
-  /** Cosine of a vector column against one literal centroid (centroid
-    * pre-normalized, so only the row norm is needed). */
-  private def cosToCentroid(vec: Column, centroid: Array[Double]): Column = {
-    val norm = math.sqrt(centroid.map(x => x * x).sum)
-    val unit = centroid.map(_ / (if (norm == 0) 1.0 else norm))
-    dotD(vec, litVec(unit)) / sqrt(dotD(vec, vec))
-  }
-
-  /** Index of the best (max-cosine) centroid for a vector column. */
+  /** Index of the best (max-cosine) centroid for a vector column.
+    *
+    * Centroids-as-DATA (round-10 directive #3): ONE
+    * [[graft.functions.BestCellExpr]] carrying the k×dim matrix as a
+    * JVM reference — generated code is a fixed nested loop, O(1) in k,
+    * so a production k ≈ 10⁴ quantizer stays inside whole-stage codegen
+    * (the old k-literal unrolling hit the JVM 64 KB method cap;
+    * CentroidExprsSpec pins k=256 with codegen present). Beyond k ≈ 10⁴
+    * (matrix tens of MB, too fat to ride the serialized plan per task
+    * binary) the right formulation changes to a broadcast centroid
+    * RELATION + join — FAISS's coarse-quantizer-as-data line. */
   def bestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosToCentroid(vec, c).as("s"), lit(i).as("i"))
-    }
-    array_max(array(scored.toIndexedSeq: _*)).getField("i")
+    require(centroids.nonEmpty, "empty centroid matrix")
+    graft.functions.functions.best_cell(vec, unitRows(centroids))
   }
 
-  /** The `nProbe` best cells for a query vector, as an array column. */
+  /** The `nProbe` best cells for a query vector, as an array column
+    * (ascending (score, index) order — the `array_sort` tail contract
+    * of the literal formulation this replaces). */
   def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosToCentroid(vec, c).as("s"), lit(i).as("i"))
-    }
-    // sort ascending by score, take the tail = top-nProbe cells
-    val sorted = array_sort(array(scored.toIndexedSeq: _*))
-    slice(transform(sorted, s => s.getField("i")), -nProbe, nProbe)
+    require(centroids.nonEmpty, "empty centroid matrix")
+    graft.functions.functions.probe_cells(vec, unitRows(centroids), nProbe)
   }
 
   /** Train a deterministic coarse quantizer: evenly-spaced seed vectors

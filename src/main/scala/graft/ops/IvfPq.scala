@@ -102,7 +102,7 @@ object IvfPq {
     // sorts phase-1 survivors, never a query's whole probed-cell scan.
     val scored = stored.select(col("cell"), col("id"), col("codes"))
       .join(broadcast(qb), Seq("cell"))
-      .withColumn("adc", PqIndex.adcScore(col("codes"), col("lut"), cb.m))
+      .withColumn("adc", PqIndex.adcScore(col("codes"), col("lut"), cb.m, cb.k))
     val shortIds = Similarity.rankPerQuery(scored, col("adc"), shortlist)
       .select(col("qid"), col("id"))
     PqIndex.rerank(shortIds, queries, stored.select(col("id"), col("vec")), k)

@@ -57,44 +57,32 @@ object PqIndex {
     def dim: Int = m * dsub
   }
 
-  private def litVec(v: Array[Double]): Column = array(v.toIndexedSeq.map(lit): _*)
-
-  /** 1-based `slice` of subspace `mi` from a vector. */
-  private def sub(vec: Column, mi: Int, dsub: Int): Column =
-    slice(vec, mi * dsub + 1, dsub)
-
-  /** Best code for subspace `mi`: argmax over `k` literal centroids of
-    * the subvector inner product — flat codegen, and scale-invariant,
-    * so it accepts RAW vectors (see object doc). */
-  private def bestCode(vec: Column, cb: Codebooks, mi: Int): Column = {
-    val s = sub(vec, mi, cb.dsub)
-    val scored = cb.books(mi).zipWithIndex.map { case (c, i) =>
-      struct(graft.functions.functions.dot_product(s, litVec(c)).as("s"),
-        lit(i).as("i"))
-    }
-    array_max(array(scored.toIndexedSeq: _*)).getField("i")
-  }
-
-  /** PQ codes for a (raw) vector: array of `m` centroid indices. */
+  /** PQ codes for a (raw) vector: array of `m` centroid indices.
+    *
+    * Codebooks-as-DATA (round-10 directive #3, same move as
+    * [[IvfIndex.bestCell]]): one [[graft.functions.PqEncodeExpr]]
+    * carrying the m×k×dsub codebook as a JVM reference — generated
+    * code is a fixed triple loop, O(1) in both m and k, so k=256
+    * codebooks stay inside whole-stage codegen (the old form unrolled
+    * m×k literal dot subtrees). */
   def encode(vec: Column, cb: Codebooks): Column =
-    array((0 until cb.m).map(mi => bestCode(vec, cb, mi)): _*)
+    graft.functions.functions.pq_encode(vec, cb.books)
 
-  /** Per-query lookup table: LUT[mi][code] = query subvector · centroid
-    * (raw query — the uniform 1/‖q‖ factor cannot change that query's
-    * ranking). `m × k` doubles per query — queries are small by
-    * contract. */
+  /** Per-query lookup table, FLAT: `LUT[mi·k + code]` = query subvector
+    * · centroid (raw query — the uniform 1/‖q‖ factor cannot change
+    * that query's ranking). One primitive `array<double>` of `m·k`
+    * per query — queries are small by contract, and the flat layout is
+    * what lets both this table and [[adcScore]]'s reads stay codegen'd
+    * at any k. */
   def lut(qvec: Column, cb: Codebooks): Column =
-    array((0 until cb.m).map { mi =>
-      val s = sub(qvec, mi, cb.dsub)
-      array(cb.books(mi).toIndexedSeq.map(c =>
-        graft.functions.functions.dot_product(s, litVec(c))): _*)
-    }: _*)
+    graft.functions.functions.pq_lut(qvec, cb.books)
 
-  /** Approximate inner product: Σ over subspaces of LUT[mi][codes[mi]].
-    * `m` array lookups + adds — stays inside whole-stage codegen. */
-  def adcScore(codes: Column, lutCol: Column, m: Int): Column =
+  /** Approximate inner product: Σ over subspaces of LUT[mi·k +
+    * codes[mi]] over the flat [[lut]] layout. `m` array lookups + adds
+    * — stays inside whole-stage codegen. */
+  def adcScore(codes: Column, lutCol: Column, m: Int, k: Int): Column =
     (0 until m).map { mi =>
-      element_at(element_at(lutCol, mi + 1), element_at(codes, mi + 1) + 1)
+      element_at(lutCol, lit(mi * k) + element_at(codes, mi + 1) + 1)
     }.reduce(_ + _)
 
   /** Train `m` codebooks in parallel — every Lloyd iteration is ONE
@@ -171,7 +159,7 @@ object PqIndex {
     // qid-only window here would sort one query's entire scored corpus
     // in a single reducer.
     val scored = encoded.crossJoin(broadcast(ql))
-      .withColumn("adc", adcScore(col("codes"), col("lut"), cb.m))
+      .withColumn("adc", adcScore(col("codes"), col("lut"), cb.m, cb.k))
     Similarity.rankPerQuery(scored, col("adc"), shortlist)
       .select(col("qid"), col("id"))
   }

@@ -30,12 +30,24 @@ object TextRank {
   private def tokens(textCol: Column): Column =
     filter(split(textCol, "\\s+"), t => t =!= "")
 
-  /** Per-token PageRank: `(token, r, rk)` with `r` rounded to 6 dp and
-    * `rk` the dense ordering by (r desc, token). Self-loops (`a == b`
-    * bigrams) are dropped — a repeated token must not vote for
-    * itself. */
+  /** Per-token PageRank: the top-`k` tokens as `(token, r, rk)` with
+    * `r` rounded to 6 dp and `rk` the ordering by (r desc, token).
+    * Self-loops (`a == b` bigrams) are dropped — a repeated token must
+    * not vote for itself.
+    *
+    * The final ranking is CUT to `k` with `orderBy+limit` (Spark plans
+    * a `TakeOrderedAndProject`: per-partition top-k, then a merge of
+    * |partitions|·k rows) BEFORE the `rk` window — so the one
+    * single-partition window in the plan sees ≤ k rows, never the
+    * vocabulary (10⁷–10⁸ tokens at 100 TB). Callers wanting salience
+    * want the head, not a total ordering; raise `k` if more of the
+    * tail matters — the cost is k·|partitions| driver-merge rows, not
+    * a vocabulary sort on one reducer. Same idiom as
+    * [[Sampling.reservoir]] and the CMS top-k cut. */
   def tokenRank(docs: DataFrame, textCol: String,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      k: Int = 100): DataFrame = {
+    require(k >= 1, "need a positive top-k cut")
     require(iterations >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
     val ts = docs.filter(col(textCol).isNotNull)
@@ -75,7 +87,12 @@ object TextRank {
         .localCheckpoint()
     }
     import org.apache.spark.sql.expressions.Window
+    // TakeOrdered cut FIRST (bounded ≤ k), window over the survivors
+    // only — rk is 1..k by construction because limit and window share
+    // one total order (r desc, token-tiebreak).
     ranks.select(col("node").as("token"), round(col("r"), 6).as("r"))
+      .orderBy(col("r").desc, col("token"))
+      .limit(k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("r").desc, col("token"))))
   }

@@ -966,12 +966,15 @@ object CorpusOpsQueries {
 
   /** TextRank keyword salience ([[graft.ops.TextRank.tokenRank]]):
     * 10 damped PageRank iterations over the adjacent-token
-    * co-occurrence graph. The oracle replays every iteration in a
-    * recursive CTE — the numeric-fixpoint sibling of `dedup_cluster`'s
-    * label-fixpoint replay. */
+    * co-occurrence graph, cut to the top 20 tokens via TakeOrdered
+    * BEFORE the rank window (k=20 < the sf0.01 vocabulary, so the cut
+    * is exercised by the oracle, not just declared). The oracle
+    * replays every iteration in a recursive CTE — the numeric-fixpoint
+    * sibling of `dedup_cluster`'s label-fixpoint replay — and applies
+    * the same top-20 cut. */
   val textRankQ: Q = (s, dir) =>
     graft.ops.TextRank.tokenRank(Tables.documents(s, dir), "text",
-        iterations = 10, damping = 0.85)
+        iterations = 10, damping = 0.85, k = 20)
       .orderBy(col("rk"))
 
   val textRankSql: String =
@@ -996,7 +999,7 @@ object CorpusOpsQueries {
       |  GROUP BY r.iter, e.dst, nn.n)
       |SELECT token, r, CAST(row_number() OVER (ORDER BY r DESC, token) AS INTEGER) AS rk
       |FROM (SELECT node AS token, round(r, 6) AS r FROM ranks WHERE iter = 10)
-      |ORDER BY rk""".stripMargin
+      |ORDER BY rk LIMIT 20""".stripMargin
 
   /** Portable fixed-bin quantile sketch
     * ([[graft.ops.Sketches.histogramSketch]]): per order status, p50
