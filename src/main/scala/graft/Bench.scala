@@ -51,42 +51,20 @@ object Bench {
     }
   }
 
-  /** Headline set: the scan/agg/join/window core plus every non-trivial
-    * extension family member — ANN (brute/LSH/IVF), dedup (exact/LSH/
-    * simhash/embedding), text, multimodal, sessionize/asof/pivot/rollup/
-    * percentiles/set-ops, serialization projections, and the zip
-    * sink+source roundtrip. The full catalog runs in Verify; bench
-    * excludes only the quadratic exact-Jaccard oracle (its scalable
-    * twin, minhash_lsh, is included) and trivial single-filter variants
-    * (b3/b4/d6/d7 — pushdown-gated in PlanQualitySpec, no timing signal
-    * beyond the scans already covered).
-    */
-  val headline: Seq[String] = Seq(
-    "q1_agg", "q3_top_orders", "q5_region_revenue", "q_window_top_orders",
-    "q_events_hourly", "q_pivot", "q_asof_join", "q_sessionize",
-    "q_rollup", "q_cube", "q_skew_topk", "q_percentiles", "q_distinct_agg",
-    "q_semi_join",
-    "q_anti_join", "q_set_ops", "q_above_type_avg",
-    "d2_rules_join", "d12_cdc_last_state", "d1_snapshot_diff",
-    "sync_pipeline_filtered",
-    "d10_json_projection", "b7_path_derivation", "b8_serialize",
-    "b10_zip_roundtrip", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_cluster", "dedup_embedding_cos", "dedup_incremental",
-    "ann_topk", "ann_lsh",
-    "ann_ivf", "ann_pq", "ann_ivfpq", "ann_ivf_pruned", "ann_ivfpq_pruned",
-    "text_stats", "text_tfidf", "text_fingerprint",
-    "text_lang_id", "multimodal_meta", "multimodal_frames", "q_range_join",
-    "q_overlap_join", "q_sample_mix", "q_sample_quota", "q_mix_divergence",
-    "corpus_curation", "corpus_curation_neardup",
-    "text_gopher_quality", "text_decontaminate", "text_decontaminate_bloom",
-    "text_pii_scrub",
-    "q_pack_shards", "q_pack_global", "q_mix_temperature", "q_mix_apply",
-    "corpus_pipeline", "q_layout_scan", "q_layout_zorder", "q_bucket_join",
-    "text_bm25", "text_bm25_indexed", "text_chunk", "q_hll_distinct",
-    "text_span_scrub", "q_cms_topk", "q_sample_weighted", "text_rank",
-    "q_quantile_sketch", "multimodal_real", "corpus_pipeline_v2",
-    "q_sample_reservoir", "ann_filtered", "q_embedding_stats",
-    "q_funnel", "q_resample_ffill", "q_retention")
+  /** The ONE exclusion from the timing headline, by rule: a query
+    * whose design is a deliberately QUADRATIC diagnostic (all-pairs
+    * exact Jaccard — it exists to validate its scalable banded twin
+    * `dedup_minhash_lsh`, which IS benched). Everything else declared
+    * in `SparkEntry.queries` is timed, so the headline count is
+    * auditable as |queries| − |excluded| (round-10 directive #5: the
+    * previous hand-curated list silently dropped 6 declared names). */
+  val excludedFromHeadline: Set[String] = Set("dedup_jaccard_top")
+
+  /** Headline set = every declared query minus [[excludedFromHeadline]],
+    * in sorted order (order is irrelevant to the min-of-interleaved-
+    * rounds protocol below; sorted keeps the artifact diffable). */
+  def headline: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(excludedFromHeadline)
 
   /** Per-query wall-time budgets (seconds) at sf0.1, set ~2× the quiet-
     * host min-of-3 so only real regressions (or sustained stalls) trip. */
@@ -192,10 +170,21 @@ object Bench {
     "q_quantile_sketch" -> 3.0,
     // sf-independent fixture scan (40 files) + O(header) byte probe
     "multimodal_real" -> 3.0,
+    // sf-independent fixture scan (14 files) + O(header) container walk
+    "multimodal_audio" -> 3.0,
     // v1 + chunk-level span scrub over survivors (narrow hash exchanges)
     "corpus_pipeline_v2" -> 12.0,
     // hash + TakeOrdered cut; rank window sees <= k rows
     "q_sample_reservoir" -> 3.0,
+    // single-filter scans (pushdown-gated in PlanQualitySpec) — in the
+    // headline since r11 so the declared surface is benched whole
+    "b3_verb_filter" -> 3.0,
+    "b4_subresource_filter" -> 3.0,
+    "d6_glob_match" -> 3.0,
+    "d7_namespace_filter" -> 3.0,
+    "d11_scrub" -> 3.0,
+    // min/max pre-pass + bin histogram + bounded per-group window
+    "q_quantile_sketch2" -> 3.0,
     // index write + filtered exhaustive probe (oracle tax, cf. ann_ivf)
     "ann_filtered" -> 15.0,
     // one scan, one group-by exchange over 10 labels

@@ -17,6 +17,14 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Root of the committed media fixtures (`fixtures/images`,
+    * `fixtures/media`, and their manifests). Resolved from
+    * `SPARK_GRAFT_FIXTURES_DIR` (the k8s jobs mount the repo elsewhere)
+    * falling back to the local checkout path — the same override
+    * pattern as `SPARK_GRAFT_SF_DIR`. */
+  def fixturesDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -245,6 +245,10 @@ object functions {
   /** Header-only media probe: binary → struct(format, width, height). */
   def image_meta(c: Column): Column = col(ImageMetaExpr(expr(c)))
 
+  /** Header-only audio/video container probe: binary →
+    * struct(format, duration_ms, channels, sample_rate, width, height). */
+  def media_meta(c: Column): Column = col(MediaMetaExpr(expr(c)))
+
   /** Argmax centroid index over a matrix-as-data quantizer (rows must be
     * pre-normalized for cosine ordering). O(1) codegen size in k. */
   def best_cell(vec: Column, unitCentroids: Array[Array[Double]]): Column =

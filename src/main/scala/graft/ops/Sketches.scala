@@ -180,6 +180,44 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Self-ranging [[histogramSketch]] (round-10 directive #4): for a
+    * column whose range the caller does NOT know (doc lengths, model
+    * scores at 100 TB), derive `(lo, width)` from a min/max pre-pass
+    * and split the observed range into `bins` equi-width bins.
+    * Returns `(sketch, lo, width)` so [[histogramQuantiles]] can
+    * replay the same edges.
+    *
+    * Cost of the pre-pass: ONE metadata-cheap aggregation — min/max
+    * over a plain parquet column is answered from row-group footer
+    * statistics when aggregate pushdown applies (the repo's own
+    * footer-aggregate gate in PlanQualitySpec proves that plan shape),
+    * and is a plain map-side-combined agg otherwise; either way it is
+    * a (lo, hi) PAIR on the driver, never data. Determinism across
+    * engines: min/max of doubles are exact, `(hi−lo)/bins` and the
+    * `floor((v−lo)/width)` bin assignment are single IEEE expressions
+    * both engines evaluate identically — the `q_quantile_sketch2`
+    * oracle recomputes the range in SQL and hash-matches end-to-end.
+    *
+    * A constant column (hi == lo) degenerates to one bin of `width`
+    * 1.0 — every quantile answers the constant (SketchesSpec pins
+    * it). Known trade-off vs a rank-adaptive sketch (KLL/t-digest):
+    * equi-width bins give rank error bounded by the heaviest bin's
+    * mass, not a uniform ε — the right default for the
+    * scores-and-lengths telemetry this family serves, with
+    * `approx_percentile` as the engine-private production alternative
+    * (bound-checked in SketchesSpec). */
+  def histogramSketchAuto(df: DataFrame, groupCols: Seq[String],
+      value: Column, bins: Int = 128): (DataFrame, Double, Double) = {
+    require(bins >= 1, s"need at least one bin, got $bins")
+    val r = df.agg(min(value.cast("double")).as("lo"),
+      max(value.cast("double")).as("hi")).collect()(0)
+    require(!r.isNullAt(0), "cannot range an empty (or all-null) column")
+    val lo = r.getDouble(0)
+    val hi = r.getDouble(1)
+    val width = if (hi > lo) (hi - lo) / bins else 1.0
+    (histogramSketch(df, groupCols, value, lo, width), lo, width)
+  }
+
   /** Sketch → per-group quantile estimates `(groupCols…, <name>…, n)`.
     * For each requested `(name, q)`: target rank `⌈q·n⌉`, answer = the
     * LOWER EDGE of the first bin (ascending) whose cumulative count

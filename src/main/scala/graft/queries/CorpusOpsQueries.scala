@@ -1001,6 +1001,51 @@ object CorpusOpsQueries {
       |FROM (SELECT node AS token, round(r, 6) AS r FROM ranks WHERE iter = 10)
       |ORDER BY rk LIMIT 20""".stripMargin
 
+  /** Self-ranging quantile sketch
+    * ([[graft.ops.Sketches.histogramSketchAuto]]): p50/p95 of
+    * l_extendedprice per return flag WITHOUT a caller-supplied range —
+    * `(lo, width)` derive from a min/max pre-pass (metadata-cheap;
+    * footer-answerable under aggregate pushdown) and the oracle
+    * recomputes the identical IEEE range arithmetic in SQL, so the
+    * whole self-ranging path — range, bin edges, cumulative rank pick
+    * — is hash-gated, not just the counts. The fixed-range twin is
+    * `q_quantile_sketch`. */
+  val qQuantileSketch2: Q = (s, dir) => {
+    import graft.ops.Sketches
+    val li = Tables.lineitem(s, dir)
+    val (sk, lo, width) = Sketches.histogramSketchAuto(li,
+      Seq("l_returnflag"), col("l_extendedprice"), bins = 128)
+    Sketches.histogramQuantiles(sk, Seq("l_returnflag"), lo, width,
+        qs = Seq("p50_est" -> 0.5, "p95_est" -> 0.95))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qQuantileSketch2Sql: String =
+    """WITH r AS (
+      |  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+      |         max(CAST(l_extendedprice AS DOUBLE)) AS hi
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT lo,
+      |    CASE WHEN hi > lo THEN (hi - lo) / 128.0 ELSE 1.0 END AS width
+      |  FROM r),
+      |s AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor((l_extendedprice - p.lo) / p.width) AS BIGINT) AS bin,
+      |    count(*) AS cnt
+      |  FROM lineitem, p GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM s)
+      |SELECT c.l_returnflag,
+      |  round(min(CASE WHEN cum >= ceil(0.5 * n) THEN p.lo + bin * p.width END), 2) AS p50_est,
+      |  round(min(CASE WHEN cum >= ceil(0.95 * n) THEN p.lo + bin * p.width END), 2) AS p95_est,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM c, p GROUP BY c.l_returnflag
+      |ORDER BY c.l_returnflag""".stripMargin
+
   /** Portable fixed-bin quantile sketch
     * ([[graft.ops.Sketches.histogramSketch]]): per order status, p50
     * and p95 of o_totalprice estimated from the (bin, cnt) histogram
@@ -1042,6 +1087,7 @@ object CorpusOpsQueries {
   val all: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "q_quantile_sketch" -> qQuantileSketch,
+    "q_quantile_sketch2" -> qQuantileSketch2,
     "text_span_scrub" -> textSpanScrub,
     "q_cms_topk" -> qCmsTopk,
     "q_sample_weighted" -> qSampleWeighted,
@@ -1067,6 +1113,7 @@ object CorpusOpsQueries {
   val oracles: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
+    "q_quantile_sketch2" -> qQuantileSketch2Sql,
     "text_span_scrub" -> textSpanScrubSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_sample_weighted" -> qSampleWeightedSql,

@@ -400,37 +400,23 @@ object ExtraQueries {
       |GROUP BY c.cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
-  /** Time-grid resampling with forward fill — the gap-filling operator
-    * every metrics pipeline needs: each user's `value` stream resampled
-    * onto an hourly grid spanning that user's own observed range,
-    * missing hours carrying the last observation forward. Per-user
-    * work throughout: the observed relation aggregates on (user, hour),
-    * the grid explodes per user, and the carry-forward is a per-user
-    * window (bounded by the user's hour span — the hot-key remedy, if
-    * one user spanned years at second granularity, is Skew.scala). The
-    * per-hour representative value is the LATEST event's (max t_sec,
-    * event_id as tiebreak) — a total order both engines replay. */
+  /** Time-grid resampling with forward fill
+    * ([[graft.ops.Resample.hourlyFfill]]): each user's `value` stream
+    * resampled onto an hourly grid spanning that user's own observed
+    * range, missing hours carrying the last observation forward.
+    * Per-user work throughout, and the grid explode is CHUNKED so a
+    * pathological multi-year key cannot materialize one unbounded
+    * array (Resample.scala; adversarial 30-year span in ResampleSpec).
+    * The per-hour representative value is the LATEST event's
+    * (max t_sec, event_id as tiebreak) — a total order both engines
+    * replay. */
   val qResampleFfill: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"),
         Tables.tsSeconds(col("ts")).as("t_sec"),
         Tables.tsHourEpoch(col("ts")).as("hour"),
         round(col("value"), 2).as("value"))
-    // latest observation per (user, hour): max_by over the total order
-    // (t_sec, event_id)
-    val hourly = ev.groupBy(col("user_id"), col("hour"))
-      .agg(max_by(col("value"),
-        struct(col("t_sec"), col("event_id"))).as("obs"))
-    val span = hourly.groupBy(col("user_id"))
-      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
-    val grid = span.select(col("user_id"),
-      explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "hour"), "left")
-      .withColumn("filled", last(col("obs"), ignoreNulls = true).over(w))
-      .withColumn("is_observed", col("obs").isNotNull)
-      .select(col("user_id"), col("hour"), col("filled"), col("is_observed"))
+    graft.ops.Resample.hourlyFfill(ev)
       .orderBy(col("user_id"), col("hour"))
   }
   val qResampleFfillSql: String =

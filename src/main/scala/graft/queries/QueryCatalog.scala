@@ -837,7 +837,8 @@ object QueryCatalog {
     * costs O(header) per blob no matter the corpus, which is the whole
     * 100 TB argument for probing at the edge instead of decoding. */
   val multimodalReal: Q = (s, dir) => {
-    val bf = s.read.format("binaryFile").load("/root/repo/fixtures/images")
+    val bf = s.read.format("binaryFile")
+      .load(s"${graft.Tables.fixturesDir}/images")
     bf.select(element_at(split(col("path"), "/"), -1).as("file"),
         col("length"), col("content"))
       .withColumn("meta", graft.functions.functions.image_meta(col("content")))
@@ -850,6 +851,40 @@ object QueryCatalog {
   val multimodalRealSql: String =
     """SELECT file, length, format, width, height, content_md5
       |FROM '/root/repo/fixtures/images_manifest.parquet'
+      |ORDER BY file""".stripMargin
+
+  /** REAL audio/video ingestion — the WAV/MP4 sibling of
+    * `multimodal_real`: `binaryFile` over committed WAV + MP4 fixtures
+    * ([[graft.tools.GenMediaFixtures]] — containers assembled from
+    * their public specs, deterministic PCM payloads), duration /
+    * channels / sample rate / dimensions recovered from the CONTAINER
+    * BYTES alone by the codegen'd probe
+    * ([[graft.functions.MediaMeta]]): RIFF chunk walk (the `data`
+    * chunk contributes only its 8-byte header — samples are never
+    * read) and ISO-BMFF box walk (`moov`→`mvhd`/`tkhd`). Oracle =
+    * the generator's write-time manifest, truth recorded independently
+    * of the parser; md5 pins the exact committed bytes. O(header) per
+    * blob regardless of media size — the same 100 TB edge-probe
+    * argument as the image twin. */
+  val multimodalAudio: Q = (s, dir) => {
+    val bf = s.read.format("binaryFile")
+      .load(s"${graft.Tables.fixturesDir}/media")
+    bf.select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("length"), col("content"))
+      .withColumn("meta", graft.functions.functions.media_meta(col("content")))
+      .select(col("file"), col("length"),
+        col("meta.format").as("format"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.channels").as("channels"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("file"))
+  }
+  val multimodalAudioSql: String =
+    """SELECT file, length, format, duration_ms, channels, sample_rate,
+      |  width, height, content_md5
+      |FROM '/root/repo/fixtures/media_manifest.parquet'
       |ORDER BY file""".stripMargin
 
   // ---------------------------------------------------------------- //
@@ -888,7 +923,8 @@ object QueryCatalog {
     "text_lang_id" -> textLangId,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
-    "multimodal_real" -> multimodalReal)
+    "multimodal_real" -> multimodalReal,
+    "multimodal_audio" -> multimodalAudio)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -922,5 +958,6 @@ object QueryCatalog {
     "text_lang_id" -> textLangIdSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
-    "multimodal_real" -> multimodalRealSql)
+    "multimodal_real" -> multimodalRealSql,
+    "multimodal_audio" -> multimodalAudioSql)
 }

@@ -261,4 +261,38 @@ class SketchesSpec extends SparkSpec {
     assert(rows <= maxBins * groups,
       s"sketch rows $rows exceed groups×bins bound ${maxBins * groups}")
   }
+
+  test("self-ranging sketch equals the explicit-range sketch at its own edges") {
+    val (skAuto, lo, width) = Sketches.histogramSketchAuto(ordersByStatus,
+      Seq("o_orderstatus"), col("o_totalprice"), bins = 64)
+    val skExplicit = Sketches.histogramSketch(ordersByStatus,
+      Seq("o_orderstatus"), col("o_totalprice"), lo, width)
+    assert(skAuto.collect().toSet == skExplicit.collect().toSet)
+    // the derived range must actually cover the data: bins in [0, 64]
+    // (the max value itself lands exactly on the closing edge → bin 64)
+    val bins = skAuto.select("bin").as[Long].collect()
+    assert(bins.min == 0 && bins.max <= 64,
+      s"derived range must cover the data: bins ${bins.min}..${bins.max}")
+    // and its quantile estimates bracket the exact quantile within width
+    val est = Sketches.histogramQuantiles(skAuto, Seq("o_orderstatus"),
+        lo, width, Seq("p50_est" -> 0.5))
+      .select("o_orderstatus", "p50_est").as[(String, Double)].collect().toMap
+    val exact = ordersByStatus
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (g, p) =>
+      assert(est(g) <= p + 1e-9 && p - est(g) <= width + 1e-9,
+        s"group $g: p50 est ${est(g)} not within one bin below exact $p")
+    }
+  }
+
+  test("self-ranging sketch on a constant column answers the constant") {
+    val df = Seq.fill(100)(("g", 42.5)).toDF("g", "v")
+    val (sk, lo, width) = Sketches.histogramSketchAuto(df, Seq("g"), col("v"))
+    assert(lo == 42.5 && width == 1.0)
+    val q = Sketches.histogramQuantiles(sk, Seq("g"), lo, width,
+      Seq("p50_est" -> 0.5, "p99_est" -> 0.99)).collect()(0)
+    assert(q.getDouble(1) == 42.5 && q.getDouble(2) == 42.5)
+  }
 }
