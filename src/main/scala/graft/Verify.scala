@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Loud (but non-fatal) drift check: a driver testdata regen with
+    // changed physical types cost a full round once (round 9).
+    SchemaGuard.warnOnDrift(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // Gate SFs produce tiny results, where one output file per query
     // keeps the oracle compare simple; at larger verify scales that

@@ -27,6 +27,48 @@ import org.apache.spark.sql.functions._
   */
 object Retraction {
 
+  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Crash recovery for interrupted [[retract]] swaps — run on entry.
+    * The per-partition swap is write-tmp → rename-victim-aside →
+    * rename-tmp-in → delete-aside, so every crash window leaves a
+    * recoverable state this function repairs:
+    *   - aside present, partition present → crash after the swap
+    *     completed: the aside is the superseded copy, delete it;
+    *   - aside present, partition MISSING → crash between the two
+    *     renames: the tmp is complete by construction (the write
+    *     finished before the victim was moved aside) — rename it in,
+    *     then drop the aside; if the tmp is somehow gone, restore the
+    *     aside (no data loss, retraction just re-runs);
+    *   - tmp present, partition present, no aside → crash during or
+    *     after the tmp write: the tmp may be partial, the live
+    *     partition is untouched — drop the tmp.
+    * Every state converges to a readable layout with no hidden-only
+    * copy — the "silently vanished partition" window of the previous
+    * delete-then-rename order cannot occur. */
+  def recover(spark: SparkSession, dir: String, partCol: String = "batch"): Unit = {
+    val root = path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    names.filter(_.startsWith(s".retract-aside-$partCol-")).foreach { a =>
+      val p = a.stripPrefix(s".retract-aside-$partCol-")
+      val part = path(s"$dir/$partCol=$p")
+      val tmp = path(s"$dir/.retract-$partCol-$p")
+      if (fs.exists(part)) fs.delete(path(s"$dir/$a"), true)
+      else if (fs.exists(tmp)) {
+        fs.rename(tmp, part)
+        fs.delete(path(s"$dir/$a"), true)
+      } else fs.rename(path(s"$dir/$a"), part)
+    }
+    names.filter(n => n.startsWith(s".retract-$partCol-") &&
+        !n.startsWith(s".retract-aside-")).foreach { t =>
+      val p = t.stripPrefix(s".retract-$partCol-")
+      if (fs.exists(path(s"$dir/$partCol=$p")))
+        fs.delete(path(s"$dir/$t"), true)
+    }
+  }
+
   /** Remove rows whose `idCol` appears in `ids` from the partitioned
     * parquet layout at `dir`. `partCol` is the top-level partition key
     * (`batch` for gate sinks); `nestedPartCols` are partition levels
@@ -37,6 +79,7 @@ object Retraction {
       ids: Seq[Long], partCol: String = "batch",
       nestedPartCols: Seq[String] = Nil): Int = {
     require(ids.nonEmpty, "empty delete list")
+    recover(spark, dir, partCol) // repair any interrupted prior swap
     val idsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
@@ -49,24 +92,26 @@ object Retraction {
       .select(partCol).distinct()
       .collect().map(_.get(0))
     // (2) rewrite only those partitions, preserving nested layout.
-    // Write-to-temp-then-swap: Spark (correctly) refuses to overwrite a
-    // path it is reading, and the swap keeps the window where the
-    // partition is absent to a directory rename. (Crash between delete
-    // and rename loses the partition but never corrupts it — the
-    // manifest-pointer commit in streaming/SyncStream is the pattern to
-    // compose with when atomicity matters.)
+    // Write-to-temp, then swap in TWO renames with the victim parked
+    // ASIDE (never deleted before its replacement is in place): a crash
+    // anywhere leaves either the old copy or the complete new copy
+    // recoverable — [[recover]] (run on entry) repairs every window.
+    // Spark (correctly) refuses to overwrite a path it is reading,
+    // which is the other reason for the temp indirection.
     val hadoopConf = spark.sessionState.newHadoopConf()
     affected.foreach { p =>
-      val part = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$p")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.retract-$partCol-$p")
+      val part = path(s"$dir/$partCol=$p")
+      val tmp = path(s"$dir/.retract-$partCol-$p")
+      val aside = path(s"$dir/.retract-aside-$partCol-$p")
       val survivors = spark.read.parquet(part.toString)
         .join(broadcast(idsDf), col(idCol) === col("_victim"), "left_anti")
       val writer = survivors.write.mode("overwrite")
       (if (nestedPartCols.nonEmpty) writer.partitionBy(nestedPartCols: _*)
        else writer).parquet(tmp.toString)
       val fs = part.getFileSystem(hadoopConf)
-      fs.delete(part, true)
+      fs.rename(part, aside)
       fs.rename(tmp, part)
+      fs.delete(aside, true)
     }
     affected.length
   }

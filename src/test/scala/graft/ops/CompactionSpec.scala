@@ -40,7 +40,7 @@ class CompactionSpec extends SparkSpec {
     val annBefore = spark.read.parquet(ann).select("id").as[Long].collect().toSet
     assert(epochDirs(acc) == 4 && epochDirs(ann) == 4)
 
-    Compaction.compactAll(spark, acc, idx, Some(ann))
+    Compaction.compactAll(spark, acc, idx, maxEpochId = 3L, annDir = Some(ann))
 
     assert(epochDirs(acc) == 1 && epochDirs(idx) == 1 && epochDirs(ann) == 1)
     assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet == before)
@@ -68,5 +68,65 @@ class CompactionSpec extends SparkSpec {
     }
     assert(IngestGate.gateBatch(dup, 10L, idx, acc, "doc_id", "text", ann = annSink) == 0L,
       "compacted epochs must still gate near-dups")
+  }
+
+  test("checkpoint horizon: epochs above maxEpochId are never touched") {
+    val acc = graft.Staging.dirFor("compact-horizon")
+    (0 until 5).foreach { e =>
+      Seq((e * 10L, s"epoch $e")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$acc/batch=$e")
+    }
+    val before = spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet
+    val filesAbove = new java.io.File(s"$acc/batch=4").listFiles().map(_.getName).toSet
+    val n = Compaction.compactEpochs(spark, acc, maxEpochId = 2L)
+    assert(n == 3, s"collapsed $n")
+    assert(epochDirs(acc) == 3, "base + the two uncommitted epochs")
+    assert(new java.io.File(s"$acc/batch=3").isDirectory)
+    assert(new java.io.File(s"$acc/batch=4").listFiles().map(_.getName).toSet
+      == filesAbove, "epochs above the horizon keep their exact files")
+    assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet == before)
+  }
+
+  test("recovery repairs every crash window back to a readable layout") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
+    def mk(dirTag: String): (String, Set[Long]) = {
+      val d = graft.Staging.dirFor(s"compact-crash-$dirTag")
+      (0 until 3).foreach { e =>
+        Seq((e.toLong, s"d$e")).toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$d/batch=$e")
+      }
+      (d, Set(0L, 1L, 2L))
+    }
+    def ids(d: String) =
+      spark.read.parquet(d).select("doc_id").as[Long].collect().toSet
+
+    // window 1: crash during the temp write (partial temp, all epochs live)
+    val (d1, want1) = mk("w1")
+    fs.mkdirs(new Path(s"$d1/.compact-batch"))
+    Compaction.recover(spark, d1)
+    assert(ids(d1) == want1 && !new java.io.File(s"$d1/.compact-batch").exists())
+
+    // window 2: crash between parking and base rename (complete temp,
+    // epochs parked aside, base absent)
+    val (d2, want2) = mk("w2")
+    spark.read.parquet(d2).drop("batch")
+      .write.mode("overwrite").parquet(s"$d2/.compact-batch")
+    (0 until 3).foreach(e => fs.rename(new Path(s"$d2/batch=$e"),
+      new Path(s"$d2/.compact-aside-batch-batch=$e")))
+    Compaction.recover(spark, d2)
+    assert(ids(d2) == want2, "temp promoted to base, no data lost")
+    assert(new java.io.File(s"$d2/batch=-1").isDirectory)
+
+    // window 3: crash after base rename, before aside cleanup
+    val (d3, want3) = mk("w3")
+    assert(Compaction.compactEpochs(spark, d3, maxEpochId = 2L) == 3)
+    (0 until 2).foreach(e => // refabricate stale asides next to the live base
+      Seq((90L + e, "stale")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d3/.compact-aside-batch-batch=$e"))
+    Compaction.recover(spark, d3)
+    assert(ids(d3) == want3, "superseded asides dropped, base intact")
+    assert(!new java.io.File(d3).listFiles()
+      .exists(_.getName.startsWith(".compact-aside-")))
   }
 }

@@ -70,4 +70,55 @@ class RetractionSpec extends SparkSpec {
     Retraction.retractAll(spark, Seq(1L, 3L), "doc_id", acc, idx, Some(ann))
     assert(fileSet(acc) == accFiles, "re-retracting must be a no-op")
   }
+
+  test("recovery repairs every interrupted-swap window; nothing silently vanishes") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
+    def mk(tag: String): String = {
+      val d = graft.Staging.dirFor(s"retract-crash-$tag")
+      (0 until 2).foreach { e =>
+        Seq((e * 10L, s"d$e"), (e * 10L + 1, s"x$e")).toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$d/batch=$e")
+      }
+      d
+    }
+    def ids(d: String) =
+      spark.read.parquet(d).select("doc_id").as[Long].collect().toSet
+    val all = Set(0L, 1L, 10L, 11L)
+
+    // window 1: crash during the temp write → stale (partial) temp next
+    // to the live partition; recovery drops the temp
+    val d1 = mk("w1")
+    fs.mkdirs(new Path(s"$d1/.retract-batch-0"))
+    Retraction.recover(spark, d1)
+    assert(ids(d1) == all && !new java.io.File(s"$d1/.retract-batch-0").exists())
+
+    // window 2: crash between the two renames → complete temp, victim
+    // parked aside, partition missing; recovery promotes the temp (the
+    // previously-lost-partition case the old delete-then-rename had)
+    val d2 = mk("w2")
+    Seq((10L, "d1")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d2/.retract-batch-1")
+    fs.rename(new Path(s"$d2/batch=1"), new Path(s"$d2/.retract-aside-batch-1"))
+    Retraction.recover(spark, d2)
+    assert(ids(d2) == Set(0L, 1L, 10L), s"survivors promoted: ${ids(d2)}")
+    assert(!new java.io.File(s"$d2/.retract-aside-batch-1").exists())
+
+    // window 3: crash after the swap, before aside cleanup → recovery
+    // drops the superseded aside
+    val d3 = mk("w3")
+    fs.rename(new Path(s"$d3/batch=1"), new Path(s"$d3/.retract-aside-batch-1"))
+    Seq((10L, "d1")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d3/batch=1")
+    Retraction.recover(spark, d3)
+    assert(ids(d3) == Set(0L, 1L, 10L))
+    assert(!new java.io.File(s"$d3/.retract-aside-batch-1").exists())
+
+    // and retract() itself runs recovery on entry: a stale aside from a
+    // crashed run does not break a fresh retraction
+    val d4 = mk("w4")
+    fs.rename(new Path(s"$d4/batch=1"), new Path(s"$d4/.retract-aside-batch-1"))
+    Retraction.retract(spark, d4, "doc_id", Seq(0L))
+    assert(ids(d4) == all - 0L, s"got ${ids(d4)}")
+  }
 }

@@ -26,10 +26,10 @@ def main(a_path, b_path):
     print("|---|---|---|---|")
     for q, ra, rb, ratio in rows:
         print(f"| {q} | {ra:.2f} | {rb:.2f} | {ratio:.1f} |")
-    ta = sum(qa[q] for q, *_ in [(r[0],) for r in rows])
     ta = sum(r[1] for r in rows)
     tb = sum(r[2] for r in rows)
-    print(f"| **total ({len(rows)} queries)** | **{ta:.2f}** | **{tb:.2f}** | **{tb / ta:.1f}** |")
+    ratio = f"{tb / ta:.1f}" if ta > 0 else "inf"
+    print(f"| **total ({len(rows)} queries)** | **{ta:.2f}** | **{tb:.2f}** | **{ratio}** |")
 
 
 if __name__ == "__main__":
