@@ -392,22 +392,35 @@ object Bench {
       System.err.println(s"[bench] WARNING: bench_artifact.json not written: ${e.getMessage}") }
     println(fullLine)
     // Lean twin printed LAST so one COMPLETE parseable JSON line always
-    // sits inside the tail window: 2-decimal values, no byte maps (those
-    // live in bench_artifact.json). ~1.9 KB at the full 79-query surface.
-    def obj2(kv: Seq[(String, Double)]): String =
+    // sits inside the driver's ~2000-char tail window: no byte maps
+    // (those live in bench_artifact.json), and SELF-SIZING — as the
+    // headline grows, per-query precision drops 2dp → 1dp, and as a
+    // last resort the per-query map is dropped entirely (count kept):
+    // a truncated-at-the-front JSON line parses as nothing, so fitting
+    // beats fidelity here (the full map is 2 lines up and in the
+    // committed artifact either way).
+    def objP(kv: Seq[(String, Double)], dp: Int): String =
       kv.map { case (k, v) =>
-        f"${q(k)}:${if (v.isFinite) v else 9999.0}%.2f"
+        val x = if (v.isFinite) v else 9999.0
+        s"${q(k)}:" + String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
       }.mkString("{", ",", "}")
-    val leanExtra = new StringBuilder
-    // violations matter exactly when non-empty; omitting the empty map
-    // buys headroom against the tail cap as the headline grows
-    if (violations.nonEmpty)
-      leanExtra ++= s""","budget_violations":${obj2(violations)}"""
-    if (subset.isDefined)
-      leanExtra ++= s""","subset":${present.sorted.map(q).mkString("[", ",", "]")}"""
-    if (failures.nonEmpty)
-      leanExtra ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${obj2(results)}$leanExtra,"sf":${q(sfDir)}}""")
+    def leanLine(dp: Int, withQueries: Boolean): String = {
+      val extra = new StringBuilder
+      if (withQueries) extra ++= s""","queries":${objP(results, dp)}"""
+      else extra ++= s""","n_queries":${results.length}"""
+      // violations matter exactly when non-empty; omitting the empty map
+      // buys headroom against the tail cap
+      if (violations.nonEmpty)
+        extra ++= s""","budget_violations":${objP(violations, dp)}"""
+      if (subset.isDefined)
+        extra ++= s""","subset":${present.sorted.map(q).mkString("[", ",", "]")}"""
+      if (failures.nonEmpty)
+        extra ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$extra,"sf":${q(sfDir)}}"""
+    }
+    val leanFit = Seq(leanLine(2, withQueries = true),
+      leanLine(1, withQueries = true), leanLine(2, withQueries = false))
+    println(leanFit.find(_.length <= 1900).getOrElse(leanFit.last))
     spark.stop()
   }
 }
