@@ -191,6 +191,10 @@ object Bench {
     "q_embedding_stats" -> 3.0,
     // user-keyed agg + user equi-join with residual time band
     "q_funnel" -> 3.0,
+    // three chained user-keyed min-aggs + equi-joins (shrinking relations)
+    "q_funnel_steps" -> 3.0,
+    // per-user RANGE-frame sliding sum over integer cents
+    "q_rolling" -> 4.0,
     // hourly grid explode + per-user carry-forward window (output-heavy)
     "q_resample_ffill" -> 6.0,
     // two user-keyed aggs + one user equi-join

@@ -209,11 +209,21 @@ object Sketches {
   def histogramSketchAuto(df: DataFrame, groupCols: Seq[String],
       value: Column, bins: Int = 128): (DataFrame, Double, Double) = {
     require(bins >= 1, s"need at least one bin, got $bins")
-    val r = df.agg(min(value.cast("double")).as("lo"),
-      max(value.cast("double")).as("hi")).collect()(0)
+    // BARE min/max (no cast wrapping the column): aggregate pushdown
+    // only fires on plain column extrema, so the cast-to-double happens
+    // on the two collected values, not inside the aggregate — the
+    // pre-pass stays footer-answerable for every numeric physical type
+    // (SketchesSpec pins PushedAggregation on this exact shape).
+    val r = df.agg(min(value).as("lo"), max(value).as("hi")).collect()(0)
     require(!r.isNullAt(0), "cannot range an empty (or all-null) column")
-    val lo = r.getDouble(0)
-    val hi = r.getDouble(1)
+    def num(i: Int): Double = r.get(i) match {
+      case d: java.math.BigDecimal => d.doubleValue
+      case n: Number => n.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"histogramSketchAuto needs a numeric column, got $other")
+    }
+    val lo = num(0)
+    val hi = num(1)
     val width = if (hi > lo) (hi - lo) / bins else 1.0
     (histogramSketch(df, groupCols, value, lo, width), lo, width)
   }

@@ -442,6 +442,97 @@ object ExtraQueries {
       |FROM grid g LEFT JOIN hourly h USING (user_id, hour)
       |ORDER BY user_id, hour""".stripMargin
 
+  /** Multi-step funnel: view → click (within 24 h of the first view) →
+    * purchase (within 24 h of the click step) — the k-step extension
+    * of `q_funnel`, as a chain of user-keyed min-aggregations + equi-
+    * joins with residual time bands (each step's relation shrinks, so
+    * the chain's shuffles operate on monotonically smaller keyed
+    * relations — the scale shape a 100 TB event log needs; no window
+    * over the raw event stream anywhere). The streaming sibling is
+    * [[graft.streaming.FunnelStream]] (two-step; same pinning rule per
+    * step). */
+  val qFunnelSteps: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), Tables.tsSeconds(col("ts")).as("t_sec"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t_sec")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("t_sec") > col("t_view") && col("t_sec") <= col("t_view") + 86400)
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("t_sec")).as("t_click"))
+    ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("t_sec") > col("t_click") && col("t_sec") <= col("t_click") + 86400)
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(col("t_sec")).as("t_purchase"))
+      .withColumn("secs_total", col("t_purchase") - col("t_view"))
+      .orderBy(col("user_id"))
+  }
+  val qFunnelStepsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t_sec FROM events),
+      |views AS (
+      |  SELECT user_id, min(t_sec) AS t_view FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |clicks AS (
+      |  SELECT v.user_id, v.t_view, min(c.t_sec) AS t_click
+      |  FROM views v JOIN e c ON c.user_id = v.user_id
+      |  WHERE c.event_type = 'click'
+      |    AND c.t_sec > v.t_view AND c.t_sec <= v.t_view + 86400
+      |  GROUP BY v.user_id, v.t_view),
+      |conv AS (
+      |  SELECT k.user_id, k.t_view, k.t_click, min(p.t_sec) AS t_purchase
+      |  FROM clicks k JOIN e p ON p.user_id = k.user_id
+      |  WHERE p.event_type = 'purchase'
+      |    AND p.t_sec > k.t_click AND p.t_sec <= k.t_click + 86400
+      |  GROUP BY k.user_id, k.t_view, k.t_click)
+      |SELECT user_id, t_view, t_click, t_purchase,
+      |  t_purchase - t_view AS secs_total
+      |FROM conv ORDER BY user_id""".stripMargin
+
+  /** Trailing 24 h rolling aggregate per user — the time-series
+    * companion of resample/sessionize: for every event, the count and
+    * mean of the user's `value` over the preceding day, via a RANGE
+    * window frame (`rangeBetween`), which is TIE-SAFE — equal
+    * timestamps are frame peers in both engines, so no ROWS-frame
+    * ordering ambiguity exists. Exactness: values become integer cents
+    * before the frame sum, the mean is INTEGER-truncated to 4 dp
+    * (`(Σcents·100) div n`), and the only float op is dividing that
+    * exact integer by 10⁴ — every step is bit-identical across
+    * engines. (A `round(double, 4)` here was observed to differ at an
+    * exact half: engines disagree on whether 34.76125 is above or
+    * below its nearest-double half — truncated integer math has no
+    * halves.) State per frame is bounded by one user-day of events —
+    * the window never sees the corpus. */
+  val qRolling: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_sec"))
+      .rangeBetween(-86399, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        Tables.tsSeconds(col("ts")).as("t_sec"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("cents_sum", sum(col("cents")).over(w))
+      .withColumn("avg_24h",
+        expr("(cents_sum * 100) DIV n_24h") / lit(10000.0))
+      .select(col("user_id"), col("event_id"), col("t_sec"),
+        col("n_24h"), col("avg_24h"))
+      .orderBy(col("user_id"), col("t_sec"), col("event_id"))
+  }
+  val qRollingSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_sec,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_id, event_id, t_sec,
+      |  count(*) OVER w AS n_24h,
+      |  (((sum(cents) OVER w) * 100) // (count(*) OVER w))
+      |    / CAST(10000.0 AS DOUBLE) AS avg_24h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY t_sec
+      |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, t_sec, event_id""".stripMargin
+
   /** Embedding-column analytics: per-label corpus statistics — count,
     * mean L2 norm (through the codegen'd [[Similarity.dot]] inside the
     * aggregation), and leading centroid components. The everyday
@@ -506,6 +597,8 @@ object ExtraQueries {
     "ann_filtered" -> annFiltered,
     "q_embedding_stats" -> qEmbeddingStats,
     "q_funnel" -> qFunnel,
+    "q_funnel_steps" -> qFunnelSteps,
+    "q_rolling" -> qRolling,
     "q_retention" -> qRetention,
     "q_resample_ffill" -> qResampleFfill)
 
@@ -526,6 +619,8 @@ object ExtraQueries {
     "ann_filtered" -> annFilteredSql,
     "q_embedding_stats" -> qEmbeddingStatsSql,
     "q_funnel" -> qFunnelSql,
+    "q_funnel_steps" -> qFunnelStepsSql,
+    "q_rolling" -> qRollingSql,
     "q_retention" -> qRetentionSql,
     "q_resample_ffill" -> qResampleFfillSql)
 }

@@ -287,6 +287,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("self-ranging pre-pass shape is footer-answerable (PushedAggregation)") {
+    // the pre-pass inside histogramSketchAuto is agg(min(col), max(col))
+    // with NO cast wrapping the column — assert that exact shape pushes
+    // to parquet footers when aggregate pushdown is on, and that the
+    // derived range equals the data-page answer
+    val conf = spark.conf
+    val prevV1 = conf.get("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,kafka,orc,parquet,text")
+    val prevAgg = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try {
+      conf.set("spark.sql.sources.useV1SourceList", "")
+      conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val raw = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val pre = raw.agg(min(col("l_extendedprice")), max(col("l_extendedprice")))
+      assert(pre.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        "the self-ranging pre-pass shape must answer from footers")
+      val (_, lo, width) = Sketches.histogramSketchAuto(raw, Seq("l_returnflag"),
+        col("l_extendedprice"), bins = 64)
+      val r = pre.collect()(0)
+      assert(lo == r.getDouble(0))
+      assert(width == (r.getDouble(1) - r.getDouble(0)) / 64)
+    } finally {
+      conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
+    }
+  }
+
   test("self-ranging sketch on a constant column answers the constant") {
     val df = Seq.fill(100)(("g", 42.5)).toDF("g", "v")
     val (sk, lo, width) = Sketches.histogramSketchAuto(df, Seq("g"), col("v"))
