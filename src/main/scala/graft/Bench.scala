@@ -195,6 +195,8 @@ object Bench {
     "q_funnel_steps" -> 3.0,
     // per-user RANGE-frame sliding sum over integer cents
     "q_rolling" -> 4.0,
+    // same frame machinery + integer z-score filter
+    "q_anomaly" -> 4.0,
     // hourly grid explode + per-user carry-forward window (output-heavy)
     "q_resample_ffill" -> 6.0,
     // two user-keyed aggs + one user equi-join

@@ -344,15 +344,10 @@ object ExtraQueries {
   val qFunnel: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), Tables.tsSeconds(col("ts")).as("t_sec"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id")).agg(min(col("t_sec")).as("t_click"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("t_sec"))
-    clicks.join(purchases, Seq("user_id"))
-      .filter(col("t_sec") > col("t_click") && col("t_sec") <= col("t_click") + 86400)
-      .groupBy(col("user_id"), col("t_click"))
-      .agg(min(col("t_sec")).as("t_purchase"))
-      .withColumn("secs_to_convert", col("t_purchase") - col("t_click"))
+    graft.operators.Funnel.firstCompletion(ev,
+        Seq("click", "purchase"), Seq(86400L))
+      .select(col("user_id"), col("t0").as("t_click"),
+        col("t1").as("t_purchase"), (col("t1") - col("t0")).as("secs_to_convert"))
       .orderBy(col("user_id"))
   }
   val qFunnelSql: String =
@@ -454,18 +449,10 @@ object ExtraQueries {
   val qFunnelSteps: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), Tables.tsSeconds(col("ts")).as("t_sec"))
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("t_sec")).as("t_view"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .join(views, Seq("user_id"))
-      .filter(col("t_sec") > col("t_view") && col("t_sec") <= col("t_view") + 86400)
-      .groupBy(col("user_id"), col("t_view")).agg(min(col("t_sec")).as("t_click"))
-    ev.filter(col("event_type") === "purchase")
-      .join(clicks, Seq("user_id"))
-      .filter(col("t_sec") > col("t_click") && col("t_sec") <= col("t_click") + 86400)
-      .groupBy(col("user_id"), col("t_view"), col("t_click"))
-      .agg(min(col("t_sec")).as("t_purchase"))
-      .withColumn("secs_total", col("t_purchase") - col("t_view"))
+    graft.operators.Funnel.firstCompletion(ev,
+        Seq("view", "click", "purchase"), Seq(86400L, 86400L))
+      .select(col("user_id"), col("t0").as("t_view"), col("t1").as("t_click"),
+        col("t2").as("t_purchase"), (col("t2") - col("t0")).as("secs_total"))
       .orderBy(col("user_id"))
   }
   val qFunnelStepsSql: String =
@@ -531,6 +518,60 @@ object ExtraQueries {
       |FROM e
       |WINDOW w AS (PARTITION BY user_id ORDER BY t_sec
       |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, t_sec, event_id""".stripMargin
+
+  /** Rolling z-score anomaly detection — the alerting companion of
+    * [[qRolling]]: for every event (in a ≥8-event trailing frame),
+    * does its value deviate from the user's trailing-24h mean by more
+    * than 2 trailing standard deviations? The entire test is EXACT
+    * INTEGER arithmetic: with cents x, frame sums S=Σx and Q=Σx², the
+    * test (x−μ)² > 4σ² multiplies through by n² to
+    * `(x·n − S)² > 4·(n·Q − S²)` — no division, no sqrt, no float
+    * anywhere, so both engines agree bit-for-bit (the same move as
+    * [[qRolling]]'s integer-truncated mean, pushed further).
+    * Magnitudes: x ≤ 5·10⁴ cents, day-frames ≤ ~10³ events → every
+    * product fits a Long with 10³ headroom. The flag is EMITTED, not
+    * filtered on, so the oracle hashes the full frame-stats relation —
+    * the harness's uniform values make >2σ rare by construction
+    * (a uniform's max deviation is √3 σ; only sample-σ noise in small
+    * frames can cross 2), which is itself part of what the gate
+    * checks. */
+  val qAnomaly: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_sec"))
+      .rangeBetween(-86399, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        Tables.tsSeconds(col("ts")).as("t_sec"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("q", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n") >= 8)
+      .withColumn("dev", col("cents") * col("n") - col("s"))
+      .withColumn("is_anomaly", col("dev") * col("dev") >
+        lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("event_id"), col("t_sec"),
+        col("cents"), col("n"), col("s"), col("q"), col("is_anomaly"))
+      .orderBy(col("user_id"), col("t_sec"), col("event_id"))
+  }
+  val qAnomalySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_sec,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, t_sec, cents,
+      |    count(*) OVER w AS n,
+      |    sum(cents) OVER w AS s,
+      |    sum(cents * cents) OVER w AS q
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t_sec
+      |               RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, t_sec, cents, n,
+      |  CAST(s AS BIGINT) AS s, CAST(q AS BIGINT) AS q,
+      |  (cents * n - s) * (cents * n - s) > 4 * (n * q - s * s) AS is_anomaly
+      |FROM f
+      |WHERE n >= 8
       |ORDER BY user_id, t_sec, event_id""".stripMargin
 
   /** Embedding-column analytics: per-label corpus statistics — count,
@@ -599,6 +640,7 @@ object ExtraQueries {
     "q_funnel" -> qFunnel,
     "q_funnel_steps" -> qFunnelSteps,
     "q_rolling" -> qRolling,
+    "q_anomaly" -> qAnomaly,
     "q_retention" -> qRetention,
     "q_resample_ffill" -> qResampleFfill)
 
@@ -621,6 +663,7 @@ object ExtraQueries {
     "q_funnel" -> qFunnelSql,
     "q_funnel_steps" -> qFunnelStepsSql,
     "q_rolling" -> qRollingSql,
+    "q_anomaly" -> qAnomalySql,
     "q_retention" -> qRetentionSql,
     "q_resample_ffill" -> qResampleFfillSql)
 }
