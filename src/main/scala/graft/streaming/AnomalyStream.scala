@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the rolling z-score anomaly query (`q_anomaly`):
+  * flag each event whose value deviates more than 2 trailing standard
+  * deviations from the user's trailing-24h frame, continuously.
+  *
+  * Same integer-exact test as batch — with cents x and frame sums
+  * S=Σx, Q=Σx²: `(x·n − S)² > 4·(n·Q − S²)` — so a flag raised here is
+  * bit-identical to the batch flag, not approximately equal.
+  *
+  * State per user is the trailing-24h (t, cents) buffer — bounded by
+  * one user-day of events (the SAME bound the batch RANGE frame has;
+  * a mis-keyed firehose user is a skew problem in both forms).
+  * Eviction is driven by the user's own event time, so an idle user
+  * holds their final day of events — acceptable at O(users ×
+  * day-rate); add an event-time TTL timer (the [[StreamDedup]] pattern)
+  * if reclaiming idle users matters.
+  *
+  * Parity contract (AnomalyStreamSpec): equal to the batch formulation
+  * on in-order arrival WITH same-timestamp events delivered in one
+  * micro-batch — the batch RANGE frame includes same-t peers
+  * bidirectionally, so the stream processes each distinct timestamp as
+  * a group: all events at time t enter the frame BEFORE any of them is
+  * scored (the tie-safety move that makes RANGE, not ROWS, the right
+  * frame in both engines).
+  */
+object AnomalyStream {
+
+  final case class VEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, cents: Long)
+  final case class Flagged(user_id: Long, event_id: Long, t_sec: Long,
+    cents: Long, n: Long, s: Long, q: Long, is_anomaly: Boolean)
+  final case class FrameState(ts: Seq[Long], cents: Seq[Long])
+
+  val WindowSec = 86400L
+  val MinFrame = 8
+
+  /** Per-event flags over a streaming frame. Input columns: `user_id`
+    * (castable to long), `event_id` (long), `ts` (timestamp), `value`
+    * (double — becomes cents exactly like batch). */
+  def flags(events: DataFrame, delay: String = "1 hour"): Dataset[Flagged] = {
+    require(events.isStreaming,
+      "AnomalyStream.flags is a streaming operator; use q_anomaly in batch")
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[VEvent]
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FrameState, Flagged](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FrameState]) =>
+          var buf = state.getOption
+            .map(st => st.ts.zip(st.cents).toVector).getOrElse(Vector.empty)
+          val out = Seq.newBuilder[Flagged]
+          // distinct timestamps ascending; all same-t events join the
+          // frame before any of them is scored (RANGE-frame tie rule)
+          val byT = rows.toSeq.groupBy(e => Math.floorDiv(e.ts.getTime, 1000L))
+          byT.keys.toSeq.sorted.foreach { t =>
+            val peers = byT(t).sortBy(_.event_id)
+            buf = buf.dropWhile(_._1 < t - (WindowSec - 1)) ++
+              peers.map(e => t -> e.cents)
+            val n = buf.length.toLong
+            if (n >= MinFrame) {
+              val s = buf.iterator.map(_._2).sum
+              val q = buf.iterator.map(c => c._2 * c._2).sum
+              peers.foreach { e =>
+                val dev = e.cents * n - s
+                out += Flagged(user, e.event_id, t, e.cents, n, s, q,
+                  dev * dev > 4L * (n * q - s * s))
+              }
+            }
+          }
+          state.update(FrameState(buf.map(_._1), buf.map(_._2)))
+          out.result().iterator
+      }
+  }
+}

@@ -151,6 +151,20 @@ class PlanQualitySpec extends SparkSpec {
       conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
     }
   }
+
+  test("q_rolling / q_anomaly: ONE user-hash exchange feeds the frame window") {
+    // the rolling-frame pair must shuffle exactly once (hash on
+    // user_id for the RANGE window); the final presentation orderBy is
+    // a range exchange, not a second hash — at 100 TB a second hash
+    // shuffle of the event stream would dominate the query
+    Seq("q_rolling", "q_anomaly").foreach { name =>
+      val p = plan(name)
+      assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+        s"$name needs exactly one hash shuffle:\n$p")
+      assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+        s"$name: expected the frame window:\n$p")
+    }
+  }
 }
 
 /** Helper giving specs access to a query's executed plan string. */

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Streaming anomaly flags ([[AnomalyStream]]): bit-identical to the
+  * batch q_anomaly formulation on in-order arrival (incl. the
+  * same-timestamp peer rule), frame eviction at the 24h horizon. */
+class AnomalyStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  /** The batch q_anomaly shape over the same rows. */
+  private def batchFlags(rows: Seq[(Long, Long, Timestamp, Double)]) = {
+    val w = Window.partitionBy($"user_id").orderBy($"t_sec")
+      .rangeBetween(-86399, 0)
+    rows.toDF("user_id", "event_id", "ts", "value")
+      .select($"user_id", $"event_id", $"ts".cast("long").as("t_sec"),
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum($"cents").over(w))
+      .withColumn("q", sum($"cents" * $"cents").over(w))
+      .filter($"n" >= 8)
+      .withColumn("dev", $"cents" * $"n" - $"s")
+      .withColumn("is_anomaly", $"dev" * $"dev" > lit(4L) * ($"n" * $"q" - $"s" * $"s"))
+      .select($"user_id", $"event_id", $"t_sec", $"cents", $"n", $"s", $"q", $"is_anomaly")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+  }
+
+  test("batch and stream agree, including a same-timestamp peer group") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1: 9 steady values then one spike; two events share t=800
+    val steady = (1 to 7).map(i => (1L, i.toLong, ts(i * 100L), 10.0 + i * 0.01))
+    val peers = Seq((1L, 8L, ts(800), 10.08), (1L, 9L, ts(800), 10.09))
+    val spike = Seq((1L, 10L, ts(900), 95.0))
+    val data = steady ++ peers ++ spike
+    val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val fl = AnomalyStream.flags(mem.toDF().toDF("user_id", "event_id", "ts", "value"))
+    val q = fl.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("anom_out").start()
+    try {
+      // in-order, same-t peers inside one batch (the documented contract)
+      mem.addData(steady: _*); q.processAllAvailable()
+      mem.addData(peers: _*); q.processAllAvailable()
+      mem.addData(spike: _*); q.processAllAvailable()
+      val streamed = spark.table("anom_out")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(streamed == batchFlags(data),
+        s"stream $streamed\nbatch ${batchFlags(data)}")
+      assert(streamed.exists(r => r._2 == 10L && r._8), "the spike must flag")
+      assert(streamed.count(_._8) == 1, "only the spike flags")
+    } finally q.stop()
+  }
+
+  test("frame evicts at the 24h horizon exactly like the batch RANGE frame") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 12 old events; a 13th one day later — its frame must hold only
+    // events within [t-86399, t] (the first 4 fall out)
+    val old = (1 to 12).map(i => (2L, i.toLong, ts(i * 10L), 20.0))
+    val late = Seq((2L, 13L, ts(86400L + 45), 20.0))
+    val data = old ++ late
+    val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val fl = AnomalyStream.flags(mem.toDF().toDF("user_id", "event_id", "ts", "value"))
+    val q = fl.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("anom_evict").start()
+    try {
+      mem.addData(old: _*); q.processAllAvailable()
+      mem.addData(late: _*); q.processAllAvailable()
+      val streamed = spark.table("anom_evict")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(streamed == batchFlags(data), s"got $streamed")
+      // late frame: events at t >= 86445-86399 = 46 → ids 5..12 + itself
+      val lateRow = streamed.find(_._2 == 13L).get
+      assert(lateRow._5 == 9L, s"late frame must hold 9 events: $lateRow")
+    } finally q.stop()
+  }
+}
