@@ -108,8 +108,13 @@ object Bench {
     "b7_path_derivation" -> 3.0,
     "b8_serialize" -> 3.0,
     "dedup_embedding_cos" -> 3.0,
+    // cell-scoped pair search: one hash exchange on cell + bounded
+    // within-cell self-join (SemDeDup shape)
+    "dedup_semantic" -> 3.0,
     "text_fingerprint" -> 3.0,
     "text_lang_id" -> 3.0,
+    // token explode + broadcast weight join + one doc-keyed exchange
+    "text_quality_classifier" -> 4.0,
     "multimodal_frames" -> 3.0,
     "ann_pq" -> 12.0,
     "ann_ivfpq" -> 10.0,
@@ -189,6 +194,8 @@ object Bench {
     "ann_filtered" -> 15.0,
     // one scan, one group-by exchange over 10 labels
     "q_embedding_stats" -> 3.0,
+    // one scan + multi-distinct expand to a single row
+    "q_profile" -> 3.0,
     // user-keyed agg + user equi-join with residual time band
     "q_funnel" -> 3.0,
     // three chained user-keyed min-aggs + equi-joins (shrinking relations)

@@ -661,4 +661,48 @@ object Dedup {
         .localCheckpoint(true)
     } finally { sigs.unpersist(false); () }
   }
+
+  /** SemDeDup-style semantic drop list (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): a coarse quantizer — ANY centroid matrix; the
+    * production path trains one with [[IvfIndex.train]] — partitions
+    * the corpus into cells by max-cosine ([[IvfIndex.bestCell]]), and
+    * the quadratic near-dup search runs only WITHIN a cell. A doc is
+    * dropped when any smaller-id cell-mate has cosine ≥ `threshold`;
+    * the smallest such mate is kept as its `exemplar_id` (with the
+    * cosine against that exemplar via `min_by`, no second join).
+    *
+    * Scale: the pair space is Σ|cell|², bounded by sizing k so N/k
+    * stays small (FAISS-style k ≈ √N makes the whole search ~N^1.5/k
+    * ≈ N per-cell work), and cells shard across executors behind ONE
+    * hash exchange on the cell id — the cluster assignment itself is
+    * a codegen'd scan-side expression, no shuffle. Cross-cell
+    * near-dups are missed by design; that is the SemDeDup trade
+    * (embedding near-dups concentrate inside k-means cells).
+    * Returns (cell, dropped_id, exemplar_id, cos).
+    */
+  def semanticDropList(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val base = df.select(
+      IvfIndex.bestCell(col(vecCol), centroids).as("cell"),
+      col(idCol).as("id"), col(vecCol).as("vec"))
+    base.toDF("cell", "id1", "v1")
+      .join(base.toDF("cell", "id2", "v2"), Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("cell"), col("id2").as("dropped_id"))
+      .agg(min(col("id1")).as("exemplar_id"),
+        min_by(col("cos"), col("id1")).as("cos"))
+  }
+
+  /** Survivors of [[semanticDropList]]: the input minus every dropped
+    * id (one anti-join on the id — the drop list is tiny relative to
+    * the corpus, broadcast-eligible). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame =
+    df.join(
+      semanticDropList(df, idCol, vecCol, centroids, threshold)
+        .select(col("dropped_id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

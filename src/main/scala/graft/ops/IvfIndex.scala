@@ -21,7 +21,7 @@ object IvfIndex {
     * 1/‖vec‖ factor is constant per row), so neither scan-side division
     * nor per-centroid norms are needed. Zero rows pass through as-is
     * (dot 0 against everything, matching the old guarded division). */
-  private def unitRows(centroids: Array[Array[Double]]): Array[Array[Double]] =
+  private[graft] def unitRows(centroids: Array[Array[Double]]): Array[Array[Double]] =
     centroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c.clone() else c.map(_ / n)

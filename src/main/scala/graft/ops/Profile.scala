@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling (ANALYZE-style column statistics): per-column
+  * non-null count, distinct count, and lexicographic min/max, emitted
+  * long-format — one row per profiled column.
+  *
+  * One scan regardless of column count: every statistic is an
+  * aggregate over the same pass, reduced map-side to a single row,
+  * then pivoted to long form driver-free (`explode` over an array of
+  * structs on a ONE-row relation — no shuffle beyond the global agg's
+  * own exchange).
+  *
+  * Scale: exact `countDistinct` over multiple columns expands the
+  * input ×|cols| (Spark's multi-distinct rewrite) — fine for gate
+  * scales and narrow tables; at 100 TB pass `approxNdv = true` and
+  * the expansion disappears (HLL++ partial aggregates, one pass, no
+  * expand; same portable-sketch family as `q_hll_distinct`). Min/max
+  * are taken over the STRING form so heterogeneous columns share one
+  * output schema — lexicographic, by contract.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+      approxNdv: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    def ndv(c: Column): Column =
+      if (approxNdv) approx_count_distinct(c) else countDistinct(c)
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      ndv(col(c)).as(s"__ndv_$c"),
+      min(col(c).cast("string")).as(s"__min_$c"),
+      max(col(c).cast("string")).as(s"__max_$c")) }
+    val one = df.agg(aggs.head, aggs.drop(1): _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"__n_$c").as("n_nonnull"),
+      col(s"__ndv_$c").as("ndv"),
+      col(s"__min_$c").as("min_val"),
+      col(s"__max_$c").as("max_val")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

@@ -308,4 +308,44 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(t))
       .drop("_ts")
   }
+
+  /** Deterministic placeholder weights for [[classifierScore]]: one
+    * signed integer weight per hash bucket (Knuth multiplicative mix →
+    * uniform-ish in [-500, 500)). This is the STUB half of the
+    * classifier — production replaces it with trained weights read
+    * from parquet; the operator only ever sees a (bucket, iw)
+    * relation, so swapping models is a data change, not a code
+    * change. */
+  def hashedStubWeights(spark: org.apache.spark.sql.SparkSession,
+      dim: Int = 1024): DataFrame =
+    spark.range(dim).select(col("id").cast("int").as("bucket"),
+      ((col("id") * 2654435761L) % 1000 - 500).as("iw"))
+
+  /** fastText-style hashed linear quality classifier: tokens hash into
+    * `dim` buckets (engine-portable md5 hash — the oracle replays it),
+    * each bucket carries a signed INTEGER weight from the broadcast
+    * `weights` relation, and a document's score is the mean bucket
+    * weight. Integer accumulation makes the score exact and
+    * summation-order-free (the q_anomaly discipline): engines can
+    * disagree on double-sum order, never on a long sum. `keep` is the
+    * binary quality verdict (positive mass).
+    *
+    * Scale: the only wide exchange is the per-doc groupBy; the weight
+    * table (even a 2^20-bucket production model) is a few MB —
+    * broadcast, never shuffled. Tokens never leave their scan
+    * partition before being reduced to (id, bucket).
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int = 1024): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+      .select(col("id"),
+        (Dedup.md5TokenHash60(col("tok")) % dim).cast("int").as("bucket"))
+    toks.join(broadcast(weights), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("iw")).as("raw"))
+      .select(col("id"), col("n_tokens"),
+        round(col("raw") / (col("n_tokens") * 1000.0), 6).as("score"),
+        (col("raw") > 0).as("keep"))
+  }
 }

@@ -621,7 +621,28 @@ object ExtraQueries {
       |WHERE p_retailprice > type_avg
       |ORDER BY p_partkey""".stripMargin
 
+  /** One-pass column profiler over `documents`
+    * ([[graft.ops.Profile.profile]]): exact ndv for the oracle gate;
+    * the `approxNdv = true` HLL path is the 100 TB form (asserted
+    * equivalent-shape in ProfileSpec). Min/max are lexicographic over
+    * the string form by the operator's contract. */
+  val qProfile: Q = (s, dir) => {
+    graft.ops.Profile.profile(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy(col("col_name"))
+  }
+  val qProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+         |  count(DISTINCT $c) AS ndv,
+         |  min(CAST($c AS VARCHAR)) AS min_val,
+         |  max(CAST($c AS VARCHAR)) AS max_val FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_profile" -> qProfile,
     "q_above_type_avg" -> qAboveTypeAvg,
     "q_anti_join" -> qAntiJoin,
     "q_semi_join" -> qSemiJoin,
@@ -645,6 +666,7 @@ object ExtraQueries {
     "q_resample_ffill" -> qResampleFfill)
 
   val oracles: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
     "q_above_type_avg" -> qAboveTypeAvgSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_semi_join" -> qSemiJoinSql,

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.model.{ResourceRule, SyncerConfig}
 import graft.operators.{ExportOps, SyncOps}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -637,6 +637,60 @@ object QueryCatalog {
       |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
       |ORDER BY id1, id2""".stripMargin
 
+  /** Seeded deterministic quantizer for the SemDeDup gate query: 16
+    * Gaussian centroids (seed 7) instead of trained k-means, so the
+    * DuckDB oracle can replay the cell assignment from embedded
+    * literals — production trains centroids with [[IvfIndex.train]],
+    * which an independent oracle cannot replay. Same seeding pattern
+    * as [[annLshSql]]'s hyperplanes. */
+  private val semanticCentroids: Array[Array[Double]] =
+    Similarity.hyperplanes(dim = 64, numBits = 16, seed = 7L)
+
+  /** SemDeDup drop list: cell-scoped cosine near-dup collapse (the
+    * cluster-conditional quadratic search — see
+    * [[Dedup.semanticDropList]] for the 100 TB sizing argument). */
+  val dedupSemantic: Q = (s, dir) => {
+    Dedup.semanticDropList(Tables.embeddings(s, dir), "vec_id", "embedding",
+        semanticCentroids, threshold = 0.35)
+      .select(col("cell"), col("dropped_id"), col("exemplar_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("dropped_id"))
+  }
+
+  /** DuckDB replay of [[dedupSemantic]]: the UNIT-NORMALIZED centroid
+    * rows (exactly the doubles [[IvfIndex.bestCell]] dots against —
+    * `Double.toString` round-trips through DuckDB's decimal parse) are
+    * embedded as literals; argmax-with-ties-to-LARGER-index is
+    * replayed as `len(s) - list_position(list_reverse(s), list_max(s))`
+    * (first position in the reversed score list = last max in the
+    * original, matching BestCellExpr's `>=` update rule). */
+  val dedupSemanticSql: String = {
+    val cs = IvfIndex.unitRows(semanticCentroids)
+    val csLit = cs.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n      ", "]")
+    s"""WITH cents AS (SELECT $csLit AS cs),
+       |base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, v,
+       |    len(s) - list_position(list_reverse(s), list_max(s)) AS cell
+       |  FROM (SELECT vec_id, v,
+       |          list_transform(cs, c -> list_dot_product(v, c)) AS s
+       |        FROM base CROSS JOIN cents)),
+       |hits AS (
+       |  SELECT a.cell AS cell, a.vec_id AS id1, b.vec_id AS id2,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35)
+       |SELECT cell, id2 AS dropped_id, min(id1) AS exemplar_id,
+       |  round(min_by(cos, id1), 4) AS cos
+       |FROM hits GROUP BY cell, id2
+       |ORDER BY dropped_id""".stripMargin
+  }
+
   /** Brute-force cosine top-k ANN (exact baseline): 5 query vectors,
     * k=10 neighbors each (self excluded). */
   val annTopK: Q = (s, dir) => {
@@ -794,6 +848,42 @@ object QueryCatalog {
       |       ELSE 'de' END AS lang_pred
       |FROM hits ORDER BY doc_id""".stripMargin
 
+  /** Hashed linear quality classifier over the stub weight table
+    * ([[TextAnalysis.classifierScore]]): md5-bucketed tokens, integer
+    * weight accumulation (exact, summation-order-free), mean-weight
+    * score. */
+  val textQualityClassifier: Q = (s, dir) => {
+    TextAnalysis.classifierScore(Tables.documents(s, dir), "doc_id", "text",
+        TextAnalysis.hashedStubWeights(s, dim = 1024), dim = 1024)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[textQualityClassifier]]: the same 60-bit md5
+    * token hash as [[dedupSimhashSql]] (first 15 hex digits as a
+    * long), the same Knuth-mix stub weight formula inline, and a
+    * BIGINT weight sum so the score is bit-exact before the one
+    * closing division. */
+  val textQualityClassifierSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, ($hexVal) AS h
+       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
+       |scored AS (
+       |  SELECT doc_id, ((h % 1024) * 2654435761) % 1000 - 500 AS iw FROM hashed),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(iw) AS BIGINT) AS raw
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  round(CAST(raw AS DOUBLE) / (n_tokens * 1000.0), 6) AS score,
+       |  raw > 0 AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** Multimodal metadata projection over binary content: every value
     * derives from byte length, exercising binary plumbing on the Spark
     * side and checked arithmetically by the oracle. */
@@ -916,11 +1006,13 @@ object QueryCatalog {
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cos" -> dedupEmbeddingCos,
+    "dedup_semantic" -> dedupSemantic,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
     "text_stats" -> textStats,
     "text_fingerprint" -> textFingerprint,
     "text_lang_id" -> textLangId,
+    "text_quality_classifier" -> textQualityClassifier,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_real" -> multimodalReal,
@@ -951,11 +1043,13 @@ object QueryCatalog {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cos" -> dedupEmbeddingCosSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "ann_topk" -> annTopKSql,
     "ann_lsh" -> annLshSql,
     "text_stats" -> textStatsSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_lang_id" -> textLangIdSql,
+    "text_quality_classifier" -> textQualityClassifierSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_real" -> multimodalRealSql,

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hashed linear classifier ([[TextAnalysis.classifierScore]]):
+  * scores replayed token-by-token in pure Scala (independent md5
+  * path), weight join stays broadcast.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 1024
+
+  /** Pure-Scala replay of the scoring pipeline: md5 → first 15 hex
+    * digits as a long → bucket → Knuth-mix stub weight. */
+  private def expected(text: String): (Long, Double, Boolean) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.split("\\s+").toSeq
+    val raw = toks.map { t =>
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      ((h % dim) * 2654435761L) % 1000 - 500
+    }.sum
+    val n = toks.size.toLong
+    (n, BigDecimal(raw / (n * 1000.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble, raw > 0)
+  }
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "spark shuffles when it must and broadcasts when it can"),
+    (3L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+
+  private lazy val scored = TextAnalysis.classifierScore(
+    docs, "doc_id", "text", TextAnalysis.hashedStubWeights(spark, dim), dim)
+
+  test("scores match an independent pure-Scala md5 replay") {
+    val got = scored.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Double]("score"),
+        r.getAs[Boolean]("keep")))).toMap
+    for ((id, text) <- Seq(1L -> docs, 2L -> docs)) {
+      val t = Seq("the quick brown fox jumps over the lazy dog",
+        "spark shuffles when it must and broadcasts when it can")(id.toInt - 1)
+      assert(got(id) == expected(t), s"doc $id")
+    }
+    // identical texts score identically
+    assert(got(1L) == got(3L))
+  }
+
+  test("weight relation joins broadcast; tokens reduce before the one doc exchange") {
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast, not shuffle:\n$plan")
+  }
+}

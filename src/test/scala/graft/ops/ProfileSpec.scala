@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Column profiler ([[Profile.profile]]): exact statistics, null
+  * handling, and the approx path's plan shape (no multi-distinct
+  * Expand).
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Option(1L), Option("en")),
+    (Option(2L), Option("de")),
+    (Option(2L), Option.empty[String]),
+    (Option(3L), Option("en"))).toDF("id", "lang")
+
+  test("exact profile: counts, ndv, lexicographic min/max") {
+    val p = Profile.profile(df, Seq("id", "lang")).orderBy("col_name").collect()
+    val id = p(0); val lang = p(1)
+    assert(id.getAs[String]("col_name") == "id")
+    assert(id.getAs[Long]("n_nonnull") == 4 && id.getAs[Long]("ndv") == 3)
+    assert(id.getAs[String]("min_val") == "1" && id.getAs[String]("max_val") == "3")
+    assert(lang.getAs[String]("col_name") == "lang")
+    assert(lang.getAs[Long]("n_nonnull") == 3 && lang.getAs[Long]("ndv") == 2)
+    assert(lang.getAs[String]("min_val") == "de" && lang.getAs[String]("max_val") == "en")
+  }
+
+  test("approx path drops the multi-distinct Expand; values agree at small ndv") {
+    val exact = Profile.profile(df, Seq("id", "lang"))
+    val approx = Profile.profile(df, Seq("id", "lang"), approxNdv = true)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-distinct is expected to expand")
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "HLL path must be a single un-expanded pass")
+    assert(approx.orderBy("col_name").collect()
+      .map(_.getAs[Long]("ndv")).toSeq == Seq(3L, 2L))
+  }
+}

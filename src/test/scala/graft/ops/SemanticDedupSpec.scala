@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SemDeDup cell-scoped dedup ([[Dedup.semanticDropList]]): cluster
+  * assignment scopes the quadratic search, smaller-id exemplar wins,
+  * cross-cell near-dups are (by design) not candidates.
+  */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two orthogonal cells; ids 1-3 point along e1 (same cell), id 4
+  // along e2. 1≈2≈3 are mutual near-dups within cell 0; nothing in
+  // cell 1 has a partner.
+  private val centroids = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+  private lazy val vecs = Seq(
+    (1L, Seq(1.0f, 0.01f, 0.0f)),
+    (2L, Seq(1.0f, 0.02f, 0.0f)),
+    (3L, Seq(1.0f, 0.03f, 0.0f)),
+    (4L, Seq(0.01f, 1.0f, 0.0f))).toDF("id", "vec")
+
+  test("near-dups collapse to the smallest-id exemplar within a cell") {
+    val dropped = Dedup.semanticDropList(vecs, "id", "vec", centroids, 0.99)
+      .orderBy($"dropped_id").collect()
+    assert(dropped.map(_.getAs[Long]("dropped_id")).toSeq == Seq(2L, 3L))
+    // both collapse onto id 1 (the min qualifying partner), not a chain
+    assert(dropped.map(_.getAs[Long]("exemplar_id")).toSeq == Seq(1L, 1L))
+    assert(dropped.forall(_.getAs[Int]("cell") == 0))
+    assert(dropped.forall(_.getAs[Double]("cos") >= 0.99))
+  }
+
+  test("cross-cell lookalikes are not candidates; survivors = input minus drop list") {
+    // ids 5 and 6 are near-identical (cos ≈ 0.9999) but straddle the
+    // cell boundary — the SemDeDup trade: they are never compared.
+    val mixed = vecs.union(Seq(
+      (5L, Seq(0.71f, 0.70f, 0.0f)),
+      (6L, Seq(0.70f, 0.71f, 0.0f))).toDF("id", "vec"))
+    val dropped = Dedup.semanticDropList(mixed, "id", "vec", centroids, 0.999)
+      .collect()
+    assert(dropped.map(_.getAs[Long]("dropped_id")).toSet == Set(2L, 3L))
+    val kept = Dedup.semanticDedup(mixed, "id", "vec", centroids, 0.999)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("threshold gates the drop: nothing collapses at an unreachable bar") {
+    assert(Dedup.semanticDropList(vecs, "id", "vec", centroids, 0.999999999)
+      .count() == 0)
+  }
+}
