@@ -113,8 +113,8 @@ object Bench {
     "dedup_semantic" -> 3.0,
     "text_fingerprint" -> 3.0,
     "text_lang_id" -> 3.0,
-    // token explode + broadcast weight join + one doc-keyed exchange
-    "text_quality_classifier" -> 4.0,
+    // zero-exchange scan kernel (hashed_score expression)
+    "text_quality_classifier" -> 3.0,
     "multimodal_frames" -> 3.0,
     "ann_pq" -> 12.0,
     "ann_ivfpq" -> 10.0,

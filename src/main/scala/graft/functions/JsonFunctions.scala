@@ -259,6 +259,11 @@ object functions {
       nProbe: Int): Column =
     col(ProbeCellsExpr(expr(vec), unitCentroids, nProbe))
 
+  /** Scan-side hashed-linear-classifier kernel: array<string> tokens →
+    * struct(n_tokens, raw) against a weights-as-data table. */
+  def hashed_score(tokens: Column, weights: Array[Long]): Column =
+    col(HashedScoreExpr(expr(tokens), weights))
+
   /** PQ codes (m per-subspace argmaxes) against a codebook-as-data. */
   def pq_encode(vec: Column, books: Array[Array[Array[Double]]]): Column =
     col(PqEncodeExpr(expr(vec), books))

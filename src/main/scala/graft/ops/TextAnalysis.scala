@@ -348,4 +348,32 @@ object TextAnalysis {
         round(col("raw") / (col("n_tokens") * 1000.0), 6).as("score"),
         (col("raw") > 0).as("keep"))
   }
+
+  /** The stub weight table of [[hashedStubWeights]] as a plain array —
+    * the weights-as-reference-object form [[classifierScoreInline]]
+    * consumes. Same formula, same bucket indexing. */
+  def stubWeightArray(dim: Int = 1024): Array[Long] =
+    Array.tabulate(dim)(b => (b.toLong * 2654435761L) % 1000 - 500)
+
+  /** ZERO-shuffle formulation of [[classifierScore]]: the whole
+    * classifier collapses into one codegen'd scan-side kernel
+    * ([[graft.functions.HashedScoreExpr]] over the split token array,
+    * weights carried as data on the expression) — no explode, no
+    * join, no per-doc exchange, so scoring 100 TB is embarrassingly
+    * parallel at scan speed. Identical output to the relational
+    * variant for non-null text (ClassifierSpec pins parity); prefer
+    * this form until the weight table outgrows the per-stage task
+    * binary (~10⁶ buckets), then switch to the broadcast relation.
+    */
+  def classifierScoreInline(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long]): DataFrame = {
+    val s = graft.functions.functions.hashed_score(
+      split(col(textCol), "\\s+"), weights)
+    df.select(col(idCol).as("id"), s.as("_s"))
+      .select(col("id"),
+        col("_s").getField("n_tokens").as("n_tokens"),
+        round(col("_s").getField("raw") /
+          (col("_s").getField("n_tokens") * 1000.0), 6).as("score"),
+        (col("_s").getField("raw") > 0).as("keep"))
+  }
 }

@@ -848,13 +848,14 @@ object QueryCatalog {
       |       ELSE 'de' END AS lang_pred
       |FROM hits ORDER BY doc_id""".stripMargin
 
-  /** Hashed linear quality classifier over the stub weight table
-    * ([[TextAnalysis.classifierScore]]): md5-bucketed tokens, integer
-    * weight accumulation (exact, summation-order-free), mean-weight
-    * score. */
+  /** Hashed linear quality classifier over the stub weight table:
+    * md5-bucketed tokens, integer weight accumulation (exact,
+    * summation-order-free), mean-weight score. Uses the zero-shuffle
+    * scan-kernel form ([[TextAnalysis.classifierScoreInline]]); the
+    * broadcast-relation twin is parity-pinned in ClassifierSpec. */
   val textQualityClassifier: Q = (s, dir) => {
-    TextAnalysis.classifierScore(Tables.documents(s, dir), "doc_id", "text",
-        TextAnalysis.hashedStubWeights(s, dim = 1024), dim = 1024)
+    TextAnalysis.classifierScoreInline(Tables.documents(s, dir), "doc_id",
+        "text", TextAnalysis.stubWeightArray(dim = 1024))
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
   }

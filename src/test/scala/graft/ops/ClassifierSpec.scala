@@ -54,4 +54,19 @@ class ClassifierSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"weights must broadcast, not shuffle:\n$plan")
   }
+
+  test("inline scan-kernel form matches the relational form exactly") {
+    val inline = TextAnalysis.classifierScoreInline(
+      docs, "doc_id", "text", TextAnalysis.stubWeightArray(dim))
+    val a = scored.orderBy("id").collect().toSeq
+    val b = inline.orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("inline form is zero-exchange (whole classifier inside the scan)") {
+    val inline = TextAnalysis.classifierScoreInline(
+      docs, "doc_id", "text", TextAnalysis.stubWeightArray(dim))
+    val plan = inline.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
 }

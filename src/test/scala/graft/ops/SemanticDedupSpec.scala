@@ -48,4 +48,21 @@ class SemanticDedupSpec extends SparkSpec {
     assert(Dedup.semanticDropList(vecs, "id", "vec", centroids, 0.999999999)
       .count() == 0)
   }
+
+  test("production path: trained k-means quantizer finds the planted twin") {
+    // 3 axis-aligned clusters with ±0.2 noise (cluster-mate cosine well
+    // under 0.999) plus one near-exact twin of id 0 at id 100.
+    val rnd = new scala.util.Random(1)
+    def noisy(axis: Int): Seq[Float] =
+      (0 until 4).map(d => ((if (d == axis) 1.0 else 0.0) +
+        (rnd.nextDouble() - 0.5) * 0.4).toFloat)
+    val rows = (0 until 30).map(i => (i.toLong, noisy(i % 3)))
+    val corpus = (rows :+ ((100L,
+      rows.head._2.map(x => x + 1e-4f)))).toDF("id", "vec")
+    val trained = IvfIndex.train(corpus, "id", "vec", k = 3, iters = 2)
+    val dropped = Dedup.semanticDropList(corpus, "id", "vec", trained, 0.999)
+      .collect()
+    assert(dropped.map(r => (r.getAs[Long]("dropped_id"),
+      r.getAs[Long]("exemplar_id"))).toSeq == Seq((100L, 0L)))
+  }
 }
