@@ -111,6 +111,8 @@ object Bench {
     // cell-scoped pair search: one hash exchange on cell + bounded
     // within-cell self-join (SemDeDup shape)
     "dedup_semantic" -> 3.0,
+    // cell-partitioned index write + partition-pruned batch probe
+    "dedup_semantic_incremental" -> 5.0,
     "text_fingerprint" -> 3.0,
     "text_lang_id" -> 3.0,
     // zero-exchange scan kernel (hashed_score expression)

@@ -705,4 +705,38 @@ object Dedup {
       semanticDropList(df, idCol, vecCol, centroids, threshold)
         .select(col("dropped_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** INCREMENTAL SemDeDup: probe a NEW batch against a cell-partitioned
+    * corpus index written by [[IvfIndex.writeIndexed]] ((id, vec) rows
+    * under a `cell=` partition). Only the batch is quantized — the
+    * corpus is never re-scored — and the batch's distinct cell ids
+    * (≤ min(|batch|, k), collected by contract) push as a literal
+    * partition filter, so the corpus scan reads ONLY the probed cells'
+    * directories. At 100 TB this is the same economics as
+    * [[newVsCorpusPairs]]: nightly cost tracks the day's arrivals
+    * times cell occupancy, not the corpus.
+    *
+    * Returns (cell, new_id, exemplar_id, cos): each new doc with any
+    * INDEXED cell-mate at cosine ≥ `threshold`, exemplar = smallest
+    * such corpus id. Within-batch duplicates are the batch variant's
+    * job ([[semanticDropList]] over the batch alone) — this operator
+    * is the arrivals-vs-corpus half of the split.
+    */
+  def semanticProbe(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val nb = batch.select(
+      IvfIndex.bestCell(col(vecCol), centroids).as("cell"),
+      col(idCol).as("id2"), col(vecCol).as("v2"))
+    val probed = nb.select("cell").distinct().collect().map(_.getInt(0))
+    val cb = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("cell"), col("id").as("id1"), col("vec").as("v1"))
+    cb.join(nb, Seq("cell"))
+      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("cell"), col("id2").as("new_id"))
+      .agg(min(col("id1")).as("exemplar_id"),
+        min_by(col("cos"), col("id1")).as("cos"))
+  }
 }

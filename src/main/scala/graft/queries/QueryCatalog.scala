@@ -664,7 +664,9 @@ object QueryCatalog {
     * replayed as `len(s) - list_position(list_reverse(s), list_max(s))`
     * (first position in the reversed score list = last max in the
     * original, matching BestCellExpr's `>=` update rule). */
-  val dedupSemanticSql: String = {
+  /** Shared oracle prefix: the seeded-quantizer cell assignment CTE
+    * (`cells(vec_id, v, cell)`), used by both semantic-dedup oracles. */
+  private def semanticCellsCte: String = {
     val cs = IvfIndex.unitRows(semanticCentroids)
     val csLit = cs.map(_.mkString("[", ", ", "]"))
       .mkString("[", ",\n      ", "]")
@@ -677,7 +679,11 @@ object QueryCatalog {
        |    len(s) - list_position(list_reverse(s), list_max(s)) AS cell
        |  FROM (SELECT vec_id, v,
        |          list_transform(cs, c -> list_dot_product(v, c)) AS s
-       |        FROM base CROSS JOIN cents)),
+       |        FROM base CROSS JOIN cents))""".stripMargin
+  }
+
+  val dedupSemanticSql: String =
+    s"""$semanticCellsCte,
        |hits AS (
        |  SELECT a.cell AS cell, a.vec_id AS id1, b.vec_id AS id2,
        |    list_dot_product(a.v, b.v) /
@@ -689,7 +695,40 @@ object QueryCatalog {
        |  round(min_by(cos, id1), 4) AS cos
        |FROM hits GROUP BY cell, id2
        |ORDER BY dropped_id""".stripMargin
+
+  /** Incremental SemDeDup ([[Dedup.semanticProbe]]): new batch
+    * (vec_id % 5 = 0, the [[dedupIncremental]] split convention)
+    * probed against a cell-partitioned index of the rest — index
+    * write included in the timed query, probe scan partition-pruned
+    * to the batch's cells (plan-gated in SemanticDedupSpec). */
+  val dedupSemanticIncremental: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val path = graft.Staging.dirFor("semantic-index")
+    IvfIndex.writeIndexed(corpus, semanticCentroids, path)
+    Dedup.semanticProbe(s, path, batch, "vec_id", "embedding",
+        semanticCentroids, threshold = 0.35)
+      .select(col("cell"), col("new_id"), col("exemplar_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("new_id"))
   }
+
+  val dedupSemanticIncrementalSql: String =
+    s"""$semanticCellsCte,
+       |hits AS (
+       |  SELECT a.cell AS cell, a.vec_id AS id1, b.vec_id AS id2,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM cells a JOIN cells b ON a.cell = b.cell
+       |  WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0
+       |    AND list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35)
+       |SELECT cell, id2 AS new_id, min(id1) AS exemplar_id,
+       |  round(min_by(cos, id1), 4) AS cos
+       |FROM hits GROUP BY cell, id2
+       |ORDER BY new_id""".stripMargin
 
   /** Brute-force cosine top-k ANN (exact baseline): 5 query vectors,
     * k=10 neighbors each (self excluded). */
@@ -1008,6 +1047,7 @@ object QueryCatalog {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cos" -> dedupEmbeddingCos,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
     "text_stats" -> textStats,
@@ -1045,6 +1085,7 @@ object QueryCatalog {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cos" -> dedupEmbeddingCosSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "ann_topk" -> annTopKSql,
     "ann_lsh" -> annLshSql,
     "text_stats" -> textStatsSql,

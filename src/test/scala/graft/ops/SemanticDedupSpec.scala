@@ -49,6 +49,30 @@ class SemanticDedupSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("incremental probe: batch vs index only, partition-pruned scan") {
+    // Corpus = ids 1-4 indexed by cell; batch plants a twin of id 1
+    // (same cell) and a cell-1 vector with no corpus near-dup. The
+    // batch-internal pair (10, 11) must NOT appear — arrivals are only
+    // compared against the index.
+    val path = graft.Staging.dirFor("semantic-spec-index")
+    graft.ops.IvfIndex.writeIndexed(
+      vecs.toDF("id", "vec"), centroids, path)
+    val batch = Seq(
+      (10L, Seq(1.0f, 0.011f, 0.0f)),   // twin of corpus id 1
+      (11L, Seq(1.0f, 0.012f, 0.0f)),   // twin of 10 — batch-internal
+      (12L, Seq(0.02f, 1.0f, 0.0f))     // cell 1, twin of corpus id 4
+    ).toDF("id", "vec")
+    val probed = Dedup.semanticProbe(spark, path, batch, "id", "vec",
+      centroids, 0.999)
+    val rows = probed.orderBy($"new_id").collect()
+    assert(rows.map(r => (r.getAs[Long]("new_id"),
+      r.getAs[Long]("exemplar_id"))).toSeq ==
+      Seq((10L, 1L), (11L, 1L), (12L, 4L)))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe scan must prune to the batch's cells:\n$plan")
+  }
+
   test("production path: trained k-means quantizer finds the planted twin") {
     // 3 axis-aligned clusters with ±0.2 noise (cluster-mate cosine well
     // under 0.999) plus one near-exact twin of id 0 at id 100.
