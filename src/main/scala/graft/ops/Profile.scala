@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * expand; same portable-sketch family as `q_hll_distinct`). Min/max
   * are taken over the STRING form so heterogeneous columns share one
   * output schema — lexicographic, by contract.
+  *
+  * Streaming: the `approxNdv = true` form is a valid COMPLETE-mode
+  * streaming aggregate as-is (count/min/max merge exactly, ndv is the
+  * mergeable HLL sketch) — an always-current profile of a document
+  * feed; ProfileStreamSpec pins stream ≡ batch over data-so-far. The
+  * exact form is batch-only (multi-distinct is not a streaming
+  * aggregate).
   */
 object Profile {
 
