@@ -97,6 +97,11 @@ object Bench {
     "b10_zip_roundtrip" -> 8.0,
     "q_rollup" -> 3.0,
     "q_cube" -> 3.0,
+    // one Expand pass over orders, same exchange as rollup/cube
+    "q_grouping_sets" -> 3.0,
+    // largest relational join graph: 3 fact-side hash joins + 2
+    // broadcast dims + year rollup
+    "q7_volume_shipping" -> 4.0,
     "q_skew_topk" -> 3.0,
     "q_percentiles" -> 5.0,
     "q_distinct_agg" -> 3.0,

@@ -135,6 +135,31 @@ object ExtraQueries {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY gid, status, priority""".stripMargin
 
+  /** Explicit GROUPING SETS — the third member of the multi-grouping
+    * family (rollup = prefix sets, cube = all sets, this = caller-
+    * chosen sets): per-status and per-priority totals in ONE pass of
+    * the fact table (a UNION ALL of two group-bys would scan twice;
+    * the Expand formulation scans once and reuses the exchange). */
+  val qGroupingSets: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
   /** Salted two-phase top-k ([[graft.ops.Skew.saltedTopK]]) in the
     * oracle surface: per-event-type top-5 by value (event_id
     * tiebreak — the ordering must be total for phase equivalence).
@@ -650,6 +675,7 @@ object ExtraQueries {
     "q_distinct_agg" -> qDistinctAgg,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
     "q_skew_topk" -> qSkewTopk,
     "q_asof_join" -> qAsofJoin,
     "q_sessionize" -> qSessionize,
@@ -674,6 +700,7 @@ object ExtraQueries {
     "q_distinct_agg" -> qDistinctAggSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_skew_topk" -> qSkewTopkSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_sessionize" -> qSessionizeSql,

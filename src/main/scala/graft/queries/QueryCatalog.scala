@@ -134,6 +134,61 @@ object QueryCatalog {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q7-style cross-nation trade volume: lineitems where the
+    * supplier and the ordering customer sit in DIFFERENT nations,
+    * rolled up by (supp_nation, cust_nation, ship year). The join
+    * graph is the largest in the relational core — lineitem against
+    * orders/customer/supplier with BOTH nation sides broadcast (dims
+    * stay out of the shuffle; only the three fact-side hash joins
+    * exchange, and the cross-nation inequality applies before the
+    * dimension joins so mismatched rows never reach them). */
+  val q7VolumeShipping: Q = (s, dir) => {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      // Integer-exact volume (the q_anomaly discipline): the per-row
+      // product is ONE double expression — bit-identical in any
+      // engine — so rounding it to integer 10⁻⁴-dollars per row and
+      // summing longs is exact and summation-order-free (a double SUM
+      // over 4k+ groups disagrees in the 2nd decimal for a handful —
+      // engines sum in different orders). The closing /10000.0 is one
+      // long→double division, bit-identical too; no decimal re-round,
+      // whose half-up-on-decimal vs half-away-on-binary semantics
+      // diverge at x.xx50 boundaries.
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+  val q7VolumeShippingSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS volume,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE s_nationkey <> c_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** Window function: top-3 orders per customer by total price. */
   val qWindowTopOrders: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_custkey"))
@@ -1025,6 +1080,7 @@ object QueryCatalog {
     "q1_agg" -> q1Agg,
     "q3_top_orders" -> q3TopOrders,
     "q5_region_revenue" -> q5RegionRevenue,
+    "q7_volume_shipping" -> q7VolumeShipping,
     "q_window_top_orders" -> qWindowTopOrders,
     "q_events_hourly" -> qEventsHourly,
     "b3_verb_filter" -> b3VerbFilter,
@@ -1063,6 +1119,7 @@ object QueryCatalog {
     "q1_agg" -> q1AggSql,
     "q3_top_orders" -> q3TopOrdersSql,
     "q5_region_revenue" -> q5RegionRevenueSql,
+    "q7_volume_shipping" -> q7VolumeShippingSql,
     "q_window_top_orders" -> qWindowTopOrdersSql,
     "q_events_hourly" -> qEventsHourlySql,
     "b3_verb_filter" -> b3VerbFilterSql,

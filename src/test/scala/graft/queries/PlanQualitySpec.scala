@@ -36,6 +36,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q7_volume_shipping: both nation sides broadcast, no cartesian") {
+    val p = plan("q7_volume_shipping")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"both nation dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the cross-nation inequality must filter BEFORE the dim joins,
+    // as a join residual/filter — never a nested-loop join condition
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$p")
+  }
+
   test("d2_rules_join: tiny rules relation broadcast, no shuffle of events") {
     val p = plan("d2_rules_join")
     assert(p.contains("BroadcastHashJoin"), s"rules must broadcast:\n$p")
