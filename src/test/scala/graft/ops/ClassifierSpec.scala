@@ -69,4 +69,28 @@ class ClassifierSpec extends SparkSpec {
     val plan = inline.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
   }
+
+  test("inline form is a valid streaming projection: stream ≡ batch per doc") {
+    // Stateless scan kernel ⇒ works unchanged on an unbounded feed —
+    // the classifier slots into an ingest gate with no stateful stage.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val scoredStream = TextAnalysis.classifierScoreInline(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      TextAnalysis.stubWeightArray(dim))
+    val q = scoredStream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("clf_stream").start()
+    try {
+      val rows = Seq(1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "spark shuffles when it must and broadcasts when it can")
+      rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+      val streamed = spark.table("clf_stream").orderBy("id").collect().toSeq
+      val batch = TextAnalysis.classifierScoreInline(
+        rows.toDF("doc_id", "text"), "doc_id", "text",
+        TextAnalysis.stubWeightArray(dim)).orderBy("id").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
