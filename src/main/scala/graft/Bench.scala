@@ -113,8 +113,8 @@ object Bench {
     "b7_path_derivation" -> 3.0,
     "b8_serialize" -> 3.0,
     "dedup_embedding_cos" -> 3.0,
-    // cell-scoped pair search: one hash exchange on cell + bounded
-    // within-cell self-join (SemDeDup shape)
+    // cell-scoped pair search: cell-keyed self-join (broadcast under
+    // AQE at gate scale) + map-side-reduced exemplar agg
     "dedup_semantic" -> 3.0,
     // cell-partitioned index write + partition-pruned batch probe
     "dedup_semantic_incremental" -> 5.0,

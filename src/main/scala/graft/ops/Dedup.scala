@@ -674,12 +674,15 @@ object Dedup {
     *
     * Scale: the pair space is Σ|cell|², bounded by sizing k so N/k
     * stays small (FAISS-style k ≈ √N makes the whole search ~N^1.5/k
-    * ≈ N per-cell work), and cells shard across executors behind ONE
-    * hash exchange on the cell id — the cluster assignment itself is
-    * a codegen'd scan-side expression, no shuffle. Cross-cell
-    * near-dups are missed by design; that is the SemDeDup trade
-    * (embedding near-dups concentrate inside k-means cells).
-    * Returns (cell, dropped_id, exemplar_id, cos).
+    * ≈ N per-cell work). The cluster assignment is a codegen'd
+    * scan-side expression (no shuffle of its own); the self-join
+    * hashes both scan branches on the cell id (AQE broadcasts the
+    * build side at small scales instead), and the exemplar
+    * aggregation's (cell, id) exchange carries only map-side-reduced
+    * drop candidates — the quadratic comparison itself never crosses
+    * the wire. Cross-cell near-dups are missed by design; that is the
+    * SemDeDup trade (embedding near-dups concentrate inside k-means
+    * cells). Returns (cell, dropped_id, exemplar_id, cos).
     */
   def semanticDropList(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double): DataFrame = {

@@ -118,7 +118,7 @@ object IngestGate {
     * corrupt or unreadable index must fail the epoch loudly, not
     * silently skip the dedup probe and let duplicates contaminate the
     * accepted corpus. */
-  private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] = {
+  private[streaming] def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val hasData = fs.exists(path) && {
