@@ -39,6 +39,24 @@ class SemanticGateSpec extends SparkSpec {
     assert(replayed.toSeq == Seq(1L, 3L, 11L))
   }
 
+  test("right-to-be-forgotten composes: retraction scrubs the semantic sink") {
+    val dir = graft.Staging.dirFor("semantic-gate-retract")
+    SemanticGate.gateBatch(
+      vecsDf(1L -> Seq(1.0f, 0.01f, 0.0f), 3L -> Seq(0.01f, 1.0f, 0.0f)),
+      0L, dir, "id", "vec", centroids, tau)
+    SemanticGate.gateBatch(
+      vecsDf(11L -> Seq(0.7f, 0.3f, 0.0f)), 1L, dir, "id", "vec", centroids, tau)
+    graft.ops.Retraction.retract(spark, dir, "id", Seq(1L),
+      nestedPartCols = Seq("cell"))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(3L, 11L))
+    // the forget is EFFECTIVE: a twin of the retracted doc is no
+    // longer ghost-rejected by the gate
+    assert(SemanticGate.gateBatch(
+      vecsDf(20L -> Seq(1.0f, 0.012f, 0.0f)), 2L, dir, "id", "vec",
+      centroids, tau) == 1)
+  }
+
   test("foreachBatch wiring: streamed epochs land partitioned by (batch, cell)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = graft.Staging.dirFor("semantic-gate-stream")
