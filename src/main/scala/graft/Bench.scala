@@ -186,6 +186,9 @@ object Bench {
     "multimodal_audio" -> 3.0,
     // v1 + chunk-level span scrub over survivors (narrow hash exchanges)
     "corpus_pipeline_v2" -> 12.0,
+    // v2 + the classifier gate fused into the scan predicate: less
+    // work downstream (fewer survivors), same exchange structure
+    "corpus_pipeline_v3" -> 12.0,
     // hash + TakeOrdered cut; rank window sees <= k rows
     "q_sample_reservoir" -> 3.0,
     // single-filter scans (pushdown-gated in PlanQualitySpec) — in the

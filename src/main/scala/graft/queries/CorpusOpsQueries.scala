@@ -321,11 +321,24 @@ object CorpusOpsQueries {
   /** Stages shared by both pipeline variants: gate → curate+dedup →
     * cluster collapse → decontaminate. Returns the clean survivor
     * relation (all document columns intact — v2 chunks its text). */
-  private def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+  private def pipelineClean(s: SparkSession, dir: String,
+      classifierGate: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, dir)
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-    val gated = corpus.filter(TextAnalysis.repetitionKeep(col("text")))
+    // v3 fuses the hashed-classifier verdict into the same scan
+    // predicate as the repetition gate — two scan-speed gates, ONE
+    // byte pass, zero extra exchanges (the kernel carries its weights
+    // as data; see TextAnalysis.classifierScoreInline).
+    val keep = {
+      val rep = TextAnalysis.repetitionKeep(col("text"))
+      if (classifierGate)
+        rep && graft.functions.functions.hashed_score(
+          split(col("text"), "\\s+"),
+          TextAnalysis.stubWeightArray(1024)).getField("raw") > 0
+      else rep
+    }
+    val gated = corpus.filter(keep)
     val curated = Curation.curateNearDupSimhash(gated, "doc_id", "text",
       minQuality = 0.55)
     Curation.decontaminate(curated, "doc_id", "text",
@@ -359,8 +372,7 @@ object CorpusOpsQueries {
     * hash, id) pairs only, over survivors only. The whole composition
     * — v1's recursive components plus span df, keep verdicts, and the
     * rebuilt token counts — replays as ONE DuckDB query. */
-  val corpusPipelineV2: Q = (s, dir) => {
-    val clean = pipelineClean(s, dir)
+  private def packScrubbed(clean: DataFrame): DataFrame = {
     val scrubbed = Chunking.scrubRepeatedSpans(
       clean.select(col("doc_id"), col("text")), "doc_id", "text",
       span = 8, maxDf = 1L)
@@ -369,9 +381,23 @@ object CorpusOpsQueries {
         col("n_tokens_clean").cast("long").as("n_tokens")), Seq("doc_id")))
   }
 
+  val corpusPipelineV2: Q = (s, dir) => packScrubbed(pipelineClean(s, dir))
+
+  /** Pipeline v3 — v2 plus the hashed linear classifier as a second
+    * scan-speed gate, FUSED into the repetition gate's predicate (one
+    * byte pass decides both; the weight table rides the expression as
+    * data). The composition stays one DuckDB query: the oracle adds a
+    * classifier CTE over the repetition-gate survivors and intersects
+    * — conjunction is order-free, so gating the cheaper relation is
+    * pure oracle economy. */
+  val corpusPipelineV3: Q = (s, dir) =>
+    packScrubbed(pipelineClean(s, dir, classifierGate = true))
+
   /** Everything through the `clean` CTE — shared by both pipeline
     * oracles (v1 packs clean directly; v2 span-scrubs first). */
-  private def pipelinePrefixSql: String = {
+  private def pipelinePrefixSql: String = pipelinePrefix(withClassifierGate = false)
+
+  private def pipelinePrefix(withClassifierGate: Boolean): String = {
     val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
     val hexVal = (0 until 15).map(i =>
       s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
@@ -381,6 +407,34 @@ object CorpusOpsQueries {
     val recomb = (0 until 60).map(j =>
       s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     val bandExprs = (0 until 4).map(b => s"(sig >> ${b * 15}) & 32767").mkString(", ")
+    // v3 splices the classifier verdict between the repetition gate
+    // and everything downstream: gate0 = repetition survivors, clf =
+    // their integer weight sums (same md5-bucket formula as
+    // text_quality_classifier), gate = the intersection — downstream
+    // CTEs are untouched either way.
+    val gateCte =
+      if (!withClassifierGate)
+        """gate AS (
+          |  SELECT doc_id FROM gp
+          |  WHERE n_tokens >= 20 AND mean_token_len BETWEEN 2.0 AND 12.0
+          |    AND round(coalesce(CAST(top2 AS DOUBLE) / tot2, 0.0), 4) <= 0.06
+          |    AND round(coalesce(CAST(tot3 - dist3 AS DOUBLE) / tot3, 0.0), 4) <= 0.02)""".stripMargin
+      else
+        s"""gate0 AS (
+           |  SELECT doc_id FROM gp
+           |  WHERE n_tokens >= 20 AND mean_token_len BETWEEN 2.0 AND 12.0
+           |    AND round(coalesce(CAST(top2 AS DOUBLE) / tot2, 0.0), 4) <= 0.06
+           |    AND round(coalesce(CAST(tot3 - dist3 AS DOUBLE) / tot3, 0.0), 4) <= 0.02),
+           |clfh AS (
+           |  SELECT doc_id, ($hexVal) AS h
+           |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15
+           |        FROM (SELECT c.doc_id, unnest(c.tk) AS tok
+           |              FROM corp c JOIN gate0 USING (doc_id)))),
+           |clfs AS (
+           |  SELECT doc_id,
+           |    sum(((h % 1024) * 2654435761) % 1000 - 500) AS raw
+           |  FROM clfh GROUP BY doc_id),
+           |gate AS (SELECT doc_id FROM clfs WHERE raw > 0)""".stripMargin
     s"""WITH RECURSIVE corp AS (
        |  SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS tk
        |  FROM documents WHERE doc_id % 97 <> 0),
@@ -405,11 +459,7 @@ object CorpusOpsQueries {
        |    sum(CASE WHEN kg LIKE '3 %' THEN c END) AS tot3,
        |    count(CASE WHEN kg LIKE '3 %' THEN 1 END) AS dist3
        |  FROM gc GROUP BY doc_id, n_tokens, mean_token_len),
-       |gate AS (
-       |  SELECT doc_id FROM gp
-       |  WHERE n_tokens >= 20 AND mean_token_len BETWEEN 2.0 AND 12.0
-       |    AND round(coalesce(CAST(top2 AS DOUBLE) / tot2, 0.0), 4) <= 0.06
-       |    AND round(coalesce(CAST(tot3 - dist3 AS DOUBLE) / tot3, 0.0), 4) <= 0.02),
+       |$gateCte,
        |lt AS (
        |  SELECT c.doc_id,
        |    list_transform(c.tk, x -> lower(x)) AS t
@@ -515,8 +565,9 @@ object CorpusOpsQueries {
         |  FROM clean)
         |""".stripMargin + packTailSql
 
-  val corpusPipelineV2Sql: String = {
-    pipelinePrefixSql + ",\n" +
+  /** The v2/v3 shared tail: chunk-level span scrub over `clean`, then
+    * the pack-report window. */
+  private val scrubPackTailSql: String =
       s"""ctk AS (
          |  SELECT doc_id, source,
          |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
@@ -544,7 +595,11 @@ object CorpusOpsQueries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
          |  FROM keptt)
          |""".stripMargin + packTailSql
-  }
+
+  val corpusPipelineV2Sql: String = pipelinePrefixSql + ",\n" + scrubPackTailSql
+
+  val corpusPipelineV3Sql: String =
+    pipelinePrefix(withClassifierGate = true) + ",\n" + scrubPackTailSql
 
   /** Layout roundtrip ([[graft.ops.Layout.writeClustered]]): events
     * clustered by user_id into range-partitioned, within-sorted parquet
@@ -1106,6 +1161,7 @@ object CorpusOpsQueries {
     "q_mix_apply" -> qMixApply,
     "corpus_pipeline" -> corpusPipeline,
     "corpus_pipeline_v2" -> corpusPipelineV2,
+    "corpus_pipeline_v3" -> corpusPipelineV3,
     "q_layout_scan" -> qLayoutScan,
     "q_layout_zorder" -> qLayoutZorder,
     "q_bucket_join" -> qBucketJoin)
@@ -1132,6 +1188,7 @@ object CorpusOpsQueries {
     "q_mix_apply" -> qMixApplySql,
     "corpus_pipeline" -> corpusPipelineSql,
     "corpus_pipeline_v2" -> corpusPipelineV2Sql,
+    "corpus_pipeline_v3" -> corpusPipelineV3Sql,
     "q_layout_scan" -> qLayoutScanSql,
     "q_layout_zorder" -> qLayoutZorderSql,
     "q_bucket_join" -> qBucketJoinSql)
