@@ -73,6 +73,30 @@ class SemanticDedupSpec extends SparkSpec {
       s"probe scan must prune to the batch's cells:\n$plan")
   }
 
+  test("recall honesty on real embeddings: trained cells recover most all-pairs dups") {
+    // The SemDeDup trade quantified (the IvfIndexSpec recall
+    // discipline): drop decisions from cell-scoped search vs the
+    // all-pairs baseline at the same threshold. With a trained
+    // quantizer, near-dups concentrate in cells — recall must be
+    // high, and every cell-scoped drop must exist in the baseline
+    // (precision is exact by construction: same cosine, same rule).
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val tau = 0.35 // inside the corpus's observed within-label range
+    val trained = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val cellDrops = Dedup.semanticDropList(emb, "vec_id", "embedding", trained, tau)
+      .select($"dropped_id").as[Long].collect().toSet
+    // all-pairs baseline: a doc is dropped iff ANY smaller id is ≥ tau
+    val allPairs = emb.select($"vec_id".as("id1"), $"embedding".as("v1"))
+      .crossJoin(emb.select($"vec_id".as("id2"), $"embedding".as("v2")))
+      .filter($"id1" < $"id2")
+      .filter(Similarity.cosine($"v1", $"v2") >= tau)
+      .select($"id2").distinct().as[Long].collect().toSet
+    assert(cellDrops.subsetOf(allPairs), "cell-scoped drops must be true dups")
+    assert(allPairs.nonEmpty, "threshold must be live on this corpus")
+    val recall = cellDrops.size.toDouble / allPairs.size
+    assert(recall >= 0.5, f"recall $recall%.2f vs all-pairs (${cellDrops.size}/${allPairs.size})")
+  }
+
   test("production path: trained k-means quantizer finds the planted twin") {
     // 3 axis-aligned clusters with ±0.2 noise (cluster-mate cosine well
     // under 0.999) plus one near-exact twin of id 0 at id 100.

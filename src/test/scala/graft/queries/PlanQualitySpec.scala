@@ -46,6 +46,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$p")
   }
 
+  test("dedup_semantic: no cartesian; exemplar agg reduces map-side") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell equi-join must never degrade to an all-pairs join:\n$p")
+    assert(p.contains("partial_min"),
+      s"exemplar aggregation must reduce before its exchange:\n$p")
+  }
+
+  test("text_quality_classifier: scan-only scoring, schema pruned to (doc_id, text)") {
+    val p = plan("text_quality_classifier")
+    // one range exchange for the output ORDER BY is the only shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"scoring must not hash-exchange anything:\n$p")
+    assert(!p.contains("lang") && !p.contains("source"),
+      s"unused document columns must be pruned from the scan:\n$p")
+  }
+
   test("d2_rules_join: tiny rules relation broadcast, no shuffle of events") {
     val p = plan("d2_rules_join")
     assert(p.contains("BroadcastHashJoin"), s"rules must broadcast:\n$p")
