@@ -731,7 +731,12 @@ object Dedup {
     val nb = batch.select(
       IvfIndex.bestCell(col(vecCol), centroids).as("cell"),
       col(idCol).as("id2"), col(vecCol).as("v2"))
-    val probed = nb.select("cell").distinct().collect().map(_.getInt(0))
+    // Null vectors quantize to a null cell: excluded from the pushdown
+    // list (a null would NPE the driver-side getInt) and never join —
+    // null-vec arrivals report no corpus near-dup, matching the batch
+    // operators where null keys fall out of the cell self-join.
+    val probed = nb.select("cell").distinct()
+      .filter(col("cell").isNotNull).collect().map(_.getInt(0))
     val cb = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("cell"), col("id").as("id1"), col("vec").as("v1"))

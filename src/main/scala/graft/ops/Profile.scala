@@ -33,20 +33,27 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
       approxNdv: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile of zero columns")
+    require(cols.distinct.size == cols.size,
+      s"profile columns must be distinct, got $cols")
     def ndv(c: Column): Column =
       if (approxNdv) approx_count_distinct(c) else countDistinct(c)
-    val aggs = cols.flatMap { c => Seq(
-      count(col(c)).as(s"__n_$c"),
-      ndv(col(c)).as(s"__ndv_$c"),
-      min(col(c).cast("string")).as(s"__min_$c"),
-      max(col(c).cast("string")).as(s"__max_$c")) }
+    // Internal aliases are indexed by POSITION, not by embedding the raw
+    // column name — names with dots/spaces would need quoting and would
+    // fail analysis inside the alias. Data references are backtick-quoted
+    // for the same reason (a raw `col("a.b")` means nested-field access).
+    def c0(c: String): Column = col(s"`$c`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(c0(c)).as(s"__n_$i"),
+      ndv(c0(c)).as(s"__ndv_$i"),
+      min(c0(c).cast("string")).as(s"__min_$i"),
+      max(c0(c).cast("string")).as(s"__max_$i")) }
     val one = df.agg(aggs.head, aggs.drop(1): _*)
-    val rows = cols.map(c => struct(
+    val rows = cols.zipWithIndex.map { case (c, i) => struct(
       lit(c).as("col_name"),
-      col(s"__n_$c").as("n_nonnull"),
-      col(s"__ndv_$c").as("ndv"),
-      col(s"__min_$c").as("min_val"),
-      col(s"__max_$c").as("max_val")))
+      col(s"__n_$i").as("n_nonnull"),
+      col(s"__ndv_$i").as("ndv"),
+      col(s"__min_$i").as("min_val"),
+      col(s"__max_$i").as("max_val")) }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 }

@@ -337,8 +337,12 @@ object TextAnalysis {
     */
   def classifierScore(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, dim: Int = 1024): DataFrame = {
+    // Null text is coalesced to '' (scored as one empty token) so the
+    // relational and inline forms agree UNCONDITIONALLY — explode over a
+    // null split would silently drop the row here while the inline kernel
+    // kept it, breaking the pinned parity on null-bearing corpora.
     val toks = df.select(col(idCol).as("id"),
-        explode(split(col(textCol), "\\s+")).as("tok"))
+        explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("tok"))
       .select(col("id"),
         (Dedup.md5TokenHash60(col("tok")) % dim).cast("int").as("bucket"))
     toks.join(broadcast(weights), Seq("bucket"))
@@ -367,8 +371,10 @@ object TextAnalysis {
     */
   def classifierScoreInline(df: DataFrame, idCol: String, textCol: String,
       weights: Array[Long]): DataFrame = {
+    // coalesce mirrors [[classifierScore]]: null text scores as one empty
+    // token in BOTH forms, keeping inline ≡ relational unconditional.
     val s = graft.functions.functions.hashed_score(
-      split(col(textCol), "\\s+"), weights)
+      split(coalesce(col(textCol), lit("")), "\\s+"), weights)
     df.select(col(idCol).as("id"), s.as("_s"))
       .select(col("id"),
         col("_s").getField("n_tokens").as("n_tokens"),

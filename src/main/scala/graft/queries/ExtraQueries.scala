@@ -469,8 +469,8 @@ object ExtraQueries {
     * the chain's shuffles operate on monotonically smaller keyed
     * relations — the scale shape a 100 TB event log needs; no window
     * over the raw event stream anywhere). The streaming sibling is
-    * [[graft.streaming.FunnelStream]] (two-step; same pinning rule per
-    * step). */
+    * [[graft.streaming.FunnelStream.completions]] (generic k-step; same
+    * pinning rule per step, parity pinned on this very chain). */
   val qFunnelSteps: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), Tables.tsSeconds(col("ts")).as("t_sec"))

@@ -1033,10 +1033,14 @@ object QueryCatalog {
         md5(col("content")).as("content_md5"))
       .orderBy(col("file"))
   }
-  val multimodalRealSql: String =
-    """SELECT file, length, format, width, height, content_md5
-      |FROM '/root/repo/fixtures/images_manifest.parquet'
-      |ORDER BY file""".stripMargin
+  /** Path-portable (a `def`, resolved at dump time): the oracle reads
+    * the same `SPARK_GRAFT_FIXTURES_DIR`-resolved manifest the Spark
+    * side scans, so a k8s verify job on a non-/root/repo checkout can
+    * check this query too. */
+  def multimodalRealSql: String =
+    s"""SELECT file, length, format, width, height, content_md5
+       |FROM '${graft.Tables.fixturesDir}/images_manifest.parquet'
+       |ORDER BY file""".stripMargin
 
   /** REAL audio/video ingestion — the WAV/MP4 sibling of
     * `multimodal_real`: `binaryFile` over committed WAV + MP4 fixtures
@@ -1066,11 +1070,12 @@ object QueryCatalog {
         md5(col("content")).as("content_md5"))
       .orderBy(col("file"))
   }
-  val multimodalAudioSql: String =
-    """SELECT file, length, format, duration_ms, channels, sample_rate,
-      |  width, height, content_md5
-      |FROM '/root/repo/fixtures/media_manifest.parquet'
-      |ORDER BY file""".stripMargin
+  /** Path-portable like [[multimodalRealSql]]. */
+  def multimodalAudioSql: String =
+    s"""SELECT file, length, format, duration_ms, channels, sample_rate,
+       |  width, height, content_md5
+       |FROM '${graft.Tables.fixturesDir}/media_manifest.parquet'
+       |ORDER BY file""".stripMargin
 
   // ---------------------------------------------------------------- //
   // Registry                                                          //

@@ -15,10 +15,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State per user is the trailing-24h (t, cents) buffer — bounded by
   * one user-day of events (the SAME bound the batch RANGE frame has;
   * a mis-keyed firehose user is a skew problem in both forms).
-  * Eviction is driven by the user's own event time, so an idle user
-  * holds their final day of events — acceptable at O(users ×
-  * day-rate); add an event-time TTL timer (the [[StreamDedup]] pattern)
-  * if reclaiming idle users matters.
+  * Idle-user state is reclaimed by an EVENT-TIME timeout (the
+  * [[StreamDedup]] pattern): state drops when the watermark passes the
+  * user's last event + the 24h window. This TTL is SEMANTICS-FREE, not
+  * approximate — any future event the watermark still admits carries
+  * t ≥ watermark > lastEvent + 24h, so the trailing frame would have
+  * evicted every buffered entry anyway; dropping the state early can
+  * never change a flag. State size is therefore O(users ACTIVE in the
+  * watermark horizon + 24h), not O(users ever seen). A user
+  * re-appearing after the horizon re-warms from an empty frame: their
+  * first events score nothing until the frame refills to MinFrame —
+  * identical to a brand-new user, and identical to what the batch
+  * RANGE frame computes for a >24h gap (no false flag either way;
+  * AnomalyStreamSpec pins both halves).
   *
   * Parity contract (AnomalyStreamSpec): equal to the batch formulation
   * on in-order arrival WITH same-timestamp events delivered in one
@@ -53,31 +62,46 @@ object AnomalyStream {
       .withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FrameState, Flagged](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[FrameState]) =>
-          var buf = state.getOption
-            .map(st => st.ts.zip(st.cents).toVector).getOrElse(Vector.empty)
-          val out = Seq.newBuilder[Flagged]
-          // distinct timestamps ascending; all same-t events join the
-          // frame before any of them is scored (RANGE-frame tie rule)
-          val byT = rows.toSeq.groupBy(e => Math.floorDiv(e.ts.getTime, 1000L))
-          byT.keys.toSeq.sorted.foreach { t =>
-            val peers = byT(t).sortBy(_.event_id)
-            buf = buf.dropWhile(_._1 < t - (WindowSec - 1)) ++
-              peers.map(e => t -> e.cents)
-            val n = buf.length.toLong
-            if (n >= MinFrame) {
-              val s = buf.iterator.map(_._2).sum
-              val q = buf.iterator.map(c => c._2 * c._2).sum
-              peers.foreach { e =>
-                val dev = e.cents * n - s
-                out += Flagged(user, e.event_id, t, e.cents, n, s, q,
-                  dev * dev > 4L * (n * q - s * s))
+          if (state.hasTimedOut) {
+            // Watermark passed lastEvent + 24h: no admissible future
+            // event can see any buffered entry — drop the user.
+            state.remove()
+            Iterator.empty
+          } else {
+            var buf = state.getOption
+              .map(st => st.ts.zip(st.cents).toVector).getOrElse(Vector.empty)
+            val out = Seq.newBuilder[Flagged]
+            // distinct timestamps ascending; all same-t events join the
+            // frame before any of them is scored (RANGE-frame tie rule)
+            val byT = rows.toSeq.groupBy(e => Math.floorDiv(e.ts.getTime, 1000L))
+            byT.keys.toSeq.sorted.foreach { t =>
+              val peers = byT(t).sortBy(_.event_id)
+              buf = buf.dropWhile(_._1 < t - (WindowSec - 1)) ++
+                peers.map(e => t -> e.cents)
+              val n = buf.length.toLong
+              if (n >= MinFrame) {
+                val s = buf.iterator.map(_._2).sum
+                val q = buf.iterator.map(c => c._2 * c._2).sum
+                peers.foreach { e =>
+                  val dev = e.cents * n - s
+                  out += Flagged(user, e.event_id, t, e.cents, n, s, q,
+                    dev * dev > 4L * (n * q - s * s))
+                }
               }
             }
+            state.update(FrameState(buf.map(_._1), buf.map(_._2)))
+            // Re-arm on EVERY invocation (GroupState voids the pending
+            // timeout each call — the StreamDedup lesson). Expiry is the
+            // last buffered second + the window, clamped above the
+            // current watermark (setTimeoutTimestamp rejects passed
+            // timestamps; the clamp expires the key next sweep).
+            val lastMs = buf.last._1 * 1000L
+            state.setTimeoutTimestamp(math.max(lastMs + WindowSec * 1000L,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(FrameState(buf.map(_._1), buf.map(_._2)))
-          out.result().iterator
       }
   }
 }

@@ -70,6 +70,24 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
   }
 
+  test("null text: row kept, scored as one empty token, inline ≡ relational") {
+    val withNull = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rel = TextAnalysis.classifierScore(withNull, "doc_id", "text",
+      TextAnalysis.hashedStubWeights(spark, dim), dim).orderBy("id").collect().toSeq
+    val inl = TextAnalysis.classifierScoreInline(withNull, "doc_id", "text",
+      TextAnalysis.stubWeightArray(dim)).orderBy("id").collect().toSeq
+    assert(rel == inl, s"relational $rel vs inline $inl")
+    assert(rel.map(_.getAs[Long]("id")) == Seq(1L, 2L),
+      "the null-text row must not be dropped")
+    // null coalesces to '': exactly the empty-string score
+    val empty = TextAnalysis.classifierScoreInline(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text",
+      TextAnalysis.stubWeightArray(dim)).collect().head
+    assert(rel(1).getAs[Long]("n_tokens") == empty.getAs[Long]("n_tokens"))
+    assert(rel(1).getAs[Double]("score") == empty.getAs[Double]("score"))
+  }
+
   test("inline form is a valid streaming projection: stream ≡ batch per doc") {
     // Stateless scan kernel ⇒ works unchanged on an unbounded feed —
     // the classifier slots into an ingest gate with no stateful stage.

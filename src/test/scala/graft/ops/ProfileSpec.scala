@@ -26,6 +26,19 @@ class ProfileSpec extends SparkSpec {
     assert(lang.getAs[String]("min_val") == "de" && lang.getAs[String]("max_val") == "en")
   }
 
+  test("duplicate columns are rejected; dotted names profile correctly") {
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("id", "id"))
+    }
+    val dotted = Seq((1L, "x"), (2L, "y")).toDF("doc.id", "lang tag")
+    val p = Profile.profile(dotted, Seq("doc.id", "lang tag"))
+      .orderBy("col_name").collect()
+    assert(p.map(_.getAs[String]("col_name")).toSeq == Seq("doc.id", "lang tag"))
+    assert(p.forall(_.getAs[Long]("n_nonnull") == 2L))
+    assert(p(0).getAs[String]("min_val") == "1" &&
+      p(0).getAs[String]("max_val") == "2")
+  }
+
   test("approx path drops the multi-distinct Expand; values agree at small ndv") {
     val exact = Profile.profile(df, Seq("id", "lang"))
     val approx = Profile.profile(df, Seq("id", "lang"), approxNdv = true)

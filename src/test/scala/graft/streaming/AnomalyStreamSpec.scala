@@ -80,4 +80,40 @@ class AnomalyStreamSpec extends SparkSpec {
       assert(lateRow._5 == 9L, s"late frame must hold 9 events: $lateRow")
     } finally q.stop()
   }
+
+  test("idle-user state drops after the horizon; re-appearance re-warms without a false flag") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400L
+    // user 7 warms a full frame early, then goes idle
+    val warm = (1 to 10).map(i => (7L, i.toLong, ts(i * 10L), 30.0))
+    // user 8 runs far in the future, advancing the watermark (delay 1h)
+    // well past user 7's last event + 24h
+    val mover = (1 to 3).map(i => (8L, (100 + i).toLong, ts(3 * day + i * 10L), 5.0))
+    val mover2 = Seq((8L, 104L, ts(3 * day + 40L), 5.0))
+    // user 7 re-appears after the horizon: a spike among too few events
+    // to reach MinFrame — must NOT flag (frame restarted empty)
+    val back = Seq((7L, 20L, ts(3 * day + 100L), 30.0),
+      (7L, 21L, ts(3 * day + 110L), 500.0))
+    val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val fl = AnomalyStream.flags(mem.toDF().toDF("user_id", "event_id", "ts", "value"))
+    val q = fl.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("anom_ttl").start()
+    try {
+      mem.addData(warm: _*); q.processAllAvailable()
+      mem.addData(mover: _*); q.processAllAvailable()
+      // one more batch so the timeout sweep runs with the advanced watermark
+      mem.addData(mover2: _*); q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L,
+        s"idle user 7's state must be reclaimed (only user 8 remains), got $stateRows")
+      mem.addData(back: _*); q.processAllAvailable()
+      val streamed = spark.table("anom_ttl")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(!streamed.exists(r => r._2 >= 20L),
+        s"re-warmed frame below MinFrame must score nothing: $streamed")
+      // batch remains the truth: the batch RANGE frame over ALL events
+      // computes the same rows (user 7's comeback frame has n=2 < 8 there too)
+      assert(streamed == batchFlags(warm ++ mover ++ mover2 ++ back))
+    } finally q.stop()
+  }
 }

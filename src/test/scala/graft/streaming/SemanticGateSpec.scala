@@ -39,6 +39,22 @@ class SemanticGateSpec extends SparkSpec {
     assert(replayed.toSeq == Seq(1L, 3L, 11L))
   }
 
+  test("a null embedding cannot kill the epoch: doc passes unexamined, twins still reject") {
+    val dir = graft.Staging.dirFor("semantic-gate-null")
+    assert(SemanticGate.gateBatch(
+      vecsDf(1L -> Seq(1.0f, 0.01f, 0.0f)), 0L, dir, "id", "vec",
+      centroids, tau) == 1)
+    // epoch 1 carries a null vector next to a twin of accepted id 1:
+    // the twin rejects, the null-vec doc is accepted (documented policy),
+    // and the driver-side probed-cell collect must not NPE
+    val b1 = Seq(
+      (10L, Option(Seq(1.0f, 0.012f, 0.0f))),
+      (11L, Option.empty[Seq[Float]])).toDF("id", "vec")
+    assert(SemanticGate.gateBatch(b1, 1L, dir, "id", "vec", centroids, tau) == 1)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 11L))
+  }
+
   test("right-to-be-forgotten composes: retraction scrubs the semantic sink") {
     val dir = graft.Staging.dirFor("semantic-gate-retract")
     SemanticGate.gateBatch(
