@@ -116,14 +116,54 @@ object Retraction {
     affected.length
   }
 
+  /** Scrub a delete list from a [[TextIndex.writePostings]] layout: the
+    * bucketed postings AND the 1-row corpus stats. A victim doc's
+    * posting rows are scattered across every bucket one of its terms
+    * hashes into, so the victim-partition discovery is the same
+    * column-pruned (id, tb) scan [[retract]] performs — only buckets
+    * that actually hold a victim row are rewritten; the rest keep
+    * their files byte-for-byte.
+    *
+    * The stats relation (n_docs, avgdl) is recomputed from the
+    * SURVIVING postings — `dl` is denormalized into every posting row,
+    * so `distinct (id, dl)` reconstructs exactly the per-doc lengths
+    * [[TextIndex.corpusStats]] aggregated (docs with ≥1 token, which is
+    * precisely the docs that have postings). A dl sum is integer-exact
+    * in doubles, so the rewritten stats are BIT-identical to a fresh
+    * [[TextIndex.writePostings]] over the surviving corpus — a probe
+    * after retraction scores exactly like a rebuilt index
+    * (RetractionSpec pins it). Without this sweep a forgotten doc
+    * stays retrievable through BM25 — the directive this closes. */
+  def retractPostings(spark: SparkSession, indexPath: String, ids: Seq[Long]): Unit = {
+    retract(spark, s"$indexPath/postings", "id", ids, partCol = "tb")
+    val statsPath = s"$indexPath/stats"
+    val fresh = spark.read.parquet(s"$indexPath/postings")
+      .select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // same write-replacement-first swap discipline as retract(): the
+    // old stats stay readable until the new file is complete
+    val tmp = path(s"$indexPath/.stats-tmp")
+    val aside = path(s"$indexPath/.stats-aside")
+    fresh.write.mode("overwrite").parquet(tmp.toString)
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path(statsPath))) fs.rename(path(statsPath), aside)
+    fs.rename(tmp, path(statsPath))
+    fs.delete(aside, true)
+    ()
+  }
+
   /** Propagate one delete list through every sink the ingest gate
-    * maintains: accepted corpus, band index, and (when present) the
-    * ANN index with its nested cell layout. */
+    * maintains: accepted corpus, band index, the ANN index with its
+    * nested cell layout, and the BM25 postings index — a
+    * right-to-be-forgotten sweep must reach every derived store a doc
+    * can still be surfaced from. */
   def retractAll(spark: SparkSession, ids: Seq[Long], idCol: String,
       acceptedDir: String, indexDir: String,
-      annDir: Option[String] = None): Unit = {
+      annDir: Option[String] = None,
+      postingsDir: Option[String] = None): Unit = {
     retract(spark, acceptedDir, idCol, ids)
     retract(spark, indexDir, "id", ids)
     annDir.foreach(d => retract(spark, d, "id", ids, nestedPartCols = Seq("cell")))
+    postingsDir.foreach(d => retractPostings(spark, d, ids))
   }
 }

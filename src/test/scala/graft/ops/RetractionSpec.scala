@@ -71,6 +71,62 @@ class RetractionSpec extends SparkSpec {
     assert(fileSet(acc) == accFiles, "re-retracting must be a no-op")
   }
 
+  test("retractPostings: a BM25 probe never returns a victim; untouched buckets byte-identical; stats ≡ rebuilt; idempotent") {
+    val pidx = graft.Staging.dirFor("retract-postings")
+    // vocabulary big enough that with 64 buckets some hold no victim terms
+    val docs = (1L to 30L).map(id => (id, mkText(id.toInt))).toDF("doc_id", "text")
+    TextIndex.writePostings(docs, "doc_id", "text", pidx)
+    val before = fileSet(s"$pidx/postings")
+    // victim 7's term buckets — the only ones allowed to be rewritten
+    val victimBuckets = spark.read.parquet(s"$pidx/postings")
+      .filter($"id" === 7L).select("tb").distinct().as[Long].collect().toSet
+    assert(victimBuckets.nonEmpty && victimBuckets.size < 64,
+      s"test needs victim-free buckets to exist, got ${victimBuckets.size}")
+
+    // minimal companion sinks so the full retractAll path runs
+    val acc = graft.Staging.dirFor("retract-postings-acc")
+    val bnd = graft.Staging.dirFor("retract-postings-bnd")
+    Seq((7L, "t"), (8L, "t")).toDF("doc_id", "text")
+      .write.parquet(s"$acc/batch=0")
+    Seq((7L, 0L), (8L, 1L)).toDF("id", "bucket")
+      .write.parquet(s"$bnd/batch=0")
+    Retraction.retractAll(spark, Seq(7L), "doc_id", acc, bnd,
+      postingsDir = Some(pidx))
+
+    // the victim is gone from the postings relation entirely
+    assert(spark.read.parquet(s"$pidx/postings").filter($"id" === 7L).isEmpty,
+      "victim rows must be scrubbed")
+    // a probe on the victim's own strongest terms cannot return it
+    val victimTerms = mkText(7).split("\\s+").distinct.take(5).toSeq
+    val hits = TextIndex.bm25TopKIndexed(spark, pidx, victimTerms, k = 30)
+      .select("id").as[Long].collect().toSet
+    assert(hits.nonEmpty && !hits.contains(7L),
+      s"victim must be unretrievable, got $hits")
+    // only victim buckets rewritten; every other bucket byte-identical
+    val after = fileSet(s"$pidx/postings")
+    val untouchedBefore = before.filter { case (p, _) =>
+      !victimBuckets.exists(b => p.contains(s"tb=$b/")) }
+    val untouchedAfter = after.filter { case (p, _) =>
+      !victimBuckets.exists(b => p.contains(s"tb=$b/")) }
+    assert(untouchedBefore == untouchedAfter,
+      "buckets without victim rows must keep their exact files")
+    // stats are bit-identical to a fresh index over the surviving docs
+    val rebuilt = graft.Staging.dirFor("retract-postings-rebuilt")
+    TextIndex.writePostings(docs.filter($"doc_id" =!= 7L), "doc_id", "text", rebuilt)
+    val gotStats = spark.read.parquet(s"$pidx/stats").collect().head
+    val wantStats = spark.read.parquet(s"$rebuilt/stats").collect().head
+    assert(gotStats == wantStats, s"stats $gotStats vs rebuilt $wantStats")
+    // and therefore the probe scores exactly like the rebuilt index
+    val rebuiltHits = TextIndex.bm25TopKIndexed(spark, rebuilt, victimTerms, k = 30)
+      .collect().toSeq
+    assert(TextIndex.bm25TopKIndexed(spark, pidx, victimTerms, k = 30)
+      .collect().toSeq == rebuiltHits)
+    // idempotent: same delete list again rewrites no postings bucket
+    val files = fileSet(s"$pidx/postings")
+    Retraction.retractPostings(spark, pidx, Seq(7L))
+    assert(fileSet(s"$pidx/postings") == files, "re-retracting must be a no-op")
+  }
+
   test("recovery repairs every interrupted-swap window; nothing silently vanishes") {
     import org.apache.hadoop.fs.Path
     val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
