@@ -359,6 +359,29 @@ object TextAnalysis {
   def stubWeightArray(dim: Int = 1024): Array[Long] =
     Array.tabulate(dim)(b => (b.toLong * 2654435761L) % 1000 - 500)
 
+  /** The TRAINED weight relation — the committed
+    * `fixtures/classifier_weights.parquet` produced by
+    * [[graft.tools.TrainClassifier]] (logistic regression over hashed
+    * token buckets, labels from the repo's own quality signals;
+    * training provenance + holdout accuracy in the sibling manifest).
+    * Dense: every bucket in [0, dim) has a row, so inner-join scoring
+    * and the inline array form agree exactly. Path resolves through
+    * `SPARK_GRAFT_FIXTURES_DIR` like every fixture. */
+  def trainedWeights(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(s"${graft.Tables.fixturesDir}/classifier_weights.parquet")
+
+  /** [[trainedWeights]] collapsed to the dense array the zero-shuffle
+    * kernel carries (dim longs — trivially collectable; at a 2²⁰-bucket
+    * production dim, keep the relation form and broadcast-join). */
+  def trainedWeightArray(spark: org.apache.spark.sql.SparkSession,
+      dim: Int = 1024): Array[Long] = {
+    val arr = new Array[Long](dim)
+    trainedWeights(spark).collect().foreach { r =>
+      arr(r.getInt(0)) = r.getLong(1)
+    }
+    arr
+  }
+
   /** ZERO-shuffle formulation of [[classifierScore]]: the whole
     * classifier collapses into one codegen'd scan-side kernel
     * ([[graft.functions.HashedScoreExpr]] over the split token array,

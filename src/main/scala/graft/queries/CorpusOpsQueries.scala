@@ -328,14 +328,14 @@ object CorpusOpsQueries {
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
     // v3 fuses the hashed-classifier verdict into the same scan
     // predicate as the repetition gate — two scan-speed gates, ONE
-    // byte pass, zero extra exchanges (the kernel carries its weights
-    // as data; see TextAnalysis.classifierScoreInline).
+    // byte pass, zero extra exchanges (the kernel carries the TRAINED
+    // weight fixture as data; see TextAnalysis.trainedWeightArray).
     val keep = {
       val rep = TextAnalysis.repetitionKeep(col("text"))
       if (classifierGate)
         rep && graft.functions.functions.hashed_score(
           split(col("text"), "\\s+"),
-          TextAnalysis.stubWeightArray(1024)).getField("raw") > 0
+          TextAnalysis.trainedWeightArray(s)).getField("raw") > 0
       else rep
     }
     val gated = corpus.filter(keep)
@@ -409,9 +409,10 @@ object CorpusOpsQueries {
     val bandExprs = (0 until 4).map(b => s"(sig >> ${b * 15}) & 32767").mkString(", ")
     // v3 splices the classifier verdict between the repetition gate
     // and everything downstream: gate0 = repetition survivors, clf =
-    // their integer weight sums (same md5-bucket formula as
-    // text_quality_classifier), gate = the intersection — downstream
-    // CTEs are untouched either way.
+    // their integer weight sums (same md5-bucket hashing as
+    // text_quality_classifier, weights JOINED from the committed
+    // trained fixture), gate = the intersection — downstream CTEs are
+    // untouched either way.
     val gateCte =
       if (!withClassifierGate)
         """gate AS (
@@ -431,9 +432,11 @@ object CorpusOpsQueries {
            |        FROM (SELECT c.doc_id, unnest(c.tk) AS tok
            |              FROM corp c JOIN gate0 USING (doc_id)))),
            |clfs AS (
-           |  SELECT doc_id,
-           |    sum(((h % 1024) * 2654435761) % 1000 - 500) AS raw
-           |  FROM clfh GROUP BY doc_id),
+           |  SELECT doc_id, CAST(sum(w.iw) AS BIGINT) AS raw
+           |  FROM clfh
+           |  JOIN '${graft.Tables.fixturesDir}/classifier_weights.parquet' w
+           |    ON (clfh.h % 1024) = w.bucket
+           |  GROUP BY doc_id),
            |gate AS (SELECT doc_id FROM clfs WHERE raw > 0)""".stripMargin
     s"""WITH RECURSIVE corp AS (
        |  SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS tk

@@ -942,14 +942,18 @@ object QueryCatalog {
       |       ELSE 'de' END AS lang_pred
       |FROM hits ORDER BY doc_id""".stripMargin
 
-  /** Hashed linear quality classifier over the stub weight table:
+  /** Hashed linear quality classifier over the TRAINED weight fixture
+    * (`fixtures/classifier_weights.parquet`, provenance + holdout
+    * accuracy in its manifest — [[graft.tools.TrainClassifier]]):
     * md5-bucketed tokens, integer weight accumulation (exact,
     * summation-order-free), mean-weight score. Uses the zero-shuffle
     * scan-kernel form ([[TextAnalysis.classifierScoreInline]]); the
-    * broadcast-relation twin is parity-pinned in ClassifierSpec. */
+    * broadcast-relation twin is parity-pinned in ClassifierSpec. The
+    * oracle joins the SAME committed relation, so the replay checks
+    * the trained model, not a formula. */
   val textQualityClassifier: Q = (s, dir) => {
     TextAnalysis.classifierScoreInline(Tables.documents(s, dir), "doc_id",
-        "text", TextAnalysis.stubWeightArray(dim = 1024))
+        "text", TextAnalysis.trainedWeightArray(s))
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -959,7 +963,11 @@ object QueryCatalog {
     * long), the same Knuth-mix stub weight formula inline, and a
     * BIGINT weight sum so the score is bit-exact before the one
     * closing division. */
-  val textQualityClassifierSql: String = {
+  /** A `def` (path resolved at dump time through the fixtures
+    * override): the oracle replays the md5 bucketing independently and
+    * JOINS the committed weight relation — the fixture is dense over
+    * [0, dim), so the inner join drops nothing. */
+  def textQualityClassifierSql: String = {
     val hexVal = (0 until 15).map(i =>
       s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
       .mkString(" + ")
@@ -969,7 +977,10 @@ object QueryCatalog {
        |  SELECT doc_id, ($hexVal) AS h
        |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
        |scored AS (
-       |  SELECT doc_id, ((h % 1024) * 2654435761) % 1000 - 500 AS iw FROM hashed),
+       |  SELECT doc_id, w.iw AS iw
+       |  FROM hashed
+       |  JOIN '${graft.Tables.fixturesDir}/classifier_weights.parquet' w
+       |    ON (h % 1024) = w.bucket),
        |agg AS (
        |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(iw) AS BIGINT) AS raw
        |  FROM scored GROUP BY doc_id)

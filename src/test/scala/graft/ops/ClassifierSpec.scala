@@ -88,6 +88,37 @@ class ClassifierSpec extends SparkSpec {
     assert(rel(1).getAs[Double]("score") == empty.getAs[Double]("score"))
   }
 
+  test("committed trained fixture: dense, manifest-pinned, and it separates planted good/bad docs") {
+    // integrity: every bucket present exactly once; manifest md5 matches
+    // a recomputation from the fixture itself
+    val w = TextAnalysis.trainedWeights(spark).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(w.size == 1024 && (0 until 1024).forall(w.contains),
+      "weight fixture must be dense over [0, 1024)")
+    val arr = TextAnalysis.trainedWeightArray(spark)
+    val manifest = spark.read.parquet(
+      s"${graft.Tables.fixturesDir}/classifier_weights_manifest.parquet")
+      .collect().head
+    assert(manifest.getAs[String]("weights_md5") ==
+      graft.tools.TrainClassifier.weightsMd5(arr),
+      "manifest digest must match the committed weights")
+    assert(manifest.getAs[Double]("holdout_acc") >= 0.9,
+      "committed model must have recorded holdout accuracy >= 0.9")
+
+    // behavior: stopword-dense (the trained label signal) scores
+    // positive, stopword-free repetitive text scores negative
+    val planted = Seq(
+      (1L, "the a the a customer the a line the query the a data the a table"),
+      (2L, "batch batch merge sort join scan window filter hash batch merge sort"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScoreInline(planted, "doc_id", "text", arr)
+      .orderBy("id").collect()
+    val good = got(0); val bad = got(1)
+    assert(good.getAs[Boolean]("keep") && !bad.getAs[Boolean]("keep"),
+      s"trained verdicts: good=$good bad=$bad")
+    assert(good.getAs[Double]("score") > bad.getAs[Double]("score"))
+  }
+
   test("inline form is a valid streaming projection: stream ≡ batch per doc") {
     // Stateless scan kernel ⇒ works unchanged on an unbounded feed —
     // the classifier slots into an ingest gate with no stateful stage.
