@@ -25,9 +25,10 @@ import org.apache.spark.sql.types._
   * (CentroidExprsSpec pins k=256 with `WholeStageCodegen` present).
   * Beyond k ≈ 10⁴ (matrix >~10 MB) the right form changes again — a
   * broadcast centroid RELATION scored by a join, so the matrix rides
-  * the broadcast bus instead of the serialized plan; that cutover is a
-  * deployment choice documented at [[graft.ops.IvfIndex]], and FAISS
-  * draws the same line (coarse quantizer as data, not code).
+  * the broadcast bus instead of the serialized plan; that form is
+  * [[graft.ops.QuantizerRelation]], selected automatically by
+  * [[graft.ops.IvfIndex.assignCells]] above its cell cutover, and
+  * FAISS draws the same line (coarse quantizer as data, not code).
   *
   * Selection semantics are those of the `array_max`/`array_sort` struct
   * formulation they replace: lexicographic max over `(score, index)` —

@@ -37,11 +37,31 @@ object IvfIndex {
     * CentroidExprsSpec pins k=256 with codegen present). Beyond k ≈ 10⁴
     * (matrix tens of MB, too fat to ride the serialized plan per task
     * binary) the right formulation changes to a broadcast centroid
-    * RELATION + join — FAISS's coarse-quantizer-as-data line. */
+    * RELATION + join — FAISS's coarse-quantizer-as-data line —
+    * implemented in [[QuantizerRelation]] and selected automatically by
+    * [[assignCells]]. */
   def bestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
     require(centroids.nonEmpty, "empty centroid matrix")
     graft.functions.functions.best_cell(vec, unitRows(centroids))
   }
+
+  /** Cell assignment with the form chosen by k: below
+    * [[QuantizerRelation.CutoverCells]] the zero-exchange
+    * [[bestCell]] expression (matrix on the plan, argmax in codegen);
+    * at or above it, the [[QuantizerRelation.assignCells]] broadcast
+    * join (matrix rides a `BroadcastExchange` once, wire cost one row
+    * per doc). Both forms are semantics-identical — ties, degenerate
+    * vectors, null vectors — pinned at k=1024 in
+    * QuantizerRelationSpec. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], outCol: String = "cell",
+      cutoverCells: Int = QuantizerRelation.CutoverCells): DataFrame =
+    if (centroids.length < cutoverCells)
+      df.withColumn(outCol, bestCell(col(vecCol), centroids))
+    else
+      QuantizerRelation.assignCells(df, idCol, vecCol,
+        QuantizerRelation.centroidsDf(df.sparkSession, unitRows(centroids)),
+        outCol)
 
   /** The `nProbe` best cells for a query vector, as an array column
     * (ascending (score, index) order — the `array_sort` tail contract
@@ -55,9 +75,22 @@ object IvfIndex {
     * (by id order) then `iters` Lloyd iterations executed as Spark
     * aggregations (posexplode → per-(cell,dim) mean). Returns k×dim
     * centroids.
+    *
+    * Two implementations behind one signature, chosen by k like
+    * [[assignCells]]: below the cutover the per-iteration means (≤
+    * k×dim doubles) collect to the driver between iterations — fewer
+    * Spark jobs, fine while k is small; at or above it the loop runs
+    * fully relationally ([[QuantizerRelation.train]] — per-iteration
+    * state is a k-row DataFrame, assignment is the broadcast join) and
+    * only the FINISHED matrix is collected once, so training scales
+    * with k the same way assignment does.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2): Array[Array[Double]] = {
+      iters: Int = 2,
+      cutoverCells: Int = QuantizerRelation.CutoverCells): Array[Array[Double]] = {
+    if (k >= cutoverCells)
+      return QuantizerRelation.collectCentroids(
+        QuantizerRelation.train(corpus, idCol, vecCol, k, iters))
     // Deterministic pseudo-random seed sample: order by a hash of the id
     // (id tiebreak) and take k — a top-k, not a global sort. Seeding
     // MUST NOT assume anything about id layout: the previous
