@@ -228,6 +228,101 @@ object Sketches {
     (histogramSketch(df, groupCols, value, lo, width), lo, width)
   }
 
+  // ------------------------------------------------------------------
+  // Rank-adaptive quantile sketch: a bottom-k-by-hash uniform row
+  // sample (KMV applied to row IDS, not values). The histogram family
+  // above has error bounded by bin WIDTH — on a heavy-tailed column
+  // most mass lands in few bins and a p99 estimate can be off by half
+  // the distribution (KmvSketchSpec demonstrates the failure). This
+  // sketch's error is bounded in RANK, uniformly over the whole CDF
+  // (DKW: ~1.36/√k at 95% for all quantiles at once — k=1024 ⇒ ~4%),
+  // independent of the value distribution — the heavy-tail-safe member
+  // of the family.
+  //
+  // Why a hash sample and not KLL/t-digest: KLL's compactions are
+  // randomized and ORDER-dependent — merging split sketches and
+  // sketching the whole stream give structurally different summaries,
+  // so the family's "merge ≡ whole, replayed bit-exactly by DuckDB"
+  // discipline is unachievable. Bottom-k by a deterministic hash is
+  // order-free and exactly mergeable (bottom-k of a union IS the
+  // bottom-k of the parts' bottom-k's), costs O(k) memory, and the
+  // whole computation — hash, ranking, sample-quantile pick — is plain
+  // SQL both engines evaluate identically. The trade is ε ~ O(1/√k)
+  // instead of KLL's O(1/k) at equal memory — bought back at 100 TB by
+  // k being a few thousand longs per group. approx_percentile
+  // (t-digest) stays the engine-private production alternative,
+  // bound-checked in SketchesSpec.
+  // ------------------------------------------------------------------
+
+  /** Per-group bottom-k sample: `(groupCols…, h, v)` — the k rows with
+    * the smallest `md5₆₀(seed ‖ id)` per group (ties by value:
+    * deterministic). This relation IS the mergeable sketch: sketches
+    * of disjoint splits merge by union + re-rank ([[kmvQuantiles]]
+    * re-ranks on entry, so merge is just `union`).
+    *
+    * `id` must be a UNIQUE key (hashing the value would sample
+    * DISTINCT values and bias every rank); uniform-by-hash over ids is
+    * a uniform row sample, so sample quantiles estimate population
+    * quantiles with rank error O(1/√k) regardless of the distribution.
+    *
+    * Scale shape: the ranking window shuffles (group, h, v) triplets —
+    * narrow, but all rows. At 100 TB pass `prefilterRate` (any upper
+    * bound r with r·n_group ≥ k, e.g. 10k/n_lower): rows with
+    * `h ≥ r·2⁶⁰` can never be in the bottom-k, so the filter drops
+    * them AT THE SCAN and the exchange carries ~r·n rows per group.
+    * The cut is exact, not approximate — membership is unchanged as
+    * long as ≥ k rows per group survive (the k-th smallest hash is
+    * below any threshold that admits k rows); KmvSketchSpec pins
+    * filtered ≡ unfiltered. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], id: Column,
+      value: Column, seed: String, k: Int,
+      prefilterRate: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k ≥ 1, got $k")
+    require(groupCols.nonEmpty,
+      "kmvSketch needs ≥1 group column (a global sketch is the lit-group case)")
+    val h = Dedup.md5TokenHash60(concat(lit(seed), id.cast("string")))
+    val base = df.select((groupCols.map(col) :+
+      h.as("h") :+ value.cast("double").as("v")): _*)
+    val pre = prefilterRate match {
+      case Some(r) =>
+        require(r > 0.0 && r <= 1.0, s"prefilterRate must be in (0,1], got $r")
+        base.filter(col("h") < lit((r * (1L << 60).toDouble).toLong))
+      case None => base
+    }
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("h"), col("v"))
+    pre.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Sketch → per-group quantile estimates `(groupCols…, <name>…,
+    * m_sample)`: re-rank to the bottom-k (the merge step — idempotent
+    * on an already-cut sketch, the cut on a union of disjoint splits),
+    * then for each `(name, q)` answer the sample value at rank
+    * `⌈q·m⌉` by ascending value (the [[histogramQuantiles]] rank
+    * convention). A group with fewer than k rows holds its WHOLE
+    * population — quantiles are exact there. Both windows run over ≤ k
+    * rows per group — the bounded kind. */
+  def kmvQuantiles(sketch: DataFrame, groupCols: Seq[String], k: Int,
+      qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty, "need at least one quantile")
+    val keyCols = groupCols.map(col)
+    val wH = Window.partitionBy(keyCols: _*).orderBy(col("h"), col("v"))
+    val wV = Window.partitionBy(keyCols: _*).orderBy(col("v"), col("h"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val ranked = sketch
+      .withColumn("_rn", row_number().over(wH)).filter(col("_rn") <= k)
+      .withColumn("vr", row_number().over(wV))
+      .withColumn("m", count(lit(1)).over(wAll))
+    val ests = qs.map { case (name, q) =>
+      round(min(when(col("vr") >= ceil(lit(q) * col("m")), col("v"))), 2).as(name)
+    }
+    ranked.groupBy(keyCols: _*)
+      .agg(ests.head, (ests.tail :+ max(col("m")).as("m_sample")): _*)
+  }
+
   /** Sketch → per-group quantile estimates `(groupCols…, <name>…, n)`.
     * For each requested `(name, q)`: target rank `⌈q·n⌉`, answer = the
     * LOWER EDGE of the first bin (ascending) whose cumulative count

@@ -1142,10 +1142,60 @@ object CorpusOpsQueries {
       |FROM c GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Rank-adaptive quantile sketch
+    * ([[graft.ops.Sketches.kmvSketch]]): p50/p90/p99 of event values
+    * per event type from a bottom-256-by-hash uniform row sample —
+    * the heavy-tail-safe member of the quantile family (the fixed-bin
+    * histograms' rank error is bounded by bin mass; this one's is
+    * uniform O(1/√k) over the whole CDF, KmvSketchSpec demonstrates
+    * the histogram failing exactly where this passes). The oracle
+    * replays the ENTIRE sketch — md5 hash, bottom-k cut, sample-rank
+    * pick — not a reference answer, so merge-equals-whole determinism
+    * is what the hash gate is checking. */
+  val qQuantileKmv: Q = (s, dir) => {
+    import graft.ops.Sketches
+    val ev = Tables.events(s, dir)
+    val sk = Sketches.kmvSketch(ev, Seq("event_type"), col("event_id"),
+      col("value"), seed = "kmvQ", k = 256)
+    Sketches.kmvQuantiles(sk, Seq("event_type"), k = 256,
+        qs = Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99))
+      .orderBy(col("event_type"))
+  }
+
+  val qQuantileKmvSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH hashed AS (
+       |  SELECT event_type, CAST($hexVal AS BIGINT) AS h, CAST(value AS DOUBLE) AS v
+       |  FROM (SELECT event_type, value,
+       |          substring(md5('kmvQ' || CAST(event_id AS VARCHAR)), 1, 15) AS h15
+       |        FROM events)),
+       |bottom AS (
+       |  SELECT event_type, h, v FROM (
+       |    SELECT event_type, h, v,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+       |    FROM hashed)
+       |  WHERE rn <= 256),
+       |ranked AS (
+       |  SELECT event_type, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vr,
+       |    count(*) OVER (PARTITION BY event_type) AS m
+       |  FROM bottom)
+       |SELECT event_type,
+       |  round(min(CASE WHEN vr >= ceil(0.5 * m) THEN v END), 2) AS p50_est,
+       |  round(min(CASE WHEN vr >= ceil(0.9 * m) THEN v END), 2) AS p90_est,
+       |  round(min(CASE WHEN vr >= ceil(0.99 * m) THEN v END), 2) AS p99_est,
+       |  CAST(max(m) AS BIGINT) AS m_sample
+       |FROM ranked GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_quantile_sketch2" -> qQuantileSketch2,
+    "q_quantile_kmv" -> qQuantileKmv,
     "text_span_scrub" -> textSpanScrub,
     "q_cms_topk" -> qCmsTopk,
     "q_sample_weighted" -> qSampleWeighted,
@@ -1173,6 +1223,7 @@ object CorpusOpsQueries {
     "text_chunk" -> textChunkSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_quantile_sketch2" -> qQuantileSketch2Sql,
+    "q_quantile_kmv" -> qQuantileKmvSql,
     "text_span_scrub" -> textSpanScrubSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_sample_weighted" -> qSampleWeightedSql,

@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bottom-k quantile sketch ([[Sketches.kmvSketch]]): rank-adaptive
+  * where the fixed-bin histogram demonstrably is not, exactly
+  * mergeable, prefilter-exact, exact below k, and its streaming twin
+  * tracks batch bit-identically. */
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Heavy-tailed corpus: 99% of rows uniform-ish in [0, 1), 1% spread
+    * over [1e6, 1e9) — the doc-length/score shape at 100 TB. */
+  private def heavyTail: Seq[(Long, String, Double)] =
+    (1L to 20000L).map { i =>
+      val v = if (i % 100 == 0) 1e6 + (i % 997) * 1e6 else (i % 1000) / 1000.0
+      (i, "g", v)
+    }
+
+  private def rankError(data: Seq[Double], est: Double, q: Double): Double = {
+    val n = data.size.toDouble
+    math.abs(data.count(_ <= est) / n - q)
+  }
+
+  test("heavy tail: the fixed-bin histogram FAILS the rank bracket the KMV sample passes") {
+    val df = heavyTail.toDF("id", "g", "v")
+    val values = heavyTail.map(_._3)
+    // fixed-bin, self-ranged, 128 bins — the family's previous best
+    val (hs, lo, width) = Sketches.histogramSketchAuto(df, Seq("g"), col("v"))
+    val hist = Sketches.histogramQuantiles(hs, Seq("g"), lo, width,
+      Seq("p50" -> 0.5)).collect().head.getAs[Double]("p50")
+    val histErr = rankError(values, hist, 0.5)
+    assert(histErr > 0.2,
+      s"the histogram is EXPECTED to fail here (err $histErr) — " +
+        "if it passes, the demonstration corpus no longer demonstrates")
+    // KMV k=1024: uniform rank error ~1.36/√k ≈ 4.3% at 95% — bracket 6%
+    val sk = Sketches.kmvSketch(df, Seq("g"), col("id"), col("v"), "kt", 1024)
+    val got = Sketches.kmvQuantiles(sk, Seq("g"), 1024,
+      Seq("p50" -> 0.5, "p99" -> 0.99)).collect().head
+    assert(rankError(values, got.getAs[Double]("p50"), 0.5) <= 0.06,
+      s"p50 rank error: ${rankError(values, got.getAs[Double]("p50"), 0.5)}")
+    assert(rankError(values, got.getAs[Double]("p99"), 0.99) <= 0.06,
+      s"p99 rank error: ${rankError(values, got.getAs[Double]("p99"), 0.99)}")
+  }
+
+  test("merge ≡ whole: union of split sketches re-ranks to the whole-corpus sketch") {
+    val df = heavyTail.toDF("id", "g", "v")
+    val whole = Sketches.kmvSketch(df, Seq("g"), col("id"), col("v"), "kt", 256)
+    val s1 = Sketches.kmvSketch(df.filter($"id" % 2 === 0), Seq("g"),
+      col("id"), col("v"), "kt", 256)
+    val s2 = Sketches.kmvSketch(df.filter($"id" % 2 =!= 0), Seq("g"),
+      col("id"), col("v"), "kt", 256)
+    val qs = Seq("p50" -> 0.5, "p95" -> 0.95)
+    val a = Sketches.kmvQuantiles(whole, Seq("g"), 256, qs).collect().toSeq
+    val b = Sketches.kmvQuantiles(s1.union(s2), Seq("g"), 256, qs).collect().toSeq
+    assert(a == b, s"whole $a vs merged $b")
+  }
+
+  test("prefilter is exact while ≥ k rows survive, and cuts at the scan") {
+    val df = heavyTail.toDF("id", "g", "v")
+    val plain = Sketches.kmvSketch(df, Seq("g"), col("id"), col("v"), "kt", 128)
+    // rate 0.1 over 20k rows → ~2000 expected survivors ≫ k=128
+    val pre = Sketches.kmvSketch(df, Seq("g"), col("id"), col("v"), "kt", 128,
+      prefilterRate = Some(0.1))
+    assert(plain.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))) ==
+      pre.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))))
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), s"threshold must cut pre-exchange:\n$plan")
+  }
+
+  test("a group smaller than k is its own sample: quantiles exact") {
+    val tiny = (1L to 9L).map(i => (i, "t", i.toDouble)).toDF("id", "g", "v")
+    val sk = Sketches.kmvSketch(tiny, Seq("g"), col("id"), col("v"), "kt", 256)
+    val got = Sketches.kmvQuantiles(sk, Seq("g"), 256,
+      Seq("p50" -> 0.5, "p100" -> 1.0)).collect().head
+    assert(got.getAs[Double]("p50") == 5.0 && got.getAs[Double]("p100") == 9.0)
+    assert(got.getAs[Long]("m_sample") == 9L)
+  }
+
+  test("streaming twin ≡ batch over data-so-far, every prefix") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.KmvStream
+    val data = (1L to 600L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", ((i * 37) % 500).toDouble))
+    val mem = MemoryStream[(Long, String, Double)]
+    val qs = Seq(0.5, 0.9)
+    val est = KmvStream.quantiles(mem.toDF().toDF("id", "g", "v"),
+      "g", "id", "v", seed = "kt", k = 64, qs = qs)
+    val q = est.writeStream.outputMode("update")
+      .format("memory").queryName("kmv_stream").start()
+    try {
+      data.grouped(250).zipWithIndex.foreach { case (chunk, ci) =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+        val soFar = data.take((ci + 1) * 250).toDF("id", "g", "v")
+        val sk = Sketches.kmvSketch(soFar, Seq("g"), col("id"), col("v"), "kt", 64)
+        val batch = Sketches.kmvQuantiles(sk, Seq("g"), 64,
+            qs.map(x => s"q$x" -> x)).collect()
+          .map(r => r.getString(0) -> (r.getLong(r.length - 1),
+            qs.indices.map(i => r.getDouble(i + 1)))).toMap
+        // latest emission per group = the stream's current answer
+        val streamed = spark.table("kmv_stream").collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2)))
+        val latest = streamed.zipWithIndex.groupBy(_._1._1)
+          .map { case (g, rows) => g -> rows.maxBy(_._2)._1 }
+        latest.foreach { case (g, (_, m, ests)) =>
+          val (bm, bests) = batch(g)
+          assert(m.toLong == bm && ests == bests,
+            s"prefix ${ci + 1}, group $g: stream ($m, $ests) vs batch ($bm, $bests)")
+        }
+      }
+    } finally q.stop()
+  }
+}
