@@ -217,7 +217,9 @@ object Bench {
     // hourly grid explode + per-user carry-forward window (output-heavy)
     "q_resample_ffill" -> 6.0,
     // two user-keyed aggs + one user equi-join
-    "q_retention" -> 3.0)
+    "q_retention" -> 3.0,
+    // hash projection + per-type bottom-k windows over ≤ k rows
+    "q_quantile_kmv" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be
