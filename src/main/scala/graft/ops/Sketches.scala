@@ -296,6 +296,34 @@ object Sketches {
       .filter(col("_rn") <= k).drop("_rn")
   }
 
+  /** [[kmvSketch]] as a map-side-combinable AGGREGATE
+    * ([[graft.functions.BottomKAgg]]) — same rows, different exchange
+    * economics: the window form shuffles every (group, h, v) triplet
+    * before it can rank, while the aggregate cuts to k inside each
+    * input partition (partial ObjectHashAggregate), so the exchange
+    * carries ≤ partitions × groups buffers of ≤ k pairs — the
+    * [[hllRegisters]]/[[cmsSketch]] scale shape with NO prefilter
+    * contract needed. This is the default 100 TB form; the window form
+    * remains the simple/oracle-transparent one (the `q_quantile_kmv`
+    * oracle replays the cut as a window — identical rows either way,
+    * pinned in KmvSketchSpec). */
+  def kmvSketchAgg(df: DataFrame, groupCols: Seq[String], id: Column,
+      value: Column, seed: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k ≥ 1, got $k")
+    require(groupCols.nonEmpty,
+      "kmvSketchAgg needs ≥1 group column (a global sketch is the lit-group case)")
+    val h = Dedup.md5TokenHash60(concat(lit(seed), id.cast("string")))
+    val bk = udaf(new graft.functions.BottomKAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.BottomKAgg.Pair])
+    df.select((groupCols.map(col) :+
+        h.as("h") :+ value.cast("double").as("v")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bk(col("h"), col("v")).as("r"))
+      .select((groupCols.map(col) :+ explode(col("r.pairs")).as("p")): _*)
+      .select((groupCols.map(col) :+
+        col("p._1").as("h") :+ col("p._2").as("v")): _*)
+  }
+
   /** Sketch → per-group quantile estimates `(groupCols…, <name>…,
     * m_sample)`: re-rank to the bottom-k (the merge step — idempotent
     * on an already-cut sketch, the cut on a union of disjoint splits),

@@ -1155,7 +1155,10 @@ object CorpusOpsQueries {
   val qQuantileKmv: Q = (s, dir) => {
     import graft.ops.Sketches
     val ev = Tables.events(s, dir)
-    val sk = Sketches.kmvSketch(ev, Seq("event_type"), col("event_id"),
+    // the map-side-combinable aggregate form (exchange carries ≤
+    // partitions × groups buffers of ≤ k pairs, never the corpus);
+    // row-identical to the window form the oracle replays
+    val sk = Sketches.kmvSketchAgg(ev, Seq("event_type"), col("event_id"),
       col("value"), seed = "kmvQ", k = 256)
     Sketches.kmvQuantiles(sk, Seq("event_type"), k = 256,
         qs = Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99))

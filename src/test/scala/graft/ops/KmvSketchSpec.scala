@@ -71,6 +71,27 @@ class KmvSketchSpec extends SparkSpec {
     assert(plan.contains("Filter"), s"threshold must cut pre-exchange:\n$plan")
   }
 
+  test("aggregate form ≡ window form, and it partial-aggregates before the exchange") {
+    val df = heavyTail.toDF("id", "g", "v")
+    val win = Sketches.kmvSketch(df, Seq("g"), col("id"), col("v"), "kt", 128)
+    val agg = Sketches.kmvSketchAgg(df, Seq("g"), col("id"), col("v"), "kt", 128)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(win) == rows(agg), "the two formulations must emit the same sketch")
+    // plan: object-hash aggregate with a partial pass below the exchange —
+    // the map-side cut that bounds the shuffle at partitions × groups × k
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object agg:\n$plan")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial aggregation must sit BELOW the exchange (plan prints top-down):\n$plan")
+    // quantiles downstream agree too
+    val qs = Seq("p50" -> 0.5, "p99" -> 0.99)
+    assert(Sketches.kmvQuantiles(win, Seq("g"), 128, qs).collect().toSeq ==
+      Sketches.kmvQuantiles(agg, Seq("g"), 128, qs).collect().toSeq)
+  }
+
   test("a group smaller than k is its own sample: quantiles exact") {
     val tiny = (1L to 9L).map(i => (i, "t", i.toDouble)).toDF("id", "g", "v")
     val sk = Sketches.kmvSketch(tiny, Seq("g"), col("id"), col("v"), "kt", 256)
