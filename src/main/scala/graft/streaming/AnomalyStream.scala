@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming twin of the rolling z-score anomaly query (`q_anomaly`):
   * flag each event whose value deviates more than 2 trailing standard
@@ -70,27 +70,12 @@ object AnomalyStream {
             state.remove()
             Iterator.empty
           } else {
-            var buf = state.getOption
+            val prev = state.getOption
               .map(st => st.ts.zip(st.cents).toVector).getOrElse(Vector.empty)
-            val out = Seq.newBuilder[Flagged]
-            // distinct timestamps ascending; all same-t events join the
-            // frame before any of them is scored (RANGE-frame tie rule)
-            val byT = rows.toSeq.groupBy(e => Math.floorDiv(e.ts.getTime, 1000L))
-            byT.keys.toSeq.sorted.foreach { t =>
-              val peers = byT(t).sortBy(_.event_id)
-              buf = buf.dropWhile(_._1 < t - (WindowSec - 1)) ++
-                peers.map(e => t -> e.cents)
-              val n = buf.length.toLong
-              if (n >= MinFrame) {
-                val s = buf.iterator.map(_._2).sum
-                val q = buf.iterator.map(c => c._2 * c._2).sum
-                peers.foreach { e =>
-                  val dev = e.cents * n - s
-                  out += Flagged(user, e.event_id, t, e.cents, n, s, q,
-                    dev * dev > 4L * (n * q - s * s))
-                }
-              }
-            }
+            // scoring kernel shared with the v2 processor: distinct
+            // timestamps ascending, all same-t events enter the frame
+            // before any is scored (the RANGE-frame tie rule)
+            val (out, buf) = scoreBatch(user, rows.toSeq, prev)
             state.update(FrameState(buf.map(_._1), buf.map(_._2)))
             // Re-arm on EVERY invocation (GroupState voids the pending
             // timeout each call — the StreamDedup lesson). Expiry is the
@@ -100,8 +85,90 @@ object AnomalyStream {
             val lastMs = buf.last._1 * 1000L
             state.setTimeoutTimestamp(math.max(lastMs + WindowSec * 1000L,
               state.getCurrentWatermarkMs() + 1))
-            out.result().iterator
+            out.iterator
           }
       }
+  }
+
+  /** [[flags]] on Spark 4.x's arbitrary-state v2 (`transformWithState`
+    * + [[StatefulProcessor]]) — the [[StreamDedup.dedupByKeyTws]]
+    * pattern applied to the HEAVIEST-state twin: per-user trailing-24h
+    * buffers live in RocksDB (bounded by disk + block cache, not
+    * executor heap), which is the right trade at 100 TB where the
+    * in-horizon user set times a day of events can exceed memory.
+    * Scoring logic is shared verbatim with the v1 operator
+    * ([[scoreBatch]]), so the two APIs cannot drift — AnomalyStreamSpec
+    * runs both on one script and asserts equal output. Idle-user
+    * reclamation is the same semantics-free event-time rule, as an
+    * explicit timer: prior timers are deleted and one is re-registered
+    * at lastEvent + 24h each time the user appears (a stale timer
+    * would otherwise fire and drop a re-warmed frame early — harmless
+    * for flags below MinFrame, but the invariant "state exists ⇔ an
+    * admissible event could still see it" is worth keeping exact). */
+  def flagsTws(events: DataFrame, delay: String = "1 hour"): Dataset[Flagged] = {
+    require(events.isStreaming,
+      "AnomalyStream.flagsTws is a streaming operator; use q_anomaly in batch")
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[VEvent]
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new FrameProcessor(),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The shared scoring kernel: fold one batch of a user's events into
+    * the trailing frame, emitting flags — used identically by the
+    * fMGWS closure and the v2 processor. Returns (flags, new frame). */
+  private[streaming] def scoreBatch(user: Long, events: Seq[VEvent],
+      frame: Vector[(Long, Long)]): (Seq[Flagged], Vector[(Long, Long)]) = {
+    var buf = frame
+    val out = Seq.newBuilder[Flagged]
+    val byT = events.groupBy(e => Math.floorDiv(e.ts.getTime, 1000L))
+    byT.keys.toSeq.sorted.foreach { t =>
+      val peers = byT(t).sortBy(_.event_id)
+      buf = buf.dropWhile(_._1 < t - (WindowSec - 1)) ++
+        peers.map(e => t -> e.cents)
+      val n = buf.length.toLong
+      if (n >= MinFrame) {
+        val s = buf.iterator.map(_._2).sum
+        val q = buf.iterator.map(c => c._2 * c._2).sum
+        peers.foreach { e =>
+          val dev = e.cents * n - s
+          out += Flagged(user, e.event_id, t, e.cents, n, s, q,
+            dev * dev > 4L * (n * q - s * s))
+        }
+      }
+    }
+    (out.result(), buf)
+  }
+
+  private final class FrameProcessor
+      extends StatefulProcessor[Long, VEvent, Flagged] {
+    @transient private var frame: ValueState[FrameState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      frame = getHandle.getValueState[FrameState]("frame",
+        org.apache.spark.sql.Encoders.product[FrameState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[VEvent],
+        timerValues: TimerValues): Iterator[Flagged] = {
+      val prev = Option(frame.get())
+        .map(st => st.ts.zip(st.cents).toVector).getOrElse(Vector.empty)
+      val (flags, buf) = scoreBatch(key, rows.toSeq, prev)
+      frame.update(FrameState(buf.map(_._1), buf.map(_._2)))
+      // exactly one live timer per user: lastEvent + window
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(buf.last._1 * 1000L + WindowSec * 1000L)
+      flags.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Flagged] = {
+      frame.clear()
+      Iterator.empty
+    }
   }
 }

@@ -30,6 +30,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Out-of-order limits (documented, same shape as retention): a step-0
   * straggler EARLIER than the pinned first step cannot rewrite an
   * already-advanced chain; batch remains the retroactive truth.
+  *
+  * State lifetime is deliberately UNBOUNDED (`NoTimeout`), unlike
+  * [[AnomalyStream]]'s semantics-free TTL: the batch contract is ONE
+  * completion per user EVER, anchored at the user's global first
+  * step-0 event. Dropping a `done` state would let a later event
+  * cluster emit a second completion; dropping a stuck chain would let
+  * the stream re-anchor at a later step-0 event and complete where
+  * batch (anchored at the earlier one) never does. Both divergences
+  * are exactly what the parity contract forbids, so reclamation here
+  * must be an application-level decision (e.g. re-keying users per
+  * campaign epoch), not an operator default. State is O(k longs)/user
+  * — users-ever-seen × ~40 bytes, not event volume.
   */
 object FunnelStream {
 

@@ -81,6 +81,43 @@ class AnomalyStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState twin: v1 and v2 agree on the full script, incl. same-t peers") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steady = (1 to 7).map(i => (1L, i.toLong, ts(i * 100L), 10.0 + i * 0.01))
+    val peers = Seq((1L, 8L, ts(800), 10.08), (1L, 9L, ts(800), 10.09))
+    val spike = Seq((1L, 10L, ts(900), 95.0))
+    val other = (1 to 9).map(i => (2L, (20 + i).toLong, ts(i * 50L), 7.0))
+    val chunks = Seq(steady ++ other.take(4), peers ++ other.drop(4), spike)
+
+    def run(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[AnomalyStream.Flagged],
+        name: String) = {
+      val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+      val q = mk(mem.toDF().toDF("user_id", "event_id", "ts", "value"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        spark.table(name)
+          .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      } finally q.stop()
+    }
+
+    val v1 = run(AnomalyStream.flags(_), "anom_v1")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val v2 = run(AnomalyStream.flagsTws(_), "anom_v2")
+      assert(v1 == v2, s"v1 $v1\nv2 $v2")
+      assert(v1 == batchFlags(chunks.flatten), "both must equal batch")
+      assert(v1.exists(r => r._2 == 10L && r._8), "the spike must flag in both")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("idle-user state drops after the horizon; re-appearance re-warms without a false flag") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val day = 86400L
