@@ -146,10 +146,17 @@ object IvfIndex {
 
   /** Ingest-time half of the IVF design: store the corpus parquet-
     * partitioned by cell, so probes become partition pruning instead of
-    * a full scan. Cell assignment is computed once, at write time. */
+    * a full scan. Cell assignment is computed once, at write time —
+    * and this is the corpus-sized side where the large-k cutover
+    * matters most, so assignment routes through [[assignCells]] (the
+    * expression below the cutover, the broadcast relation above it;
+    * identical cells either way, so the layout is cutover-invariant —
+    * IvfIndexSpec pins it). Input contract: (id, vec) columns, `id`
+    * unique. */
   def writeIndexed(corpus: DataFrame, centroids: Array[Array[Double]],
-      path: String): Unit =
-    corpus.withColumn("cell", bestCell(col("vec"), centroids))
+      path: String,
+      cutoverCells: Int = QuantizerRelation.CutoverCells): Unit =
+    assignCells(corpus, "id", "vec", centroids, cutoverCells = cutoverCells)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Probe a [[writeIndexed]] corpus: the probed cell ids (at most

@@ -92,12 +92,14 @@ object QuantizerRelation {
     val aggs = max(struct(col("_score"), col("cell"))).as("_m") +:
       max(col("_nullv")).as("_nv") +:
       carried.map(c => first(col(c)).as(c))
+    // column order matches the expression path's `withColumn` shape
+    // (original columns, then the cell) so the two forms are drop-in
+    // interchangeable for writers that persist the schema
     scored.groupBy(col("_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("_id").as(idCol) +:
+      .select((col("_id").as(idCol) +: carried.map(c => col(c))) :+
         when(col("_nv"), lit(null).cast("int"))
-          .otherwise(col("_m.cell")).as(outCol) +:
-        carried.map(c => col(c)): _*)
+          .otherwise(col("_m.cell")).as(outCol): _*)
   }
 
   /** Lloyd's k-means entirely in the relational form: seeds are the

@@ -111,4 +111,22 @@ class IvfIndexSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
       s"label predicate must push into the indexed scan:\n$plan")
   }
+
+  test("writeIndexed layout is cutover-invariant: expression and join forms write identical indexes") {
+    val emb = Tables.embeddings(spark, sf001).limit(150)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = IvfIndex.train(emb, "id", "vec", k = 4, iters = 1)
+    val dExpr = graft.Staging.dirFor("ivf-write-expr")
+    val dJoin = graft.Staging.dirFor("ivf-write-join")
+    IvfIndex.writeIndexed(emb, cents, dExpr) // k=4 < cutover: expression
+    IvfIndex.writeIndexed(emb, cents, dJoin, cutoverCells = 1) // forced join form
+    def layout(d: String) = spark.read.parquet(d)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(layout(dExpr) == layout(dJoin),
+      "cell layout must not depend on the assignment form")
+    assert(spark.read.parquet(dExpr).columns.toSeq ==
+      spark.read.parquet(dJoin).columns.toSeq,
+      "schema (column order) must match across forms")
+  }
 }
