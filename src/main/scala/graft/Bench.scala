@@ -219,7 +219,9 @@ object Bench {
     // two user-keyed aggs + one user equi-join
     "q_retention" -> 3.0,
     // hash projection + per-type bottom-k windows over ≤ k rows
-    "q_quantile_kmv" -> 3.0)
+    "q_quantile_kmv" -> 3.0,
+    // profile scan + melted per-column bottom-k sketch + tiny join
+    "q_profile_quantiles" -> 4.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

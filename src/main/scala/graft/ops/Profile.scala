@@ -56,4 +56,37 @@ object Profile {
       col(s"__max_$i").as("max_val")) }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** [[profile]] extended with rank-adaptive quantile estimates for the
+    * numeric columns — ANALYZE + percentiles in one report, the
+    * composition a table-health dashboard actually wants. The counts/
+    * extrema come from [[profile]]'s single scan; the quantiles come
+    * from ONE more scan that melts the numeric columns to
+    * (col_name, id, v) rows and runs the bottom-k sample sketch
+    * ([[Sketches.kmvSketchAgg]] — map-side cut, exchange bounded at
+    * partitions × columns × k) grouped BY COLUMN NAME. Melting costs
+    * |numericCols| rows per input row inside the scan, but only the
+    * per-column sketches cross the wire. Null values are excluded
+    * before sampling (quantiles are over the non-null population —
+    * consistent with `n_nonnull`); columns not in `numericCols` carry
+    * null quantiles. Rank error is the sketch's uniform O(1/√k)
+    * regardless of each column's distribution — the heavy-tail safety
+    * a fixed-bin approach cannot give an arbitrary column. */
+  def profileWithQuantiles(df: DataFrame, cols: Seq[String],
+      numericCols: Seq[String], idCol: String, seed: String,
+      k: Int, qs: Seq[(String, Double)]): DataFrame = {
+    require(numericCols.forall(cols.contains),
+      "every quantile column must also be profiled")
+    val base = profile(df, cols)
+    val melted = df.select(col(idCol).as("_pid"),
+        explode(array(numericCols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"`$c`").cast("double").as("v"))): _*)).as("m"))
+      .select(col("_pid"), col("m.col_name").as("col_name"), col("m.v").as("v"))
+      .filter(col("v").isNotNull)
+    val sk = Sketches.kmvSketchAgg(melted, Seq("col_name"),
+      col("_pid"), col("v"), seed, k)
+    base.join(Sketches.kmvQuantiles(sk, Seq("col_name"), k, qs),
+      Seq("col_name"), "left")
+  }
 }

@@ -666,8 +666,68 @@ object ExtraQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** ANALYZE + percentiles in one report
+    * ([[graft.ops.Profile.profileWithQuantiles]]): the column profile
+    * joined with per-column rank-adaptive p50/p90 from the bottom-k
+    * sample sketch, quantiles grouped BY COLUMN NAME over a melted
+    * (col_name, id, v) relation. Non-numeric columns carry null
+    * quantiles. The oracle replays BOTH halves — the exact profile
+    * aggregates and the full sketch (hash, cut, rank pick). */
+  val qProfileQuantiles: Q = (s, dir) => {
+    graft.ops.Profile.profileWithQuantiles(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"),
+        Seq("doc_id", "n_chars"), "doc_id", seed = "profQ", k = 256,
+        qs = Seq("p50_est" -> 0.5, "p90_est" -> 0.9))
+      .orderBy(col("col_name"))
+  }
+  val qProfileQuantilesSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+         |  count(DISTINCT $c) AS ndv,
+         |  min(CAST($c AS VARCHAR)) AS min_val,
+         |  max(CAST($c AS VARCHAR)) AS max_val FROM documents""".stripMargin
+    val prof = Seq("doc_id", "lang", "source", "n_chars").map(one)
+      .mkString("\nUNION ALL\n")
+    s"""WITH prof AS (
+       |$prof),
+       |melted AS (
+       |  SELECT doc_id AS pid, 'doc_id' AS col_name, CAST(doc_id AS DOUBLE) AS v FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'n_chars', CAST(n_chars AS DOUBLE) FROM documents),
+       |hashed AS (
+       |  SELECT col_name, CAST($hexVal AS BIGINT) AS h, v
+       |  FROM (SELECT col_name, v,
+       |          substring(md5('profQ' || CAST(pid AS VARCHAR)), 1, 15) AS h15
+       |        FROM melted WHERE v IS NOT NULL)),
+       |bottom AS (
+       |  SELECT col_name, h, v FROM (
+       |    SELECT col_name, h, v,
+       |      row_number() OVER (PARTITION BY col_name ORDER BY h, v) AS rn
+       |    FROM hashed)
+       |  WHERE rn <= 256),
+       |ranked AS (
+       |  SELECT col_name, v,
+       |    row_number() OVER (PARTITION BY col_name ORDER BY v, h) AS vr,
+       |    count(*) OVER (PARTITION BY col_name) AS m
+       |  FROM bottom),
+       |q AS (
+       |  SELECT col_name,
+       |    round(min(CASE WHEN vr >= ceil(0.5 * m) THEN v END), 2) AS p50_est,
+       |    round(min(CASE WHEN vr >= ceil(0.9 * m) THEN v END), 2) AS p90_est,
+       |    CAST(max(m) AS BIGINT) AS m_sample
+       |  FROM ranked GROUP BY col_name)
+       |SELECT p.col_name, n_nonnull, ndv, min_val, max_val,
+       |  p50_est, p90_est, m_sample
+       |FROM prof p LEFT JOIN q USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_profile" -> qProfile,
+    "q_profile_quantiles" -> qProfileQuantiles,
     "q_above_type_avg" -> qAboveTypeAvg,
     "q_anti_join" -> qAntiJoin,
     "q_semi_join" -> qSemiJoin,
@@ -693,6 +753,7 @@ object ExtraQueries {
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> qProfileSql,
+    "q_profile_quantiles" -> qProfileQuantilesSql,
     "q_above_type_avg" -> qAboveTypeAvgSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_semi_join" -> qSemiJoinSql,

@@ -39,6 +39,31 @@ class ProfileSpec extends SparkSpec {
       p(0).getAs[String]("max_val") == "2")
   }
 
+  test("profileWithQuantiles: exact below k, null quantiles for non-numeric, nulls excluded") {
+    val df = Seq((1L, "en", Option(10L)), (2L, "de", Option(30L)),
+      (3L, "en", Option(20L)), (4L, "fr", Option.empty[Long]))
+      .toDF("id", "lang", "len")
+    val p = Profile.profileWithQuantiles(df, Seq("id", "lang", "len"),
+        Seq("id", "len"), "id", seed = "t", k = 64,
+        qs = Seq("p50" -> 0.5, "p100" -> 1.0))
+      .orderBy("col_name").collect()
+    val byName = p.map(r => r.getAs[String]("col_name") -> r).toMap
+    // 4 rows < k → the sample IS the population: exact quantiles
+    assert(byName("id").getAs[Double]("p50") == 2.0 &&
+      byName("id").getAs[Double]("p100") == 4.0)
+    // len: nulls excluded → sample {10,20,30}, p50 = 20
+    assert(byName("len").getAs[Double]("p50") == 20.0 &&
+      byName("len").getAs[Long]("m_sample") == 3L)
+    assert(byName("len").getAs[Long]("n_nonnull") == 3L,
+      "profile half agrees on the non-null population")
+    // non-numeric column: profiled, quantiles null
+    assert(byName("lang").isNullAt(byName("lang").fieldIndex("p50")))
+    intercept[IllegalArgumentException] {
+      Profile.profileWithQuantiles(df, Seq("id"), Seq("len"), "id", "t", 4,
+        Seq("p50" -> 0.5)) // quantile col not profiled
+    }
+  }
+
   test("approx path drops the multi-distinct Expand; values agree at small ndv") {
     val exact = Profile.profile(df, Seq("id", "lang"))
     val approx = Profile.profile(df, Seq("id", "lang"), approxNdv = true)
