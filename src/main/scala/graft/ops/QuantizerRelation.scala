@@ -92,12 +92,14 @@ object QuantizerRelation {
     val aggs = max(struct(col("_score"), col("cell"))).as("_m") +:
       max(col("_nullv")).as("_nv") +:
       carried.map(c => first(col(c)).as(c))
-    // column order matches the expression path's `withColumn` shape
-    // (original columns, then the cell) so the two forms are drop-in
-    // interchangeable for writers that persist the schema
+    // column order matches the expression path's `withColumn` shape —
+    // df's columns in THEIR ORIGINAL ORDER, then the cell — so the two
+    // forms are drop-in interchangeable for writers that persist the
+    // schema even when idCol is not the input's first column
     scored.groupBy(col("_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .select((col("_id").as(idCol) +: carried.map(c => col(c))) :+
+      .withColumn(idCol, col("_id"))
+      .select(df.columns.map(c => col(c)).toSeq :+
         when(col("_nv"), lit(null).cast("int"))
           .otherwise(col("_m.cell")).as(outCol): _*)
   }

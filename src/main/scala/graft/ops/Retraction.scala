@@ -134,7 +134,38 @@ object Retraction {
     * after retraction scores exactly like a rebuilt index
     * (RetractionSpec pins it). Without this sweep a forgotten doc
     * stays retrievable through BM25 — the directive this closes. */
+  /** Crash recovery for an interrupted [[retractPostings]] stats swap —
+    * the same entry-time repair contract as [[recover]], for the
+    * `.stats-tmp`/`.stats-aside` names [[recover]]'s `.retract-*`
+    * matcher does not see. The swap order is write-tmp → rename-stats-
+    * aside → rename-tmp-in → delete-aside, so:
+    *   - aside present, stats present → crash after the swap landed:
+    *     the aside is the superseded copy, delete it;
+    *   - aside present, stats MISSING → crash between the renames: the
+    *     tmp is complete by construction — rename it in and drop the
+    *     aside; if the tmp is somehow gone, restore the aside (the old
+    *     stats come back, the retraction just re-runs);
+    *   - tmp present, stats present, no aside → the tmp may be a
+    *     partial write, the live stats are untouched — drop the tmp.
+    * Without this, a crash between the two renames left the index with
+    * NO stats relation until the same retraction was re-run — the one
+    * window that broke the "every crash leaves a readable layout"
+    * contract. */
+  def recoverStats(spark: SparkSession, indexPath: String): Unit = {
+    val statsPath = path(s"$indexPath/stats")
+    val tmp = path(s"$indexPath/.stats-tmp")
+    val aside = path(s"$indexPath/.stats-aside")
+    val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(aside)) {
+      if (fs.exists(statsPath)) fs.delete(aside, true)
+      else if (fs.exists(tmp)) { fs.rename(tmp, statsPath); fs.delete(aside, true) }
+      else fs.rename(aside, statsPath)
+    }
+    if (fs.exists(tmp) && fs.exists(statsPath)) fs.delete(tmp, true)
+  }
+
   def retractPostings(spark: SparkSession, indexPath: String, ids: Seq[Long]): Unit = {
+    recoverStats(spark, indexPath) // repair any interrupted prior stats swap
     retract(spark, s"$indexPath/postings", "id", ids, partCol = "tb")
     val statsPath = s"$indexPath/stats"
     val fresh = spark.read.parquet(s"$indexPath/postings")

@@ -282,8 +282,14 @@ object Sketches {
     require(groupCols.nonEmpty,
       "kmvSketch needs ≥1 group column (a global sketch is the lit-group case)")
     val h = Dedup.md5TokenHash60(concat(lit(seed), id.cast("string")))
+    // A null id yields a null hash (no rank position) and a null value
+    // carries no sample information — drop both HERE so the window and
+    // aggregate forms agree on null-bearing inputs (the typed
+    // aggregator's Pair encoder is non-nullable; without this filter
+    // the window form would rank nulls first while the aggregate threw).
     val base = df.select((groupCols.map(col) :+
       h.as("h") :+ value.cast("double").as("v")): _*)
+      .filter(col("h").isNotNull && col("v").isNotNull)
     val pre = prefilterRate match {
       case Some(r) =>
         require(r > 0.0 && r <= 1.0, s"prefilterRate must be in (0,1], got $r")
@@ -315,8 +321,12 @@ object Sketches {
     val h = Dedup.md5TokenHash60(concat(lit(seed), id.cast("string")))
     val bk = udaf(new graft.functions.BottomKAgg(k),
       org.apache.spark.sql.Encoders.product[graft.functions.BottomKAgg.Pair])
+    // identical null discipline to kmvSketch: drop null hash/value rows
+    // BEFORE the aggregate (whose Pair encoder is non-nullable) so the
+    // two formulations agree on null-bearing inputs
     df.select((groupCols.map(col) :+
         h.as("h") :+ value.cast("double").as("v")): _*)
+      .filter(col("h").isNotNull && col("v").isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(bk(col("h"), col("v")).as("r"))
       .select((groupCols.map(col) :+ explode(col("r.pairs")).as("p")): _*)

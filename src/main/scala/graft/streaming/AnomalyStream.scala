@@ -79,10 +79,14 @@ object AnomalyStream {
             state.update(FrameState(buf.map(_._1), buf.map(_._2)))
             // Re-arm on EVERY invocation (GroupState voids the pending
             // timeout each call — the StreamDedup lesson). Expiry is the
-            // last buffered second + the window, clamped above the
-            // current watermark (setTimeoutTimestamp rejects passed
-            // timestamps; the clamp expires the key next sweep).
-            val lastMs = buf.last._1 * 1000L
+            // NEWEST buffered second + the window — max, not buf.last:
+            // an admissible out-of-order straggler is appended at the
+            // end of the frame, so last can be older than the newest
+            // entry and arming from it would drop state an admissible
+            // event could still see. Clamped above the current watermark
+            // (setTimeoutTimestamp rejects passed timestamps; the clamp
+            // expires the key next sweep).
+            val lastMs = buf.iterator.map(_._1).max * 1000L
             state.setTimeoutTimestamp(math.max(lastMs + WindowSec * 1000L,
               state.getCurrentWatermarkMs() + 1))
             out.iterator
@@ -159,9 +163,11 @@ object AnomalyStream {
         .map(st => st.ts.zip(st.cents).toVector).getOrElse(Vector.empty)
       val (flags, buf) = scoreBatch(key, rows.toSeq, prev)
       frame.update(FrameState(buf.map(_._1), buf.map(_._2)))
-      // exactly one live timer per user: lastEvent + window
+      // exactly one live timer per user: NEWEST buffered event + window
+      // (max, not buf.last — an out-of-order straggler sits at the end)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(buf.last._1 * 1000L + WindowSec * 1000L)
+      getHandle.registerTimer(
+        buf.iterator.map(_._1).max * 1000L + WindowSec * 1000L)
       flags.iterator
     }
 

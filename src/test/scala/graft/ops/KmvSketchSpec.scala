@@ -92,6 +92,27 @@ class KmvSketchSpec extends SparkSpec {
       Sketches.kmvQuantiles(agg, Seq("g"), 128, qs).collect().toSeq)
   }
 
+  test("null-bearing input: both forms drop null id/value rows and agree") {
+    // a null id (null hash) has no rank position; a null value carries
+    // no sample information — both forms must filter them identically,
+    // not rank-nulls-first (window) vs throw (typed aggregator)
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "g", java.lang.Double.valueOf(1.0)),
+      (null.asInstanceOf[java.lang.Long], "g", java.lang.Double.valueOf(2.0)),
+      (java.lang.Long.valueOf(3L), "g", null.asInstanceOf[java.lang.Double]),
+      (java.lang.Long.valueOf(4L), "g", java.lang.Double.valueOf(4.0)),
+      (java.lang.Long.valueOf(5L), "g", java.lang.Double.valueOf(5.0))
+    ).toDF("id", "g", "v")
+    val win = Sketches.kmvSketch(df, Seq("g"), col("id"), col("v"), "kt", 16)
+    val agg = Sketches.kmvSketchAgg(df, Seq("g"), col("id"), col("v"), "kt", 16)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = rows(win)
+    assert(got == rows(agg), "forms must agree on null-bearing inputs")
+    assert(got.map(_._3) == Set(1.0, 4.0, 5.0),
+      s"exactly the non-null (id, v) rows survive, got $got")
+  }
+
   test("a group smaller than k is its own sample: quantiles exact") {
     val tiny = (1L to 9L).map(i => (i, "t", i.toDouble)).toDF("id", "g", "v")
     val sk = Sketches.kmvSketch(tiny, Seq("g"), col("id"), col("v"), "kt", 256)

@@ -48,6 +48,23 @@ class QuantizerRelationSpec extends SparkSpec {
     }
   }
 
+  test("column order survives the join form even when idCol is not first") {
+    // the expression path's withColumn preserves input column order;
+    // the join form must too — "drop-in interchangeable for writers
+    // that persist the schema" has to hold for ANY input shape
+    val m = matrix(64, 8)
+    val (good, _, _) = corpusWithDegens
+    val shuffled = good.withColumn("meta", $"id" * 2).select("meta", "vec", "id")
+    val expr = shuffled.withColumn("cell", IvfIndex.bestCell(col("vec"), m))
+    val rel = QuantizerRelation.assignCells(shuffled, "id", "vec",
+      QuantizerRelation.centroidsDf(spark, IvfIndex.unitRows(m)))
+    assert(rel.columns.toSeq == expr.columns.toSeq,
+      s"schema order: rel=${rel.columns.toSeq} expr=${expr.columns.toSeq}")
+    def byId(d: org.apache.spark.sql.DataFrame) = d.select("id", "meta", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(byId(rel) == byId(expr), "carried columns and cells must match")
+  }
+
   test("large-k form: the matrix rides a BroadcastExchange, not the task binary") {
     val m = matrix(1024, 8)
     val (good, _, _) = corpusWithDegens

@@ -177,4 +177,63 @@ class RetractionSpec extends SparkSpec {
     Retraction.retract(spark, d4, "doc_id", Seq(0L))
     assert(ids(d4) == all - 0L, s"got ${ids(d4)}")
   }
+
+  test("stats-swap crash windows leave a readable stats relation; retractPostings self-repairs on entry") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
+    def mk(tag: String): String = {
+      val d = graft.Staging.dirFor(s"retract-stats-crash-$tag")
+      val docs = (1L to 10L).map(id => (id, mkText(id.toInt))).toDF("doc_id", "text")
+      TextIndex.writePostings(docs, "doc_id", "text", d)
+      d
+    }
+    def stats(d: String) = spark.read.parquet(s"$d/stats").collect().head
+
+    // window A: crash between the two renames — stats MISSING, old copy
+    // parked aside, complete tmp present; recovery promotes the tmp
+    val dA = mk("wA")
+    val oldA = stats(dA)
+    spark.read.parquet(s"$dA/stats")
+      .write.mode("overwrite").parquet(s"$dA/.stats-tmp")
+    fs.rename(new Path(s"$dA/stats"), new Path(s"$dA/.stats-aside"))
+    Retraction.recoverStats(spark, dA)
+    assert(stats(dA) == oldA, "tmp promoted to stats")
+    assert(!new java.io.File(s"$dA/.stats-aside").exists()
+      && !new java.io.File(s"$dA/.stats-tmp").exists())
+
+    // window B: same crash but the tmp is also gone — restore the aside
+    // (old stats come back; the retraction just re-runs)
+    val dB = mk("wB")
+    val oldB = stats(dB)
+    fs.rename(new Path(s"$dB/stats"), new Path(s"$dB/.stats-aside"))
+    Retraction.recoverStats(spark, dB)
+    assert(stats(dB) == oldB, "aside restored as stats")
+
+    // window C: crash after the swap landed — superseded aside and a
+    // stale partial tmp next to live stats; recovery drops both
+    val dC = mk("wC")
+    val oldC = stats(dC)
+    fs.mkdirs(new Path(s"$dC/.stats-aside"))
+    fs.mkdirs(new Path(s"$dC/.stats-tmp"))
+    Retraction.recoverStats(spark, dC)
+    assert(stats(dC) == oldC)
+    assert(!new java.io.File(s"$dC/.stats-aside").exists()
+      && !new java.io.File(s"$dC/.stats-tmp").exists())
+
+    // and retractPostings runs the repair on entry: the window-A crash
+    // state (NO stats relation on disk) does not break a fresh
+    // retraction — the previously-broken window
+    val dD = mk("wD")
+    spark.read.parquet(s"$dD/stats")
+      .write.mode("overwrite").parquet(s"$dD/.stats-tmp")
+    fs.rename(new Path(s"$dD/stats"), new Path(s"$dD/.stats-aside"))
+    Retraction.retractPostings(spark, dD, Seq(3L))
+    assert(spark.read.parquet(s"$dD/postings").filter($"id" === 3L).isEmpty)
+    val rebuilt = graft.Staging.dirFor("retract-stats-crash-rebuilt")
+    TextIndex.writePostings(
+      (1L to 10L).filter(_ != 3L).map(id => (id, mkText(id.toInt))).toDF("doc_id", "text"),
+      "doc_id", "text", rebuilt)
+    assert(stats(dD) == stats(rebuilt),
+      "post-crash retraction ends with stats ≡ rebuilt index")
+  }
 }
