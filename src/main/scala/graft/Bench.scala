@@ -419,35 +419,63 @@ object Bench {
       System.err.println(s"[bench] WARNING: bench_artifact.json not written: ${e.getMessage}") }
     println(fullLine)
     // Lean twin printed LAST so one COMPLETE parseable JSON line always
-    // sits inside the driver's ~2000-char tail window: no byte maps
+    // sits inside the driver's 2000-char tail window: no byte maps
     // (those live in bench_artifact.json), and SELF-SIZING — as the
-    // headline grows, per-query precision drops 2dp → 1dp, and as a
-    // last resort the per-query map is dropped entirely (count kept):
-    // a truncated-at-the-front JSON line parses as nothing, so fitting
-    // beats fidelity here (the full map is 2 lines up and in the
-    // committed artifact either way).
+    // headline grows, the per-query WALL-TIME map degrades gracefully
+    // instead of vanishing (the round-12 record's tail carried only the
+    // shuffle-bytes fragment of the full line, forcing round-over-round
+    // per-query comparison through bench_artifact.json): flat 2dp →
+    // flat 1dp → grouped-by-family 1dp (`"dedup":{"exact":0.8,…}`,
+    // family = first-underscore prefix, singletons stay flat —
+    // reassemble as family_member) → grouped integer DECIseconds
+    // (`queries_ds`, value = round(10·sec)) → and only then the bare
+    // count. A truncated-at-the-front JSON line parses as nothing, so
+    // fitting beats fidelity; the full-precision flat map stays in the
+    // committed artifact either way.
     def objP(kv: Seq[(String, Double)], dp: Int): String =
       kv.map { case (k, v) =>
         val x = if (v.isFinite) v else 9999.0
         s"${q(k)}:" + String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
       }.mkString("{", ",", "}")
-    def leanLine(dp: Int, withQueries: Boolean): String = {
+    def groupedObj(kv: Seq[(String, Double)], fmt: Double => String): String = {
+      val clamped = kv.map { case (k, v) => k -> (if (v.isFinite) v else 9999.0) }
+      val byPrefix = clamped.groupBy(_._1.split("_", 2)(0))
+      val parts = clamped.map(_._1.split("_", 2)(0)).distinct.sorted.flatMap { p =>
+        val (grouped, flat) = byPrefix(p).sortBy(_._1)
+          .partition(m => m._1.contains("_") && byPrefix(p).length > 1)
+        val flatParts = flat.map { case (k, v) => s"${q(k)}:${fmt(v)}" }
+        val groupPart =
+          if (grouped.isEmpty) Nil
+          else Seq(s"${q(p)}:" + grouped.map { case (k, v) =>
+            s"${q(k.split("_", 2)(1))}:${fmt(v)}" }.mkString("{", ",", "}"))
+        flatParts ++ groupPart
+      }
+      parts.mkString("{", ",", "}")
+    }
+    def leanLine(queriesField: String): String = {
       val extra = new StringBuilder
-      if (withQueries) extra ++= s""","queries":${objP(results, dp)}"""
-      else extra ++= s""","n_queries":${results.length}"""
+      extra ++= queriesField
       // violations matter exactly when non-empty; omitting the empty map
       // buys headroom against the tail cap
       if (violations.nonEmpty)
-        extra ++= s""","budget_violations":${objP(violations, dp)}"""
+        extra ++= s""","budget_violations":${objP(violations, 1)}"""
       if (subset.isDefined)
         extra ++= s""","subset":${present.sorted.map(q).mkString("[", ",", "]")}"""
       if (failures.nonEmpty)
         extra ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
       f"""{"metric":"total","value":$total%.2f,"unit":"sec"$extra,"sf":${q(sfDir)}}"""
     }
-    val leanFit = Seq(leanLine(2, withQueries = true),
-      leanLine(1, withQueries = true), leanLine(2, withQueries = false))
-    println(leanFit.find(_.length <= 1900).getOrElse(leanFit.last))
+    def dp(n: Int)(v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${n}f", Double.box(v))
+    val leanFit = Seq(
+      leanLine(s""","queries":${objP(results, 2)}"""),
+      leanLine(s""","queries":${objP(results, 1)}"""),
+      leanLine(s""","queries":${groupedObj(results, dp(1))}"""),
+      leanLine(s""","queries_ds":${groupedObj(results, v => math.round(v * 10).toString)}"""),
+      leanLine(s""","n_queries":${results.length}"""))
+    // the line + trailing newline must sit WHOLLY inside the 2000-char
+    // window even with a few chars of full-line fragment ahead of it
+    println(leanFit.find(_.length <= 1990).getOrElse(leanFit.last))
     spark.stop()
   }
 }
