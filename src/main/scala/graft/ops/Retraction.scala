@@ -185,16 +185,24 @@ object Retraction {
 
   /** Propagate one delete list through every sink the ingest gate
     * maintains: accepted corpus, band index, the ANN index with its
-    * nested cell layout, and the BM25 postings index — a
-    * right-to-be-forgotten sweep must reach every derived store a doc
-    * can still be surfaced from. */
+    * nested cell layout, the BM25 postings index, and the LSH
+    * bucket-partitioned postings ([[Similarity.writeLshBucketed]],
+    * probed by `lshTopKIndexed`) — a right-to-be-forgotten sweep must
+    * reach every derived store a doc can still be surfaced from. The
+    * LSH layout is `bucket=<table_sig>` partition directories holding
+    * (id, vec) postings, so the generic [[retract]] machinery applies
+    * with `partCol = "bucket"`: a victim's rows occupy at most `tables`
+    * buckets, so the rewrite touches ≤ |ids|·tables directories and
+    * every other bucket keeps its exact files. */
   def retractAll(spark: SparkSession, ids: Seq[Long], idCol: String,
       acceptedDir: String, indexDir: String,
       annDir: Option[String] = None,
-      postingsDir: Option[String] = None): Unit = {
+      postingsDir: Option[String] = None,
+      lshDir: Option[String] = None): Unit = {
     retract(spark, acceptedDir, idCol, ids)
     retract(spark, indexDir, "id", ids)
     annDir.foreach(d => retract(spark, d, "id", ids, nestedPartCols = Seq("cell")))
     postingsDir.foreach(d => retractPostings(spark, d, ids))
+    lshDir.foreach(d => retract(spark, d, "id", ids, partCol = "bucket"))
   }
 }

@@ -122,6 +122,67 @@ class KmvSketchSpec extends SparkSpec {
     assert(got.getAs[Long]("m_sample") == 9L)
   }
 
+  test("inactivity TTL evicts idle groups; a re-warm restarts as an honest fresh sample; order-freedom survives") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.KmvStream
+    val mem = MemoryStream[(Long, String, Double)]
+    val est = KmvStream.quantiles(mem.toDF().toDF("id", "g", "v"),
+      "g", "id", "v", seed = "kt", k = 8, qs = Seq(0.5),
+      inactivityTtl = Some("1 millisecond"))
+    // A ProcessingTimeTimeout query runs timer-sweep batches even with
+    // no data, so processAllAvailable() can starve — drive the
+    // assertions by POLLING the sink with a deadline instead, and
+    // throttle the batch loop with a periodic trigger.
+    val q = est.writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .format("memory").queryName("kmv_ttl").start()
+    def latest(g: String): Option[(Int, Seq[Double])] =
+      spark.table("kmv_ttl").collect().zipWithIndex
+        .filter(_._1.getString(0) == g)
+        .sortBy(_._2).lastOption
+        .map { case (r, _) => (r.getInt(1), r.getSeq[Double](2)) }
+    def await(what: String)(pred: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 30000
+      while (!pred && System.currentTimeMillis < end) Thread.sleep(100)
+      assert(pred, s"timed out awaiting: $what")
+    }
+    try {
+      // batch 1: 20 rows for group a, deliberately SHUFFLED — arrival
+      // order must not affect the sketch
+      val a1 = (1L to 20L).map(i => (i, "a", (i * 37 % 100).toDouble))
+      val batchA1 = Sketches.kmvQuantiles(
+        Sketches.kmvSketch(a1.toDF("id", "g", "v"), Seq("g"),
+          col("id"), col("v"), "kt", 8), Seq("g"), 8, Seq("p50" -> 0.5))
+        .collect().head.getAs[Double]("p50")
+      mem.addData(new scala.util.Random(5).shuffle(a1): _*)
+      await("group a saturated at k=8")(latest("a").exists(_._1 == 8))
+      assert(latest("a").get._2 == Seq(batchA1),
+        "order-free: shuffled arrival ≡ batch")
+
+      // group a now idles past the 1 ms TTL; the next timer-sweep batch
+      // evicts it. A group-b arrival doubles as the liveness witness.
+      Thread.sleep(300)
+      mem.addData((100L, "b", 1.0), (101L, "b", 2.0))
+      await("group b emitted")(latest("b").isDefined)
+      Thread.sleep(300) // let the sweep after b's batch run too
+
+      // re-warm: a re-appears with 5 NEW ids. If the old sketch had
+      // survived, the merged sample would still be saturated (m = 8);
+      // an honest restart reports m = 5 — a sample of data since
+      // re-warm, nothing pretending to cover the evicted population.
+      val a2 = (31L to 35L).map(i => (i, "a", i.toDouble))
+      val batchA2 = Sketches.kmvQuantiles(
+        Sketches.kmvSketch(a2.toDF("id", "g", "v"), Seq("g"),
+          col("id"), col("v"), "kt", 8), Seq("g"), 8, Seq("p50" -> 0.5))
+        .collect().head.getAs[Double]("p50")
+      mem.addData(a2: _*)
+      await("group a re-warmed fresh (m=5)")(latest("a").exists(_._1 == 5))
+      assert(latest("a").get._2 == Seq(batchA2),
+        "re-warmed sketch ≡ batch sketch over post-eviction data alone")
+    } finally q.stop()
+  }
+
   test("streaming twin ≡ batch over data-so-far, every prefix") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

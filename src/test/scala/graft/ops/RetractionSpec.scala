@@ -178,6 +178,57 @@ class RetractionSpec extends SparkSpec {
     assert(ids(d4) == all - 0L, s"got ${ids(d4)}")
   }
 
+  test("retractAll sweeps the LSH bucketed postings: an indexed probe never returns a victim; untouched buckets byte-identical; idempotent") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 5)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val lsh = graft.Staging.dirFor("retract-lsh")
+    Similarity.writeLshBucketed(corpus, dim = 64, bitsPerTable = 4,
+      tables = 16, lsh)
+    // victims: docs the probe actually RETURNS pre-retraction, so the
+    // assertion below tests retrievability, not just row absence
+    val pre = Similarity.lshTopKIndexed(spark, lsh, queries, k = 10,
+      dim = 64, bitsPerTable = 4, tables = 16)
+    val victims = pre.select("id").as[Long].collect().distinct.take(3).toSeq
+    assert(victims.nonEmpty)
+    val victimBuckets = spark.read.parquet(lsh)
+      .filter($"id".isin(victims: _*))
+      .select("bucket").distinct().as[String].collect().toSet
+    val before = fileSet(lsh)
+    assert(victimBuckets.nonEmpty && before.exists { case (p, _) =>
+      !victimBuckets.exists(b => p.contains(s"bucket=$b/")) },
+      "test needs victim-free buckets to exist")
+
+    // minimal companion sinks so the full retractAll path runs
+    val acc = graft.Staging.dirFor("retract-lsh-acc")
+    val bnd = graft.Staging.dirFor("retract-lsh-bnd")
+    (victims :+ 9999L).map(id => (id, s"t$id")).toDF("doc_id", "text")
+      .write.parquet(s"$acc/batch=0")
+    (victims :+ 9999L).map(id => (id, 0L)).toDF("id", "bucket")
+      .write.parquet(s"$bnd/batch=0")
+    Retraction.retractAll(spark, victims, "doc_id", acc, bnd,
+      lshDir = Some(lsh))
+
+    // victims are gone from the layout and unretrievable by probe
+    assert(spark.read.parquet(lsh).filter($"id".isin(victims: _*)).isEmpty)
+    val hits = Similarity.lshTopKIndexed(spark, lsh, queries, k = 10,
+      dim = 64, bitsPerTable = 4, tables = 16)
+      .select("id").as[Long].collect().toSet
+    assert(hits.nonEmpty && victims.forall(v => !hits.contains(v)),
+      s"victims $victims must be unretrievable, got $hits")
+    // only buckets that held a victim were rewritten
+    val after = fileSet(lsh)
+    def untouched(s: Set[(String, Long)]) = s.filter { case (p, _) =>
+      !victimBuckets.exists(b => p.contains(s"bucket=$b/")) }
+    assert(untouched(before) == untouched(after),
+      "buckets without victim rows must keep their exact files")
+    // idempotent: the same delete list rewrites nothing
+    Retraction.retract(spark, lsh, "id", victims, partCol = "bucket")
+    assert(fileSet(lsh) == after, "re-retracting must be a no-op")
+  }
+
   test("stats-swap crash windows leave a readable stats relation; retractPostings self-repairs on entry") {
     import org.apache.hadoop.fs.Path
     val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
