@@ -348,8 +348,14 @@ object TextAnalysis {
     toks.join(broadcast(weights), Seq("bucket"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("iw")).as("raw"))
+      // score = one IEEE division of two exactly-representable integers
+      // — bit-identical across engines. NO closing decimal round: a
+      // quotient landing exactly on a 6th-decimal tie (raw·1000/n ≡ ½)
+      // rounds differently through a double's shortest-repr HALF_UP vs
+      // DuckDB's float rounding, which is how the retrained weights
+      // broke parity on 2 docs; the unrounded quotient cannot disagree.
       .select(col("id"), col("n_tokens"),
-        round(col("raw") / (col("n_tokens") * 1000.0), 6).as("score"),
+        (col("raw") / (col("n_tokens") * 1000.0)).as("score"),
         (col("raw") > 0).as("keep"))
   }
 
@@ -362,8 +368,11 @@ object TextAnalysis {
   /** The TRAINED weight relation — the committed
     * `fixtures/classifier_weights.parquet` produced by
     * [[graft.tools.TrainClassifier]] (logistic regression over hashed
-    * token buckets, labels from the repo's own quality signals;
-    * training provenance + holdout accuracy in the sibling manifest).
+    * token buckets; labels are ground truth by construction of the
+    * committed labeled corpus, [[graft.tools.GenQualityFixtures]],
+    * half of which is adversarial to the stopword rule — provenance,
+    * holdout accuracy, and the model-beats-the-rule audit numbers in
+    * the sibling manifest).
     * Dense: every bucket in [0, dim) has a row, so inner-join scoring
     * and the inline array form agree exactly. Path resolves through
     * `SPARK_GRAFT_FIXTURES_DIR` like every fixture. */
@@ -401,8 +410,10 @@ object TextAnalysis {
     df.select(col(idCol).as("id"), s.as("_s"))
       .select(col("id"),
         col("_s").getField("n_tokens").as("n_tokens"),
-        round(col("_s").getField("raw") /
-          (col("_s").getField("n_tokens") * 1000.0), 6).as("score"),
+        // unrounded for the same cross-engine reason as the relational
+        // form: integer/integer IEEE division is bit-exact everywhere
+        (col("_s").getField("raw") /
+          (col("_s").getField("n_tokens") * 1000.0)).as("score"),
         (col("_s").getField("raw") > 0).as("keep"))
   }
 }

@@ -958,15 +958,14 @@ object QueryCatalog {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB replay of [[textQualityClassifier]]: the same 60-bit md5
-    * token hash as [[dedupSimhashSql]] (first 15 hex digits as a
-    * long), the same Knuth-mix stub weight formula inline, and a
-    * BIGINT weight sum so the score is bit-exact before the one
-    * closing division. */
-  /** A `def` (path resolved at dump time through the fixtures
-    * override): the oracle replays the md5 bucketing independently and
-    * JOINS the committed weight relation — the fixture is dense over
-    * [0, dim), so the inner join drops nothing. */
+  /** DuckDB replay of [[textQualityClassifier]], a `def` (path resolved
+    * at dump time through the fixtures override): the same 60-bit md5
+    * token hash as [[dedupSimhashSql]] (first 15 hex digits as a long),
+    * the committed weight relation JOINed (dense over [0, dim), so the
+    * inner join drops nothing), a BIGINT weight sum so the score is
+    * bit-exact through the one closing IEEE division — which is NOT
+    * decimal-rounded, precisely so exact 6th-decimal ties cannot round
+    * differently across engines. */
   def textQualityClassifierSql: String = {
     val hexVal = (0 until 15).map(i =>
       s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
@@ -985,7 +984,7 @@ object QueryCatalog {
        |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(iw) AS BIGINT) AS raw
        |  FROM scored GROUP BY doc_id)
        |SELECT doc_id, n_tokens,
-       |  round(CAST(raw AS DOUBLE) / (n_tokens * 1000.0), 6) AS score,
+       |  CAST(raw AS DOUBLE) / (n_tokens * 1000.0) AS score,
        |  raw > 0 AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
   }

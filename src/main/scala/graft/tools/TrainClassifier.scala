@@ -1,9 +1,5 @@
 package graft.tools
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import graft.Tables
 import graft.ops.{ClassifierTrain, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -16,17 +12,20 @@ import org.apache.spark.sql.functions._
   * oracle (and any auditor) replays the scoring against the exact
   * committed relation.
   *
-  * Labels derive from the repo's OWN quality signals over the sf0.01
-  * corpus: y = 1 iff the document's stopword density reaches the
-  * quality score's 25%-of-cap point (`stopword_ratio ≥ 0.0625`, i.e.
-  * `min(4·ratio, 1) ≥ 0.25` — see [[TextAnalysis.stats]]). Stopword
-  * density is deliberately the ONLY label component: it is the
-  * token-distribution part of the composite quality signal, which is
-  * exactly what a length-normalized bag-of-words model can express —
-  * document length and punctuation density are invisible to mean
-  * bucket weights and remain separate gates (the Gopher split:
-  * distributional quality as a learned scorer, structural quality as
-  * rule gates).
+  * Labels come from the committed LABELED corpus
+  * (`fixtures/labeled_quality.parquet`, generated and digest-pinned by
+  * [[GenQualityFixtures]]): ground truth by construction of the
+  * generator's six quality classes, NOT any statistic the engine can
+  * compute — half that corpus is deliberately adversarial to the
+  * stopword-density rule, so a model that merely re-derived the rule
+  * would score ~50% on it. The manifest therefore records, alongside
+  * the usual holdout accuracy, the stopword RULE's holdout accuracy
+  * and the model's accuracy on exactly the held-out docs the rule
+  * gets wrong (`rule_wrong_model_acc`) — the number that proves the
+  * learned weights add information a scan-speed filter cannot
+  * (ClassifierSpec re-derives and pins it). This replaces the
+  * first-generation trainer whose labels WERE the stopword rule
+  * (round-12 verdict: label circularity).
   *
   * Run once, outputs committed:
   * `sbt "runMain graft.tools.TrainClassifier"`.
@@ -34,19 +33,26 @@ import org.apache.spark.sql.functions._
 object TrainClassifier {
 
   val Dim = 1024
-  val LabelThreshold = 0.0625
+  /** The scan-speed gate the labeled corpus is adversarial to —
+    * [[GenQualityFixtures.RuleThreshold]], the 25%-of-cap point of the
+    * composite quality score's stopword component. */
+  val RuleThreshold: Double = GenQualityFixtures.RuleThreshold
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val labeledPath = args.headOption.getOrElse("fixtures/labeled_quality.parquet")
     val outDir = if (args.length > 1) args(1) else "fixtures"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     try {
-      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val docs = spark.read.parquet(labeledPath)
+        .select("doc_id", "klass", "label", "text")
       val labels = docs.select(col("doc_id").as("id"),
-        (TextAnalysis.stopwordRatio(col("text")) >= LabelThreshold)
-          .cast("double").as("y"))
+        col("label").cast("double").as("y"))
+      // the rule's own verdict per doc, for the added-information audit
+      val rulePred = docs.select(col("doc_id").as("id"),
+        (TextAnalysis.stopwordRatio(col("text")) >= RuleThreshold)
+          .cast("double").as("rule_y"))
       val feats = ClassifierTrain.features(docs, "doc_id", "text", Dim)
       // deterministic 80/20 split keyed on the id itself
       val trainIds = labels.filter(pmod(col("id"), lit(5)) =!= 0)
@@ -57,6 +63,17 @@ object TrainClassifier {
         feats.join(trainIds.select("id"), Seq("id")), trainIds, w)
       val holdAcc = ClassifierTrain.accuracy(spark,
         feats.join(holdIds.select("id"), Seq("id")), holdIds, w)
+      // the two audit numbers: how the RULE does on holdout, and how
+      // the MODEL does on the holdout docs the rule misclassifies
+      val holdWithRule = holdIds.join(rulePred, Seq("id"))
+      val ruleHoldAcc = holdWithRule
+        .select((col("rule_y") === col("y")).cast("long").as("ok"))
+        .agg(avg("ok")).collect().head.getDouble(0)
+      val ruleWrongIds = holdWithRule.filter(col("rule_y") =!= col("y"))
+        .select("id", "y")
+      val nRuleWrong = ruleWrongIds.count()
+      val ruleWrongModelAcc = ClassifierTrain.accuracy(spark,
+        feats.join(ruleWrongIds.select("id"), Seq("id")), ruleWrongIds, w)
       val iw = ClassifierTrain.quantize(w)
       val posFrac = labels.agg(avg("y")).collect().head.getDouble(0)
 
@@ -66,17 +83,25 @@ object TrainClassifier {
       val weightsDf = iw.toIndexedSeq.zipWithIndex
         .map { case (v, b) => (b, v) }.toDF("bucket", "iw")
         .select(col("bucket").cast("int"), col("iw").cast("long"))
-      writeSingleFile(spark, weightsDf.coalesce(1).orderBy("bucket"),
+      FixtureIO.writeSingleFile(spark, weightsDf.orderBy("bucket"),
         s"$outDir/classifier_weights.parquet")
       val md5 = weightsMd5(iw)
-      val manifest = Seq((Dim, LabelThreshold, posFrac,
-        trainIds.count(), holdIds.count(), trainAcc, holdAcc, md5, sfDir))
-        .toDF("dim", "label_threshold", "pos_frac", "n_train", "n_holdout",
-          "train_acc", "holdout_acc", "weights_md5", "trained_on")
-      writeSingleFile(spark, manifest.coalesce(1),
+      val labelsMd5 = spark.read
+        .parquet(s"${new java.io.File(labeledPath).getParent}/labeled_quality_manifest.parquet")
+        .collect().head.getAs[String]("corpus_md5")
+      val manifest = Seq((Dim, posFrac, trainIds.count(), holdIds.count(),
+        trainAcc, holdAcc, ruleHoldAcc, nRuleWrong, ruleWrongModelAcc,
+        md5, labelsMd5, labeledPath))
+        .toDF("dim", "pos_frac", "n_train", "n_holdout",
+          "train_acc", "holdout_acc", "rule_holdout_acc",
+          "n_rule_wrong_holdout", "rule_wrong_model_acc",
+          "weights_md5", "labels_md5", "trained_on")
+      FixtureIO.writeSingleFile(spark, manifest,
         s"$outDir/classifier_weights_manifest.parquet")
       println(f"trained dim=$Dim pos_frac=$posFrac%.3f " +
-        f"train_acc=$trainAcc%.4f holdout_acc=$holdAcc%.4f md5=$md5")
+        f"train_acc=$trainAcc%.4f holdout_acc=$holdAcc%.4f " +
+        f"rule_holdout_acc=$ruleHoldAcc%.4f " +
+        f"rule_wrong_model_acc=$ruleWrongModelAcc%.4f (n=$nRuleWrong) md5=$md5")
     } finally spark.stop()
   }
 
@@ -87,24 +112,5 @@ object TrainClassifier {
     val s = iw.zipWithIndex.map { case (v, b) => s"$b:$v" }.mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-  }
-
-  private def writeSingleFile(spark: SparkSession,
-      df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
-    val tmp = Files.createTempDirectory("clf-weights").toString
-    // coalesce HERE (idempotent if the caller already did) so the
-    // exactly-one-part assumption is enforced, not remembered
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val parts = new File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-    assert(parts.length == 1,
-      s"expected exactly one part file in $tmp, found ${parts.length}")
-    new File(dest).getParentFile.mkdirs()
-    Files.move(parts.head.toPath, Paths.get(dest),
-      StandardCopyOption.REPLACE_EXISTING)
-    // drop the temp dir (remaining _SUCCESS/CRC files) — leaving one
-    // behind per invocation litters the tmpdir
-    new File(tmp).listFiles().foreach(_.delete())
-    Files.delete(Paths.get(tmp))
   }
 }

@@ -24,8 +24,7 @@ class ClassifierSpec extends SparkSpec {
       ((h % dim) * 2654435761L) % 1000 - 500
     }.sum
     val n = toks.size.toLong
-    (n, BigDecimal(raw / (n * 1000.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      .toDouble, raw > 0)
+    (n, raw / (n * 1000.0), raw > 0)
   }
 
   private val docs = Seq(
@@ -105,11 +104,15 @@ class ClassifierSpec extends SparkSpec {
     assert(manifest.getAs[Double]("holdout_acc") >= 0.9,
       "committed model must have recorded holdout accuracy >= 0.9")
 
-    // behavior: stopword-dense (the trained label signal) scores
-    // positive, stopword-free repetitive text scores negative
+    // behavior: clean prose over the labeled corpus's content
+    // vocabulary scores positive; promo spam scores negative — note
+    // BOTH planted docs are stopword-bearing, so this is a verdict the
+    // learned CONTENT weights deliver, not a stopword count
     val planted = Seq(
-      (1L, "the a the a customer the a line the query the a data the a table"),
-      (2L, "batch batch merge sort join scan window filter hash batch merge sort"))
+      (1L, "the quiet river carried the golden lantern to the harbor " +
+        "and the sailor watched the bright evening"),
+      (2L, "buy cheap deals click here to win the free bonus offer " +
+        "limited cash jackpot claim the prize now"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.classifierScoreInline(planted, "doc_id", "text", arr)
       .orderBy("id").collect()
@@ -117,6 +120,69 @@ class ClassifierSpec extends SparkSpec {
     assert(good.getAs[Boolean]("keep") && !bad.getAs[Boolean]("keep"),
       s"trained verdicts: good=$good bad=$bad")
     assert(good.getAs[Double]("score") > bad.getAs[Double]("score"))
+  }
+
+  test("trained model adds information: it classifies held-out docs the stopword rule gets WRONG") {
+    import graft.tools.GenQualityFixtures
+    // the generator is deterministic — regenerate and pin the committed
+    // fixture to it through the manifest digests (drift is loud)
+    val rows = GenQualityFixtures.corpus()
+    val corpusMd5 = GenQualityFixtures.corpusMd5(rows)
+    val labeledManifest = spark.read.parquet(
+      s"${graft.Tables.fixturesDir}/labeled_quality_manifest.parquet")
+      .collect().head
+    assert(labeledManifest.getAs[String]("corpus_md5") == corpusMd5,
+      "committed labeled corpus must match a regeneration")
+    val weightsManifest = spark.read.parquet(
+      s"${graft.Tables.fixturesDir}/classifier_weights_manifest.parquet")
+      .collect().head
+    assert(weightsManifest.getAs[String]("labels_md5") == corpusMd5,
+      "committed weights must record training on exactly this corpus")
+    val committed = spark.read.parquet(
+      s"${graft.Tables.fixturesDir}/labeled_quality.parquet")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(committed.toSeq == rows.sortBy(_._1), "fixture rows ≡ regeneration")
+
+    // holdout = the trainer's own split (pmod(id, 5) == 0), scored with
+    // the SERVING kernel over the committed integer weights
+    val holdout = rows.filter(_._1 % 5 == 0)
+    val arr = TextAnalysis.trainedWeightArray(spark)
+    val verdicts = TextAnalysis.classifierScoreInline(
+      holdout.map(r => (r._1, r._4)).toDF("doc_id", "text"),
+      "doc_id", "text", arr)
+      .select("id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the rule's verdict, via the engine's own stopwordRatio
+    val rule = holdout.map(r => (r._1, r._4)).toDF("doc_id", "text")
+      .select(col("doc_id"), (TextAnalysis.stopwordRatio(col("text")) >=
+        graft.tools.TrainClassifier.RuleThreshold).as("rule_keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    def acc(docs: Seq[(Long, String, Int, String)],
+        pred: Long => Boolean): Double =
+      docs.count(d => pred(d._1) == (d._3 == 1)).toDouble / docs.size
+
+    // the rule is uninformative on this corpus by design (~0.5) …
+    val ruleAcc = acc(holdout, rule)
+    assert(ruleAcc <= 0.6, s"rule holdout accuracy should be ~0.5, got $ruleAcc")
+    // … the model is not —
+    val modelAcc = acc(holdout, verdicts)
+    assert(modelAcc >= 0.95, s"model holdout accuracy: $modelAcc")
+    // — and specifically on the docs the rule MISCLASSIFIES (the
+    // adversarial half: terse good text, stopword-padded spam), the
+    // model still gets ≥ 95%: learned information the rule cannot have
+    val ruleWrong = holdout.filter(d => rule(d._1) != (d._3 == 1))
+    assert(ruleWrong.size >= 100,
+      s"adversarial holdout subset must be substantial, got ${ruleWrong.size}")
+    val modelOnRuleWrong = acc(ruleWrong, verdicts)
+    assert(modelOnRuleWrong >= 0.95,
+      s"model on rule-misclassified holdout: $modelOnRuleWrong " +
+        s"(n=${ruleWrong.size}) — the added-information claim")
+    // every adversarial class is represented in the demonstration
+    assert(ruleWrong.map(_._2).toSet ==
+      Set("g_terse", "b_stuffed", "b_repeat"),
+      s"adversarial classes: ${ruleWrong.map(_._2).toSet}")
   }
 
   test("inline form is a valid streaming projection: stream ≡ batch per doc") {
