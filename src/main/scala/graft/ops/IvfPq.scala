@@ -31,13 +31,28 @@ import org.apache.spark.sql.functions._
 object IvfPq {
 
   /** Ingest-time: assign cells, encode codes, store partitioned by
-    * cell. Both assignments are computed once, at write time. */
+    * cell. Both assignments are computed once, at write time — and
+    * both route through their large-codebook cutovers
+    * ([[IvfIndex.assignCells]] for the coarse cells,
+    * [[PqIndex.encodeDispatch]] for the codes): this is the
+    * corpus-sized pass where the task-binary-vs-broadcast distinction
+    * bites. Layout is cutover-invariant (IvfPqSpec / PqRelationSpec). */
   def writeIndex(corpus: DataFrame, centroids: Array[Array[Double]],
-      cb: PqIndex.Codebooks, path: String): Unit =
-    corpus.select(
-        IvfIndex.bestCell(col("vec"), centroids).as("cell"),
-        col("id"), PqIndex.encode(col("vec"), cb).as("codes"), col("vec"))
+      cb: PqIndex.Codebooks, path: String,
+      cutoverCells: Int = QuantizerRelation.CutoverCells): Unit =
+    encodeBoth(corpus, centroids, cb, cutoverCells, "id", "vec")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** (cell, id, codes, vec) through both cutover dispatches. */
+  private def encodeBoth(corpus: DataFrame, centroids: Array[Array[Double]],
+      cb: PqIndex.Codebooks, cutoverCells: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val assigned = IvfIndex.assignCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "id", "vec", centroids, "cell", cutoverCells)
+    PqIndex.encodeDispatch(assigned, "id", "vec", cb, cutoverCells)
+      .select(col("cell"), col("id"), col("codes"), col("vec"))
+  }
 
   /** Incremental maintenance: encode a DELTA batch with the EXISTING
     * quantizers and append it into the partitioned layout — the daily
@@ -50,10 +65,9 @@ object IvfPq {
     * are frozen BETWEEN rewrites by design — recall degrades gradually
     * and measurably, assignments never flap). */
   def appendIndex(delta: DataFrame, centroids: Array[Array[Double]],
-      cb: PqIndex.Codebooks, path: String): Unit =
-    delta.select(
-        IvfIndex.bestCell(col("vec"), centroids).as("cell"),
-        col("id"), PqIndex.encode(col("vec"), cb).as("codes"), col("vec"))
+      cb: PqIndex.Codebooks, path: String,
+      cutoverCells: Int = QuantizerRelation.CutoverCells): Unit =
+    encodeBoth(delta, centroids, cb, cutoverCells, "id", "vec")
       .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Streaming-epoch variant of [[appendIndex]]: the delta lands under
@@ -75,11 +89,9 @@ object IvfPq {
     * `batch`, scores from a sampled re-assignment pass). */
   def appendIndexEpoch(delta: DataFrame, centroids: Array[Array[Double]],
       cb: PqIndex.Codebooks, path: String, batchId: Long,
-      idCol: String = "id", vecCol: String = "vec"): Unit =
-    delta.select(
-        IvfIndex.bestCell(col(vecCol), centroids).as("cell"),
-        col(idCol).as("id"), PqIndex.encode(col(vecCol), cb).as("codes"),
-        col(vecCol).as("vec"))
+      idCol: String = "id", vecCol: String = "vec",
+      cutoverCells: Int = QuantizerRelation.CutoverCells): Unit =
+    encodeBoth(delta, centroids, cb, cutoverCells, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/batch=$batchId")
 
@@ -88,10 +100,13 @@ object IvfPq {
     * cells; per-query shortlist; exact cosine re-rank. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       centroids: Array[Array[Double]], cb: PqIndex.Codebooks,
-      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+      k: Int, nProbe: Int, shortlist: Int,
+      cutoverCells: Int = QuantizerRelation.CutoverCells): DataFrame = {
+    // LUT through the codebook-form dispatch (the probe-cell explode
+    // stays an expression — it touches only the small query side)
     val qb = queries.select(col("qid"),
-      explode(IvfIndex.probeCells(col("qvec"), centroids, nProbe)).as("cell"),
-      PqIndex.lut(col("qvec"), cb).as("lut"))
+        explode(IvfIndex.probeCells(col("qvec"), centroids, nProbe)).as("cell"))
+      .join(PqIndex.lutDispatch(queries, cb, cutoverCells), Seq("qid"))
     val probed = qb.select("cell").distinct().collect().map(_.getInt(0))
     val stored = spark.read.parquet(path)
       .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))

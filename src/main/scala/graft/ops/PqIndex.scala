@@ -90,9 +90,21 @@ object PqIndex {
     * codes per row, posexplode the vector once, mean per
     * (subspace, cell, dim)); only `m×k×dsub` doubles reach the driver.
     * Deterministic: id-hash-sampled seed rows, fixed iterations.
+    *
+    * Two implementations behind one signature, chosen like
+    * [[IvfIndex.train]] by TOTAL centroids m·k: below the cutover the
+    * per-iteration means (≤ m·k·dsub doubles) collect to the driver
+    * between iterations; at or above it the loop runs fully
+    * relationally ([[PqRelation.train]] — per-iteration state is the
+    * (sub, cell, cvec) relation, assignment the broadcast join) and
+    * only the FINISHED codebook is collected once.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks = {
+      m: Int = 8, k: Int = 16, iters: Int = 2,
+      cutoverCells: Int = QuantizerRelation.CutoverCells): Codebooks = {
+    if (m * k >= cutoverCells)
+      return PqRelation.collectCodebooks(
+        PqRelation.train(corpus, idCol, vecCol, m, k, iters))
     val probe = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
     require(probe.nonEmpty, "empty corpus")
     val dim = probe(0).getInt(0)
@@ -139,21 +151,46 @@ object PqIndex {
     cb
   }
 
+  /** The codebook-form dispatch, shared by every encode/LUT site:
+    * below the cutover (total centroids m·k) the reference-object
+    * expressions; at or above it the [[PqRelation]] broadcast-relation
+    * forms. Both semantics-identical — ties, degenerate windows, null
+    * vectors — pinned at production shape in PqRelationSpec. */
+  private[ops] def encodeDispatch(df: DataFrame, idCol: String,
+      vecCol: String, cb: Codebooks, cutoverCells: Int): DataFrame =
+    if (cb.m * cb.k < cutoverCells)
+      df.withColumn("codes", encode(col(vecCol), cb))
+    else
+      PqRelation.encodeCells(df, idCol, vecCol,
+        PqRelation.codebooksDf(df.sparkSession, cb))
+
+  private[ops] def lutDispatch(queries: DataFrame, cb: Codebooks,
+      cutoverCells: Int): DataFrame =
+    if (cb.m * cb.k < cutoverCells)
+      queries.select(col("qid"), lut(col("qvec"), cb).as("lut"))
+    else
+      PqRelation.lutRel(queries, "qid", "qvec",
+        PqRelation.codebooksDf(queries.sparkSession, cb))
+
   /** PQ top-k: ADC scan over codes → per-query shortlist → exact cosine
     * re-rank of the shortlist against the raw vectors.
     * `shortlist >= |corpus|` degenerates to exact brute force. */
   def topK(queries: DataFrame, corpus: DataFrame, cb: Codebooks,
-      k: Int, shortlist: Int): DataFrame = {
-    val encoded = corpus.select(col("id"), encode(col("vec"), cb).as("codes"))
-    rerank(adcShortlist(encoded, queries, cb, shortlist), queries, corpus, k)
+      k: Int, shortlist: Int,
+      cutoverCells: Int = QuantizerRelation.CutoverCells): DataFrame = {
+    val encoded = encodeDispatch(corpus.select(col("id"), col("vec")),
+      "id", "vec", cb, cutoverCells).select(col("id"), col("codes"))
+    rerank(adcShortlist(encoded, queries, cb, shortlist, cutoverCells),
+      queries, corpus, k)
   }
 
   /** ADC + shortlist: the only stage that touches every corpus row, and
     * it carries (id, codes) ONLY — no embedding payload enters the
     * scan, the broadcast, or the shortlist shuffle. */
   private[ops] def adcShortlist(encoded: DataFrame, queries: DataFrame,
-      cb: Codebooks, shortlist: Int): DataFrame = {
-    val ql = queries.select(col("qid"), lut(col("qvec"), cb).as("lut"))
+      cb: Codebooks, shortlist: Int,
+      cutoverCells: Int = QuantizerRelation.CutoverCells): DataFrame = {
+    val ql = lutDispatch(queries, cb, cutoverCells)
     // The ADC scan deliberately touches every corpus row, so the
     // shortlist cut MUST be two-phase (Similarity.rankPerQuery): a
     // qid-only window here would sort one query's entire scored corpus
@@ -181,9 +218,14 @@ object PqIndex {
   /** Ingest-time half: store (id, codes, vec) — codes and vectors in
     * one parquet so the ADC pass prunes to the codes column (parquet
     * columnar layout makes that the `m`-bytes-per-row scan) and the
-    * re-rank fetches vectors for shortlist rows only. */
-  def writeEncoded(corpus: DataFrame, cb: Codebooks, path: String): Unit =
-    corpus.select(col("id"), encode(col("vec"), cb).as("codes"), col("vec"))
+    * re-rank fetches vectors for shortlist rows only. This is the
+    * corpus-sized encode, so it routes through the same cutover as
+    * [[topK]] — the layout is cutover-invariant (PqRelationSpec). */
+  def writeEncoded(corpus: DataFrame, cb: Codebooks, path: String,
+      cutoverCells: Int = QuantizerRelation.CutoverCells): Unit =
+    encodeDispatch(corpus.select(col("id"), col("vec")), "id", "vec",
+        cb, cutoverCells)
+      .select(col("id"), col("codes"), col("vec"))
       .write.mode("overwrite").parquet(path)
 
   /** Probe a [[writeEncoded]] corpus. The ADC stage reads ONLY
