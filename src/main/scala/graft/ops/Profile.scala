@@ -74,10 +74,11 @@ object Profile {
     * a fixed-bin approach cannot give an arbitrary column. */
   def profileWithQuantiles(df: DataFrame, cols: Seq[String],
       numericCols: Seq[String], idCol: String, seed: String,
-      k: Int, qs: Seq[(String, Double)]): DataFrame = {
+      k: Int, qs: Seq[(String, Double)],
+      approxNdv: Boolean = false): DataFrame = {
     require(numericCols.forall(cols.contains),
       "every quantile column must also be profiled")
-    val base = profile(df, cols)
+    val base = profile(df, cols, approxNdv)
     val melted = df.select(col(idCol).as("_pid"),
         explode(array(numericCols.map(c => struct(
           lit(c).as("col_name"),
