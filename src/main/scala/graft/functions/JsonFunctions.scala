@@ -239,6 +239,12 @@ object functions {
   /** Codegen'd Σ aᵢ·bᵢ over `array<float|double>` columns. */
   def dot_product(a: Column, b: Column): Column = col(DotProductExpr(expr(a), expr(b)))
 
+  /** Hash-aggregable argmax with the quantizers' larger-cell tie rule —
+    * see [[ArgMaxCell]] for why `max(struct(score, cell))` (a
+    * SortAggregate) is unusable over the k-fold scoring blowup. */
+  def argmax_cell(score: Column, cell: Column): Column =
+    col(ArgMaxCell(expr(score), expr(cell)).toAggregateExpression())
+
   /** Codegen'd single-pass cosine similarity over `array<float|double>`. */
   def cosine_sim(a: Column, b: Column): Column = col(CosineSimExpr(expr(a), expr(b)))
 

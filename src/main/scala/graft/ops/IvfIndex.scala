@@ -156,7 +156,14 @@ object IvfIndex {
   def writeIndexed(corpus: DataFrame, centroids: Array[Array[Double]],
       path: String,
       cutoverCells: Int = QuantizerRelation.CutoverCells): Unit =
+    // cluster by cell before the partitioned write: without it every
+    // write task emits one file per cell it happens to hold, and at
+    // large k the file count explodes multiplicatively (task × cell —
+    // measured 4× wall on the k=10⁴ join form, ProfileCutover);
+    // clustered, each cell's rows land in one task → one file per
+    // non-empty cell, which is also the layout probes want to prune
     assignCells(corpus, "id", "vec", centroids, cutoverCells = cutoverCells)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Probe a [[writeIndexed]] corpus: the probed cell ids (at most

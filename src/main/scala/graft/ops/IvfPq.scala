@@ -43,7 +43,9 @@ object IvfPq {
     encodeBoth(corpus, centroids, cb, cutoverCells, "id", "vec")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
-  /** (cell, id, codes, vec) through both cutover dispatches. */
+  /** (cell, id, codes, vec) through both cutover dispatches, clustered
+    * by cell for the partitioned write (the [[IvfIndex.writeIndexed]]
+    * file-explosion rationale). */
   private def encodeBoth(corpus: DataFrame, centroids: Array[Array[Double]],
       cb: PqIndex.Codebooks, cutoverCells: Int,
       idCol: String, vecCol: String): DataFrame = {
@@ -52,6 +54,7 @@ object IvfPq {
       "id", "vec", centroids, "cell", cutoverCells)
     PqIndex.encodeDispatch(assigned, "id", "vec", cb, cutoverCells)
       .select(col("cell"), col("id"), col("codes"), col("vec"))
+      .repartition(col("cell"))
   }
 
   /** Incremental maintenance: encode a DELTA batch with the EXISTING

@@ -80,39 +80,53 @@ object PqRelation {
       cbDf: DataFrame, outCol: String = "codes"): DataFrame = {
     val (m, k, dsub) = meta(cbDf)
     val v = col("_v")
-    val carried = df.columns.filterNot(_ == idCol).toSeq
     // m subspace rows per doc, then k centroid rows per subspace via
     // the broadcast join — the m·k′ blowup never crosses an exchange;
     // the per-(doc, sub) argmax partially aggregates in-task and ONE
-    // id-keyed exchange carries one row per doc.
+    // narrow id-keyed exchange carries one (id, codes) row per doc.
+    // Shape mirrors [[QuantizerRelation.assignCells]] (both measured,
+    // ProfileCutover): ONLY (id, vec) enter the blowup — the subspace
+    // WINDOW and its degeneracy flag are computed per (doc, sub)
+    // BEFORE the k′-fold join (the interpreted `exists` lambda runs
+    // m·|docs| times, not m·k′·|docs|), the score is the codegen'd
+    // DotProductExpr (two column operands, nothing rides the plan,
+    // same ascending-index summation as PqEncodeExpr), and carried
+    // columns re-join AFTER the argmax instead of riding `first()`
+    // aggregates k′-fold. A window past the vector's end or holding a
+    // null element scores each cell by its own index → argmax = k′−1,
+    // PqEncodeExpr's degenerate rule without a separate branch.
     val window = slice(v, col("sub") * dsub + 1, lit(dsub))
-    // a window past the vector's end or holding a null element scores
-    // each cell by its own index → argmax = k′−1, reproducing
-    // PqEncodeExpr's degenerate rule without a separate branch
     val degen = v.isNull || (size(v) < (col("sub") + 1) * dsub) ||
       exists(window, _.isNull)
-    val score = when(degen, col("cell").cast("double"))
-      .otherwise(aggregate(zip_with(window, col("cvec"),
-        (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x))
-    val scored = df.select(col(idCol).as("_id") +:
-        col(vecCol).as("_v") +: carried.map(c => col(c)): _*)
+    val score = when(col("_degen"), col("cell").cast("double"))
+      .otherwise(graft.functions.functions.dot_product(col("_w"), col("cvec")))
+    // per-subspace argmax via the hash-aggregable ArgMaxCell (a struct
+    // max would plan a SortAggregate over the m·k′ blowup — its
+    // scaladoc has the measurement); the `when` feeds null scores for
+    // other subspaces, which the aggregate's null contract ignores
+    val aggs = (0 until m).map(mi =>
+      graft.functions.functions.argmax_cell(
+        when(col("sub") === mi, col("_score")),
+        when(col("sub") === mi, col("cell"))).as(s"_c$mi")) :+
+      max(col("_nullv")).as("_nv")
+    val codes = array((0 until m).map(mi =>
+      col(s"_c$mi").cast("int")): _*)
+    val codesRel = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("_w", window)
+      .withColumn("_degen", degen)
+      .withColumn("_nullv", v.isNull)
       .join(broadcast(cbDf), Seq("sub"))
       .withColumn("_score", score)
-      .withColumn("_nullv", v.isNull)
-    val aggs = (0 until m).map(mi =>
-      max(when(col("sub") === mi, struct(col("_score"), col("cell"))))
-        .as(s"_m$mi")) ++
-      Seq(max(col("_nullv")).as("_nv")) ++
-      carried.map(c => first(col(c)).as(c))
-    val codes = array((0 until m).map(mi =>
-      col(s"_m$mi").getField("cell").cast("int")): _*)
-    scored.groupBy(col("_id"))
+      .groupBy(col("_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn(idCol, col("_id"))
-      .select(df.columns.map(c => col(c)).toSeq :+
+      .select(col("_id").as(idCol),
         when(col("_nv"), lit(null).cast("array<int>"))
-          .otherwise(codes).as(outCol): _*)
+          .otherwise(codes).as(outCol))
+    // df's original column order, then the codes (the USING join
+    // hoists the key first; the select restores the order)
+    df.join(codesRel, Seq(idCol))
+      .select(df.columns.map(c => col(c)).toSeq :+ col(outCol): _*)
   }
 
   /** The per-query flat ADC lookup table `(qid, lut[m·k′])`, built
@@ -127,14 +141,15 @@ object PqRelation {
     val qv = col("_qv")
     val ok = qv.isNotNull && (size(qv) >= m * dsub) &&
       !exists(slice(qv, 1, m * dsub), _.isNull)
+    // same pre-join window + codegen'd dot as [[encodeCells]]
     val window = slice(qv, col("sub") * dsub + 1, lit(dsub))
     val dot = when(col("_ok"),
-      aggregate(zip_with(window, col("cvec"),
-        (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x))
+      graft.functions.functions.dot_product(col("_w"), col("cvec")))
       .otherwise(lit(0.0))
     queries.select(col(qidCol).as("qid"), col(qvecCol).as("_qv"))
       .withColumn("_ok", coalesce(ok, lit(false)))
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("_w", window)
       .join(broadcast(cbDf), Seq("sub"))
       .select(col("qid"), col("_ok"),
         (col("sub") * k + col("cell")).as("idx"), dot.as("d"))

@@ -69,7 +69,19 @@ object QuantizerRelation {
   /** All `df` columns plus `cell`, computed through the broadcast
     * relation. `cents` must be unit-normalized (cell, cvec) with cells
     * exactly [0, k). Requires `idCol` unique (every caller's existing
-    * contract). */
+    * contract).
+    *
+    * Shape (both measured, ProfileCutover): ONLY (id, vec) enter the
+    * k-fold join blowup — the degeneracy flag is computed once per doc
+    * before the join (not k times), the per-(doc, cell) score is the
+    * codegen'd [[graft.functions.DotProductExpr]] (two COLUMN
+    * operands, nothing rides the plan; the zip_with/aggregate HOF
+    * formulation it replaces is interpreted per element, measured 26×
+    * slower across the blowup), and carried columns re-join AFTER the
+    * argmax instead of riding `first()` aggregates k-fold (13× on a
+    * ~1 KB payload). Wire cost: the argmax exchange carries one narrow
+    * (id, cell) row per doc and the payload crosses its one join
+    * exchange — never the k-fold blowup, which collapses in-task. */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, outCol: String = "cell"): DataFrame = {
     val meta = cents.agg(count(lit(1)).as("k"),
@@ -80,28 +92,32 @@ object QuantizerRelation {
     // degenerate (non-null) vectors score each cell by its own index →
     // argmax = k−1, reproducing BestCellExpr without a separate branch
     val degen = v.isNull || size(v) =!= dim || exists(v, _.isNull)
-    val score = when(degen, col("cell").cast("double"))
-      .otherwise(aggregate(zip_with(v, col("cvec"),
-        (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x))
-    val carried = df.columns.filterNot(_ == idCol).toSeq
-    val scored = df.select(col(idCol).as("_id") +:
-        col(vecCol).as("_v") +: carried.map(c => col(c)): _*)
+    val score = when(col("_degen"), col("cell").cast("double"))
+      .otherwise(graft.functions.functions.dot_product(v, col("cvec")))
+    val cells = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_degen", degen)
+      .withColumn("_nullv", v.isNull)
       .crossJoin(broadcast(cents))
       .withColumn("_score", score)
-      .withColumn("_nullv", v.isNull)
-    val aggs = max(struct(col("_score"), col("cell"))).as("_m") +:
-      max(col("_nullv")).as("_nv") +:
-      carried.map(c => first(col(c)).as(c))
+      .groupBy(col("_id"))
+      // argmax_cell, NOT max(struct(…)): a struct buffer forces a
+      // SortAggregate whose partial phase would SORT the k-fold blowup
+      // (measured unusable at k=10⁴ — ArgMaxCell scaladoc); the
+      // declarative two-primitive buffer hash-aggregates in-task with
+      // the identical larger-cell tie rule
+      .agg(graft.functions.functions
+          .argmax_cell(col("_score"), col("cell")).as("_c"),
+        max(col("_nullv")).as("_nv"))
+      .select(col("_id").as(idCol),
+        when(col("_nv"), lit(null).cast("int"))
+          .otherwise(col("_c")).as(outCol))
     // column order matches the expression path's `withColumn` shape —
     // df's columns in THEIR ORIGINAL ORDER, then the cell — so the two
     // forms are drop-in interchangeable for writers that persist the
-    // schema even when idCol is not the input's first column
-    scored.groupBy(col("_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn(idCol, col("_id"))
-      .select(df.columns.map(c => col(c)).toSeq :+
-        when(col("_nv"), lit(null).cast("int"))
-          .otherwise(col("_m.cell")).as(outCol): _*)
+    // schema even when idCol is not the input's first column (a USING
+    // join hoists the key first; the select restores df's order)
+    df.join(cells, Seq(idCol))
+      .select(df.columns.map(c => col(c)).toSeq :+ col(outCol): _*)
   }
 
   /** Lloyd's k-means entirely in the relational form: seeds are the

@@ -876,6 +876,78 @@ object QueryCatalog {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Per-class audit of the TRAINED classifier against the committed
+    * LABELED corpus (`fixtures/labeled_quality.parquet`,
+    * [[graft.tools.GenQualityFixtures]]) — the added-information claim
+    * as a DECLARED, oracle-checked relation: for each generative class,
+    * how many docs the learned model classifies correctly vs how many
+    * the stopword rule does. The adversarial classes (g_terse,
+    * b_stuffed, b_repeat) show rule_correct = 0 with model_correct ≈
+    * n_docs — information a scan-speed filter cannot have. Everything
+    * is integer-exact: the model verdict is the BIGINT weight sum's
+    * sign, the rule verdict the integer form `stopword_hits·16 ≥
+    * n_tokens` (⇔ ratio ≥ 1/16 = 0.0625, no double division). */
+  val textQualityAudit: Q = (s, dir) => {
+    val docs = s.read.parquet(
+      s"${graft.Tables.fixturesDir}/labeled_quality.parquet")
+    val scored = TextAnalysis.classifierScoreInline(docs, "doc_id", "text",
+        TextAnalysis.trainedWeightArray(s))
+      .select(col("id").as("doc_id"), col("keep"))
+    val ts = TextAnalysis.tokenStats(col("text"))
+    val rule = docs.select(col("doc_id"),
+      (ts.getField("stopword_hits") * 16 >= ts.getField("n_tokens"))
+        .as("rule_keep"))
+    docs.select(col("doc_id"), col("klass"), col("label"))
+      .join(scored, Seq("doc_id")).join(rule, Seq("doc_id"))
+      .groupBy(col("klass"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("label")).as("label"),
+        sum(when(col("keep") === (col("label") === 1), 1L).otherwise(0L))
+          .as("model_correct"),
+        sum(when(col("rule_keep") === (col("label") === 1), 1L).otherwise(0L))
+          .as("rule_correct"))
+      .orderBy(col("klass"))
+  }
+
+  /** DuckDB replay of [[textQualityAudit]] (a `def` — fixture paths
+    * resolve at dump time): the classifier replay is the
+    * [[textQualityClassifierSql]] md5-bucket JOIN against the committed
+    * weights; the rule replay is the [[textStatsSql]] stopword filter in
+    * integer form. Both verdicts compare as booleans against the
+    * fixture's ground-truth label. */
+  def textQualityAuditSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT * FROM '${graft.Tables.fixturesDir}/labeled_quality.parquet'),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM docs),
+       |hashed AS (
+       |  SELECT doc_id, ($hexVal) AS h
+       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
+       |scored AS (
+       |  SELECT doc_id, CAST(sum(w.iw) AS BIGINT) AS raw
+       |  FROM hashed
+       |  JOIN '${graft.Tables.fixturesDir}/classifier_weights.parquet' w
+       |    ON (h % 1024) = w.bucket
+       |  GROUP BY doc_id),
+       |rule AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |      t -> list_contains([$stops], t))) AS hits,
+       |    len(string_split_regex(text, '\\s+')) AS n
+       |  FROM docs)
+       |SELECT klass, count(*) AS n_docs, max(label) AS label,
+       |  CAST(sum(CASE WHEN (raw > 0) = (label = 1) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS model_correct,
+       |  CAST(sum(CASE WHEN (hits * 16 >= n) = (label = 1) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS rule_correct
+       |FROM docs JOIN scored USING (doc_id) JOIN rule USING (doc_id)
+       |GROUP BY klass ORDER BY klass""".stripMargin
+  }
+
   /** Text statistics: token counts + quality signals, all codegen'd. */
   val textStats: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
@@ -1125,6 +1197,7 @@ object QueryCatalog {
     "text_fingerprint" -> textFingerprint,
     "text_lang_id" -> textLangId,
     "text_quality_classifier" -> textQualityClassifier,
+    "text_quality_audit" -> textQualityAudit,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_real" -> multimodalReal,
@@ -1164,6 +1237,7 @@ object QueryCatalog {
     "text_fingerprint" -> textFingerprintSql,
     "text_lang_id" -> textLangIdSql,
     "text_quality_classifier" -> textQualityClassifierSql,
+    "text_quality_audit" -> textQualityAuditSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_real" -> multimodalRealSql,

@@ -79,8 +79,15 @@ class PqRelationSpec extends SparkSpec {
         PqRelation.codebooksDf(spark, big))
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), s"codebook must broadcast:\n$plan")
-    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
-      s"at most the one doc-keyed exchange:\n$plan")
+    // every hash exchange is doc-keyed and NARROW: the partial argmax
+    // collapses the m·k′-per-doc blowup in-task ((id, codes) rows) and
+    // the carried-column re-join moves the payload once
+    val nEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(nEx <= 3, s"argmax + re-join exchanges only ($nEx):\n$plan")
+    // the per-subspace argmaxes must HASH-aggregate (ArgMaxCell): a
+    // SortAggregate's partial phase would sort the m·k′ blowup
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"argmax must be hash-aggregable:\n$plan")
   }
 
   test("PqIndex.topK cuts over by m·k and both paths agree end-to-end") {

@@ -73,10 +73,17 @@ class QuantizerRelationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"),
       s"centroids must broadcast:\n$plan")
-    // one exchange total beyond the broadcast: the per-doc argmax —
-    // partial aggregation collapses the k-per-doc rows in-task first
-    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
-      s"at most the one doc-keyed exchange:\n$plan")
+    // every hash exchange is doc-keyed and NARROW: the partial argmax
+    // collapses the k-per-doc blowup in-task (the argmax exchange is
+    // (id, best) pairs) and the carried-column re-join moves the
+    // payload once — exchanges beyond the broadcast are the argmax +
+    // the re-join sides, never the k-fold rows
+    val nEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(nEx <= 3, s"argmax + re-join exchanges only ($nEx):\n$plan")
+    // the argmax must HASH-aggregate: a SortAggregate's partial phase
+    // would sort the k-fold blowup (the ArgMaxCell rationale)
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"argmax must be hash-aggregable:\n$plan")
   }
 
   test("IvfIndex.assignCells cuts over by k and both paths agree") {
