@@ -153,4 +153,59 @@ class AnomalyStreamSpec extends SparkSpec {
       assert(streamed == batchFlags(warm ++ mover ++ mover2 ++ back))
     } finally q.stop()
   }
+
+  test("TTL arms from the NEWEST buffered event: an out-of-order straggler cannot cause a premature state drop") {
+    // Regression for the round-12 advice item: the timer used to arm
+    // from buf.last — but an admissible straggler is APPENDED to the
+    // frame, so buf.last could be OLDER than the newest entry and the
+    // timeout fired before newest+24h, dropping state an admissible
+    // event could still see. Script (1h watermark delay):
+    //   b1  user 7: 8 events at 100000..100007
+    //   b2  user 7: straggler at 97007 (admissible; buf.last becomes it
+    //       → buggy timer 97007+24h=183407; correct 100007+24h=186407)
+    //   b3  user 8 at 187600 → watermark advances to 184000 after b3
+    //   b4  user 8 at 187601 → timeout sweep at watermark 184000:
+    //       buggy code drops user 7 here (183407 < 184000 < 186407)
+    //   b5  user 7 probe at 186000 (admissible): its trailing frame
+    //       reaches the buffered 100000..100007 events → with state
+    //       intact the frame has ≥ 8 entries and a row is EMITTED;
+    //       with the premature drop the frame restarts at 1 → silence.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = (0 to 7).map(i => (7L, i.toLong, ts(100000L + i), 10.0 + i * 0.01))
+    val b2 = Seq((7L, 20L, ts(97007L), 10.0))
+    val b3 = Seq((8L, 30L, ts(187600L), 10.0))
+    val b4 = Seq((8L, 31L, ts(187601L), 10.0))
+    val b5 = Seq((7L, 40L, ts(186000L), 10.0))
+    def run(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[AnomalyStream.Flagged], name: String) = {
+      val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+      val q = mk(mem.toDF().toDF("user_id", "event_id", "ts", "value"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try {
+        Seq(b1, b2, b3, b4, b5).foreach { b =>
+          mem.addData(b: _*); q.processAllAvailable()
+        }
+        spark.table(name).as[AnomalyStream.Flagged].collect().toSeq
+      } finally q.stop()
+    }
+    def check(rows: Seq[AnomalyStream.Flagged], name: String): Unit = {
+      val probe = rows.find(_.event_id == 40L)
+      assert(probe.isDefined,
+        s"$name: the probe event must still see the buffered frame " +
+          "(state survived the straggler-window sweep)")
+      assert(probe.get.n >= 9, s"$name: frame must hold the buffered events: $probe")
+    }
+    check(run(AnomalyStream.flags(_), "anom_straggler_v1"), "v1")
+    // the v2 processor had the same buf.last arming — run it on RocksDB
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try check(run(AnomalyStream.flagsTws(_), "anom_straggler_v2"), "v2")
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
