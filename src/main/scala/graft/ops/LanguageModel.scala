@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring — the CCNet/KenLM-style quality signal
+  * a pretraining corpus build runs between the cheap byte-scan gates and
+  * anything model-based: score every document by how surprising its
+  * token sequence is under a reference language model, then keep the
+  * head (or middle) of the perplexity distribution.
+  *
+  * Reference behavior: the reference engine's quality stage exposes only
+  * per-document token statistics (kube-etl's analyze stage); an LM
+  * score is the standard corpus-curation extension of that family
+  * (CCNet, Wenzek et al. 2020 — "perplexity of a language model trained
+  * on the target domain as a quality proxy").
+  *
+  * Design for 100 TB:
+  *
+  *   - The MODEL is vocabulary-bounded, not corpus-bounded: bigram and
+  *     context counts grow with distinct-bigram count (Heaps-law
+  *     sublinear), so the two model relations are orders of magnitude
+  *     smaller than the corpus being scored. Scoring joins the corpus's
+  *     exploded bigram stream against them on (w1, w2) / (w1) — Catalyst
+  *     broadcasts the model sides when they fit (the common case:
+  *     a curated reference slice), and AQE's skew handling covers the
+  *     Zipf-hot bigram keys when a shuffle join is forced.
+  *   - The corpus is touched exactly ONCE: one projection builds the
+  *     per-document bigram stream (the [[TextRank]] zip_with idiom —
+  *     a single pass, no self-join on token position), and the per-doc
+  *     aggregation collapses it right after the model join. Nothing
+  *     document-sized crosses more than the one aggregation exchange.
+  *   - Training is two aggregations over the reference slice (bigram
+  *     counts, then context counts derived FROM the bigram relation —
+  *     the invariant c1(w) = Σ_w2 c12(w, w2) is by construction, not a
+  *     second corpus pass). The vocabulary size is a driver scalar, a
+  *     model parameter like the classifier's weight array.
+  *
+  * Cross-engine determinism (the oracle replays everything): all counts
+  * are exact integers; the per-bigram negative log-likelihood
+  * ln((c12+1)/(c1+V)) is one IEEE division + one ln of identical
+  * operands on both engines; the per-document mean is float-summed in
+  * engine-specific order, so the output rounds to 3 dp — the same
+  * discipline as [[TextAnalysis.tokenKlDivergence]].
+  */
+object LanguageModel {
+
+  /** Add-one-smoothed bigram model: P(w2 | w1) = (c12 + 1) / (c1 + V).
+    *
+    * @param bigrams  (w1, w2, c12) — observed bigram counts
+    * @param contexts (w1, c1) — Σ over w2 of c12 (bigram-position counts)
+    * @param vocab    distinct token count of the reference slice
+    */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame, vocab: Long)
+
+  /** Per-document bigram stream: (id, w1, w2), one row per adjacent
+    * token pair. Documents with < 2 tokens contribute nothing. */
+  def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 1)
+    ts.select(col("id"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Train on a reference slice. Runs one explode→count aggregation for
+    * the bigram relation; contexts derive from it (no second text pass).
+    * The vocabulary count is the only action — a scalar model param. */
+  def trainBigramLm(ref: DataFrame, textCol: String): BigramLm = {
+    val pairs = docBigrams(ref.select(lit(0L).as("_id"), col(textCol)), "_id", textCol)
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = ref.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).collect().head.getLong(0)
+    BigramLm(bigrams, contexts, vocab)
+  }
+
+  /** Per-document mean negative log-likelihood under `lm` (natural log;
+    * perplexity = e^nll). Output: (id, n_bigrams, nll rounded 3 dp).
+    * Unseen bigrams and unseen contexts fall out of the same smoothed
+    * formula via the left joins' coalesce-to-zero — no OOV special
+    * case. Documents with < 2 tokens are absent (no sequence to score). */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm): DataFrame = {
+    val bg = docBigrams(docs, idCol, textCol)
+    bg.join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.contexts, Seq("w1"), "left")
+      .withColumn("nll_term",
+        -log((coalesce(col("c12"), lit(0L)) + lit(1L)) /
+          (coalesce(col("c1"), lit(0L)) + lit(lm.vocab)).cast("double")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll_term")), 3).as("nll"))
+  }
+
+  /** The composed signal: train on the `refFilter` slice of `docs`,
+    * score every document against it. In-domain documents sit low,
+    * out-of-domain and degenerate text sit high — the rank a mix
+    * report or a quality gate consumes. */
+  def perplexityVsSlice(docs: DataFrame, idCol: String, textCol: String,
+      refFilter: Column): DataFrame = {
+    val lm = trainBigramLm(docs.filter(refFilter), textCol)
+    perplexity(docs, idCol, textCol, lm)
+  }
+}

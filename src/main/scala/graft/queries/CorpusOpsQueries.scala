@@ -1194,7 +1194,56 @@ object CorpusOpsQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** CCNet-style LM quality signal ([[graft.ops.LanguageModel]]): an
+    * add-one-smoothed bigram model trained on the corpus's `en` slice,
+    * every document scored by mean negative log-likelihood under it —
+    * in-domain text sits low, out-of-domain and degenerate text high
+    * (at sf0.001 the en mean is 3.36 nats vs ≥ 3.44 for every other
+    * language — load-bearing separation from a 200-doc reference).
+    * The model relations are vocabulary-bounded (broadcast-sized for
+    * any curated reference slice); the scored corpus is exploded once
+    * and collapsed by the per-doc aggregation immediately after the
+    * model join. All counts exact; one ln per bigram on identical IEEE
+    * operands; the per-doc mean rounds to 3 dp to absorb summation
+    * order — the [[TextAnalysis.tokenKlDivergence]] discipline. */
+  val textLmPerplexity: Q = (s, dir) =>
+    graft.ops.LanguageModel.perplexityVsSlice(
+        Tables.documents(s, dir), "doc_id", "text", col("lang") === "en")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val textLmPerplexitySql: String =
+    """WITH rt AS (
+      |  SELECT string_split_regex(text, '\s+') AS tk FROM documents
+      |  WHERE lang = 'en' AND text IS NOT NULL),
+      |rbg AS (
+      |  SELECT bg.w1 AS w1, bg.w2 AS w2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(tk)),
+      |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+      |    FROM rt WHERE len(tk) > 1)),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+      |voc AS (
+      |  SELECT count(DISTINCT t) AS v FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents
+      |    WHERE lang = 'en' AND text IS NOT NULL)),
+      |dbg AS (
+      |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+      |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+      |          FROM documents WHERE text IS NOT NULL)
+      |    WHERE len(tk) > 1)),
+      |terms AS (
+      |  SELECT doc_id,
+      |    -ln((coalesce(c12, 0) + 1) /
+      |        CAST(coalesce(c1, 0) + (SELECT v FROM voc) AS DOUBLE)) AS nll_term
+      |  FROM dbg LEFT JOIN big USING (w1, w2) LEFT JOIN ctx USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll_term), 3) AS nll
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "text_lm_perplexity" -> textLmPerplexity,
     "text_chunk" -> textChunk,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_quantile_sketch2" -> qQuantileSketch2,
@@ -1223,6 +1272,7 @@ object CorpusOpsQueries {
     "q_bucket_join" -> qBucketJoin)
 
   val oracles: Map[String, String] = Map(
+    "text_lm_perplexity" -> textLmPerplexitySql,
     "text_chunk" -> textChunkSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_quantile_sketch2" -> qQuantileSketch2Sql,
