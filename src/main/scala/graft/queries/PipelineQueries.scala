@@ -522,6 +522,104 @@ object PipelineQueries {
        |ORDER BY lang_pred, source""".stripMargin
   }
 
+  /** PCA-projected exact scan ([[graft.ops.Pca]]): the committed
+    * eigenbasis fixture (`fixtures/pca_basis.parquet`,
+    * [[graft.tools.TrainPca]]) projects every embedding to its top-16
+    * centered principal coordinates — r codegen'd dot products against
+    * literal eigenvectors, shuffle-free — and the per-query top-10 runs
+    * by squared L2 in the PROJECTED space: 4× fewer multiply-adds per
+    * candidate than the flat 64-dim scan, the FAISS `PCAMatrix`
+    * preprocessor stage. The oracle replays projection AND ranking from
+    * the exact committed relation (classifier-weights pattern); d² is
+    * expanded q·q + v·v − 2q·v on both sides so the association order
+    * is identical. This is the reduced-space ground truth (exact within
+    * the projection), not an approximation mode — recall floors vs the
+    * full space live in PcaSpec on planted low-rank data. */
+  val annPca: Q = (s, dir) => {
+    val basis = graft.ops.Pca.loadBasis(s,
+      s"${graft.Tables.fixturesDir}/pca_basis.parquet")
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.ops.Pca.topKProjected(queries, corpus, basis, r = 16, k = 10)
+      .select(col("qid"), col("id"), round(col("d2"), 4).as("d2"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def annPcaSql: String =
+    s"""WITH b AS (
+       |  SELECT component, evec, "offset" AS off
+       |  FROM '${graft.Tables.fixturesDir}/pca_basis.parquet'
+       |  WHERE component < 16),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id,
+       |    list(list_dot_product(vec, evec) - off ORDER BY component) AS pv
+       |  FROM e CROSS JOIN b GROUP BY vec_id),
+       |q AS (SELECT vec_id AS qid, pv AS qp FROM p WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS id, pv AS vp FROM p WHERE vec_id >= 5),
+       |scored AS (
+       |  SELECT qid, id,
+       |    list_dot_product(qp, qp) + list_dot_product(vp, vp)
+       |      - 2.0 * list_dot_product(qp, vp) AS d2
+       |  FROM c CROSS JOIN q),
+       |ranked AS (
+       |  SELECT qid, id, d2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank
+       |  FROM scored)
+       |SELECT qid, id, round(d2, 4) AS d2, rank
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Per-component variance of the projected coordinates over the whole
+    * embeddings table, next to the fixture's eigenvalue — the variance-
+    * concentration report that justifies the rank cut (top components
+    * carry multiples of the bottom's variance). Variance is written as
+    * Σx²/n − (Σx/n)² IDENTICALLY on both sides; the float sums round
+    * to 6 dp to absorb summation order. */
+  val qPcaVariance: Q = (s, dir) => {
+    val basis = graft.ops.Pca.loadBasis(s,
+      s"${graft.Tables.fixturesDir}/pca_basis.parquet")
+    val eig = basis.take(16).map(c => (c.component, c.eigenvalue))
+      .toSeq
+    val eigDf = s.createDataFrame(eig).toDF("component", "eigenvalue")
+    Tables.embeddings(s, dir)
+      .select(posexplode(graft.ops.Pca.projectCol(col("embedding"), basis, 16))
+        .as(Seq("component", "x")))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x") * col("x")) / count(lit(1)) -
+          (sum(col("x")) / count(lit(1))) * (sum(col("x")) / count(lit(1))), 6)
+          .as("var_proj"))
+      .join(broadcast(eigDf), Seq("component"))
+      .select(col("component"), col("n"),
+        col("var_proj"), round(col("eigenvalue"), 6).as("eigenvalue"))
+      .orderBy(col("component"))
+  }
+
+  def qPcaVarianceSql: String =
+    s"""WITH b AS (
+       |  SELECT component, evec, "offset" AS off, eigenvalue
+       |  FROM '${graft.Tables.fixturesDir}/pca_basis.parquet'
+       |  WHERE component < 16),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |coords AS (
+       |  SELECT component, eigenvalue,
+       |    list_dot_product(vec, evec) - off AS x
+       |  FROM e CROSS JOIN b)
+       |SELECT component, count(*) AS n,
+       |  round(sum(x * x) / count(*) -
+       |    (sum(x) / count(*)) * (sum(x) / count(*)), 6) AS var_proj,
+       |  round(any_value(eigenvalue), 6) AS eigenvalue
+       |FROM coords GROUP BY component
+       |ORDER BY component""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
     "q_overlap_join" -> qOverlapJoin,
@@ -535,7 +633,9 @@ object PipelineQueries {
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivf_pruned" -> annIvfPruned,
-    "ann_ivfpq_pruned" -> annIvfPqPruned)
+    "ann_ivfpq_pruned" -> annIvfPqPruned,
+    "ann_pca" -> annPca,
+    "q_pca_variance" -> qPcaVariance)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
@@ -548,5 +648,7 @@ object PipelineQueries {
     "q_mix_divergence" -> qMixDivergenceSql,
     "q_sample_quota" -> qSampleQuotaSql,
     "ann_pq" -> QueryCatalog.annTopKSql,
-    "ann_ivfpq" -> QueryCatalog.annTopKSql)
+    "ann_ivfpq" -> QueryCatalog.annTopKSql,
+    "ann_pca" -> annPcaSql,
+    "q_pca_variance" -> qPcaVarianceSql)
 }
