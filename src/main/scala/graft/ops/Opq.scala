@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Optimized Product Quantization (the parametric OPQ of Ge et al.,
+  * "Optimized Product Quantization for Approximate Nearest Neighbor
+  * Search", CVPR 2013): rotate the space with the PCA eigenbasis and
+  * allocate principal components to subspaces so every subspace carries
+  * a balanced share of the variance, THEN product-quantize. Plain PQ
+  * cuts the vector into contiguous coordinate slices — if the data's
+  * energy concentrates in a few coordinates (the common case for
+  * learned embeddings), one codebook drowns while the rest quantize
+  * noise. OPQ's rotation is exactly the fix, and its parametric variant
+  * composes two things this library already has: the committed PCA
+  * eigenbasis ([[Pca]], `fixtures/pca_basis.parquet`) supplies the
+  * orthonormal rotation, and [[PqIndex]]'s ADC scan / shortlist /
+  * exact re-rank run unchanged on the rotated relation.
+  *
+  * The rotation is PURE (no mean-centering, unlike [[Pca.projectCol]]):
+  * an orthonormal change of basis preserves inner products and norms,
+  * so cosine in rotated space IS cosine in the original space. The
+  * exact re-rank deliberately runs against the ORIGINAL float vectors —
+  * bit-identical scoring to [[Similarity.bruteForceTopK]], which is how
+  * `ann_opq` stays on the same exact-top-k oracle as `ann_pq`
+  * (shortlist >= |corpus| degenerates to brute force; pruned-shortlist
+  * recall, and the recall IMPROVEMENT over unrotated PQ on anisotropic
+  * data, are OpqSpec properties).
+  *
+  * Eigenvalue allocation (Ge et al. §4.2): components are dealt to the
+  * `m` buckets greedily — descending eigenvalue, each into the bucket
+  * with the smallest log-eigenvalue product — balancing the
+  * per-subspace variance PRODUCT, the quantity whose imbalance drives
+  * PQ's distortion. Deterministic: ties break on bucket index.
+  *
+  * Quantizer: unlike [[PqIndex]]'s scale-invariant argmax-dot code
+  * assignment (direction quantization — fine on spread subspaces,
+  * DEGENERATE on the near-1-D subspaces PCA rotation produces: all
+  * collinear centroids tie except the two extremes, collapsing 16
+  * codes to 2), OPQ assigns codes by TRUE L2 nearest centroid on the
+  * unit-normalized rotated vector. No new expression needed — the
+  * augmented-coordinate trick linearizes L2 into the existing codegen'd
+  * argmax-dot: append a constant 1 coordinate to each subvector and
+  * −‖c‖²/2 to each centroid, so argmax(x·c − ‖c‖²/2) ≡ argmin‖x−c‖².
+  * The ADC/LUT side keeps the PLAIN codebooks (the correction term
+  * must not shift inner-product estimates); code indices line up by
+  * construction. This is the classical IVFADC estimator: ADC scores
+  * approximate q · x̂ with x̂ the per-subspace L2 reconstruction.
+  *
+  * Scale shape: rotation is d codegen'd dot products against literal
+  * eigenvectors — a shuffle-free map fused into the encode scan;
+  * training is the same one-aggregation-per-Lloyd-iteration shape as
+  * [[PqIndex.train]] (unit-norm rows make the update a plain mean);
+  * everything downstream is PQ's m-bytes-per-row pipeline. At 100 TB
+  * the added cost over plain PQ is one extra matrix-vector per row at
+  * ingest — the FAISS `OPQMatrix` pre-transform, amortized identically.
+  */
+object Opq {
+
+  /** Trained model: the component order (a permutation of 0..d-1 laid
+    * out bucket-by-bucket, dsub components each) plus the PQ codebooks
+    * trained on unit-normalized rotated vectors. */
+  final case class Model(order: Seq[Int], cb: PqIndex.Codebooks)
+
+  /** Greedy eigenvalue allocation: bucket-by-bucket component order
+    * balancing Π eigenvalue per bucket. Every component appears exactly
+    * once; buckets are exactly `d/m` wide.
+    *
+    * Level-synchronized greedy: components are dealt in rounds — each
+    * round every bucket receives exactly one (descending eigenvalue,
+    * the poorest bucket first). A naive "any non-full bucket with the
+    * smallest product" degenerates to CONTIGUOUS fill whenever the
+    * eigenvalues are < 1 (an empty bucket's product is 1 — it looks
+    * richest, so the partially-filled bucket keeps winning); keeping
+    * the fill level synchronized makes products comparable and yields
+    * a perfectly balanced serpentine on geometric spectra. */
+  def allocate(evals: Seq[Double], m: Int): Seq[Int] = {
+    val d = evals.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logProd = Array.fill(m)(0.0)
+    val order = evals.indices.sortBy(i => (-evals(i), i))
+    order.foreach { c =>
+      val counts = buckets.map(_.length)
+      val minCnt = counts.filter(_ < dsub).min
+      val open = (0 until m).filter(b => counts(b) == minCnt)
+      val tgt = open.minBy(b => (logProd(b), b))
+      buckets(tgt) = c :: buckets(tgt)
+      // floor tiny/zero eigenvalues so a degenerate spectrum still
+      // spreads deterministically instead of collapsing to -inf ties
+      logProd(tgt) += math.log(math.max(evals(c), 1e-300))
+    }
+    buckets.toSeq.flatMap(_.reverse)
+  }
+
+  /** Pure rotation: coordinates of `vec` in the permuted eigenbasis —
+    * d codegen'd dot products against literal eigenvectors, NO
+    * centering, cast to float (the shape [[PqIndex]]'s LUT/ADC path
+    * scans). Used raw for query LUTs (a query's uniform scale cannot
+    * change its ranking). */
+  def rotateCol(vec: Column, basis: Seq[Pca.Component], order: Seq[Int]): Column = {
+    array(rotatedCoords(vec, basis, order): _*)
+  }
+
+  private def rotatedCoords(vec: Column, basis: Seq[Pca.Component],
+      order: Seq[Int]): Seq[Column] = {
+    val byComponent = basis.map(c => c.component -> c).toMap
+    order.map { i =>
+      Similarity.dot(vec, array(byComponent(i).evec.map(lit).toIndexedSeq: _*))
+        .cast("float")
+    }
+  }
+
+  /** Unit-normalized rotated vector (rotation preserves the norm, so
+    * the divisor is the ORIGINAL vector's norm — one extra dot), with a
+    * constant-1 coordinate appended per subspace: the augmented layout
+    * whose argmax-dot against [[augment]]ed codebooks is exact L2
+    * nearest-centroid assignment. Zero vectors pass through unscaled. */
+  private[ops] def encodeVecCol(vec: Column, basis: Seq[Pca.Component],
+      order: Seq[Int], m: Int): Column = {
+    val d = order.length
+    val dsub = d / m
+    val nrm = Similarity.l2norm(vec)
+    val safe = when(nrm > 0, nrm).otherwise(lit(1.0))
+    val coords = rotatedCoords(vec, basis, order)
+      .map(c => (c / safe).cast("float"))
+    val augmented = coords.grouped(dsub).flatMap(_ :+ lit(1.0f)).toSeq
+    array(augmented: _*)
+  }
+
+  /** Encode-side codebooks: each centroid gains the −‖c‖²/2 coordinate
+    * that linearizes L2 assignment into argmax-dot. NEVER used for
+    * LUT/ADC scoring. */
+  private[ops] def augment(cb: PqIndex.Codebooks): PqIndex.Codebooks =
+    PqIndex.Codebooks(cb.m, cb.dsub + 1,
+      cb.books.map(_.map(c => c :+ (-0.5 * c.map(x => x * x).sum))))
+
+  /** L2 codes for the corpus: (id, codes) via the augmented layout. */
+  private def encodeL2(corpus: DataFrame, basis: Seq[Pca.Component],
+      model: Model): DataFrame =
+    corpus.select(col("id"),
+      PqIndex.encode(encodeVecCol(col("vec"), basis, model.order, model.cb.m),
+        augment(model.cb)).as("codes"))
+
+  /** Train: allocate components by the basis' eigenvalues, rotate +
+    * unit-normalize the corpus, run Lloyd with L2 assignment. Same
+    * one-distributed-aggregation-per-iteration shape as
+    * [[PqIndex.train]]; rows are unit-norm so the centroid update is a
+    * plain mean. Deterministic: id-hash-sampled seed rows, fixed
+    * iterations, empty cells keep their previous centroid. */
+  def train(corpus: DataFrame, basis: Seq[Pca.Component],
+      m: Int = 8, k: Int = 16, iters: Int = 2): Model = {
+    val d = basis.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val order = allocate(basis.sortBy(_.component).map(_.eigenvalue), m)
+    val nrm = Similarity.l2norm(col("vec"))
+    val safe = when(nrm > 0, nrm).otherwise(lit(1.0))
+    val unit = corpus.select(col("id"),
+      array(rotatedCoords(col("vec"), basis, order)
+        .map(c => (c / safe).cast("float")): _*).as("v"))
+
+    val seeds = unit.orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.nonEmpty, "empty corpus")
+    var cb = PqIndex.Codebooks(m, dsub,
+      Array.tabulate(m)(mi => seeds.map(_.slice(mi * dsub, (mi + 1) * dsub))))
+
+    val aug = unit.select(col("v"),
+      array((0 until d).grouped(dsub).flatMap(g =>
+        g.map(i => element_at(col("v"), i + 1)) :+ lit(1.0f)).toSeq: _*).as("av"))
+    (1 to iters).foreach { _ =>
+      val means = aug
+        .select(PqIndex.encode(col("av"), augment(cb)).as("cells"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("sub", (col("pos") / dsub).cast("int"))
+        .withColumn("cell", element_at(col("cells"), col("sub") + 1))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mean"))
+        .collect()
+      val next = cb.books.map(_.map(_.clone()))
+      means.foreach { r =>
+        val (s, cell, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(s)(cell)(pos - s * dsub) = r.getDouble(3)
+      }
+      cb = PqIndex.Codebooks(m, dsub, next)
+    }
+    Model(order, cb)
+  }
+
+  /** OPQ top-k: L2-encode the rotated corpus, ADC scan + shortlist with
+    * the rotated queries against the PLAIN codebooks, exact cosine
+    * re-rank on the ORIGINAL vectors (identical tie-break and scoring
+    * to [[Similarity.bruteForceTopK]] — rotation never touches the
+    * final scores). */
+  def topK(queries: DataFrame, corpus: DataFrame, basis: Seq[Pca.Component],
+      model: Model, k: Int, shortlist: Int): DataFrame = {
+    val encoded = encodeL2(corpus, basis, model)
+    val rotatedQueries = queries.select(col("qid"),
+      rotateCol(col("qvec"), basis, model.order).as("qvec"))
+    val short = PqIndex.adcShortlist(encoded, rotatedQueries, model.cb, shortlist)
+    PqIndex.rerank(short, queries, corpus, k)
+  }
+}

@@ -575,6 +575,30 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
 
+  /** OPQ ([[graft.ops.Opq]]): parametric optimized product quantization
+    * — the committed PCA eigenbasis supplies the rotation, eigenvalue
+    * allocation balances variance across subspaces, codes assign by
+    * true L2 (augmented-coordinate argmax-dot), ADC scan + shortlist +
+    * exact re-rank are [[graft.ops.PqIndex]]'s pipeline unchanged. With
+    * `shortlist >= |corpus|` the re-rank is exactly brute force, so the
+    * oracle is the exact top-k SQL — the `ann_pq` gate; the pruned-
+    * shortlist recall IMPROVEMENT over unrotated PQ is OpqSpec's
+    * planted-anisotropy property. */
+  val annOpq: Q = (s, dir) => {
+    val basis = graft.ops.Pca.loadBasis(s,
+      s"${graft.Tables.fixturesDir}/pca_basis.parquet")
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val model = graft.ops.Opq.train(corpus, basis, m = 8, k = 16, iters = 2)
+    graft.ops.Opq.topK(queries, corpus, basis, model, k = 10,
+        shortlist = Int.MaxValue)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Per-component variance of the projected coordinates over the whole
     * embeddings table, next to the fixture's eigenvalue — the variance-
     * concentration report that justifies the rank cut (top components
@@ -635,6 +659,7 @@ object PipelineQueries {
     "ann_ivf_pruned" -> annIvfPruned,
     "ann_ivfpq_pruned" -> annIvfPqPruned,
     "ann_pca" -> annPca,
+    "ann_opq" -> annOpq,
     "q_pca_variance" -> qPcaVariance)
 
   val oracles: Map[String, String] = Map(
@@ -650,5 +675,6 @@ object PipelineQueries {
     "ann_pq" -> QueryCatalog.annTopKSql,
     "ann_ivfpq" -> QueryCatalog.annTopKSql,
     "ann_pca" -> annPcaSql,
+    "ann_opq" -> QueryCatalog.annTopKSql,
     "q_pca_variance" -> qPcaVarianceSql)
 }
