@@ -226,6 +226,23 @@ object Pca {
     array(comps: _*)
   }
 
+  /** Squared reconstruction error of the rank-`r` projection — the
+    * off-manifold / outlier score a curation pipeline runs over its
+    * embedding column (vectors the low-rank model cannot explain:
+    * corrupt rows, modality mix-ups, OOD content). By orthonormal
+    * completeness ‖v − mean‖² = Σ over ALL d components pⱼ², so the
+    * residual is exactly the TAIL energy Σ_{j≥r} pⱼ² — computable from
+    * the committed basis alone (no mean vector needed), shuffle-free,
+    * and replayable verbatim by the oracle from the same fixture. */
+  def residual2Col(vec: Column, basis: Seq[Component], r: Int): Column = {
+    val sorted = basis.sortBy(_.component)
+    require(r >= 0 && r < sorted.length, s"need 0 ≤ r < ${sorted.length}, got $r")
+    sorted.drop(r).map { c =>
+      val p = Similarity.dot(vec, array(c.evec.map(lit).toIndexedSeq: _*)) - lit(c.offset)
+      p * p
+    }.reduce(_ + _)
+  }
+
   /** Exact top-k by squared L2 distance in the PROJECTED space — the
     * reduced-dimension ANN scan (r/dim of the flat scan's multiply-adds
     * per candidate; the PCA preprocessor's payoff). d² is expanded as

@@ -644,6 +644,47 @@ object PipelineQueries {
        |FROM coords GROUP BY component
        |ORDER BY component""".stripMargin
 
+  /** Reconstruction-error outliers ([[graft.ops.Pca.residual2Col]]):
+    * the 20 embeddings the rank-16 PCA model explains WORST — tail
+    * energy Σ_{j≥16} pⱼ² over the committed basis, the off-manifold
+    * score for corrupt/OOD rows. Shuffle shape: a shuffle-free scan
+    * computes the residual, the global top-20 is TakeOrdered (partial
+    * per-partition top-k, no full sort). The oracle replays the
+    * identical tail sum from the same fixture; ranking ties break on
+    * vec_id on both sides. */
+  val qPcaOutlier: Q = (s, dir) => {
+    val basis = graft.ops.Pca.loadBasis(s,
+      s"${graft.Tables.fixturesDir}/pca_basis.parquet")
+    val top = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.ops.Pca.residual2Col(col("embedding"), basis, 16).as("resid2"))
+      .orderBy(col("resid2").desc, col("vec_id")).limit(20)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("resid2").desc, col("vec_id"))))
+      .select(col("vec_id"), round(col("resid2"), 6).as("resid2"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  def qPcaOutlierSql: String =
+    s"""WITH b AS (
+       |  SELECT component, evec, "offset" AS off
+       |  FROM '${graft.Tables.fixturesDir}/pca_basis.parquet'
+       |  WHERE component >= 16),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |resid AS (
+       |  SELECT vec_id,
+       |    sum(pow(list_dot_product(vec, evec) - off, 2)) AS resid2
+       |  FROM e CROSS JOIN b GROUP BY vec_id),
+       |ranked AS (
+       |  SELECT vec_id, resid2,
+       |    row_number() OVER (ORDER BY resid2 DESC, vec_id) AS rank
+       |  FROM resid)
+       |SELECT vec_id, round(resid2, 6) AS resid2, rank
+       |FROM ranked WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
     "q_overlap_join" -> qOverlapJoin,
@@ -660,7 +701,8 @@ object PipelineQueries {
     "ann_ivfpq_pruned" -> annIvfPqPruned,
     "ann_pca" -> annPca,
     "ann_opq" -> annOpq,
-    "q_pca_variance" -> qPcaVariance)
+    "q_pca_variance" -> qPcaVariance,
+    "q_pca_outlier" -> qPcaOutlier)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
@@ -676,5 +718,6 @@ object PipelineQueries {
     "ann_ivfpq" -> QueryCatalog.annTopKSql,
     "ann_pca" -> annPcaSql,
     "ann_opq" -> QueryCatalog.annTopKSql,
-    "q_pca_variance" -> qPcaVarianceSql)
+    "q_pca_variance" -> qPcaVarianceSql,
+    "q_pca_outlier" -> qPcaOutlierSql)
 }

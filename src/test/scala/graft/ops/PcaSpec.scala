@@ -85,6 +85,31 @@ class PcaSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
 
+  test("residual is the tail energy and flags off-manifold rows") {
+    val inSpan = planted(200, 16, 4, seed = 17L)
+    // one corrupt row: all its energy in coordinate 10, far outside the
+    // planted rank-4 span
+    val outlier = (200L, Array.tabulate(16)(j =>
+      if (j == 10) 3.0f else 0.0f).toSeq)
+    val df = (inSpan :+ outlier).toDF("id", "v")
+    val basis = trainBasis(df, "v", 16)
+    val res = df.select(col("id"),
+        residual2Col(col("v"), basis, 4).as("r2"),
+        // completeness identity: rank-0 residual == full centered norm
+        residual2Col(col("v"), basis, 0).as("total"),
+        projectCol(col("v"), basis, 4).as("p"))
+      .withColumn("kept", expr("aggregate(p, 0d, (a, x) -> a + x * x)"))
+      .collect()
+    res.foreach { r =>
+      assert(math.abs(r.getDouble(2) - (r.getDouble(1) + r.getDouble(4))) < 1e-9,
+        "total energy must split exactly into kept + residual")
+    }
+    val byId = res.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val planted99 = byId.filter(_._1 != 200L).values.max
+    assert(byId(200L) > 50 * planted99,
+      s"off-span row must dominate the residual: ${byId(200L)} vs $planted99")
+  }
+
   test("projected-space top-k keeps neighbors when structure is low-rank") {
     val data = planted(400, 16, 4, seed = 11L)
     val df = data.toDF("id", "v")
