@@ -685,6 +685,42 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 20
        |ORDER BY rank""".stripMargin
 
+  /** Numeric-distribution drift ([[graft.ops.Drift]]): per-source PSI
+    * + binned-KS of the document-length distribution vs the full
+    * corpus — the per-ingest-batch drift monitor. One count
+    * aggregation per side; every statistic is a pure function of exact
+    * Long bin counts on a BOUNDED bins-per-group relation, replayed
+    * bin-for-bin by the oracle. */
+  val qDrift: Q = (s, dir) =>
+    graft.ops.Drift.driftByGroup(Tables.documents(s, dir), "source",
+      length(col("text")), lo = 0.0, hi = 2000.0, nBins = 40)
+
+  def qDriftSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(least(greatest(floor(length(text) / 50.0), 0.0), 39.0) AS INT) AS bin
+      |  FROM documents),
+      |gc AS (SELECT source, bin, count(*) AS c FROM d GROUP BY source, bin),
+      |rc AS (SELECT bin, count(*) AS rc FROM d GROUP BY bin),
+      |grid AS (
+      |  SELECT g.source, b.bin, coalesce(gc.c, 0) AS c, coalesce(rc.rc, 0) AS rc
+      |  FROM (SELECT DISTINCT source FROM d) g
+      |  CROSS JOIN (SELECT unnest(range(40)) AS bin) b
+      |  LEFT JOIN gc ON gc.source = g.source AND gc.bin = b.bin
+      |  LEFT JOIN rc ON rc.bin = b.bin),
+      |tot AS (SELECT source, sum(c) AS n, sum(rc) AS nr FROM grid GROUP BY source),
+      |x AS (
+      |  SELECT grid.source, grid.bin, c, rc, n, nr,
+      |    (c + 0.5) / (n + 20.0) AS p,
+      |    (rc + 0.5) / (nr + 20.0) AS q,
+      |    sum(c) OVER (PARTITION BY grid.source ORDER BY grid.bin) / CAST(n AS DOUBLE) AS cum_p,
+      |    sum(rc) OVER (PARTITION BY grid.source ORDER BY grid.bin) / CAST(nr AS DOUBLE) AS cum_q
+      |  FROM grid JOIN tot ON tot.source = grid.source)
+      |SELECT source AS "group", CAST(max(n) AS BIGINT) AS n,
+      |  round(sum((p - q) * ln(p / q)), 6) AS psi,
+      |  round(max(abs(cum_p - cum_q)), 6) AS ks
+      |FROM x GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
     "q_overlap_join" -> qOverlapJoin,
@@ -702,7 +738,8 @@ object PipelineQueries {
     "ann_pca" -> annPca,
     "ann_opq" -> annOpq,
     "q_pca_variance" -> qPcaVariance,
-    "q_pca_outlier" -> qPcaOutlier)
+    "q_pca_outlier" -> qPcaOutlier,
+    "q_drift" -> qDrift)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
@@ -719,5 +756,6 @@ object PipelineQueries {
     "ann_pca" -> annPcaSql,
     "ann_opq" -> QueryCatalog.annTopKSql,
     "q_pca_variance" -> qPcaVarianceSql,
-    "q_pca_outlier" -> qPcaOutlierSql)
+    "q_pca_outlier" -> qPcaOutlierSql,
+    "q_drift" -> qDriftSql)
 }
