@@ -277,4 +277,11 @@ object functions {
   /** Flat m·k ADC lookup table for a query vector. */
   def pq_lut(qvec: Column, books: Array[Array[Array[Double]]]): Column =
     col(PqLutExpr(expr(qvec), books))
+
+  /** Matrix-vector rotation with the matrix as one reference object
+    * (O(1) generated code in the matrix size); optional unit-normalize
+    * and augmented-layout append-1 — see [[RotateProjectExpr]]. */
+  def rotate_project(vec: Column, matrix: Array[Array[Double]],
+      normalize: Boolean = false, appendEvery: Int = 0): Column =
+    col(RotateProjectExpr(expr(vec), matrix, normalize, appendEvery))
 }

@@ -50,18 +50,34 @@ object Drift {
     *         6-dp statistics, deterministic.
     */
   def driftByGroup(df: DataFrame, groupCol: String, value: Column,
-      lo: Double, hi: Double, nBins: Int): DataFrame = {
-    val binned = df.select(col(groupCol).as("group"),
-      binCol(value, lo, hi, nBins).as("bin"))
-    val groupCounts = binned.groupBy(col("group"), col("bin"))
+      lo: Double, hi: Double, nBins: Int): DataFrame =
+    fromCounts(binnedCounts(df, groupCol, value, lo, hi, nBins), nBins)
+
+  /** The only data-sized pass: exact per-(group, bin) counts. This is
+    * also a valid COMPLETE-mode streaming aggregate (counts merge
+    * exactly), which is how [[graft.streaming.DriftStream]] gets its
+    * twin for free — see [[fromCounts]]. */
+  def binnedCounts(df: DataFrame, groupCol: String, value: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame =
+    df.select(col(groupCol).as("group"), binCol(value, lo, hi, nBins).as("bin"))
+      .groupBy(col("group"), col("bin"))
       .agg(count(lit(1)).as("c"))
-    val refCounts = binned.groupBy(col("bin")).agg(count(lit(1)).as("rc"))
-    val groups = binned.select(col("group")).distinct()
-    val bins = df.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
+
+  /** Both statistics from the exact (group, bin, c) count relation —
+    * a pure function of the counts, which is the twin contract: batch
+    * and stream feed the SAME finishing step, so stream ≡ batch is
+    * structural. The reference distribution is the per-bin sum over
+    * all groups (= the full table). Bounded relation throughout
+    * (≤ nBins rows per group). */
+  def fromCounts(counts: DataFrame, nBins: Int): DataFrame = {
+    val refCounts = counts.groupBy(col("bin")).agg(sum(col("c")).as("rc"))
+    val groups = counts.select(col("group")).distinct()
+    val bins = counts.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
     // complete grid: every (group, bin), zero-filled — both statistics
     // need absent bins present (smoothed PSI mass, CDF steps)
     val grid = groups.crossJoin(broadcast(bins))
-      .join(groupCounts, Seq("group", "bin"), "left")
+      .join(counts, Seq("group", "bin"), "left")
       .join(broadcast(refCounts), Seq("bin"), "left")
       .select(col("group"), col("bin"),
         coalesce(col("c"), lit(0L)).as("c"),

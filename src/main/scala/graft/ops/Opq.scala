@@ -94,40 +94,31 @@ object Opq {
     buckets.toSeq.flatMap(_.reverse)
   }
 
-  /** Pure rotation: coordinates of `vec` in the permuted eigenbasis —
-    * d codegen'd dot products against literal eigenvectors, NO
-    * centering, cast to float (the shape [[PqIndex]]'s LUT/ADC path
-    * scans). Used raw for query LUTs (a query's uniform scale cannot
-    * change its ranking). */
-  def rotateCol(vec: Column, basis: Seq[Pca.Component], order: Seq[Int]): Column = {
-    array(rotatedCoords(vec, basis, order): _*)
+  /** The rotation matrix: eigenvectors as rows, in allocation order. */
+  private def rotationMatrix(basis: Seq[Pca.Component],
+      order: Seq[Int]): Array[Array[Double]] = {
+    val byComponent = basis.map(c => c.component -> c).toMap
+    order.map(i => byComponent(i).evec).toArray
   }
 
-  private def rotatedCoords(vec: Column, basis: Seq[Pca.Component],
-      order: Seq[Int]): Seq[Column] = {
-    val byComponent = basis.map(c => c.component -> c).toMap
-    order.map { i =>
-      Similarity.dot(vec, array(byComponent(i).evec.map(lit).toIndexedSeq: _*))
-        .cast("float")
-    }
-  }
+  /** Pure rotation: coordinates of `vec` in the permuted eigenbasis —
+    * ONE [[graft.functions.RotateProjectExpr]] matvec with the matrix
+    * as a reference object (d² literal dot subtrees Janino-compiled per
+    * action dominated `ann_opq` before), NO centering, float output
+    * (the shape [[PqIndex]]'s LUT/ADC path scans). Used raw for query
+    * LUTs (a query's uniform scale cannot change its ranking). */
+  def rotateCol(vec: Column, basis: Seq[Pca.Component], order: Seq[Int]): Column =
+    graft.functions.functions.rotate_project(vec, rotationMatrix(basis, order))
 
   /** Unit-normalized rotated vector (rotation preserves the norm, so
-    * the divisor is the ORIGINAL vector's norm — one extra dot), with a
-    * constant-1 coordinate appended per subspace: the augmented layout
-    * whose argmax-dot against [[augment]]ed codebooks is exact L2
+    * the divisor is the ORIGINAL vector's norm), with a constant-1
+    * coordinate appended per subspace: the augmented layout whose
+    * argmax-dot against [[augment]]ed codebooks is exact L2
     * nearest-centroid assignment. Zero vectors pass through unscaled. */
   private[ops] def encodeVecCol(vec: Column, basis: Seq[Pca.Component],
-      order: Seq[Int], m: Int): Column = {
-    val d = order.length
-    val dsub = d / m
-    val nrm = Similarity.l2norm(vec)
-    val safe = when(nrm > 0, nrm).otherwise(lit(1.0))
-    val coords = rotatedCoords(vec, basis, order)
-      .map(c => (c / safe).cast("float"))
-    val augmented = coords.grouped(dsub).flatMap(_ :+ lit(1.0f)).toSeq
-    array(augmented: _*)
-  }
+      order: Seq[Int], m: Int): Column =
+    graft.functions.functions.rotate_project(vec, rotationMatrix(basis, order),
+      normalize = true, appendEvery = order.length / m)
 
   /** Encode-side codebooks: each centroid gains the −‖c‖²/2 coordinate
     * that linearizes L2 assignment into argmax-dot. NEVER used for
@@ -155,11 +146,10 @@ object Opq {
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val dsub = d / m
     val order = allocate(basis.sortBy(_.component).map(_.eigenvalue), m)
-    val nrm = Similarity.l2norm(col("vec"))
-    val safe = when(nrm > 0, nrm).otherwise(lit(1.0))
+    val mat = rotationMatrix(basis, order)
     val unit = corpus.select(col("id"),
-      array(rotatedCoords(col("vec"), basis, order)
-        .map(c => (c / safe).cast("float")): _*).as("v"))
+      graft.functions.functions.rotate_project(col("vec"), mat,
+        normalize = true).as("v"))
 
     val seeds = unit.orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select(col("v")).collect()
@@ -168,9 +158,11 @@ object Opq {
     var cb = PqIndex.Codebooks(m, dsub,
       Array.tabulate(m)(mi => seeds.map(_.slice(mi * dsub, (mi + 1) * dsub))))
 
-    val aug = unit.select(col("v"),
-      array((0 until d).grouped(dsub).flatMap(g =>
-        g.map(i => element_at(col("v"), i + 1)) :+ lit(1.0f)).toSeq: _*).as("av"))
+    val aug = corpus.select(
+      graft.functions.functions.rotate_project(col("vec"), mat,
+        normalize = true).as("v"),
+      graft.functions.functions.rotate_project(col("vec"), mat,
+        normalize = true, appendEvery = dsub).as("av"))
     (1 to iters).foreach { _ =>
       val means = aug
         .select(PqIndex.encode(col("av"), augment(cb)).as("cells"),
