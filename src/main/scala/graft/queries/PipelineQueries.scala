@@ -721,6 +721,44 @@ object PipelineQueries {
       |  round(max(abs(cum_p - cum_q)), 6) AS ks
       |FROM x GROUP BY source ORDER BY source""".stripMargin
 
+  /** Prefix-filtered EXACT Jaccard similarity join
+    * ([[graft.ops.Dedup.prefixJaccardJoin]]): every document pair with
+    * 3-gram Jaccard >= 0.6, found sub-quadratically (global-rarity
+    * prefixes -> candidate join -> exact verify) with no lossy
+    * frequency cap. The oracle is the BRUTE-FORCE all-pairs join —
+    * passing means the prefix filter provably lost nothing on this
+    * corpus. The quadratic diagnostic `dedup_jaccard_top` remains the
+    * documented contrast. */
+  val dedupJaccardJoin: Q = (s, dir) =>
+    graft.ops.Dedup.prefixJaccardJoin(Tables.documents(s, dir), "doc_id",
+        "text", threshold = 0.6)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+
+  val dedupJaccardJoinSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(t) >= 3
+      |        THEN unnest(list_transform(range(1, len(t) - 1),
+      |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |        ELSE unnest([array_to_string(t, ' ')]) END AS sh
+      |    FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2,
+      |  round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = id1
+      |JOIN sizes s2 ON s2.doc_id = id2
+      |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6
+      |ORDER BY id1, id2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
     "q_overlap_join" -> qOverlapJoin,
@@ -739,7 +777,8 @@ object PipelineQueries {
     "ann_opq" -> annOpq,
     "q_pca_variance" -> qPcaVariance,
     "q_pca_outlier" -> qPcaOutlier,
-    "q_drift" -> qDrift)
+    "q_drift" -> qDrift,
+    "dedup_jaccard_join" -> dedupJaccardJoin)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
@@ -757,5 +796,6 @@ object PipelineQueries {
     "ann_opq" -> QueryCatalog.annTopKSql,
     "q_pca_variance" -> qPcaVarianceSql,
     "q_pca_outlier" -> qPcaOutlierSql,
-    "q_drift" -> qDriftSql)
+    "q_drift" -> qDriftSql,
+    "dedup_jaccard_join" -> dedupJaccardJoinSql)
 }
