@@ -251,4 +251,41 @@ object Sampling {
       .select(col("group"), col("n_docs"), col("weight"), col("target"),
         col("rate"))
   }
+
+  /** Leakage-safe train/val/test split: the split is assigned to the
+    * near-dup COMPONENT, not the document — every member of a SimHash
+    * cluster lands in the same split, so test-set leakage through
+    * near-duplicates (the failure mode Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 documents:
+    * eval examples whose near-copies sit in train) is impossible BY
+    * CONSTRUCTION, not by post-hoc filtering.
+    *
+    * Mechanics: [[Dedup.simhashComponents]] labels every doc with its
+    * near-dup component (min doc id — deterministic), and the split is
+    * the seeded md5-60 uniform OF THE COMPONENT against cumulative
+    * fraction cuts. Both halves are engine-portable (the md5-60
+    * signature path + the label-fixpoint replay the `dedup_cluster`
+    * oracle already runs), so the full split assignment is
+    * DuckDB-replayable (`q_split_leakage`).
+    *
+    * Scale shape: the component labeling is the SimHash pipeline
+    * (banded signatures, star edges, bounded label-fixpoint — no
+    * quadratic stage); the split itself is one hash per component and
+    * a broadcast-size join column. Singleton docs (the overwhelming
+    * majority) are their own component, so the split fractions converge
+    * to the requested cuts at corpus scale.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      trainFrac: Double, valFrac: Double, seed: String = "split"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"need 0 < trainFrac and trainFrac + valFrac < 1, got $trainFrac + $valFrac")
+    val comps = Dedup.simhashComponents(df, idCol, textCol, maxDist = 3,
+      tokenHash = Dedup.md5TokenHash60, bits = 60, bands = 4)
+    val u = hashUniform(col("component"), seed)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("split",
+        when(u < trainFrac, lit("train"))
+          .when(u < trainFrac + valFrac, lit("val"))
+          .otherwise(lit("test")))
+  }
 }

@@ -759,6 +759,77 @@ object PipelineQueries {
       |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6
       |ORDER BY id1, id2""".stripMargin
 
+  /** Leakage-safe train/val/test split
+    * ([[graft.ops.Sampling.leakageSafeSplit]]): the split is a seeded
+    * md5-60 uniform of the near-dup COMPONENT, so a cluster can never
+    * straddle splits — no eval example has a near-copy in train, by
+    * construction. The oracle replays the ENTIRE chain: md5-60 SimHash
+    * signatures, banded star edges, Hamming verification, the
+    * label-fixpoint components (the `dedup_cluster` recursive replay),
+    * the component uniform, the fraction cuts, and the rollup. */
+  val qSplitLeakage: Q = (s, dir) =>
+    graft.ops.Sampling.leakageSafeSplit(Tables.documents(s, dir), "doc_id",
+        "text", trainFrac = 0.8, valFrac = 0.1)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"))
+      .orderBy(col("split"), col("lang"))
+
+  val qSplitLeakageSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val sums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
+    val recomb = (0 until 60).map(j =>
+      s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val bandExprs = (0 until 4).map(b => s"(sig >> ${b * 15}) & 32767").mkString(", ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)),
+       |hashed AS (
+       |  SELECT doc_id, ($hexVal) AS h
+       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
+       |counts AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id AS id, CAST($recomb AS BIGINT) AS sig FROM counts),
+       |banded AS (
+       |  SELECT id, band, bucket FROM (
+       |    SELECT id, unnest([$bandExprs]) AS bucket, unnest([0, 1, 2, 3]) AS band
+       |    FROM sigs)),
+       |mins AS (SELECT band, bucket, min(id) AS root FROM banded GROUP BY band, bucket),
+       |star AS (
+       |  SELECT DISTINCT b.id, m.root
+       |  FROM banded b JOIN mins m ON m.band = b.band AND m.bucket = b.bucket
+       |  WHERE b.id <> m.root),
+       |verified AS (
+       |  SELECT a.id, s.root FROM star s
+       |  JOIN sigs a ON a.id = s.id JOIN sigs r ON r.id = s.root
+       |  WHERE bit_count(xor(a.sig, r.sig)) <= 3),
+       |edges AS (
+       |  SELECT id AS src, root AS dst FROM verified
+       |  UNION SELECT root, id FROM verified),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM sigs
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |withu AS (
+       |  SELECT d.doc_id, d.lang, c.component,
+       |    ($hexVal) / 1152921504606846976.0 AS u
+       |  FROM documents d JOIN comp c ON c.id = d.doc_id
+       |  JOIN (SELECT id, substring(md5('split' || CAST(component AS VARCHAR)), 1, 15) AS h15
+       |        FROM comp) hh ON hh.id = d.doc_id),
+       |labeled AS (
+       |  SELECT lang, component,
+       |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM withu)
+       |SELECT split, lang, count(*) AS n_docs,
+       |  count(DISTINCT component) AS n_components
+       |FROM labeled GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
     "q_overlap_join" -> qOverlapJoin,
@@ -778,7 +849,8 @@ object PipelineQueries {
     "q_pca_variance" -> qPcaVariance,
     "q_pca_outlier" -> qPcaOutlier,
     "q_drift" -> qDrift,
-    "dedup_jaccard_join" -> dedupJaccardJoin)
+    "dedup_jaccard_join" -> dedupJaccardJoin,
+    "q_split_leakage" -> qSplitLeakage)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
@@ -797,5 +869,6 @@ object PipelineQueries {
     "q_pca_variance" -> qPcaVarianceSql,
     "q_pca_outlier" -> qPcaOutlierSql,
     "q_drift" -> qDriftSql,
-    "dedup_jaccard_join" -> dedupJaccardJoinSql)
+    "dedup_jaccard_join" -> dedupJaccardJoinSql,
+    "q_split_leakage" -> qSplitLeakageSql)
 }
