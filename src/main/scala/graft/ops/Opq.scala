@@ -182,6 +182,35 @@ object Opq {
     Model(order, cb)
   }
 
+  /** Ingest-time half, mirroring [[PqIndex.writeEncoded]]: store
+    * (id, codes, vec) — rotated L2 codes and the ORIGINAL vectors in
+    * one parquet, so the ADC pass prunes to the m-bytes-per-row codes
+    * column and the re-rank fetches original vectors for shortlist
+    * rows only. The rotation runs once, at write time — the FAISS
+    * `OPQMatrix` pre-transform amortization. */
+  def writeEncoded(corpus: DataFrame, basis: Seq[Pca.Component],
+      model: Model, path: String): Unit =
+    corpus.select(col("id"),
+        PqIndex.encode(encodeVecCol(col("vec"), basis, model.order, model.cb.m),
+          augment(model.cb)).as("codes"),
+        col("vec"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a [[writeEncoded]] corpus: only the query rotates at probe
+    * time; the ADC stage reads (id, codes) alone (OpqSpec gates the
+    * ReadSchema like PqIndexSpec), the re-rank reads original vectors
+    * for shortlist rows. */
+  def topKEncoded(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, basis: Seq[Pca.Component], model: Model,
+      k: Int, shortlist: Int): DataFrame = {
+    val stored = spark.read.parquet(path)
+    val rotatedQueries = queries.select(col("qid"),
+      rotateCol(col("qvec"), basis, model.order).as("qvec"))
+    val short = PqIndex.adcShortlist(stored.select(col("id"), col("codes")),
+      rotatedQueries, model.cb, shortlist)
+    PqIndex.rerank(short, queries, stored.select(col("id"), col("vec")), k)
+  }
+
   /** OPQ top-k: L2-encode the rotated corpus, ADC scan + shortlist with
     * the rotated queries against the PLAIN codebooks, exact cosine
     * re-rank on the ORIGINAL vectors (identical tie-break and scoring

@@ -93,6 +93,30 @@ class OpqSpec extends SparkSpec {
       s"L2 assignment should use most of the codebook per subspace: ${used.mkString(",")}")
   }
 
+  test("encoded corpus: probe ≡ inline, ADC pass never reads the vectors") {
+    val data = planted(150, 16, 4, seed = 23L)
+    val df = data.toDF("id", "v")
+    val basis = Pca.trainBasis(df, "v", 16)
+    val queries = df.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val corpus = df.filter(col("id") >= 3)
+      .select(col("id").as("id"), col("v").as("vec"))
+    val model = Opq.train(corpus, basis, m = 4, k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("opqidx").toFile.getAbsolutePath
+    Opq.writeEncoded(corpus, basis, model, path)
+    val got = Opq.topKEncoded(spark, path, queries, basis, model, k = 5, shortlist = 30)
+    val inline = Opq.topK(queries, corpus, basis, model, k = 5, shortlist = 30)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(key(got) == key(inline), "encoded probe ≡ inline probe")
+    val plan = got.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("vec")),
+      s"no codes-only scan found:\n$plan")
+    assert(schemas.forall(s => !(s.contains("codes") && s.contains("vec"))),
+      s"a scan reads codes AND vectors — ADC pass not pruned:\n$plan")
+  }
+
   test("rotation lifts pruned-shortlist recall on anisotropic data") {
     val data = planted(305, 16, 4, seed = 13L)
     val df = data.toDF("id", "v")
