@@ -755,13 +755,16 @@ object Dedup {
     * everywhere). Exposed for the spec's candidate-count accounting. */
   private[ops] def rarityPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // one id-partitioned window pass supplies BOTH the rarity rank and
+    // the set size (the size is the partition row count) — no separate
+    // sizes aggregation + join on the data-sized relation
     val w = Window.partitionBy(col("id")).orderBy(col("freq"), col("shingle"))
+    val wAll = Window.partitionBy(col("id"))
     sh.join(freq, Seq("shingle"))
       .withColumn("pos", row_number().over(w))
-      .join(sizes, Seq("id"))
+      .withColumn("sz", count(lit(1)).over(wAll))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("id"), col("shingle"), col("sz"))
+      .select(col("id"), col("shingle"), col("sz"), col("pos"))
   }
 
   /** Exact Jaccard similarity join via PREFIX FILTERING (the
@@ -795,14 +798,33 @@ object Dedup {
       threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val sh = shingles(df, idCol, textCol, n).persist()
+    // 8-byte shingle HASHES, not strings: every downstream pass (the
+    // rarity sort, both candidate-join sides, both verify sides) keys
+    // on the shingle, and long keys sort/hash at a fraction of the
+    // 3-word-string cost. Jaccard over hash sets equals Jaccard over
+    // string sets modulo 64-bit collisions (~n²/2⁶⁴ — the documented
+    // [[shingleHashes]] trade the whole LSH path already makes); the
+    // rarity order becomes (freq, hash) — a different but equally
+    // total global order, which is all completeness needs.
+    val sh = shingleHashes(df, idCol, textCol, n).persist()
     try {
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
       val prefix = rarityPrefix(sh, threshold)
+      // PPJoin's POSITIONAL filter (Xiao et al. WWW'08 §3.2), lossless:
+      // a pair sharing the prefix shingle at ranks (posA, posB) has at
+      // most 1 + min(szA−posA, szB−posB) total overlap (everything
+      // before the shared shingle in either rarity order is disjoint —
+      // else an earlier shared shingle would exist), and J ≥ t needs
+      // overlap ≥ t/(1+t)·(szA+szB); candidates that cannot reach the
+      // bound never enter verification.
+      val bestOverlap = lit(1) +
+        least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
+      val needed = lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz"))
       val cands = prefix.as("a").join(prefix.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
             least(col("a.sz"), col("b.sz")) >=
-              lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+              lit(threshold) * greatest(col("a.sz"), col("b.sz")) &&
+            bestOverlap >= needed)
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
         .distinct()
       val s1 = sh.select(col("id").as("id1"), col("shingle"))
