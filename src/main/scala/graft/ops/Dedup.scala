@@ -808,7 +808,6 @@ object Dedup {
     // total global order, which is all completeness needs.
     val sh = shingleHashes(df, idCol, textCol, n).persist()
     try {
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
       val prefix = rarityPrefix(sh, threshold)
       // PPJoin's POSITIONAL filter (Xiao et al. WWW'08 §3.2), lossless:
       // a pair sharing the prefix shingle at ranks (posA, posB) has at
@@ -827,13 +826,28 @@ object Dedup {
             bestOverlap >= needed)
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
         .distinct()
-      val s1 = sh.select(col("id").as("id1"), col("shingle"))
-      val s2 = sh.select(col("id").as("id2"), col("shingle"))
-      val inter = cands.join(s1, Seq("id1")).join(s2, Seq("id2", "shingle"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      // Verification via per-document shingle ARRAYS, not an exploded
+      // (pair × shingle) join: the explode form shuffles |cands|·sz
+      // narrow rows (measured 3·10⁸ rows and 219 s at sf1, where
+      // GenScale's ~10-doc near-dup clusters put 6.6M pairs through
+      // verification); here each candidate costs one O(sz) native
+      // array_intersect and the doc-set relation (one ~sz·8-byte array
+      // per doc) joins by id — broadcast-sized locally, an id-keyed
+      // shuffle of |docs| rows at scale, never |cands|·sz.
+      val docSets = sh.groupBy("id")
+        .agg(sort_array(collect_list(col("shingle"))).as("set"),
+          count(lit(1)).as("sz"))
+      // the doc-set relation is |docs|-sized (~sz·8 B per row) — at
+      // local/bench scale that broadcasts (the candidate relation never
+      // shuffles); past broadcast size Spark falls back to the id-keyed
+      // shuffle join, which is the correct cluster plan anyway
+      val inter = cands
+        .join(broadcast(docSets.select(col("id").as("id1"), col("set").as("setA"),
+          col("sz").as("sz1"))), Seq("id1"))
+        .join(broadcast(docSets.select(col("id").as("id2"), col("set").as("setB"),
+          col("sz").as("sz2"))), Seq("id2"))
+        .withColumn("inter", size(array_intersect(col("setA"), col("setB"))))
       inter
-        .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
-        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
         .select(col("id1"), col("id2"),
           (col("inter").cast("double") /
             (col("sz1") + col("sz2") - col("inter")).cast("double")).as("jaccard"))
