@@ -278,6 +278,14 @@ object functions {
   def pq_lut(qvec: Column, books: Array[Array[Array[Double]]]): Column =
     col(PqLutExpr(expr(qvec), books))
 
+  /** Vector minus its assigned coarse centroid (the FAISS IVFPQ
+    * residual) — centroid matrix as one reference object; see
+    * [[CellResidualExpr]]. */
+  def cell_residual(vec: Column, cell: Column,
+      centroids: Array[Array[Double]], normalize: Boolean = false,
+      appendEvery: Int = 0): Column =
+    col(CellResidualExpr(expr(vec), expr(cell), centroids, normalize, appendEvery))
+
   /** Matrix-vector rotation with the matrix as one reference object
     * (O(1) generated code in the matrix size); optional unit-normalize
     * and augmented-layout append-1 — see [[RotateProjectExpr]]. */

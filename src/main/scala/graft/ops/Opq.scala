@@ -122,10 +122,9 @@ object Opq {
 
   /** Encode-side codebooks: each centroid gains the −‖c‖²/2 coordinate
     * that linearizes L2 assignment into argmax-dot. NEVER used for
-    * LUT/ADC scoring. */
+    * LUT/ADC scoring ([[PqIndex.augmentL2]]). */
   private[ops] def augment(cb: PqIndex.Codebooks): PqIndex.Codebooks =
-    PqIndex.Codebooks(cb.m, cb.dsub + 1,
-      cb.books.map(_.map(c => c :+ (-0.5 * c.map(x => x * x).sum))))
+    PqIndex.augmentL2(cb)
 
   /** L2 codes for the corpus: (id, codes) via the augmented layout. */
   private def encodeL2(corpus: DataFrame, basis: Seq[Pca.Component],
@@ -151,35 +150,7 @@ object Opq {
       graft.functions.functions.rotate_project(col("vec"), mat,
         normalize = true).as("v"))
 
-    val seeds = unit.orderBy(xxhash64(col("id")), col("id")).limit(k)
-      .select(col("v")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(seeds.nonEmpty, "empty corpus")
-    var cb = PqIndex.Codebooks(m, dsub,
-      Array.tabulate(m)(mi => seeds.map(_.slice(mi * dsub, (mi + 1) * dsub))))
-
-    val aug = corpus.select(
-      graft.functions.functions.rotate_project(col("vec"), mat,
-        normalize = true).as("v"),
-      graft.functions.functions.rotate_project(col("vec"), mat,
-        normalize = true, appendEvery = dsub).as("av"))
-    (1 to iters).foreach { _ =>
-      val means = aug
-        .select(PqIndex.encode(col("av"), augment(cb)).as("cells"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .withColumn("sub", (col("pos") / dsub).cast("int"))
-        .withColumn("cell", element_at(col("cells"), col("sub") + 1))
-        .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("mean"))
-        .collect()
-      val next = cb.books.map(_.map(_.clone()))
-      means.foreach { r =>
-        val (s, cell, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
-        next(s)(cell)(pos - s * dsub) = r.getDouble(3)
-      }
-      cb = PqIndex.Codebooks(m, dsub, next)
-    }
-    Model(order, cb)
+    Model(order, PqIndex.lloydL2(unit, d, m, k, iters))
   }
 
   /** Ingest-time half, mirroring [[PqIndex.writeEncoded]]: store

@@ -151,6 +151,60 @@ object PqIndex {
     cb
   }
 
+  /** Encode-side codebooks for TRUE L2 nearest-centroid assignment:
+    * each centroid gains a −‖c‖²/2 coordinate, linearizing argmin-L2
+    * into the existing codegen'd argmax-dot against a vector augmented
+    * with a constant-1 per subspace (the [[graft.ops.Opq]] trick,
+    * shared by [[graft.ops.ResidualPq]]). NEVER used for LUT/ADC. */
+  private[ops] def augmentL2(cb: Codebooks): Codebooks =
+    Codebooks(cb.m, cb.dsub + 1,
+      cb.books.map(_.map(c => c :+ (-0.5 * c.map(x => x * x).sum))))
+
+  /** The augmented layout from a materialized vector column: the
+    * subvector coordinates with a 1.0f after every `dsub` of them. */
+  private[ops] def augmentVecCol(v: Column, dim: Int, dsub: Int): Column =
+    array((0 until dim).grouped(dsub).flatMap(g =>
+      g.map(i => element_at(v, i + 1)) :+ lit(1.0f)).toSeq: _*)
+
+  /** Lloyd with TRUE L2 code assignment — for vector families where the
+    * scale-invariant argmax-dot assignment of [[train]] degenerates
+    * (near-1D rotated subspaces in OPQ; zero-centered residuals in
+    * residual PQ). Same one-distributed-aggregation-per-iteration
+    * shape; deterministic (id-hash seed rows, fixed iterations, empty
+    * cells keep their previous centroid).
+    *
+    * @param vecs (id, v: array<float>) with exactly `dim` elements
+    */
+  private[ops] def lloydL2(vecs: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int): Codebooks = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val seeds = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.nonEmpty, "empty corpus")
+    var cb = Codebooks(m, dsub,
+      Array.tabulate(m)(mi => seeds.map(_.slice(mi * dsub, (mi + 1) * dsub))))
+    val aug = vecs.select(col("v"), augmentVecCol(col("v"), dim, dsub).as("av"))
+    (1 to iters).foreach { _ =>
+      val means = aug
+        .select(encode(col("av"), augmentL2(cb)).as("cells"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("sub", (col("pos") / dsub).cast("int"))
+        .withColumn("cell", element_at(col("cells"), col("sub") + 1))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mean"))
+        .collect()
+      val next = cb.books.map(_.map(_.clone()))
+      means.foreach { r =>
+        val (sub, cell, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(sub)(cell)(pos - sub * dsub) = r.getDouble(3)
+      }
+      cb = Codebooks(m, dsub, next)
+    }
+    cb
+  }
+
   /** The codebook-form dispatch, shared by every encode/LUT site:
     * below the cutover (total centroids m·k) the reference-object
     * expressions; at or above it the [[PqRelation]] broadcast-relation

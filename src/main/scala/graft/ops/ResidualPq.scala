@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Residual-encoded IVF-PQ — the full FAISS IVFADC (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+  * §IV-A): PQ-encode each vector's RESIDUAL from its coarse centroid,
+  * v − c(v), instead of the raw vector. [[IvfPq]] composes the two
+  * quantizers but encodes absolute positions, so its codebooks spend
+  * capacity re-describing WHERE each cell sits — information the cell
+  * id already carries. Residuals are zero-centered within-cell offsets
+  * with far smaller spread, so the same m×k' code budget buys a much
+  * finer reconstruction, and the ADC estimator becomes
+  *
+  *   score(q, v) ≈ q · (c(v) + r̂(v)) = q·c(v)  +  Σ LUT[sub][code]
+  *                   \__ exact, one lookup __/   \__ m lookups __/
+  *
+  * — the per-cell q·c term is EXACT (one `rotate_project` of the query
+  * against the centroid matrix, one `element_at` per probed cell) and
+  * only the residual is approximated.
+  *
+  * Code assignment is TRUE L2 ([[PqIndex.lloydL2]] + the augmented-
+  * coordinate encode): residuals are zero-centered, exactly the family
+  * where the scale-invariant argmax-dot assignment collapses (all
+  * directions present, magnitudes load-bearing — the [[Opq]] lesson).
+  *
+  * Index layout and probe mechanics are [[IvfPq]]'s verbatim:
+  * `cell=<i>/…(id, codes, vec)`, partition-pruned probes, codes-only
+  * ADC scan, two-phase shortlist, exact re-rank on original vectors —
+  * so the same exhaustive-mode argument oracle-gates `ann_ivfpq_res`
+  * (all cells probed + uncapped shortlist ≡ brute force). Quantizer
+  * shapes here stay below the [[QuantizerRelation.CutoverCells]]
+  * reference-object bound; a large-k residual index would route the
+  * assignment and encode through the broadcast-relation forms exactly
+  * as [[IvfPq.writeIndex]] does.
+  */
+object ResidualPq {
+
+  /** Train residual codebooks: assign coarse cells, subtract the cell
+    * centroid ([[graft.functions.CellResidualExpr]] — centroid matrix
+    * as one reference object), Lloyd with L2 assignment on the
+    * residuals. Deterministic end to end. */
+  def trainCodebooks(corpus: DataFrame, centroids: Array[Array[Double]],
+      m: Int = 8, k: Int = 16, iters: Int = 2): PqIndex.Codebooks = {
+    val dim = centroids(0).length
+    val resid = IvfIndex.assignCells(
+        corpus.select(col("id"), col("vec")), "id", "vec", centroids)
+      .select(col("id"),
+        graft.functions.functions.cell_residual(col("vec"), col("cell"),
+          IvfIndex.unitRows(centroids), normalize = true).as("v"))
+      .filter(col("v").isNotNull)
+    PqIndex.lloydL2(resid, dim, m, k, iters)
+  }
+
+  /** (cell, id, codes, vec): cells via the coarse quantizer, codes via
+    * the L2-assigned residual encode — the augmented residual is ONE
+    * fused expression, so the write-time scan stays a flat projection. */
+  private[ops] def encoded(corpus: DataFrame, centroids: Array[Array[Double]],
+      cb: PqIndex.Codebooks): DataFrame = {
+    val assigned = IvfIndex.assignCells(
+      corpus.select(col("id"), col("vec")), "id", "vec", centroids)
+    assigned.select(col("cell"), col("id"),
+      PqIndex.encode(
+        graft.functions.functions.cell_residual(col("vec"), col("cell"),
+          IvfIndex.unitRows(centroids), normalize = true,
+          appendEvery = cb.dsub),
+        PqIndex.augmentL2(cb)).as("codes"),
+      col("vec"))
+  }
+
+  /** Ingest-time: residual-encode and store partitioned by cell —
+    * [[IvfPq.writeIndex]]'s layout (incl. the cluster-by-cell write). */
+  def writeIndex(corpus: DataFrame, centroids: Array[Array[Double]],
+      cb: PqIndex.Codebooks, path: String): Unit =
+    encoded(corpus, centroids, cb)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe: [[IvfPq.topK]]'s pipeline plus the exact q·centroid term —
+    * the query's dot with EVERY cell centroid is one reference-object
+    * matvec, and each probed (qid, cell) row picks its term with an
+    * `element_at`. */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+      centroids: Array[Array[Double]], cb: PqIndex.Codebooks,
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val qb = queries.select(col("qid"),
+        explode(IvfIndex.probeCells(col("qvec"), centroids, nProbe)).as("cell"),
+        graft.functions.functions.rotate_project(col("qvec"),
+          IvfIndex.unitRows(centroids)).as("qcAll"),
+        PqIndex.lut(col("qvec"), cb).as("lut"))
+      .withColumn("qc", element_at(col("qcAll"), col("cell") + 1))
+      .drop("qcAll")
+    val probed = qb.select("cell").distinct().collect().map(_.getInt(0))
+    val stored = spark.read.parquet(path)
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+    val scored = stored.select(col("cell"), col("id"), col("codes"))
+      .join(broadcast(qb), Seq("cell"))
+      .withColumn("adc",
+        col("qc") + PqIndex.adcScore(col("codes"), col("lut"), cb.m, cb.k))
+    val shortIds = Similarity.rankPerQuery(scored, col("adc"), shortlist)
+      .select(col("qid"), col("id"))
+    PqIndex.rerank(shortIds, queries, stored.select(col("id"), col("vec")), k)
+  }
+}

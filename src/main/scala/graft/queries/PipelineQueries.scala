@@ -830,6 +830,29 @@ object PipelineQueries {
        |ORDER BY split, lang""".stripMargin
   }
 
+  /** Residual-encoded IVF-PQ ([[graft.ops.ResidualPq]] — the full
+    * FAISS IVFADC): codes quantize the unit-sphere residual from the
+    * coarse centroid, the ADC score adds the EXACT per-cell q·c term.
+    * All cells probed + uncapped shortlist ≡ brute force — the
+    * `ann_ivfpq` gate; the recall advantage over raw encoding at a
+    * pruned shortlist is ResidualPqSpec's clustered-data property. */
+  val annIvfPqRes: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val cb = graft.ops.ResidualPq.trainCodebooks(corpus, centroids,
+      m = 8, k = 16, iters = 2)
+    val path = graft.Staging.dirFor("ivfpqres-q")
+    graft.ops.ResidualPq.writeIndex(corpus, centroids, cb, path)
+    graft.ops.ResidualPq.topK(s, path, queries, centroids, cb,
+        k = 10, nProbe = 8, shortlist = Int.MaxValue)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_range_join" -> qRangeJoin,
     "q_overlap_join" -> qOverlapJoin,
@@ -850,7 +873,8 @@ object PipelineQueries {
     "q_pca_outlier" -> qPcaOutlier,
     "q_drift" -> qDrift,
     "dedup_jaccard_join" -> dedupJaccardJoin,
-    "q_split_leakage" -> qSplitLeakage)
+    "q_split_leakage" -> qSplitLeakage,
+    "ann_ivfpq_res" -> annIvfPqRes)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
@@ -870,5 +894,6 @@ object PipelineQueries {
     "q_pca_outlier" -> qPcaOutlierSql,
     "q_drift" -> qDriftSql,
     "dedup_jaccard_join" -> dedupJaccardJoinSql,
-    "q_split_leakage" -> qSplitLeakageSql)
+    "q_split_leakage" -> qSplitLeakageSql,
+    "ann_ivfpq_res" -> QueryCatalog.annTopKSql)
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Residual-encoded IVF-PQ: exactness in exhaustive mode, the
+  * residual-fidelity advantage over raw encoding, and the residual
+  * expression itself. */
+class ResidualPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered corpus: `nClusters` well-separated centers, small
+    * within-cluster spread — the regime where absolute-position PQ
+    * wastes its codebooks re-describing cell locations. */
+  private def clustered(n: Int, dim: Int, nClusters: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters)(Array.fill(dim)((rnd.nextDouble() - 0.5) * 4.0))
+    (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => (x + (rnd.nextDouble() - 0.5) * 2.0).toFloat).toSeq)
+    }
+  }
+
+  private def key(d: org.apache.spark.sql.DataFrame) =
+    d.select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+
+  test("cell residual + centroid reconstructs the vector; degenerate input is null") {
+    val cents = Array(Array(1.0, 2.0, 3.0), Array(-1.0, 0.0, 4.0))
+    val df = Seq(
+      (0L, Seq(1.5f, 1.5f, 3.5f), 0),
+      (1L, Seq(-2.0f, 1.0f, 4.0f), 1),
+      (2L, Seq(0.5f), 0)).toDF("id", "v", "cell")
+    val out = df.select(col("id"),
+        graft.functions.functions.cell_residual(col("v"), col("cell"), cents).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Float](1)).map(_.toSeq)).toMap
+    assert(out(0L).get == Seq(0.5f, -0.5f, 0.5f))
+    assert(out(1L).get == Seq(-1.0f, 1.0f, 0.0f))
+    assert(out(2L).isEmpty, "short vector must yield null")
+    // augmented layout interleaves the constant-1 per dsub coordinates
+    val aug = df.filter(col("id") === 0L)
+      .select(graft.functions.functions.cell_residual(col("v"), col("cell"),
+        cents, appendEvery = 3).as("r"))
+      .collect().head.getSeq[Float](0).toSeq
+    assert(aug == Seq(0.5f, -0.5f, 0.5f, 1.0f))
+  }
+
+  test("all cells probed + uncapped shortlist is exactly brute force") {
+    val data = clustered(160, 16, 8, seed = 41L)
+    val df = data.toDF("id", "v")
+    val queries = df.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val corpus = df.filter(col("id") >= 4)
+      .select(col("id").as("id"), col("v").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val cb = ResidualPq.trainCodebooks(corpus, centroids, m = 4, k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("respq").toFile.getAbsolutePath
+    ResidualPq.writeIndex(corpus, centroids, cb, path)
+    val got = key(ResidualPq.topK(spark, path, queries, centroids, cb,
+      k = 10, nProbe = 8, shortlist = Int.MaxValue))
+    val exact = key(Similarity.bruteForceTopK(queries, corpus, 10))
+    assert(got == exact)
+  }
+
+  test("residual encoding beats raw encoding at a pruned shortlist") {
+    val data = clustered(405, 16, 8, seed = 43L)
+    val df = data.toDF("id", "v")
+    val queries = df.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val corpus = df.filter(col("id") >= 5)
+      .select(col("id").as("id"), col("v").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 10)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def recall(rows: Array[(Long, Long)]): Double = {
+      val byQ = rows.groupBy(_._1)
+      exact.map { case (q, truth) =>
+        byQ.getOrElse(q, Array.empty[(Long, Long)])
+          .map(_._2).count(truth.contains).toDouble / truth.size
+      }.sum / exact.size
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("respq2").toFile.getAbsolutePath
+    // raw-encoding IvfPq with the same coarse quantizer and code budget
+    val rawCb = PqIndex.train(corpus, "id", "vec", m = 8, k = 32, iters = 3)
+    IvfPq.writeIndex(corpus, centroids, rawCb, s"$tmp/raw")
+    val raw = recall(IvfPq.topK(spark, s"$tmp/raw", queries, centroids, rawCb,
+      k = 10, nProbe = 8, shortlist = 15)
+      .select("qid", "id").as[(Long, Long)].collect())
+    val resCb = ResidualPq.trainCodebooks(corpus, centroids, m = 8, k = 32, iters = 3)
+    ResidualPq.writeIndex(corpus, centroids, resCb, s"$tmp/res")
+    val res = recall(ResidualPq.topK(spark, s"$tmp/res", queries, centroids, resCb,
+      k = 10, nProbe = 8, shortlist = 15)
+      .select("qid", "id").as[(Long, Long)].collect())
+    info(f"recall@10 shortlist=15 nProbe=all: raw=$raw%.3f residual=$res%.3f")
+    // measured: raw=0.54, residual=0.82 — the FAISS IVFADC payoff
+    assert(res >= raw + 0.15,
+      f"residual encoding must clearly beat raw: res=$res%.3f raw=$raw%.3f")
+    assert(res >= 0.8, f"residual recall floor: $res%.3f")
+  }
+}
