@@ -111,6 +111,74 @@ object Similarity {
       .select(col("qid"), col("id"), col("score"), col("rank"))
   }
 
+  /** Multi-probe query buckets (Lv et al., "Multi-Probe LSH: Efficient
+    * Indexing for High-Dimensional Similarity Search", VLDB 2007,
+    * single-bit perturbation): per table, the base bucket PLUS the
+    * `nProbes − 1` buckets reached by flipping the lowest-|margin|
+    * sign bits — the planes the vector sits closest to, i.e. the
+    * flips a true neighbor most plausibly differs by. Same recall at
+    * a FRACTION of the tables: each extra probe costs one more bucket
+    * read at query time, while an extra table costs a full extra copy
+    * of the corpus postings at ingest (SimilaritySpec measures the
+    * trade). Key format is [[lshBuckets]]'s exactly, so probed keys
+    * hit the same write-time partitions.
+    *
+    * Query-side only (queries are small by contract): the margin sort
+    * uses `sort_array`/`transform` higher-order functions, which are
+    * interpreted — never put this on the corpus side of the join
+    * (corpus rows keep the plain [[lshBuckets]] assignment). */
+  def lshProbeBuckets(vec: Column, dim: Int, bitsPerTable: Int,
+      tables: Int, nProbes: Int, seed: Long = 42L): Column = {
+    require(nProbes >= 1 && nProbes <= bitsPerTable + 1,
+      s"need 1 ≤ nProbes ≤ bitsPerTable+1, got $nProbes")
+    val planes = hyperplanes(dim, bitsPerTable * tables, seed)
+    val dots: IndexedSeq[Column] = planes.toIndexedSeq.map { p =>
+      dot(vec, array(p.map(lit).toIndexedSeq: _*))
+    }
+    val bits: IndexedSeq[Column] =
+      dots.map(d => when(d > 0, lit(1)).otherwise(lit(0)))
+    val perTable: Seq[Column] = (0 until tables).map { t =>
+      val tb = bits.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
+      val td = dots.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
+      val base = concat_ws("", (lit(t.toString) +: lit("_") +: tb): _*)
+      if (nProbes == 1) array(base)
+      else {
+        val flips = (0 until bitsPerTable).map { j =>
+          val flipped = tb.zipWithIndex.map { case (b, i) =>
+            if (i == j) lit(1) - b else b
+          }
+          struct(abs(td(j)).as("m"),
+            concat_ws("", (lit(t.toString) +: lit("_") +: flipped): _*).as("k"))
+        }
+        val chosen = slice(sort_array(array(flips: _*)), 1, nProbes - 1)
+        concat(array(base), transform(chosen, s => s.getField("k")))
+      }
+    }
+    flatten(array(perTable: _*))
+  }
+
+  /** [[lshTopK]] with multi-probe queries: corpus bucketing unchanged
+    * (one posting per table per row), each query probes `nProbes`
+    * buckets per table. `nProbes = 1` is row-identical to [[lshTopK]]. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, bitsPerTable: Int = 12, tables: Int = 6, nProbes: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val cb = corpus.withColumn("bucket",
+      explode(lshBuckets(col("vec"), dim, bitsPerTable, tables, seed)))
+    val qb = queries.withColumn("bucket",
+      explode(lshProbeBuckets(col("qvec"), dim, bitsPerTable, tables,
+        nProbes, seed)))
+    val cands = cb.select(col("bucket"), col("id"))
+      .join(broadcast(qb.select(col("bucket"), col("qid"))), Seq("bucket"))
+      .select(col("qid"), col("id"))
+      .distinct()
+      .join(broadcast(queries), Seq("qid"))
+      .join(corpus, Seq("id"))
+    rankPerQuery(cands.withColumn("score", cosine(col("qvec"), col("vec"))),
+        col("score"), k)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+  }
+
   /** Ingest-time half of the LSH ANN design: the corpus is exploded into
     * its `tables` bucket postings (the inverted-list duplication every
     * multi-table LSH index pays) and stored parquet-partitioned by

@@ -45,6 +45,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall@10 = $recall")
   }
 
+  test("multi-probe: nProbes=1 is row-identical to single-probe LSH") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 10).select($"vec_id".as("id"), $"embedding".as("vec"))
+    val single = Similarity.lshTopK(queries, corpus, k = 10, dim = 64,
+      bitsPerTable = 4, tables = 8)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val multi = Similarity.lshTopKMultiProbe(queries, corpus, k = 10, dim = 64,
+      bitsPerTable = 4, tables = 8, nProbes = 1)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(single == multi)
+  }
+
+  test("multi-probe buys back the recall of twice the tables at half the index") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 10).select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val half = recall(Similarity.lshTopK(queries, corpus, k = 10, dim = 64,
+      bitsPerTable = 4, tables = 8))
+    val full = recall(Similarity.lshTopK(queries, corpus, k = 10, dim = 64,
+      bitsPerTable = 4, tables = 16))
+    val multi = recall(Similarity.lshTopKMultiProbe(queries, corpus, k = 10,
+      dim = 64, bitsPerTable = 4, tables = 8, nProbes = 3))
+    info(f"recall@10: 8 tables=$half%.3f, 16 tables=$full%.3f, 8 tables x 3 probes=$multi%.3f")
+    assert(multi > half,
+      f"extra probes must lift recall: $multi%.3f vs $half%.3f")
+    assert(multi >= full - 0.05,
+      f"3-probe at 8 tables should match 16 tables: $multi%.3f vs $full%.3f")
+  }
+
   test("bucket-partitioned LSH corpus: probe is partition pruning, results identical") {
     val emb = Tables.embeddings(spark, sf001)
     val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
