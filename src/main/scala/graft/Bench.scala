@@ -28,27 +28,52 @@ object Bench {
       extends org.apache.spark.scheduler.SparkListener {
     val shuffle = new java.util.concurrent.atomic.AtomicLong
     val spill = new java.util.concurrent.atomic.AtomicLong
+    val gc = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spill.addAndGet(m.diskBytesSpilled)
+        gc.addAndGet(m.jvmGCTime)
       }
     }
     /** Wait for the async bus to drain: counters unchanged for two
       * consecutive 100 ms polls, capped at 3 s. */
-    def settle(): (Long, Long) = {
-      var last = (shuffle.get, spill.get)
+    def settle(): (Long, Long, Long) = {
+      var last = (shuffle.get, spill.get, gc.get)
       var quiet = 0
       var waited = 0
       while (quiet < 2 && waited < 3000) {
         Thread.sleep(100); waited += 100
-        val now = (shuffle.get, spill.get)
+        val now = (shuffle.get, spill.get, gc.get)
         if (now == last) quiet += 1 else { quiet = 0; last = now }
       }
       last
     }
+  }
+
+  /** Other java processes alive on the host at bench start — the known
+    * confounder behind wall-time inflation on identical plans (the
+    * round-13 driver record ran 1.45× the committed artifact with
+    * byte-identical shuffle maps). The bench cannot evict co-tenants;
+    * it CAN leave an audit trail: each competing JVM's cmdline head
+    * goes to stderr and the count into the artifact, so a future
+    * inflated record carries its own explanation. The forked run's own
+    * ancestor chain (sbt, and whatever launched sbt) is expected and
+    * excluded. */
+  private def competingJvms(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val ancestors = Iterator.iterate(Option(ProcessHandle.current)) {
+      _.flatMap(h => Option(h.parent.orElse(null)))
+    }.takeWhile(_.isDefined).take(16).flatMap(_.map(_.pid)).toSet
+    ProcessHandle.allProcesses().iterator().asScala
+      .filterNot(h => ancestors.contains(h.pid))
+      .flatMap { h =>
+        val cmd = h.info.commandLine.orElse(h.info.command.orElse(""))
+        if (cmd.contains("java")) Some(s"pid=${h.pid} ${cmd.take(160)}")
+        else None
+      }.toSeq
   }
 
   /** The ONE exclusion from the timing headline, by rule: a query
@@ -254,6 +279,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jvms = competingJvms()
+    jvms.foreach(j => System.err.println(s"[bench] competing JVM: $j"))
     val byteMetrics = new ByteMetricsListener
     spark.sparkContext.addSparkListener(byteMetrics)
 
@@ -308,19 +335,22 @@ object Bench {
     // still settles so its straggler task events cannot leak into the
     // next query's byte delta.
     var settled = byteMetrics.settle()
-    def timeOnce(name: String): (Double, Long, Long) = {
-      val (sh0, sp0) = settled
+    // (sec, shuffleBytes, spillBytes, taskGcMs); GC ms is the wall-
+    // time-inflation attributor — a sample whose wall runs hot WITH a
+    // hot GC delta hit memory pressure, one without hit the host.
+    def timeOnce(name: String): (Double, Long, Long, Long) = {
+      val (sh0, sp0, gc0) = settled
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         settled = byteMetrics.settle()
-        (sec, settled._1 - sh0, settled._2 - sp0)
+        (sec, settled._1 - sh0, settled._2 - sp0, settled._3 - gc0)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         settled = byteMetrics.settle()
-        (Double.PositiveInfinity, -1L, -1L)
+        (Double.PositiveInfinity, -1L, -1L, -1L)
       }
     }
     // Three timed rounds, INTERLEAVED (round 1 of every query before
@@ -334,13 +364,19 @@ object Bench {
     // Per-query bytes: min over SUCCESSFUL samples. Shuffle volume is
     // deterministic modulo AQE runtime decisions; the min is the
     // leanest plan observed and is what byte budgets would gate on.
-    def byteMin(sel: ((Double, Long, Long)) => Long): Seq[(String, Long)] =
+    def byteMin(sel: ((Double, Long, Long, Long)) => Long): Seq[(String, Long)] =
       present.flatMap { n =>
         val vs = rounds.map(_(n)).filter(s => s._1.isFinite && sel(s) >= 0).map(sel)
         if (vs.nonEmpty) Some(n -> vs.min) else None
       }
     val shuffleBytes = byteMin(_._2)
     val spillBytes = byteMin(_._3)
+    // GC ms of the WINNING (min-wall) sample per query: even the best
+    // observed run's time decomposes into compute + this.
+    val gcOfMin: Seq[(String, Long)] = present.flatMap { n =>
+      val ok = rounds.map(_(n)).filter(_._1.isFinite)
+      if (ok.isEmpty) None else Some(n -> ok.minBy(_._1)._4)
+    }
     val budgets = if (sfDir.endsWith("sf0.1")) budgetsSf01 else Map.empty[String, Double]
     val firstViolations = firstPass.filter { case (n, t) => budgets.get(n).exists(t > _) }
 
@@ -406,6 +442,20 @@ object Bench {
       extraJson ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
     extraJson ++= s""","shuffle_bytes":${objL(shuffleBytes)}"""
     extraJson ++= s""","spill_bytes":${objL(spillBytes.filter(_._2 > 0))}"""
+    // Full-artifact-only session-noise audit trail (round-13 "What's
+    // wrong" #1): every interleaved sample per query (so a divergent
+    // record shows WHICH samples inflated and by how much), the GC ms
+    // inside each query's winning sample, and the competing-JVM count
+    // observed at start (the cmdlines are on stderr).
+    extraJson ++= s""","samples":${
+      present.map { n =>
+        s"${q(n)}:" + rounds.map { r =>
+          val t = r(n)._1
+          f"${if (t.isFinite) t else 9999.0}%.3f"
+        }.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")}"""
+    extraJson ++= s""","gc_ms":${objL(gcOfMin.filter(_._2 > 0))}"""
+    extraJson ++= s""","competing_jvms":${jvms.length}"""
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(results)},"budget_violations":${obj(violations)}$extraJson,"sf":${q(sfDir)}}"""
     // Full-fidelity record (per-query 3-decimal timings + byte metrics +
@@ -427,7 +477,8 @@ object Bench {
     // per-query comparison through bench_artifact.json): flat 2dp →
     // flat 1dp → grouped-by-family 1dp (`"dedup":{"exact":0.8,…}`,
     // family = first-underscore prefix, singletons stay flat —
-    // reassemble as family_member) → grouped integer DECIseconds
+    // reassemble as family_member, a "_" member as the bare family
+    // name) → grouped integer DECIseconds
     // (`queries_ds`, value = round(10·sec)) → and only then the bare
     // count. A truncated-at-the-front JSON line parses as nothing, so
     // fitting beats fidelity; the full-precision flat map stays in the
@@ -443,11 +494,20 @@ object Bench {
       val parts = clamped.map(_._1.split("_", 2)(0)).distinct.sorted.flatMap { p =>
         val (grouped, flat) = byPrefix(p).sortBy(_._1)
           .partition(m => m._1.contains("_") && byPrefix(p).length > 1)
-        val flatParts = flat.map { case (k, v) => s"${q(k)}:${fmt(v)}" }
+        // A query named exactly the family prefix (bare "ann" next to
+        // "ann_pq") would otherwise emit BOTH a flat "ann":1.2 and the
+        // group "ann":{...} — duplicate keys a parser silently drops
+        // one of. Fold the bare entry into its group under the "_"
+        // sentinel (reassembly rule: "_" means the family name itself).
+        val (collides, flatClean) =
+          flat.partition(m => grouped.nonEmpty && m._1 == p)
+        val flatParts = flatClean.map { case (k, v) => s"${q(k)}:${fmt(v)}" }
         val groupPart =
           if (grouped.isEmpty) Nil
-          else Seq(s"${q(p)}:" + grouped.map { case (k, v) =>
-            s"${q(k.split("_", 2)(1))}:${fmt(v)}" }.mkString("{", ",", "}"))
+          else Seq(s"${q(p)}:" + (
+            collides.map { case (_, v) => s"${q("_")}:${fmt(v)}" } ++
+            grouped.map { case (k, v) =>
+              s"${q(k.split("_", 2)(1))}:${fmt(v)}" }).mkString("{", ",", "}"))
         flatParts ++ groupPart
       }
       parts.mkString("{", ",", "}")

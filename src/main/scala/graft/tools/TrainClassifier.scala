@@ -72,8 +72,13 @@ object TrainClassifier {
       val ruleWrongIds = holdWithRule.filter(col("rule_y") =!= col("y"))
         .select("id", "y")
       val nRuleWrong = ruleWrongIds.count()
-      val ruleWrongModelAcc = ClassifierTrain.accuracy(spark,
-        feats.join(ruleWrongIds.select("id"), Seq("id")), ruleWrongIds, w)
+      // The trainer accepts ANY labeled corpus path: on one where the
+      // rule misclassifies nothing, accuracy-over-empty is an avg(NULL)
+      // NPE. Record NaN — "no rule-wrong subset to measure" — instead.
+      val ruleWrongModelAcc =
+        if (nRuleWrong == 0) Double.NaN
+        else ClassifierTrain.accuracy(spark,
+          feats.join(ruleWrongIds.select("id"), Seq("id")), ruleWrongIds, w)
       val iw = ClassifierTrain.quantize(w)
       val posFrac = labels.agg(avg("y")).collect().head.getDouble(0)
 

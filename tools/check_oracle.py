@@ -8,8 +8,18 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
 import sys
+import time
 
 import duckdb
+
+# Oracle-side latency guard (round-13 ADVICE #8): the recursive-CTE
+# replays (q_split_leakage, the dedup_cluster family) are the queries a
+# fixture regen with inflated cluster sizes would silently turn into
+# the bottleneck — the same shape as the 215 s sf1 verify blowup was
+# for Spark. Per-query oracle wall times are recorded to
+# <outDir>/oracle_times.json and any query above this many seconds at
+# sf0.01 is flagged loudly in the summary.
+ORACLE_WALL_WARN_SEC = 10.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -38,11 +48,14 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    oracle_secs = {}
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            t0 = time.monotonic()
             want = con.sql(sql).df()
+            oracle_secs[name] = round(time.monotonic() - t0, 3)
             gc, gr = canon(got)
             wc, wr = canon(want)
             if gc != wc:
@@ -62,7 +75,17 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    with open(f"{out_dir}/oracle_times.json", "w") as f:
+        json.dump(oracle_secs, f, indent=1, sort_keys=True)
+    slow = sorted(((t, n) for n, t in oracle_secs.items()
+                   if t > ORACLE_WALL_WARN_SEC), reverse=True)
+    for t, n in slow:
+        print(f"SLOW ORACLE {n}: {t:.1f} s (> {ORACLE_WALL_WARN_SEC:.0f} s "
+              f"— a fixture regen may have inflated its replay)")
+    top = sorted(((t, n) for n, t in oracle_secs.items()), reverse=True)[:5]
+    print("\noracle wall top-5: " +
+          ", ".join(f"{n}={t:.2f}s" for t, n in top))
+    print(f"{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 
