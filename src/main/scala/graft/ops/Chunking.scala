@@ -89,6 +89,106 @@ object Chunking {
         Dedup.md5TokenHash60(array_join(col("ct"), " ")).as("clean_hash"))
   }
 
+  /** ALIGNMENT-FREE exact repeated-substring scrub — Lee et al.
+    * (ACL'22, "Deduplicating Training Data Makes Language Models
+    * Better") semantics: remove every token that lies inside a
+    * verbatim repeat of ≥ `minLen` tokens occurring more than
+    * `maxOcc` times ANYWHERE in the corpus (across documents or
+    * within one), at ANY token offset. [[scrubRepeatedSpans]] hashes
+    * DISJOINT windows, so a repeated passage that straddles a window
+    * boundary — the common case for boilerplate behind
+    * variable-length prefixes — escapes it unless the two occurrences
+    * happen to share grid alignment (ChunkingSpec plants exactly that
+    * miss). This operator is offset-free and EXACT both ways, by one
+    * observation: a repeat of length ≥ L contains, and is exactly
+    * tiled by, repeated L-grams at EVERY start inside it — so
+    * fingerprinting ALL n−L+1 sliding L-grams per document and
+    * occurrence-counting them marks precisely the tokens Lee et al.'s
+    * suffix array would (a token is in some repeat ≥ L ⇔ some L-gram
+    * containing it repeats; modulo only md5-60 collisions, the
+    * corpus-wide hashing convention).
+    *
+    * Output: `(id, n_tokens, n_repeated, n_tokens_clean, clean_hash)`
+    * — `n_repeated` the count of repeated gram STARTS in the doc,
+    * `clean_hash` the md5-60 of the space-rejoined scrubbed stream.
+    *
+    * Scale shape: the sliding-gram relation is n rows per n-token
+    * document — stride-1 where [[scrubRepeatedSpans]] strides L, i.e.
+    * L× more hashing compute (md5 over ~L tokens per position) but
+    * the SAME exchange payload shape: the occurrence count groups by
+    * the 8-byte gram hash with map-side partial aggregation, and only
+    * hashes + integer starts ever shuffle, never text. The repeated
+    * relation is pre-filtered to `occ > maxOcc` BEFORE the join back,
+    * so the second exchange carries repeated grams only (in a clean
+    * corpus, ~nothing). The rebuild re-scans the base table and
+    * re-slices locally — the [[scrubRepeatedSpans]] two-scan trade.
+    * Coverage union per doc is one sorted-starts interval merge
+    * (HOF, linear in repeated starts per doc except for the
+    * append-copies-accumulator cost, quadratic only in the number of
+    * DISJOINT repeated regions — bounded by n/L in theory, a handful
+    * in practice). No suffix array is materialized: Lee et al. sort
+    * suffixes to find the repeats; at cluster scale the hash-group
+    * does the same discovery as one shuffle, the form Spark executes
+    * well. */
+  def scrubRepeatedSubstrings(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, maxOcc: Long = 1L): DataFrame = {
+    require(minLen > 0, "minLen must be positive")
+    val L = minLen
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("ts")))
+      .filter(col("n") > 0)
+    // every sliding L-gram start (docs shorter than L have no grams
+    // and cannot participate in a repeat ≥ L)
+    val grams = base.filter(col("n") >= L)
+      .select(col("id"),
+        explode(sequence(lit(0), col("n") - L)).as("s"),
+        col("ts"))
+      .select(col("id"), col("s"),
+        Dedup.md5TokenHash60(
+          array_join(slice(col("ts"), col("s") + 1, lit(L)), " ")).as("gh"))
+    val repeatedGrams = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc)
+    // per doc: the sorted repeated starts (empty for untouched docs)
+    val repStarts = grams.join(repeatedGrams, Seq("gh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("s"))).as("starts"))
+    val emptyIv = array().cast("array<struct<lo:int,hi:int>>")
+    base.join(repStarts, Seq("id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      // merge [s, s+L) intervals: starts are sorted and all intervals
+      // share length L, so a later start always ends later — the merged
+      // hi is simply s + L, no max needed
+      .withColumn("cov", aggregate(col("starts"), emptyIv, (acc, s) => {
+        val last = element_at(acc, -1)
+        val merged = concat(
+          slice(acc, lit(1), org.apache.spark.sql.functions.size(acc) - 1),
+          array(struct(last.getField("lo").as("lo"), (s + L).cast("int").as("hi"))))
+        val appended = concat(acc,
+          array(struct(s.cast("int").as("lo"), (s + L).cast("int").as("hi"))))
+        when(org.apache.spark.sql.functions.size(acc) > 0 &&
+          s <= last.getField("hi"), merged).otherwise(appended)
+      }))
+      // gap i of m+1: [prev hi (or 0), next lo (or n)) — the kept runs
+      .withColumn("keptIv", filter(
+        transform(
+          sequence(lit(0), org.apache.spark.sql.functions.size(col("cov"))),
+          i => struct(
+            when(i === 0, lit(0))
+              .otherwise(element_at(col("cov"), i).getField("hi")).as("lo"),
+            when(i === org.apache.spark.sql.functions.size(col("cov")), col("n"))
+              .otherwise(element_at(col("cov"), i + 1).getField("lo")).as("hi"))),
+        g => g.getField("hi") > g.getField("lo")))
+      .withColumn("ct", flatten(transform(col("keptIv"),
+        g => slice(col("ts"), g.getField("lo") + 1,
+          g.getField("hi") - g.getField("lo")))))
+      .select(col("id"), col("n").as("n_tokens"),
+        org.apache.spark.sql.functions.size(col("starts")).cast("long").as("n_repeated"),
+        org.apache.spark.sql.functions.size(col("ct")).as("n_tokens_clean"),
+        Dedup.md5TokenHash60(array_join(col("ct"), " ")).as("clean_hash"))
+  }
+
   /** One row per (doc, window): `(id, chunk_idx, tok_start, n_tokens,
     * chunk_hash)` with `chunk_hash` the engine-portable md5-60 of the
     * space-rejoined window ([[Dedup.md5TokenHash60]]). */

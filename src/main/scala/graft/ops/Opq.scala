@@ -195,4 +195,195 @@ object Opq {
     val short = PqIndex.adcShortlist(encoded, rotatedQueries, model.cb, shortlist)
     PqIndex.rerank(short, queries, corpus, k)
   }
+
+  // ----------------------------------------------------------------
+  // NON-PARAMETRIC (iterative) OPQ — Ge et al. CVPR 2013 §4.1, the
+  // FAISS `OPQMatrix` default: alternate (a) fix the rotation R, train
+  // codebooks on {R·x}; (b) fix codebooks, update R to the orthogonal
+  // matrix best aligning rotated vectors with their reconstructions —
+  // the orthogonal Procrustes problem, max_R tr(R·C) with
+  // C = Σᵢ vᵢ·v̂ᵢᵀ, solved in closed form by R = V·Uᵀ from C's SVD.
+  // The parametric variant above is exactly one (a) step from the PCA
+  // init; iterating lets the rotation adapt to what the QUANTIZER can
+  // represent, which is where non-Gaussian (e.g. clustered) embedding
+  // distributions leave parametric recall on the table.
+  //
+  // Distributed shape: step (b)'s only data-sized pass is the d×d
+  // cross-correlation C — one Aggregator over (rotated-unit vector,
+  // codes) rows with a d² buffer per partition, the [[Pca.MomentAgg]]
+  // pattern (32 KB at d=64, 8 MB at d=1024; rows never shuffle, only
+  // buffers merge). The SVD runs on the DRIVER via the polar
+  // decomposition: M = CᵀC is symmetric PSD, [[Pca.jacobiEigen]]
+  // diagonalizes it, R_step = (C·M^(−1/2))ᵀ — same driver-sized-by-
+  // construction argument as PCA training. Rotations COMPOSE across
+  // iterations (R ← R_step·R on the driver), so every pass over data
+  // applies exactly one matvec per row.
+  // ----------------------------------------------------------------
+
+  /** Iteratively-trained model: an ARBITRARY orthonormal rotation (no
+    * longer a permuted eigenbasis) plus codebooks trained on the
+    * unit-normalized rotated corpus. */
+  final case class RotModel(rot: Array[Array[Double]], cb: PqIndex.Codebooks)
+
+  // public: the encoders' generated projections need member access.
+  // CrossBuf carries the d² cross-correlation AND the distortion
+  // scalars in one pass: s = [Σ vᵀv̂, Σ‖v̂‖², n], so the objective
+  // E = Σ‖v − v̂‖² = n + Σ‖v̂‖² − 2Σvᵀv̂ falls out of the same
+  // aggregation that feeds the Procrustes step.
+  final case class CrossRow(v: Seq[Float], codes: Seq[Int])
+  final case class CrossBuf(c: Array[Double], s: Array[Double])
+
+  /** Σᵢ vᵢ·v̂ᵢᵀ with v̂ the per-subspace centroid reconstruction of
+    * v's codes — the reconstruction is block-sparse (subspace j only
+    * writes its own dsub columns), so the update is d·dsub work per
+    * row, not d². */
+  private final class CrossMomentAgg(cb: PqIndex.Codebooks, d: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[CrossRow, CrossBuf, CrossBuf] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: CrossBuf =
+      CrossBuf(new Array[Double](d * d), new Array[Double](3))
+    override def reduce(b: CrossBuf, r: CrossRow): CrossBuf = {
+      val v = r.v
+      var j = 0
+      while (j < cb.m) {
+        val cent = cb.books(j)(r.codes(j))
+        val colBase = j * cb.dsub
+        var a = 0
+        while (a < d) {
+          val va = v(a).toDouble
+          if (va != 0.0) {
+            var bb = 0
+            while (bb < cb.dsub) {
+              b.c(a * d + colBase + bb) += va * cent(bb)
+              bb += 1
+            }
+          }
+          a += 1
+        }
+        // distortion scalars: this subspace's vᵀv̂ and ‖v̂‖² blocks
+        var bb = 0
+        while (bb < cb.dsub) {
+          b.s(0) += v(colBase + bb).toDouble * cent(bb)
+          b.s(1) += cent(bb) * cent(bb)
+          bb += 1
+        }
+        j += 1
+      }
+      b.s(2) += 1.0
+      b
+    }
+    override def merge(b1: CrossBuf, b2: CrossBuf): CrossBuf = {
+      var i = 0
+      while (i < b1.c.length) { b1.c(i) += b2.c(i); i += 1 }
+      i = 0
+      while (i < 3) { b1.s(i) += b2.s(i); i += 1 }
+      b1
+    }
+    override def finish(b: CrossBuf): CrossBuf = b
+    override def bufferEncoder: Encoder[CrossBuf] = Encoders.product[CrossBuf]
+    override def outputEncoder: Encoder[CrossBuf] = Encoders.product[CrossBuf]
+  }
+
+  /** max_R tr(R·C) over orthogonal R, closed form: with C = U·Σ·Vᵀ,
+    * R = V·Uᵀ — computed as (C·M^(−1/2))ᵀ, M = CᵀC diagonalized by the
+    * driver-sized Jacobi. Near-zero singular values (rank-deficient C)
+    * are floored so their arbitrary directions stay deterministic. */
+  private[ops] def procrustes(c: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = c.length
+    val m = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var t = 0; while (t < d) { s += c(t)(i) * c(t)(j); t += 1 }; s
+    }
+    val (evals, evecs) = Pca.jacobiEigen(m)
+    val maxEv = math.max(evals.max, 1e-300)
+    // M^(-1/2) = W·diag(λ^(-1/2))·Wᵀ  (W rows = eigenvectors)
+    val invSqrt = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var t = 0
+      while (t < d) {
+        s += evecs(t)(i) * evecs(t)(j) / math.sqrt(math.max(evals(t), maxEv * 1e-12))
+        t += 1
+      }
+      s
+    }
+    // R = (C · M^(-1/2))ᵀ
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var t = 0; while (t < d) { s += c(j)(t) * invSqrt(t)(i); t += 1 }; s
+    }
+  }
+
+  private def matMul(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0; var t = 0; while (t < n) { s += a(i)(t) * b(t)(j); t += 1 }; s
+    }
+  }
+
+  /** Alternating optimization: PCA-allocated init (one parametric
+    * step), then `optIters − 1` rounds of Procrustes-rotation update +
+    * codebook retrain. Each round costs one C aggregation + one Lloyd
+    * train — all data passes are single-aggregation shaped.
+    *
+    * Returns the iterate with the LOWEST measured quantization
+    * distortion Σ‖v − v̂‖² (the alternation's own objective, read off
+    * the same aggregation that feeds the Procrustes step): each half-
+    * step is individually optimal but the COMPOSITION is not monotone
+    * in practice with few Lloyd iterations (measured on the real
+    * embeddings table: the third iterate's rotation lost recall the
+    * objective also saw), and iterate 1 IS the parametric model — so
+    * best-of-iterates can never leave the caller worse than
+    * [[train]] by the criterion both optimize. Deterministic end to
+    * end (Jacobi, id-hash Lloyd seeds, fixed iteration counts). */
+  def trainIterative(corpus: DataFrame, basis: Seq[Pca.Component],
+      m: Int = 8, k: Int = 16, pqIters: Int = 2, optIters: Int = 3): RotModel = {
+    val d = basis.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val order = allocate(basis.sortBy(_.component).map(_.eigenvalue), m)
+    var rot = rotationMatrix(basis, order)
+    var best: RotModel = null
+    var bestE = Double.PositiveInfinity
+    import corpus.sparkSession.implicits._
+    (1 to optIters).foreach { it =>
+      val unit = corpus.select(col("id"),
+        graft.functions.functions.rotate_project(col("vec"), rot,
+          normalize = true).as("v"))
+      val cb = PqIndex.lloydL2(unit, d, m, k, pqIters)
+      val rows = corpus.select(
+          graft.functions.functions.rotate_project(col("vec"), rot,
+            normalize = true).as("v"),
+          PqIndex.encode(
+            graft.functions.functions.rotate_project(col("vec"), rot,
+              normalize = true, appendEvery = dsub),
+            augment(cb)).as("codes"))
+        .as[CrossRow]
+      // one whole-dataset typed aggregation → d² buffer + scalars
+      val buf = rows.select(new CrossMomentAgg(cb, d).toColumn).head()
+      val e = buf.s(2) + buf.s(1) - 2.0 * buf.s(0)
+      if (e < bestE) { bestE = e; best = RotModel(rot, cb) }
+      if (it < optIters) {
+        val c = Array.tabulate(d, d)((i, j) => buf.c(i * d + j))
+        rot = matMul(procrustes(c), rot)
+      }
+    }
+    best
+  }
+
+  /** [[topK]] for an iteratively-trained model: identical pipeline —
+    * encode with the learned rotation, ADC + shortlist in rotated
+    * space, exact cosine re-rank on ORIGINAL vectors. Exhaustive
+    * shortlist therefore degenerates to brute force exactly like the
+    * parametric form (the `ann_opq_iter` oracle). */
+  def topKIterative(queries: DataFrame, corpus: DataFrame,
+      model: RotModel, k: Int, shortlist: Int): DataFrame = {
+    val dsub = model.cb.dsub
+    val encoded = corpus.select(col("id"),
+      PqIndex.encode(
+        graft.functions.functions.rotate_project(col("vec"), model.rot,
+          normalize = true, appendEvery = dsub),
+        augment(model.cb)).as("codes"))
+    val rotatedQueries = queries.select(col("qid"),
+      graft.functions.functions.rotate_project(col("qvec"), model.rot).as("qvec"))
+    val short = PqIndex.adcShortlist(encoded, rotatedQueries, model.cb, shortlist)
+    PqIndex.rerank(short, queries, corpus, k)
+  }
 }

@@ -77,6 +77,36 @@ object ResidualPq {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Streaming-epoch append with FROZEN quantizers —
+    * [[IvfPq.appendIndexEpoch]]'s contract for the residual-encoded
+    * layout: the delta lands under `path/batch=<id>/cell=<c>/` in
+    * OVERWRITE mode, so a foreachBatch RETRY of an epoch replaces its
+    * own prior output instead of appending duplicates. Both quantizers
+    * are passed in and never refit, and the cell-residual of each
+    * appended vector is recomputed against those SAME frozen coarse
+    * centroids the codebooks were trained on — appended codes therefore
+    * live in exactly the residual space of the base index, and an ADC
+    * probe scores old and new rows on one footing. [[topK]] reads
+    * `path` whole: `batch` and `cell` are both partition columns, so
+    * the probed-cell filter still prunes directories one level down.
+    *
+    * An epoch-maintained index is batch-partitioned from birth (every
+    * generation written through this method; a full rewrite is
+    * `batchId = -1`, the [[Compaction]] base-generation id) — the flat
+    * [[writeIndex]] layout and the epoch layout are alternative roots,
+    * never mixed under one path. Retraction reaches this layout through
+    * the generic machinery (`Retraction.retract(_, dir, "id", ids,
+    * nestedPartCols = Seq("cell"))`) and compaction through
+    * `Compaction.compactEpochs(_, dir, horizon, nestedPartCols =
+    * Seq("cell"))` — RetractionSpec/CompactionSpec pin both over a
+    * residual-encoded index. */
+  def appendIndexEpoch(delta: DataFrame, centroids: Array[Array[Double]],
+      cb: PqIndex.Codebooks, path: String, batchId: Long): Unit =
+    encoded(delta, centroids, cb)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/batch=$batchId")
+
   /** Probe: [[IvfPq.topK]]'s pipeline plus the exact q·centroid term —
     * the query's dot with EVERY cell centroid is one reference-object
     * matvec, and each probed (qid, cell) row picks its term with an

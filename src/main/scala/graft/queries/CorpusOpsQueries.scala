@@ -829,6 +829,70 @@ object CorpusOpsQueries {
        |FROM final ORDER BY id""".stripMargin
   }
 
+  /** Alignment-free exact substring scrub
+    * ([[graft.ops.Chunking.scrubRepeatedSubstrings]], Lee et al.
+    * ACL'22 semantics): every token inside a verbatim repeat of ≥8
+    * tokens occurring more than once in the corpus — at ANY offset,
+    * across or within documents — is removed. The oracle replays the
+    * full computation: all sliding 8-grams, occurrence counts, the
+    * per-token coverage union (as a range anti-join), and the
+    * rebuilt-stream hash. The window-straddling miss of the disjoint
+    * form (and this form catching it) is pinned in ChunkingSpec with
+    * a planted offset-shifted repeat. */
+  val textSubstringScrub: Q = (s, dir) =>
+    Chunking.scrubRepeatedSubstrings(Tables.documents(s, dir), "doc_id",
+        "text", minLen = 8, maxOcc = 1L)
+      .orderBy(col("id"))
+
+  val textSubstringScrubSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val hexVal2 = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15c, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |sized AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+       |grams AS (
+       |  SELECT doc_id, ts, unnest(generate_series(0, n - 8)) AS s
+       |  FROM sized WHERE n >= 8),
+       |gh AS (
+       |  SELECT doc_id, s,
+       |    substring(md5(array_to_string(list_slice(ts, s + 1, s + 8), ' ')), 1, 15) AS h15
+       |  FROM grams),
+       |ghv AS (SELECT doc_id, s, CAST($hexVal AS BIGINT) AS h FROM gh),
+       |occ AS (SELECT h FROM ghv GROUP BY h HAVING count(*) > 1),
+       |rep AS (SELECT doc_id, s FROM ghv JOIN occ USING (h)),
+       |nrep AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated
+       |         FROM rep GROUP BY doc_id),
+       |pos AS (SELECT doc_id, ts, n, unnest(generate_series(0, n - 1)) AS i
+       |        FROM sized),
+       |cov AS (SELECT DISTINCT p.doc_id, p.i
+       |        FROM pos p JOIN rep r
+       |          ON r.doc_id = p.doc_id AND p.i >= r.s AND p.i < r.s + 8),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.ts[p.i + 1] AS tok
+       |  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.i = p.i
+       |  WHERE c.i IS NULL),
+       |clean AS (
+       |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens_clean,
+       |    string_agg(tok, ' ' ORDER BY i) AS ctext
+       |  FROM kept GROUP BY doc_id),
+       |final AS (
+       |  SELECT z.doc_id, CAST(z.n AS INTEGER) AS n_tokens,
+       |    COALESCE(r.n_repeated, 0) AS n_repeated,
+       |    COALESCE(c.n_tokens_clean, 0) AS n_tokens_clean,
+       |    substring(md5(COALESCE(c.ctext, '')), 1, 15) AS h15c
+       |  FROM sized z
+       |  LEFT JOIN nrep r USING (doc_id)
+       |  LEFT JOIN clean c USING (doc_id))
+       |SELECT doc_id AS id, n_tokens, n_repeated, n_tokens_clean,
+       |  CAST($hexVal2 AS BIGINT) AS clean_hash
+       |FROM final ORDER BY id""".stripMargin
+  }
+
   /** Portable HyperLogLog distinct counts ([[graft.ops.Sketches]]):
     * per event type, sketched distinct event ids AND distinct user
     * ids, both p=9 (m=512), next to their exact counts. BOTH sketches
@@ -1249,6 +1313,7 @@ object CorpusOpsQueries {
     "q_quantile_sketch2" -> qQuantileSketch2,
     "q_quantile_kmv" -> qQuantileKmv,
     "text_span_scrub" -> textSpanScrub,
+    "text_substring_scrub" -> textSubstringScrub,
     "q_cms_topk" -> qCmsTopk,
     "q_sample_weighted" -> qSampleWeighted,
     "q_sample_reservoir" -> qSampleReservoir,
@@ -1278,6 +1343,7 @@ object CorpusOpsQueries {
     "q_quantile_sketch2" -> qQuantileSketch2Sql,
     "q_quantile_kmv" -> qQuantileKmvSql,
     "text_span_scrub" -> textSpanScrubSql,
+    "text_substring_scrub" -> textSubstringScrubSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_sample_reservoir" -> qSampleReservoirSql,

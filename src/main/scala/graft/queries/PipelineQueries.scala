@@ -599,6 +599,31 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** NON-PARAMETRIC (iterative) OPQ ([[graft.ops.Opq.trainIterative]],
+    * Ge et al. §4.1 / the FAISS `OPQMatrix` default): alternating
+    * Procrustes rotation updates and codebook retrains from the
+    * parametric init. The exact re-rank still runs on ORIGINAL
+    * vectors, so exhaustive shortlist ≡ brute force regardless of the
+    * learned rotation — the same oracle as `ann_opq`. The recall
+    * comparison against the parametric form (clustered data where
+    * iterating wins; planted anisotropy where parametric is already
+    * optimal) is OpqSpec's measured table. */
+  val annOpqIter: Q = (s, dir) => {
+    val basis = graft.ops.Pca.loadBasis(s,
+      s"${graft.Tables.fixturesDir}/pca_basis.parquet")
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val model = graft.ops.Opq.trainIterative(corpus, basis,
+      m = 8, k = 16, pqIters = 2, optIters = 2)
+    graft.ops.Opq.topKIterative(queries, corpus, model, k = 10,
+        shortlist = Int.MaxValue)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Per-component variance of the projected coordinates over the whole
     * embeddings table, next to the fixture's eigenvalue — the variance-
     * concentration report that justifies the rank cut (top components
@@ -853,6 +878,29 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The PRODUCTION-pruned residual configuration (nProbe=2,
+    * shortlist=50 — the `ann_ivfpq_pruned` convention), timed so the
+    * artifact carries the operator's real probe cost rather than the
+    * exhaustive oracle tax. Approximate by design → rows-only check;
+    * ResidualPqSpec pins residual ≥ raw recall at this same pruned
+    * probe/code budget. */
+  val annIvfPqResPruned: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val cb = graft.ops.ResidualPq.trainCodebooks(corpus, centroids,
+      m = 8, k = 16, iters = 2)
+    val path = graft.Staging.dirFor("ivfpqres-pruned-q")
+    graft.ops.ResidualPq.writeIndex(corpus, centroids, cb, path)
+    graft.ops.ResidualPq.topK(s, path, queries, centroids, cb,
+        k = 10, nProbe = 2, shortlist = 50)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Multi-probe LSH ([[graft.ops.Similarity.lshTopKMultiProbe]], Lv
     * et al. VLDB'07): each query probes its base bucket plus the
     * flipped-lowest-margin buckets per table — the recall of ~2× the
@@ -888,12 +936,14 @@ object PipelineQueries {
     "ann_ivfpq_pruned" -> annIvfPqPruned,
     "ann_pca" -> annPca,
     "ann_opq" -> annOpq,
+    "ann_opq_iter" -> annOpqIter,
     "q_pca_variance" -> qPcaVariance,
     "q_pca_outlier" -> qPcaOutlier,
     "q_drift" -> qDrift,
     "dedup_jaccard_join" -> dedupJaccardJoin,
     "q_split_leakage" -> qSplitLeakage,
     "ann_ivfpq_res" -> annIvfPqRes,
+    "ann_ivfpq_res_pruned" -> annIvfPqResPruned,
     "ann_lsh_multiprobe" -> annLshMultiprobe)
 
   val oracles: Map[String, String] = Map(
@@ -910,6 +960,7 @@ object PipelineQueries {
     "ann_ivfpq" -> QueryCatalog.annTopKSql,
     "ann_pca" -> annPcaSql,
     "ann_opq" -> QueryCatalog.annTopKSql,
+    "ann_opq_iter" -> QueryCatalog.annTopKSql,
     "q_pca_variance" -> qPcaVarianceSql,
     "q_pca_outlier" -> qPcaOutlierSql,
     "q_drift" -> qDriftSql,

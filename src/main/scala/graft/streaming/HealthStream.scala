@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   * two sinks on `col_name`, which is what HealthStreamSpec does to pin
   * the assembled report ≡ [[Profile.profileWithQuantiles]] over
   * data-so-far at EVERY micro-batch. State is O(cols) profile rows +
-  * O(numericCols × k) sketch pairs — independent of stream length; the
-  * quantile half accepts [[KmvStream.quantiles]]' `inactivityTtl` if
-  * the profiled column set itself churns (rare — columns are schema).
+  * O(numericCols × k) sketch pairs — independent of stream length. The
+  * quantile half inherits [[KmvStream.DefaultInactivityTtl]] (7-day
+  * group eviction): harmless here — groups are schema columns, live
+  * ones re-arm on every batch — and it means a column DROPPED from the
+  * melt eventually releases its sketch instead of holding it forever.
   */
 object HealthStream {
 
@@ -43,7 +45,9 @@ object HealthStream {
     * assembled report. */
   def tableHealth(events: DataFrame, cols: Seq[String],
       numericCols: Seq[String], idCol: String, seed: String, k: Int,
-      qs: Seq[Double]): (DataFrame, Dataset[KmvStream.KmvEstimate]) = {
+      qs: Seq[Double],
+      inactivityTtl: Option[String] = Some(KmvStream.DefaultInactivityTtl))
+      : (DataFrame, Dataset[KmvStream.KmvEstimate]) = {
     require(events.isStreaming,
       "HealthStream.tableHealth is a streaming operator; use Profile.profileWithQuantiles in batch")
     require(numericCols.forall(cols.contains),
@@ -58,7 +62,7 @@ object HealthStream {
       .select(col("_pid"), col("m.col_name").as("col_name"), col("m.v").as("v"))
       .filter(col("v").isNotNull)
     val quant = KmvStream.quantiles(melted, "col_name", "_pid", "v",
-      seed, k, qs)
+      seed, k, qs, inactivityTtl)
     (prof, quant)
   }
 }

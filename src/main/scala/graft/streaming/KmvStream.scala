@@ -40,11 +40,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * population. The no-out-of-order property survives eviction
   * unchanged: between evictions arrival order still cannot affect the
   * state (the merge is a set bottom-k), and eviction itself is a
-  * function of wall-clock inactivity, not of data order. With
-  * `inactivityTtl = None` (the default) no state is ever dropped —
-  * the right setting when the group column has bounded cardinality.
+  * function of wall-clock inactivity, not of data order.
+  *
+  * Eviction is ON BY DEFAULT ([[DefaultInactivityTtl]], 7 days —
+  * generous enough that any group under live monitoring never notices,
+  * tight enough that a year of source churn cannot accrete a year of
+  * dead sketches): an unbounded-state default is the wrong polarity
+  * for an operator whose whole point is running forever. Pass
+  * `inactivityTtl = None` to opt out EXPLICITLY — the right setting
+  * when the group column has bounded cardinality (e.g.
+  * [[HealthStream]], where groups are schema columns — it still
+  * inherits the default, which is harmless for a bounded set). One
+  * operational note: any TTL (including the default) runs the query
+  * under `ProcessingTimeTimeout`, where the engine schedules no-data
+  * micro-batches to sweep timers — pair the query with a processing-
+  * time trigger (as the specs do) rather than the default
+  * run-as-fast-as-possible trigger, and drive tests by sink-polling:
+  * `processAllAvailable()` STARVES under timer sweeps (there is
+  * always another batch due, so "all available processed" never
+  * settles — measured, not theorized).
   */
 object KmvStream {
+
+  /** Default group-inactivity eviction horizon — see the eviction
+    * contract above. */
+  val DefaultInactivityTtl = "7 days"
 
   final case class KmvRow(g: String, h: Long, v: Double)
   final case class KmvState(hs: Seq[Long], vs: Seq[Double])
@@ -53,10 +73,12 @@ object KmvStream {
   /** Per-group current quantiles. `events` needs a group column, a
     * unique id column, and a numeric value column. `inactivityTtl`
     * (e.g. `"30 minutes"`) evicts groups idle for that wall-clock
-    * duration — see the eviction contract above. */
+    * duration — default [[DefaultInactivityTtl]], `None` to opt out;
+    * see the eviction contract above. */
   def quantiles(events: DataFrame, groupCol: String, idCol: String,
       valueCol: String, seed: String, k: Int,
-      qs: Seq[Double], inactivityTtl: Option[String] = None): Dataset[KmvEstimate] = {
+      qs: Seq[Double],
+      inactivityTtl: Option[String] = Some(DefaultInactivityTtl)): Dataset[KmvEstimate] = {
     require(events.isStreaming,
       "KmvStream.quantiles is a streaming operator; use Sketches.kmvQuantiles in batch")
     require(k >= 1 && qs.nonEmpty)

@@ -96,6 +96,83 @@ class ChunkingSpec extends SparkSpec {
     assert(kept == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("a window-straddling repeat escapes scrubRepeatedSpans but NOT scrubRepeatedSubstrings") {
+    // one 10-token passage shared verbatim at DIFFERENT offsets: 4 in
+    // doc 1, 0 in doc 2 — so no disjoint 8-token window has the same
+    // content in both docs (doc 1 grid: [0,8),[8,16); doc 2: [0,8),
+    // [8,13)), exactly the boilerplate-behind-a-variable-prefix case
+    val passage = (0 until 10).map(i => s"P$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $passage z1 z2"),
+      (2L, s"$passage b1 b2 b3")).toDF("doc_id", "text")
+    val old = Chunking.scrubRepeatedSpans(docs, "doc_id", "text",
+        span = 8, maxDf = 1L)
+      .select("id", "n_spans", "n_kept").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(old == Map(1L -> ((2L, 2L)), 2L -> ((2L, 2L))),
+      "the disjoint form must PROVABLY miss the straddling repeat (keeps every span)")
+    // the offset-free form: the passage's three 8-grams (relative
+    // starts 0,1,2) repeat, their coverage union is the whole passage
+    val got = Chunking.scrubRepeatedSubstrings(docs, "doc_id", "text",
+        minLen = 8)
+      .orderBy("id").as[(Long, Int, Long, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 16, 3L, 6, md5_60("a1 a2 a3 a4 z1 z2")),
+      (2L, 13, 3L, 3, md5_60("b1 b2 b3"))),
+      s"straddling repeat must be scrubbed exactly, got ${got.mkString(", ")}")
+  }
+
+  test("scrubRepeatedSubstrings catches WITHIN-document repeats (occurrences, not doc-df)") {
+    val block = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, s"$block x $block")).toDF("doc_id", "text")
+    val got = Chunking.scrubRepeatedSubstrings(docs, "doc_id", "text",
+        minLen = 8)
+      .as[(Long, Int, Long, Int, Long)].collect().head
+    assert(got == ((1L, 17, 2L, 1, md5_60("x"))),
+      s"both occurrences of the self-repeated block must go, got $got")
+  }
+
+  test("coverage property: scrubRepeatedSubstrings ≡ brute-force Lee semantics on random corpora") {
+    // brute force: every sliding L-gram string, corpus-wide occurrence
+    // counts, covered = union of [s, s+L) over repeated starts — the
+    // definitionally-exact form the operator must reproduce
+    def brute(docs: Seq[(Long, String)], l: Int, maxOcc: Long)
+        : Map[Long, (Int, Long, Int, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector }
+      val occ = toks.flatMap { case (_, ts) =>
+        (0 to ts.length - l).map(s => ts.slice(s, s + l).mkString(" ")) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      toks.filter(_._2.nonEmpty).map { case (id, ts) =>
+        val starts = (0 to ts.length - l)
+          .filter(s => occ(ts.slice(s, s + l).mkString(" ")) > maxOcc)
+        val covered = starts.flatMap(s => s until s + l).toSet
+        val clean = ts.indices.filterNot(covered).map(ts)
+        id -> ((ts.length, starts.size.toLong, clean.size, clean.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(1014L)
+    // tiny vocab forces plenty of accidental repeats at L=5; lengths
+    // span below/at/above L; one token-free doc pins the exclusion
+    val docs = (1L to 25L).map(id => id ->
+      (0 until rnd.nextInt(30)).map(_ => s"v${rnd.nextInt(4)}").mkString(" ")) :+
+      (99L -> "   ")
+    for (maxOcc <- Seq(1L, 2L)) {
+      val want = brute(docs, l = 5, maxOcc)
+      val got = Chunking.scrubRepeatedSubstrings(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          minLen = 5, maxOcc = maxOcc)
+        .as[(Long, Int, Long, Int, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got.keySet == want.keySet,
+        s"maxOcc=$maxOcc: doc set (token-free excluded) must match")
+      want.foreach { case (id, (n, nrep, nclean, cleanText)) =>
+        assert(got(id) == ((n, nrep, nclean, md5_60(cleanText))),
+          s"maxOcc=$maxOcc doc $id: got ${got(id)}, want ($n,$nrep,$nclean,${cleanText.take(60)})")
+      }
+    }
+  }
+
   test("streaming twin: chunking a document stream matches the batch result") {
     // Chunking is stateless per document, so the SAME operator runs
     // unchanged inside a streaming query — no watermark, no state

@@ -70,6 +70,39 @@ class CompactionSpec extends SparkSpec {
       "compacted epochs must still gate near-dups")
   }
 
+  test("compaction over a RESIDUAL-encoded ANN layout: probes identical, nested cells preserved, appends continue") {
+    val ann = graft.Staging.dirFor("compact-res-ann")
+    val emb = Tables.embeddings(spark, sf001).filter($"vec_id" < 40)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = IvfIndex.train(emb, "id", "vec", k = 4)
+    val rcb = ResidualPq.trainCodebooks(emb, cents, m = 4, k = 8)
+    (0 until 3).foreach { e =>
+      ResidualPq.appendIndexEpoch(
+        emb.filter($"id" % 3 === e), cents, rcb, ann, e.toLong)
+    }
+    assert(epochDirs(ann) == 3)
+    val queries = Tables.embeddings(spark, sf001)
+      .filter($"vec_id" >= 100 && $"vec_id" < 103)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def probe() = ResidualPq.topK(spark, ann, queries, cents, rcb,
+        k = 5, nProbe = 4, shortlist = Int.MaxValue)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val before = probe()
+
+    Compaction.compactEpochs(spark, ann, maxEpochId = 2L,
+      nestedPartCols = Seq("cell"))
+
+    assert(epochDirs(ann) == 1)
+    assert(probe() == before, "compaction must not change probe results")
+    // frozen-quantizer appends keep landing after compaction
+    val extra = Tables.embeddings(spark, sf001)
+      .filter($"vec_id" >= 40 && $"vec_id" < 45)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    ResidualPq.appendIndexEpoch(extra, cents, rcb, ann, 7L)
+    assert(spark.read.parquet(ann).count() == 45)
+    assert(probe().nonEmpty)
+  }
+
   test("checkpoint horizon: epochs above maxEpochId are never touched") {
     val acc = graft.Staging.dirFor("compact-horizon")
     (0 until 5).foreach { e =>

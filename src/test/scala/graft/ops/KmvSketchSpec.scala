@@ -183,6 +183,57 @@ class KmvSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("default policy: eviction is ON (7-day TTL armed) unless explicitly opted out, and the default still matches batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.KmvStream
+    def timeoutOf(ttl: Option[String] = null): String = {
+      val mem = MemoryStream[(Long, String, Double)]
+      val est =
+        if (ttl == null) // no argument passed — the DEFAULT policy
+          KmvStream.quantiles(mem.toDF().toDF("id", "g", "v"),
+            "g", "id", "v", seed = "kt", k = 8, qs = Seq(0.5))
+        else KmvStream.quantiles(mem.toDF().toDF("id", "g", "v"),
+          "g", "id", "v", seed = "kt", k = 8, qs = Seq(0.5),
+          inactivityTtl = ttl)
+      est.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState =>
+          f.timeout.toString
+      }.head
+    }
+    // state is bounded by default: the no-arg form arms the
+    // processing-time sweep; None is the explicit opt-out
+    assert(timeoutOf() == "ProcessingTimeTimeout",
+      "default must arm group eviction")
+    assert(timeoutOf(None) == "NoTimeout",
+      "None must remain the explicit opt-out")
+    // and the default-policy query still runs ≡ batch (the 7-day
+    // horizon never fires inside a test — this pins liveness +
+    // parity under ProcessingTimeTimeout, the mode all default
+    // callers now run in)
+    val mem = MemoryStream[(Long, String, Double)]
+    val est = KmvStream.quantiles(mem.toDF().toDF("id", "g", "v"),
+      "g", "id", "v", seed = "kt", k = 8, qs = Seq(0.5))
+    val q = est.writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .format("memory").queryName("kmv_default").start()
+    try {
+      val rows = (1L to 20L).map(i => (i, "a", (i * 37 % 100).toDouble))
+      val batch = Sketches.kmvQuantiles(
+        Sketches.kmvSketch(rows.toDF("id", "g", "v"), Seq("g"),
+          col("id"), col("v"), "kt", 8), Seq("g"), 8, Seq("p50" -> 0.5))
+        .collect().head.getAs[Double]("p50")
+      mem.addData(rows: _*)
+      val end = System.currentTimeMillis + 30000
+      def latest(): Option[Seq[Double]] =
+        spark.table("kmv_default").collect().zipWithIndex
+          .sortBy(_._2).lastOption.map(_._1.getSeq[Double](2))
+      while (latest().isEmpty && System.currentTimeMillis < end) Thread.sleep(100)
+      assert(latest().contains(Seq(batch)),
+        "default-policy stream must equal the batch sketch")
+    } finally q.stop()
+  }
+
   test("streaming twin ≡ batch over data-so-far, every prefix") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -191,8 +242,14 @@ class KmvSketchSpec extends SparkSpec {
       (i, if (i % 3 == 0) "a" else "b", ((i * 37) % 500).toDouble))
     val mem = MemoryStream[(Long, String, Double)]
     val qs = Seq(0.5, 0.9)
+    // TTL explicitly OFF: processAllAvailable() STARVES under
+    // ProcessingTimeTimeout (the engine schedules no-data timer-sweep
+    // batches back to back, so "all available processed" never
+    // settles) — and this test's per-prefix parity needs its
+    // deterministic batch boundaries. The default policy has its own
+    // case above, driven by polling.
     val est = KmvStream.quantiles(mem.toDF().toDF("id", "g", "v"),
-      "g", "id", "v", seed = "kt", k = 64, qs = qs)
+      "g", "id", "v", seed = "kt", k = 64, qs = qs, inactivityTtl = None)
     val q = est.writeStream.outputMode("update")
       .format("memory").queryName("kmv_stream").start()
     try {

@@ -62,6 +62,71 @@ class ResidualPqSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("epoch appends with frozen quantizers probe exactly like a full rewrite; an epoch replay is idempotent") {
+    val data = clustered(160, 16, 8, seed = 47L)
+    val df = data.toDF("id", "v")
+    val queries = df.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val corpus = df.filter(col("id") >= 4)
+      .select(col("id").as("id"), col("v").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val cb = ResidualPq.trainCodebooks(corpus, centroids, m = 4, k = 8, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("respq3").toFile.getAbsolutePath
+    ResidualPq.writeIndex(corpus, centroids, cb, s"$tmp/full")
+    // the same corpus streamed in as two epochs against FROZEN quantizers
+    val even = corpus.filter(col("id") % 2 === 0)
+    val odd = corpus.filter(col("id") % 2 === 1)
+    ResidualPq.appendIndexEpoch(even, centroids, cb, s"$tmp/epoch", 0L)
+    ResidualPq.appendIndexEpoch(odd, centroids, cb, s"$tmp/epoch", 1L)
+    // a foreachBatch RETRY of epoch 1 must replace, never duplicate
+    ResidualPq.appendIndexEpoch(odd, centroids, cb, s"$tmp/epoch", 1L)
+    assert(spark.read.parquet(s"$tmp/epoch").count() == corpus.count(),
+      "epoch replay must be idempotent")
+    val full = key(ResidualPq.topK(spark, s"$tmp/full", queries, centroids, cb,
+      k = 10, nProbe = 8, shortlist = Int.MaxValue))
+    val epoch = key(ResidualPq.topK(spark, s"$tmp/epoch", queries, centroids, cb,
+      k = 10, nProbe = 8, shortlist = Int.MaxValue))
+    assert(epoch == full, "streamed appends must probe ≡ full rewrite")
+    assert(full == key(Similarity.bruteForceTopK(queries, corpus, 10)))
+  }
+
+  test("residual encoding beats raw encoding at the PRUNED probe budget too") {
+    val data = clustered(405, 16, 8, seed = 43L)
+    val df = data.toDF("id", "v")
+    val queries = df.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val corpus = df.filter(col("id") >= 5)
+      .select(col("id").as("id"), col("v").as("vec"))
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 10)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def recall(rows: Array[(Long, Long)]): Double = {
+      val byQ = rows.groupBy(_._1)
+      exact.map { case (q, truth) =>
+        byQ.getOrElse(q, Array.empty[(Long, Long)])
+          .map(_._2).count(truth.contains).toDouble / truth.size
+      }.sum / exact.size
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("respq4").toFile.getAbsolutePath
+    val rawCb = PqIndex.train(corpus, "id", "vec", m = 8, k = 32, iters = 3)
+    IvfPq.writeIndex(corpus, centroids, rawCb, s"$tmp/raw")
+    val raw = recall(IvfPq.topK(spark, s"$tmp/raw", queries, centroids, rawCb,
+      k = 10, nProbe = 2, shortlist = 15)
+      .select("qid", "id").as[(Long, Long)].collect())
+    val resCb = ResidualPq.trainCodebooks(corpus, centroids, m = 8, k = 32, iters = 3)
+    ResidualPq.writeIndex(corpus, centroids, resCb, s"$tmp/res")
+    val res = recall(ResidualPq.topK(spark, s"$tmp/res", queries, centroids, resCb,
+      k = 10, nProbe = 2, shortlist = 15)
+      .select("qid", "id").as[(Long, Long)].collect())
+    info(f"recall@10 shortlist=15 nProbe=2: raw=$raw%.3f residual=$res%.3f")
+    // the production configuration prunes BOTH levers; the residual
+    // advantage must survive the probe cut, not just the exhaustive mode
+    assert(res >= raw + 0.1,
+      f"residual must beat raw at the pruned probe budget: res=$res%.3f raw=$raw%.3f")
+    assert(res >= 0.7, f"pruned residual recall floor: $res%.3f")
+  }
+
   test("residual encoding beats raw encoding at a pruned shortlist") {
     val data = clustered(405, 16, 8, seed = 43L)
     val df = data.toDF("id", "v")

@@ -71,6 +71,55 @@ class RetractionSpec extends SparkSpec {
     assert(fileSet(acc) == accFiles, "re-retracting must be a no-op")
   }
 
+  test("retractAll over a RESIDUAL-encoded ANN layout: probes victim-free, untouched epoch byte-identical, idempotent") {
+    val acc = graft.Staging.dirFor("retract-res-acc")
+    val idx = graft.Staging.dirFor("retract-res-idx")
+    val ann = graft.Staging.dirFor("retract-res-ann")
+    val emb = Tables.embeddings(spark, sf001).filter($"vec_id" < 40)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = IvfIndex.train(emb, "id", "vec", k = 4)
+    val rcb = ResidualPq.trainCodebooks(emb, cents, m = 4, k = 8)
+    // two epochs into the residual layout; victims live only in epoch 0
+    val e0 = emb.filter($"id" < 20)
+    val e1 = emb.filter($"id" >= 20)
+    ResidualPq.appendIndexEpoch(e0, cents, rcb, ann, 0L)
+    ResidualPq.appendIndexEpoch(e1, cents, rcb, ann, 1L)
+    // corpus + band-index sinks (what retractAll sweeps besides the ANN
+    // store) as minimal batch-partitioned layouts over the same ids
+    emb.select($"id".as("doc_id"), lit("t").as("text"),
+        (($"id" >= 20).cast("int")).as("batch"))
+      .write.mode("overwrite").partitionBy("batch").parquet(acc)
+    emb.select($"id", xxhash64($"id").as("sig"),
+        (($"id" >= 20).cast("int")).as("batch"))
+      .write.mode("overwrite").partitionBy("batch").parquet(idx)
+    val epoch1Files = fileSet(s"$ann/batch=1")
+
+    Retraction.retractAll(spark, Seq(1L, 3L), "doc_id", acc, idx, Some(ann))
+
+    assert(spark.read.parquet(ann).select("id").as[Long].collect().toSet
+      == (0L until 40L).toSet -- Set(1L, 3L))
+    // an EXHAUSTIVE probe of the retracted index ≡ brute force over the
+    // surviving corpus — the strongest victim-free statement available
+    val queries = Tables.embeddings(spark, sf001)
+      .filter($"vec_id" >= 100 && $"vec_id" < 103)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val probed = ResidualPq.topK(spark, ann, queries, cents, rcb,
+      k = 5, nProbe = 4, shortlist = Int.MaxValue)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val survivors = emb.filter(!$"id".isin(1L, 3L))
+    val exact = Similarity.bruteForceTopK(queries, survivors, 5)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(probed == exact,
+      "retracted residual index must probe exactly like one built without the victims")
+    // epoch 1 held no victims — its files (incl. nested cell dirs) intact
+    assert(fileSet(s"$ann/batch=1") == epoch1Files,
+      "victim-free epoch of the residual layout must not be rewritten")
+    // idempotent
+    val annFiles = fileSet(ann)
+    Retraction.retractAll(spark, Seq(1L, 3L), "doc_id", acc, idx, Some(ann))
+    assert(fileSet(ann) == annFiles, "re-retracting must be a no-op")
+  }
+
   test("retractPostings: a BM25 probe never returns a victim; untouched buckets byte-identical; stats ≡ rebuilt; idempotent") {
     val pidx = graft.Staging.dirFor("retract-postings")
     // vocabulary big enough that with 64 buckets some hold no victim terms

@@ -30,9 +30,15 @@ class HealthStreamSpec extends SparkSpec {
   test("assembled stream report ≡ profileWithQuantiles over data-so-far, every micro-batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Option[String], Option[Long], Double)]
+    // TTL explicitly OFF here: this matrix needs processAllAvailable's
+    // deterministic per-prefix batch boundaries, which STARVE under the
+    // default ProcessingTimeTimeout timer sweeps (the KmvStream
+    // scaladoc caveat). The inherited-default policy itself is pinned
+    // in KmvSketchSpec's default-policy case.
     val (prof, quant) = HealthStream.tableHealth(
       mem.toDF().toDF("id", "lang", "n_chars", "score"),
-      cols, numCols, idCol = "id", seed = "hs", k = 16, qs = qs.map(_._2))
+      cols, numCols, idCol = "id", seed = "hs", k = 16, qs = qs.map(_._2),
+      inactivityTtl = None)
     val q1 = prof.writeStream.outputMode(OutputMode.Complete)
       .format("memory").queryName("hs_prof").start()
     val q2 = quant.writeStream.outputMode(OutputMode.Update)
