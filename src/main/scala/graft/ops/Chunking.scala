@@ -133,20 +133,8 @@ object Chunking {
   def scrubRepeatedSubstrings(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, maxOcc: Long = 1L): DataFrame = {
     require(minLen > 0, "minLen must be positive")
-    val L = minLen
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
-      .withColumn("n", org.apache.spark.sql.functions.size(col("ts")))
-      .filter(col("n") > 0)
-    // every sliding L-gram start (docs shorter than L have no grams
-    // and cannot participate in a repeat ≥ L)
-    val grams = base.filter(col("n") >= L)
-      .select(col("id"),
-        explode(sequence(lit(0), col("n") - L)).as("s"),
-        col("ts"))
-      .select(col("id"), col("s"),
-        Dedup.md5TokenHash60(
-          array_join(slice(col("ts"), col("s") + 1, lit(L)), " ")).as("gh"))
+    val base = tokenized(docs, idCol, textCol)
+    val grams = slidingGrams(base, minLen)
     val repeatedGrams = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc)
@@ -154,6 +142,33 @@ object Chunking {
     val repStarts = grams.join(repeatedGrams, Seq("gh"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("s"))).as("starts"))
+    rebuildScrubbed(base, repStarts, minLen)
+  }
+
+  /** (id, ts, n) over non-null, non-empty docs. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("ts")))
+      .filter(col("n") > 0)
+
+  /** Every sliding L-gram start: (id, s, gh). Docs shorter than L have
+    * no grams and cannot participate in a repeat ≥ L. */
+  private def slidingGrams(base: DataFrame, l: Int): DataFrame =
+    base.filter(col("n") >= l)
+      .select(col("id"),
+        explode(sequence(lit(0), col("n") - l)).as("s"),
+        col("ts"))
+      .select(col("id"), col("s"),
+        Dedup.md5TokenHash60(
+          array_join(slice(col("ts"), col("s") + 1, lit(l)), " ")).as("gh"))
+
+  /** The coverage-union rebuild shared by the batch and incremental
+    * forms: merge each doc's sorted repeated starts into covered
+    * intervals, take the complement, re-slice the kept runs. */
+  private def rebuildScrubbed(base: DataFrame, repStarts: DataFrame,
+      l: Int): DataFrame = {
+    val L = l
     val emptyIv = array().cast("array<struct<lo:int,hi:int>>")
     base.join(repStarts, Seq("id"), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
@@ -187,6 +202,81 @@ object Chunking {
         org.apache.spark.sql.functions.size(col("starts")).cast("long").as("n_repeated"),
         org.apache.spark.sql.functions.size(col("ct")).as("n_tokens_clean"),
         Dedup.md5TokenHash60(array_join(col("ct"), " ")).as("clean_hash"))
+  }
+
+  /** Persisted gram-occurrence store for the INCREMENTAL substring
+    * scrub: one `(gh, occ)` count relation per epoch under
+    * `path/batch=<id>/`, OVERWRITE per epoch so a replay replaces its
+    * own output (the [[graft.streaming.IngestGate]] sink discipline).
+    * Occurrence counts are additive, so epochs UNION correctly — the
+    * probe sums per gram across epochs — and [[Compaction]] applies
+    * unchanged (row union preserves the sums). Store width is 16 B per
+    * distinct gram per epoch; at 100 TB the probe never shuffles it
+    * (see [[scrubIncremental]]). */
+  def writeGramEpoch(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, path: String, batchId: Long = 0L): Unit =
+    slidingGrams(tokenized(docs, idCol, textCol), minLen)
+      .groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Scrub a NEW batch against corpus-so-far ∪ the batch itself —
+    * the incremental form of [[scrubRepeatedSubstrings]], same Lee
+    * semantics over the union: a batch doc's token is removed iff some
+    * L-gram containing it occurs more than `maxOcc` times across the
+    * indexed history PLUS this batch. For the batch docs the verdict
+    * is therefore IDENTICAL to re-running the full scrub over
+    * history ∪ batch and keeping the batch rows — the oracle-checkable
+    * parity `text_substring_scrub_inc` rides on. (Historical docs that
+    * a new occurrence retroactively makes repeated are re-scrubbed at
+    * the next full rebuild, exactly the [[graft.ops.IvfPq]] frozen-
+    * quantizer trade: the incremental path never rewrites history.)
+    *
+    * Scale shape: the batch's gram counts are small by contract and
+    * BROADCAST into the store scan — the store (one 16 B row per
+    * distinct corpus gram per epoch) is scanned once, column-pruned,
+    * and never shuffled; everything downstream touches batch-sized
+    * relations only. Pass `appendBatchId` to also commit this batch's
+    * counts as a new epoch (replay-idempotent overwrite). */
+  def scrubIncremental(batch: DataFrame, idCol: String, textCol: String,
+      minLen: Int, indexPath: String, maxOcc: Long = 1L,
+      appendBatchId: Option[Long] = None): DataFrame = {
+    require(minLen > 0, "minLen must be positive")
+    val base = tokenized(batch, idCol, textCol)
+    val grams = slidingGrams(base, minLen)
+    val batchCnt = grams.groupBy(col("gh")).agg(count(lit(1)).as("bocc"))
+    appendBatchId.foreach { bid =>
+      batchCnt.select(col("gh"), col("bocc").as("occ"))
+        .write.mode("overwrite").parquet(s"$indexPath/batch=$bid")
+    }
+    val spark = batch.sparkSession
+    // history counts for exactly the batch's grams: store scan +
+    // broadcast hash semi-join, summed per gram (multiple epochs may
+    // carry the same gram). Replays exclude their own epoch — the
+    // gate's self-rejection lesson applied to counts (a replayed
+    // batch's own committed counts would double its occurrences; a
+    // replay must pass the SAME appendBatchId, as gateBatch does).
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasHistory = fs.exists(root) && fs.listStatus(root).exists { s =>
+      val nm = s.getPath.getName
+      s.isDirectory && nm.startsWith("batch=") &&
+        scala.util.Try(nm.stripPrefix("batch=").toLong).toOption
+          .forall(id => !appendBatchId.contains(id))
+    }
+    val hist =
+      if (!hasHistory)
+        batchCnt.select(col("gh"), col("bocc").cast("long").as("hocc")).limit(0)
+      else spark.read.parquet(indexPath)
+        .filter(appendBatchId.map(bid => col("batch") =!= bid).getOrElse(lit(true)))
+        .join(broadcast(batchCnt.select(col("gh"))), Seq("gh"))
+        .groupBy(col("gh")).agg(sum(col("occ")).as("hocc"))
+    val repeatedGrams = batchCnt.join(hist, Seq("gh"), "left")
+      .filter(col("bocc") + coalesce(col("hocc"), lit(0L)) > maxOcc)
+      .select(col("gh"))
+    val repStarts = grams.join(repeatedGrams, Seq("gh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("s"))).as("starts"))
+    rebuildScrubbed(base, repStarts, minLen)
   }
 
   /** One row per (doc, window): `(id, chunk_idx, tok_start, n_tokens,

@@ -368,6 +368,37 @@ object Opq {
     best
   }
 
+  /** Ingest-time half for an iteratively-trained model, mirroring
+    * [[writeEncoded]]: (id, codes, vec) in one parquet — the learned
+    * rotation is paid ONCE at write time (the FAISS `OPQMatrix`
+    * pre-transform amortization applies to the non-parametric variant
+    * identically), the ADC pass prunes to the codes column, the
+    * re-rank fetches original vectors for shortlist rows only. */
+  def writeEncodedIterative(corpus: DataFrame, model: RotModel,
+      path: String): Unit =
+    corpus.select(col("id"),
+        PqIndex.encode(
+          graft.functions.functions.rotate_project(col("vec"), model.rot,
+            normalize = true, appendEvery = model.cb.dsub),
+          augment(model.cb)).as("codes"),
+        col("vec"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a [[writeEncodedIterative]] corpus: only the query rotates
+    * at probe time; codes-only ADC scan, exact re-rank on original
+    * vectors (OpqSpec gates the ReadSchema like the parametric
+    * encoded form). */
+  def topKEncodedIterative(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, model: RotModel,
+      k: Int, shortlist: Int): DataFrame = {
+    val stored = spark.read.parquet(path)
+    val rotatedQueries = queries.select(col("qid"),
+      graft.functions.functions.rotate_project(col("qvec"), model.rot).as("qvec"))
+    val short = PqIndex.adcShortlist(stored.select(col("id"), col("codes")),
+      rotatedQueries, model.cb, shortlist)
+    PqIndex.rerank(short, queries, stored.select(col("id"), col("vec")), k)
+  }
+
   /** [[topK]] for an iteratively-trained model: identical pipeline —
     * encode with the learned rotation, ADC + shortlist in rotated
     * space, exact cosine re-rank on ORIGINAL vectors. Exhaustive

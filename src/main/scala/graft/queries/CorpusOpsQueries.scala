@@ -844,7 +844,11 @@ object CorpusOpsQueries {
         "text", minLen = 8, maxOcc = 1L)
       .orderBy(col("id"))
 
-  val textSubstringScrubSql: String = {
+  /** The full-corpus replay, with an optional final doc filter — the
+    * incremental twin's oracle is THIS SAME computation restricted to
+    * the batch docs (occurrence counts over history ∪ batch = the
+    * whole table, verdicts read off for the batch rows only). */
+  private def substringScrubSqlWhere(finalWhere: String): String = {
     val hexVal = (0 until 15).map(i =>
       s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
       .mkString(" + ")
@@ -890,8 +894,32 @@ object CorpusOpsQueries {
        |  LEFT JOIN clean c USING (doc_id))
        |SELECT doc_id AS id, n_tokens, n_repeated, n_tokens_clean,
        |  CAST($hexVal2 AS BIGINT) AS clean_hash
-       |FROM final ORDER BY id""".stripMargin
+       |FROM final $finalWhere ORDER BY id""".stripMargin
   }
+
+  val textSubstringScrubSql: String = substringScrubSqlWhere("")
+
+  /** Incremental substring scrub ([[graft.ops.Chunking.scrubIncremental]]):
+    * history = docs with doc_id % 5 ≠ 0 committed as gram-count epoch 0,
+    * the batch = doc_id % 5 = 0 scrubbed against history ∪ itself (its
+    * own counts committed as epoch 1, exercising the replay-exclusion
+    * path). The batch verdicts are BY CONSTRUCTION what the full scrub
+    * over the whole table says for those docs — so the oracle is the
+    * full replay with a final doc filter, the strongest incremental
+    * parity available. */
+  val textSubstringScrubInc: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val idxDir = graft.Staging.dirFor("inc-substr-index")
+    Chunking.writeGramEpoch(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", minLen = 8, idxDir, batchId = 0L)
+    Chunking.scrubIncremental(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", minLen = 8, idxDir, maxOcc = 1L,
+        appendBatchId = Some(1L))
+      .orderBy(col("id"))
+  }
+
+  val textSubstringScrubIncSql: String =
+    substringScrubSqlWhere("WHERE doc_id % 5 = 0")
 
   /** Portable HyperLogLog distinct counts ([[graft.ops.Sketches]]):
     * per event type, sketched distinct event ids AND distinct user
@@ -1314,6 +1342,7 @@ object CorpusOpsQueries {
     "q_quantile_kmv" -> qQuantileKmv,
     "text_span_scrub" -> textSpanScrub,
     "text_substring_scrub" -> textSubstringScrub,
+    "text_substring_scrub_inc" -> textSubstringScrubInc,
     "q_cms_topk" -> qCmsTopk,
     "q_sample_weighted" -> qSampleWeighted,
     "q_sample_reservoir" -> qSampleReservoir,
@@ -1344,6 +1373,7 @@ object CorpusOpsQueries {
     "q_quantile_kmv" -> qQuantileKmvSql,
     "text_span_scrub" -> textSpanScrubSql,
     "text_substring_scrub" -> textSubstringScrubSql,
+    "text_substring_scrub_inc" -> textSubstringScrubIncSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_sample_reservoir" -> qSampleReservoirSql,

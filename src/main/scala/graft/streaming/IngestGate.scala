@@ -35,9 +35,18 @@ object IngestGate {
     * idempotent; retrain policy documented there). The gate thus keeps
     * the near-dup index AND the similarity index in lockstep with the
     * accepted corpus — batch N+1 can probe batch N's acceptances both
-    * ways. */
+    * ways.
+    *
+    * `residual = true` routes appends through
+    * [[graft.ops.ResidualPq.appendIndexEpoch]] instead — the
+    * residual-encoded layout (codebooks must then be RESIDUAL-trained,
+    * [[graft.ops.ResidualPq.trainCodebooks]]); layout, epoch
+    * discipline, retraction and compaction are identical, only the
+    * code semantics differ, so the same retractAll/compactAll sweeps
+    * apply (RetractionSpec/CompactionSpec residual cases). */
   final case class AnnSink(dir: String, vecCol: String,
-    centroids: Array[Array[Double]], codebooks: graft.ops.PqIndex.Codebooks)
+    centroids: Array[Array[Double]], codebooks: graft.ops.PqIndex.Codebooks,
+    residual: Boolean = false)
 
   /** Gate ONE batch. Returns the number of accepted documents.
     * Extracted from the foreachBatch closure so the idempotence and
@@ -87,8 +96,13 @@ object IngestGate {
         .write.mode("overwrite")
         .parquet(s"$indexDir/batch=$batchId")
       ann.foreach { a =>
-        graft.ops.IvfPq.appendIndexEpoch(accepted, a.centroids, a.codebooks,
-          a.dir, batchId, idCol = idCol, vecCol = a.vecCol)
+        if (a.residual)
+          graft.ops.ResidualPq.appendIndexEpoch(
+            accepted.select(col(idCol).as("id"), col(a.vecCol).as("vec")),
+            a.centroids, a.codebooks, a.dir, batchId)
+        else
+          graft.ops.IvfPq.appendIndexEpoch(accepted, a.centroids, a.codebooks,
+            a.dir, batchId, idCol = idCol, vecCol = a.vecCol)
       }
       nAccepted
     } finally { accepted.unpersist(false); () }

@@ -173,6 +173,43 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("incremental substring scrub ≡ full scrub restricted to the batch; replay-idempotent; catches history↔batch repeats") {
+    val rnd = new scala.util.Random(1015L)
+    val all = (1L to 30L).map(id => id ->
+      (0 until (5 + rnd.nextInt(25))).map(_ => s"w${rnd.nextInt(4)}").mkString(" "))
+    // plant a cross-boundary repeat at DIFFERENT offsets: history doc
+    // 101 carries the passage mid-doc, batch doc 102 leads with it
+    val passage = (0 until 9).map(i => s"X$i").mkString(" ")
+    val hist = all.filter(_._1 % 3 != 0) :+ (101L -> s"a b c $passage")
+    val batch = all.filter(_._1 % 3 == 0) :+ (102L -> s"$passage y z")
+    val idx = graft.Staging.dirFor("chunk-inc-idx")
+    Chunking.writeGramEpoch(hist.toDF("doc_id", "text"), "doc_id", "text",
+      minLen = 5, idx, batchId = 0L)
+    val inc = Chunking.scrubIncremental(batch.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 5, idx, maxOcc = 1L,
+        appendBatchId = Some(1L))
+      .as[(Long, Int, Long, Int, Long)].collect().sortBy(_._1).toSeq
+    // the oracle relation: the FULL scrub over history ∪ batch, batch rows
+    val full = Chunking.scrubRepeatedSubstrings(
+        (hist ++ batch).toDF("doc_id", "text"), "doc_id", "text", minLen = 5)
+      .as[(Long, Int, Long, Int, Long)].collect()
+      .filter(r => batch.exists(_._1 == r._1)).sortBy(_._1).toSeq
+    assert(inc == full,
+      "incremental verdicts must equal the full scrub's for the batch docs")
+    // the planted cross-boundary straddle was caught: doc 102 lost
+    // exactly the 9 passage tokens
+    val d102 = inc.find(_._1 == 102L).get
+    assert(d102._2 - d102._4 >= 9,
+      s"history↔batch repeat must be scrubbed from the batch doc: $d102")
+    // replay with the SAME batch id: identical output (own epoch excluded
+    // from the history sum — no double counting)
+    val replay = Chunking.scrubIncremental(batch.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 5, idx, maxOcc = 1L,
+        appendBatchId = Some(1L))
+      .as[(Long, Int, Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(replay == inc, "an epoch replay must not change any verdict")
+  }
+
   test("streaming twin: chunking a document stream matches the batch result") {
     // Chunking is stateless per document, so the SAME operator runs
     // unchanged inside a streaming query — no watermark, no state

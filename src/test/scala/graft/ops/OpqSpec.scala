@@ -173,6 +173,32 @@ class OpqSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("iterative encoded corpus: probe ≡ inline, ADC pass never reads the vectors") {
+    val data = clustered(150, 16, 6, seed = 29L)
+    val df = data.toDF("id", "v")
+    val basis = Pca.trainBasis(df, "v", 16)
+    val queries = df.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val corpus = df.filter(col("id") >= 3)
+      .select(col("id").as("id"), col("v").as("vec"))
+    val model = Opq.trainIterative(corpus, basis, m = 4, k = 8,
+      pqIters = 2, optIters = 2)
+    val path = java.nio.file.Files.createTempDirectory("opqiter").toFile.getAbsolutePath
+    Opq.writeEncodedIterative(corpus, model, path)
+    val got = Opq.topKEncodedIterative(spark, path, queries, model,
+      k = 5, shortlist = 30)
+    val inline = Opq.topKIterative(queries, corpus, model, k = 5, shortlist = 30)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(key(got) == key(inline), "encoded probe ≡ inline probe")
+    val plan = got.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("vec")),
+      s"no codes-only scan found:\n$plan")
+    assert(schemas.forall(s => !(s.contains("codes") && s.contains("vec"))),
+      s"a scan reads codes AND vectors — ADC pass not pruned:\n$plan")
+  }
+
   test("iterative vs parametric: the measured recall table (Ge §4.1 vs §4.2)") {
     def recallOn(data: Seq[(Long, Seq[Float])], dim: Int = 16, m: Int = 4,
         shortlist: Int = 15): (Double, Double) = {

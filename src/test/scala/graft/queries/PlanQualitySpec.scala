@@ -118,6 +118,21 @@ class PlanQualitySpec extends SparkSpec {
       s"ADC scoring must be flat codegen'd lookups:\n$p")
   }
 
+  test("text_substring_scrub: schema pruned to (doc_id, text); gram counts partial-aggregate map-side; no cartesian") {
+    val p = plan("text_substring_scrub")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // the occurrence count must combine map-side — the exchange carries
+    // (hash, partial count), not one row per gram occurrence
+    assert(p.contains("partial_count"),
+      s"gram occurrence count must partial-aggregate before its exchange:\n$p")
+    // both scans of documents (gram pass + rebuild re-scan) are pruned
+    // to the two columns the operator touches
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      !s.contains("lang") && !s.contains("source") && !s.contains("quality")),
+      s"documents scans must read only (doc_id, text):\n${schemas.mkString("\n")}")
+  }
+
   test("text_tfidf: documents scanned once — tf/df/N derive from one exploded aggregation") {
     val p = plan("text_tfidf")
     assert(p.split("FileScan parquet").length - 1 == 1,

@@ -83,6 +83,47 @@ class IngestGateSpec extends SparkSpec {
       threshold = 0.3) == 0L)
   }
 
+  test("AnnSink(residual = true): gate maintains a residual-encoded index; appends ≡ full rewrite; replay idempotent") {
+    import graft.Tables
+    import graft.ops.{IvfIndex, ResidualPq}
+    import org.apache.spark.sql.functions.col
+    val idx = graft.Staging.dirFor("ingate-res-idx")
+    val acc = graft.Staging.dirFor("ingate-res-acc")
+    val annDir = graft.Staging.dirFor("ingate-res-pq")
+    val fullDir = graft.Staging.dirFor("ingate-res-full")
+    val vecs = Tables.embeddings(spark, sf001).filter(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def doc(id: Long): (Long, String, Seq[Float]) = (id, mkText(id.toInt), vecs(id))
+    val trainDf = Tables.embeddings(spark, sf001).filter(col("vec_id") < 60)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = IvfIndex.train(trainDf, "id", "vec", k = 4)
+    // RESIDUAL-trained codebooks, as the AnnSink contract requires
+    val rcb = ResidualPq.trainCodebooks(trainDf, cents, m = 4, k = 8)
+    val ann = Some(IngestGate.AnnSink(annDir, "vec", cents, rcb, residual = true))
+    val e0 = Seq(doc(1L), doc(2L), doc(3L)).toDF("doc_id", "text", "vec")
+    val e1 = Seq(doc(10L), doc(11L)).toDF("doc_id", "text", "vec")
+    assert(IngestGate.gateBatch(e0, 0L, idx, acc, "doc_id", "text", ann = ann) == 3L)
+    assert(IngestGate.gateBatch(e1, 1L, idx, acc, "doc_id", "text", ann = ann) == 2L)
+    // full residual rewrite of the same accepted corpus, same quantizers
+    val acceptedVecs = spark.read.parquet(acc)
+      .select(col("doc_id").as("id"), col("vec"))
+    ResidualPq.writeIndex(acceptedVecs, cents, rcb, fullDir)
+    val queries = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 103)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def probe(path: String): Seq[(Long, Long, Int)] =
+      ResidualPq.topK(spark, path, queries, cents, rcb,
+          k = 3, nProbe = 4, shortlist = Int.MaxValue)
+        .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val streamed = probe(annDir)
+    assert(streamed.nonEmpty && streamed == probe(fullDir),
+      "gate-maintained residual index must probe ≡ full residual rewrite")
+    // replay idempotence carries over to the residual sink
+    assert(IngestGate.gateBatch(e1, 1L, idx, acc, "doc_id", "text", ann = ann) == 2L)
+    assert(probe(annDir) == streamed, "replayed epoch must leave probes unchanged")
+  }
+
   test("AnnSink: streamed epoch appends probe identically to a full rewrite; replay idempotent") {
     import graft.Tables
     import graft.ops.{IvfIndex, IvfPq, PqIndex}
