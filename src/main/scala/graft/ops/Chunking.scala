@@ -279,6 +279,42 @@ object Chunking {
     rebuildScrubbed(base, repStarts, minLen)
   }
 
+  /** SPAN-LEVEL decontamination — the surgical variant of
+    * [[Curation.decontaminate]]: instead of DROPPING every corpus
+    * document that shares an n-gram with the eval set (which discards
+    * a 10k-token document over one quoted benchmark sentence), remove
+    * exactly the tokens lying inside any shared ≥ `minLen`-gram and
+    * keep the rest. Same coverage semantics as
+    * [[scrubRepeatedSubstrings]] with "repeated" replaced by "present
+    * in the eval set" — a contaminated passage at ANY offset is tiled
+    * by shared L-grams, so the coverage union removes precisely the
+    * overlapping span(s).
+    *
+    * Output: `(id, n_tokens, n_contaminated, n_tokens_clean,
+    * clean_hash)` — every corpus doc keeps a row (`n_contaminated`
+    * = 0 for clean docs); a fully-contaminated doc survives as an
+    * empty stream, the caller's policy decides whether to drop it.
+    *
+    * 100 TB shape: the eval set is fixed-size, so its distinct gram
+    * relation broadcasts and the corpus side NEVER shuffles for the
+    * membership probe — the only id-keyed exchange carries the (tiny)
+    * contaminated starts. */
+  def scrubContaminatedSpans(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, minLen: Int): DataFrame = {
+    require(minLen > 0, "minLen must be positive")
+    val base = tokenized(corpus, idCol, textCol)
+    val grams = slidingGrams(base, minLen)
+    val benchGrams = slidingGrams(
+      tokenized(bench, benchIdCol, benchTextCol), minLen)
+      .select(col("gh")).distinct()
+    val repStarts = grams.join(broadcast(benchGrams), Seq("gh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("s"))).as("starts"))
+    rebuildScrubbed(base, repStarts, minLen)
+      .withColumnRenamed("n_repeated", "n_contaminated")
+  }
+
   /** One row per (doc, window): `(id, chunk_idx, tok_start, n_tokens,
     * chunk_hash)` with `chunk_hash` the engine-portable md5-60 of the
     * space-rejoined window ([[Dedup.md5TokenHash60]]). */

@@ -921,6 +921,72 @@ object CorpusOpsQueries {
   val textSubstringScrubIncSql: String =
     substringScrubSqlWhere("WHERE doc_id % 5 = 0")
 
+  /** Span-level decontamination
+    * ([[graft.ops.Chunking.scrubContaminatedSpans]]): bench = the
+    * `doc_id % 97 = 0` slice (the `text_decontaminate` convention),
+    * minLen = 5 — corpus docs keep their rows, only tokens inside a
+    * shared 5-gram go. The oracle replays corpus grams, the bench gram
+    * set, the coverage anti-join, and the rebuilt hash. */
+  val textDecontaminateSpans: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Chunking.scrubContaminatedSpans(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        minLen = 5)
+      .orderBy(col("id"))
+  }
+
+  val textDecontaminateSpansSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val hexVal2 = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15c, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |sized AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+       |grams AS (
+       |  SELECT doc_id, ts, unnest(generate_series(0, n - 5)) AS s
+       |  FROM sized WHERE n >= 5),
+       |gh AS (
+       |  SELECT doc_id, s,
+       |    substring(md5(array_to_string(list_slice(ts, s + 1, s + 5), ' ')), 1, 15) AS h15
+       |  FROM grams),
+       |ghv AS (SELECT doc_id, s, CAST($hexVal AS BIGINT) AS h FROM gh),
+       |bench AS (SELECT DISTINCT h FROM ghv WHERE doc_id % 97 = 0),
+       |rep AS (SELECT doc_id, s FROM ghv JOIN bench USING (h)
+       |        WHERE doc_id % 97 <> 0),
+       |nrep AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+       |         FROM rep GROUP BY doc_id),
+       |pos AS (SELECT doc_id, ts, n, unnest(generate_series(0, n - 1)) AS i
+       |        FROM sized WHERE doc_id % 97 <> 0),
+       |cov AS (SELECT DISTINCT p.doc_id, p.i
+       |        FROM pos p JOIN rep r
+       |          ON r.doc_id = p.doc_id AND p.i >= r.s AND p.i < r.s + 5),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.ts[p.i + 1] AS tok
+       |  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.i = p.i
+       |  WHERE c.i IS NULL),
+       |clean AS (
+       |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens_clean,
+       |    string_agg(tok, ' ' ORDER BY i) AS ctext
+       |  FROM kept GROUP BY doc_id),
+       |final AS (
+       |  SELECT z.doc_id, CAST(z.n AS INTEGER) AS n_tokens,
+       |    COALESCE(r.n_contaminated, 0) AS n_contaminated,
+       |    COALESCE(c.n_tokens_clean, 0) AS n_tokens_clean,
+       |    substring(md5(COALESCE(c.ctext, '')), 1, 15) AS h15c
+       |  FROM sized z
+       |  LEFT JOIN nrep r USING (doc_id)
+       |  LEFT JOIN clean c USING (doc_id)
+       |  WHERE z.doc_id % 97 <> 0)
+       |SELECT doc_id AS id, n_tokens, n_contaminated, n_tokens_clean,
+       |  CAST($hexVal2 AS BIGINT) AS clean_hash
+       |FROM final ORDER BY id""".stripMargin
+  }
+
   /** Portable HyperLogLog distinct counts ([[graft.ops.Sketches]]):
     * per event type, sketched distinct event ids AND distinct user
     * ids, both p=9 (m=512), next to their exact counts. BOTH sketches
@@ -1343,6 +1409,7 @@ object CorpusOpsQueries {
     "text_span_scrub" -> textSpanScrub,
     "text_substring_scrub" -> textSubstringScrub,
     "text_substring_scrub_inc" -> textSubstringScrubInc,
+    "text_decontaminate_spans" -> textDecontaminateSpans,
     "q_cms_topk" -> qCmsTopk,
     "q_sample_weighted" -> qSampleWeighted,
     "q_sample_reservoir" -> qSampleReservoir,
@@ -1374,6 +1441,7 @@ object CorpusOpsQueries {
     "text_span_scrub" -> textSpanScrubSql,
     "text_substring_scrub" -> textSubstringScrubSql,
     "text_substring_scrub_inc" -> textSubstringScrubIncSql,
+    "text_decontaminate_spans" -> textDecontaminateSpansSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_sample_reservoir" -> qSampleReservoirSql,

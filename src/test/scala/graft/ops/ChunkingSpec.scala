@@ -210,6 +210,36 @@ class ChunkingSpec extends SparkSpec {
     assert(replay == inc, "an epoch replay must not change any verdict")
   }
 
+  test("span-level decontamination scrubs exactly the shared span and KEEPS the doc the doc-level filter drops") {
+    val quote = (0 until 7).map(i => s"Q$i").mkString(" ")
+    val bench = Seq((1000L, s"prompt $quote answer")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"long unique body one $quote trailing text"),  // quotes the benchmark mid-doc
+      (2L, "completely clean document body"),
+      (3L, quote)                                          // IS the benchmark passage
+    ).toDF("doc_id", "text")
+    val got = Chunking.scrubContaminatedSpans(corpus, "doc_id", "text",
+        bench, "doc_id", "text", minLen = 5)
+      .orderBy("id").as[(Long, Int, Long, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 13, 3L, 6, md5_60("long unique body one trailing text")),
+      (2L, 4, 0L, 4, md5_60("completely clean document body")),
+      (3L, 7, 3L, 0, md5_60(""))),
+      s"surgical scrub: only the shared span goes, rows survive — got $got")
+    // contrast: the doc-level filter throws doc 1's unique body away
+    // with the quote (and doc 3, correctly); same n-gram length
+    val dropped = Curation.decontaminate(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped == Set(2L),
+      "doc-level decontaminate keeps only the clean doc — the span form preserves doc 1's 4 unique tokens")
+    // verdict parity on ≥ minLen docs: contaminated ⇔ dropped
+    val verdicts = got.map(r => r._1 -> (r._3 > 0)).toMap
+    assert(verdicts.forall { case (id, contaminated) =>
+      contaminated == !dropped.contains(id) },
+      "span-form contamination verdict must agree with the doc-level filter")
+  }
+
   test("streaming twin: chunking a document stream matches the batch result") {
     // Chunking is stateless per document, so the SAME operator runs
     // unchanged inside a streaming query — no watermark, no state
