@@ -191,16 +191,27 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Probe a [[writeLshBucketed]] corpus: the query set's buckets (at
-    * most queries × tables strings — queries are small by contract) are
-    * collected into a literal partition filter, so the scan reads ONLY
-    * the probed buckets' directories (SimilaritySpec gates
-    * `PartitionFilters` and result-identity with the inline [[lshTopK]]).
-    * Probe cost scales with bucket occupancy, never the corpus. */
+    * most queries × tables × nProbes strings — queries are small by
+    * contract) are collected into a literal partition filter, so the
+    * scan reads ONLY the probed buckets' directories (SimilaritySpec
+    * gates `PartitionFilters` and result-identity with the inline
+    * [[lshTopK]]). Probe cost scales with bucket occupancy, never the
+    * corpus.
+    *
+    * `nProbes > 1` is the INDEXED multi-probe form: the on-disk
+    * postings are unchanged (still one posting per table per row —
+    * the half-the-ingest-index advantage multi-probe buys), only the
+    * query expands to its `nProbes` lowest-margin buckets per table
+    * through [[lshProbeBuckets]]; each extra probe is one more pruned
+    * partition directory read. `nProbes = 1` is row-identical to the
+    * single-probe form. */
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, dim: Int, bitsPerTable: Int = 12,
-      tables: Int = 6, seed: Long = 42L): DataFrame = {
+      tables: Int = 6, seed: Long = 42L, nProbes: Int = 1): DataFrame = {
     val qb = queries.withColumn("bucket",
-      explode(lshBuckets(col("qvec"), dim, bitsPerTable, tables, seed)))
+      explode(
+        if (nProbes == 1) lshBuckets(col("qvec"), dim, bitsPerTable, tables, seed)
+        else lshProbeBuckets(col("qvec"), dim, bitsPerTable, tables, nProbes, seed)))
     val probed = qb.select("bucket").distinct().collect().map(_.getString(0))
     val cb = spark.read.parquet(path)
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))

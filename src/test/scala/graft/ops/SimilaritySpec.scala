@@ -102,6 +102,28 @@ class SimilaritySpec extends SparkSpec {
       s"probe must prune bucket partitions:\n$plan")
   }
 
+  test("indexed multi-probe ≡ inline multi-probe; on-disk postings unchanged; still partition-pruned") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 5).select($"vec_id".as("id"), $"embedding".as("vec"))
+    val path = java.nio.file.Files.createTempDirectory("lshmpidx").toFile.getAbsolutePath
+    // the SAME single-posting-per-table layout single-probe uses —
+    // multi-probe is a query-side decision, never an ingest one
+    Similarity.writeLshBucketed(corpus, dim = 64, bitsPerTable = 4, tables = 8, path)
+    val indexed = Similarity.lshTopKIndexed(spark, path, queries, k = 10,
+      dim = 64, bitsPerTable = 4, tables = 8, nProbes = 3)
+    val inline = Similarity.lshTopKMultiProbe(queries, corpus, k = 10,
+      dim = 64, bitsPerTable = 4, tables = 8, nProbes = 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(indexed) == key(inline),
+      "indexed multi-probe must equal the inline multi-probe")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"multi-probe must still prune bucket partitions:\n$plan")
+  }
+
   test("embedding components: planted vector clusters collapse, others stay apart") {
     val rnd = new scala.util.Random(7)
     def unit(dim: Int): Array[Float] = {
