@@ -94,7 +94,12 @@ object Opq {
     buckets.toSeq.flatMap(_.reverse)
   }
 
-  /** The rotation matrix: eigenvectors as rows, in allocation order. */
+  /** The rotation matrix: eigenvectors as rows, in allocation order.
+    * Public as [[rotation]] for composition with other index families
+    * (the rotated residual IVF-PQ stack in [[ResidualPq]]). */
+  def rotation(basis: Seq[Pca.Component], order: Seq[Int]): Array[Array[Double]] =
+    rotationMatrix(basis, order)
+
   private def rotationMatrix(basis: Seq[Pca.Component],
       order: Seq[Int]): Array[Array[Double]] = {
     val byComponent = basis.map(c => c.component -> c).toMap

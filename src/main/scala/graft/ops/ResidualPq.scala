@@ -77,6 +77,85 @@ object ResidualPq {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  // ----------------------------------------------------------------
+  // ROTATED residual IVF-PQ — the full FAISS production recipe
+  // "OPQ{m},IVF{k},PQ{m}": an [[Opq]] rotation is applied BEFORE the
+  // coarse quantizer, so both the cells and the residual codebooks
+  // live in the variance-balanced rotated space; the exact re-rank
+  // still runs on ORIGINAL vectors (rotation is orthonormal, the
+  // shortlist is the only thing the rotated space decides), so
+  // exhaustive mode stays ≡ brute force and the `ann_ivfpq_opq`
+  // oracle is the same exact-top-k SQL as every other ANN gate.
+  // The rotation is one reference-object matvec fused into the same
+  // scans that already exist — at 100 TB it costs one extra
+  // mat-vec per row at ingest and per query at probe, nothing else.
+  // ----------------------------------------------------------------
+
+  /** Train residual codebooks in ROTATED space: rotate, then
+    * [[trainCodebooks]] against rotated-space centroids. */
+  def trainCodebooksRotated(corpus: DataFrame, rot: Array[Array[Double]],
+      centroids: Array[Array[Double]], m: Int = 8, k: Int = 16,
+      iters: Int = 2): PqIndex.Codebooks =
+    trainCodebooks(
+      corpus.select(col("id"),
+        graft.functions.functions.rotate_project(col("vec"), rot).as("vec")),
+      centroids, m, k, iters)
+
+  /** (cell, id, codes, vec): cells and codes from the ROTATED vector,
+    * the ORIGINAL vector carried for the exact re-rank. */
+  private def encodedRotated(corpus: DataFrame, rot: Array[Array[Double]],
+      centroids: Array[Array[Double]], cb: PqIndex.Codebooks): DataFrame = {
+    val withRv = corpus.select(col("id"), col("vec"),
+      graft.functions.functions.rotate_project(col("vec"), rot).as("rv"))
+    val assigned = IvfIndex.assignCells(withRv, "id", "rv", centroids)
+    assigned.select(col("cell"), col("id"),
+      PqIndex.encode(
+        graft.functions.functions.cell_residual(col("rv"), col("cell"),
+          IvfIndex.unitRows(centroids), normalize = true,
+          appendEvery = cb.dsub),
+        PqIndex.augmentL2(cb)).as("codes"),
+      col("vec"))
+  }
+
+  /** [[writeIndex]] in rotated space — layout identical
+    * (`cell=<i>/…(id, codes, vec)`), so retraction/compaction apply
+    * unchanged. */
+  def writeIndexRotated(corpus: DataFrame, rot: Array[Array[Double]],
+      centroids: Array[Array[Double]], cb: PqIndex.Codebooks,
+      path: String): Unit =
+    encodedRotated(corpus, rot, centroids, cb)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** [[topK]] against a [[writeIndexRotated]] store: the QUERY rotates
+    * once (cells, exact q·c term and LUT all read the rotated query);
+    * the final re-rank scores ORIGINAL queries against ORIGINAL stored
+    * vectors — bit-identical to [[Similarity.bruteForceTopK]] in
+    * exhaustive mode. */
+  def topKRotated(spark: SparkSession, path: String, queries: DataFrame,
+      rot: Array[Array[Double]], centroids: Array[Array[Double]],
+      cb: PqIndex.Codebooks, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val rq = queries.select(col("qid"),
+      graft.functions.functions.rotate_project(col("qvec"), rot).as("qvec"))
+    val qb = rq.select(col("qid"),
+        explode(IvfIndex.probeCells(col("qvec"), centroids, nProbe)).as("cell"),
+        graft.functions.functions.rotate_project(col("qvec"),
+          IvfIndex.unitRows(centroids)).as("qcAll"),
+        PqIndex.lut(col("qvec"), cb).as("lut"))
+      .withColumn("qc", element_at(col("qcAll"), col("cell") + 1))
+      .drop("qcAll")
+    val probed = qb.select("cell").distinct().collect().map(_.getInt(0))
+    val stored = spark.read.parquet(path)
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+    val scored = stored.select(col("cell"), col("id"), col("codes"))
+      .join(broadcast(qb), Seq("cell"))
+      .withColumn("adc",
+        col("qc") + PqIndex.adcScore(col("codes"), col("lut"), cb.m, cb.k))
+    val shortIds = Similarity.rankPerQuery(scored, col("adc"), shortlist)
+      .select(col("qid"), col("id"))
+    PqIndex.rerank(shortIds, queries, stored.select(col("id"), col("vec")), k)
+  }
+
   /** Streaming-epoch append with FROZEN quantizers —
     * [[IvfPq.appendIndexEpoch]]'s contract for the residual-encoded
     * layout: the delta lands under `path/batch=<id>/cell=<c>/` in

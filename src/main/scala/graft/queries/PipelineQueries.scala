@@ -901,6 +901,37 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The FULL FAISS production recipe "OPQ,IVF,PQ"
+    * ([[graft.ops.ResidualPq.topKRotated]]): the committed eigenbasis
+    * rotation (variance-balanced allocation) applied BEFORE the coarse
+    * quantizer, residual codes in rotated space, exact re-rank on
+    * ORIGINAL vectors — so exhaustive mode ≡ brute force and the
+    * oracle is the shared exact-top-k SQL. The rotated-vs-plain
+    * residual recall comparison is ResidualPqSpec's measured table. */
+  val annIvfPqOpq: Q = (s, dir) => {
+    val basis = graft.ops.Pca.loadBasis(s,
+      s"${graft.Tables.fixturesDir}/pca_basis.parquet")
+    val order = graft.ops.Opq.allocate(
+      basis.sortBy(_.component).map(_.eigenvalue), 8)
+    val rot = graft.ops.Opq.rotation(basis, order)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val rotated = corpus.select(col("id"),
+      graft.functions.functions.rotate_project(col("vec"), rot).as("vec"))
+    val centroids = IvfIndex.train(rotated, "id", "vec", k = 8, iters = 2)
+    val cb = graft.ops.ResidualPq.trainCodebooksRotated(corpus, rot,
+      centroids, m = 8, k = 16, iters = 2)
+    val path = graft.Staging.dirFor("ivfpqopq-q")
+    graft.ops.ResidualPq.writeIndexRotated(corpus, rot, centroids, cb, path)
+    graft.ops.ResidualPq.topKRotated(s, path, queries, rot, centroids, cb,
+        k = 10, nProbe = 8, shortlist = Int.MaxValue)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Multi-probe LSH ([[graft.ops.Similarity.lshTopKMultiProbe]], Lv
     * et al. VLDB'07): each query probes its base bucket plus the
     * flipped-lowest-margin buckets per table — the recall of ~2× the
@@ -944,6 +975,7 @@ object PipelineQueries {
     "q_split_leakage" -> qSplitLeakage,
     "ann_ivfpq_res" -> annIvfPqRes,
     "ann_ivfpq_res_pruned" -> annIvfPqResPruned,
+    "ann_ivfpq_opq" -> annIvfPqOpq,
     "ann_lsh_multiprobe" -> annLshMultiprobe)
 
   val oracles: Map[String, String] = Map(
@@ -966,5 +998,6 @@ object PipelineQueries {
     "q_drift" -> qDriftSql,
     "dedup_jaccard_join" -> dedupJaccardJoinSql,
     "q_split_leakage" -> qSplitLeakageSql,
-    "ann_ivfpq_res" -> QueryCatalog.annTopKSql)
+    "ann_ivfpq_res" -> QueryCatalog.annTopKSql,
+    "ann_ivfpq_opq" -> QueryCatalog.annTopKSql)
 }
