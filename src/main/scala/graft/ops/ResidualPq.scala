@@ -156,6 +156,19 @@ object ResidualPq {
     PqIndex.rerank(shortIds, queries, stored.select(col("id"), col("vec")), k)
   }
 
+  /** [[appendIndexEpoch]] for the ROTATED layout: frozen rotation,
+    * frozen coarse centroids, frozen residual codebooks — the epoch
+    * discipline is identical (`batch=/cell=`, overwrite per epoch),
+    * and since [[writeIndexRotated]]'s layout matches [[writeIndex]]'s,
+    * the same retraction/compaction sweeps serve both. */
+  def appendIndexEpochRotated(delta: DataFrame, rot: Array[Array[Double]],
+      centroids: Array[Array[Double]], cb: PqIndex.Codebooks,
+      path: String, batchId: Long): Unit =
+    encodedRotated(delta, rot, centroids, cb)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/batch=$batchId")
+
   /** Streaming-epoch append with FROZEN quantizers —
     * [[IvfPq.appendIndexEpoch]]'s contract for the residual-encoded
     * layout: the delta lands under `path/batch=<id>/cell=<c>/` in

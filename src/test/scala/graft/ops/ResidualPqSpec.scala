@@ -167,6 +167,38 @@ class ResidualPqSpec extends SparkSpec {
       "re-rank on originals: the rotation must be invisible in exhaustive mode")
   }
 
+  test("rotated stack epoch appends with frozen rotation+quantizers probe ≡ full rewrite; replay idempotent") {
+    val data = clusteredAniso(160, 16, 8, 4, seed = 61L)
+    val df = data.toDF("id", "v")
+    val basis = Pca.trainBasis(df, "v", 16)
+    val order = Opq.allocate(basis.sortBy(_.component).map(_.eigenvalue), 4)
+    val rot = Opq.rotation(basis, order)
+    val queries = df.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val corpus = df.filter(col("id") >= 4)
+      .select(col("id").as("id"), col("v").as("vec"))
+    val rotated = corpus.select(col("id"),
+      graft.functions.functions.rotate_project(col("vec"), rot).as("vec"))
+    val centroids = IvfIndex.train(rotated, "id", "vec", k = 8, iters = 2)
+    val cb = ResidualPq.trainCodebooksRotated(corpus, rot, centroids,
+      m = 4, k = 8, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("respqrot3").toFile.getAbsolutePath
+    ResidualPq.writeIndexRotated(corpus, rot, centroids, cb, s"$tmp/full")
+    val even = corpus.filter(col("id") % 2 === 0)
+    val odd = corpus.filter(col("id") % 2 === 1)
+    ResidualPq.appendIndexEpochRotated(even, rot, centroids, cb, s"$tmp/epoch", 0L)
+    ResidualPq.appendIndexEpochRotated(odd, rot, centroids, cb, s"$tmp/epoch", 1L)
+    ResidualPq.appendIndexEpochRotated(odd, rot, centroids, cb, s"$tmp/epoch", 1L)
+    assert(spark.read.parquet(s"$tmp/epoch").count() == corpus.count(),
+      "epoch replay must be idempotent")
+    val full = key(ResidualPq.topKRotated(spark, s"$tmp/full", queries, rot,
+      centroids, cb, k = 10, nProbe = 8, shortlist = Int.MaxValue))
+    val epoch = key(ResidualPq.topKRotated(spark, s"$tmp/epoch", queries, rot,
+      centroids, cb, k = 10, nProbe = 8, shortlist = Int.MaxValue))
+    assert(epoch == full, "streamed rotated appends must probe ≡ full rewrite")
+    assert(full == key(Similarity.bruteForceTopK(queries, corpus, 10)))
+  }
+
   test("rotated vs plain residual: the measured recall table on anisotropic clusters") {
     val data = clusteredAniso(405, 16, 8, 4, seed = 59L)
     val df = data.toDF("id", "v")
