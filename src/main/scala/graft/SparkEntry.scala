@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryCatalog.all ++ graft.queries.ExtraQueries.all ++
       graft.queries.PipelineQueries.all ++
-      graft.queries.CorpusOpsQueries.all
+      graft.queries.CorpusOpsQueries.all ++
+      graft.queries.CorpusMlQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueryCatalog.oracles ++ graft.queries.ExtraQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.CorpusOpsQueries.oracles
+      graft.queries.CorpusOpsQueries.oracles ++
+      graft.queries.CorpusMlQueries.oracles
 }
