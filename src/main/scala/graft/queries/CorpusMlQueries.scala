@@ -64,9 +64,98 @@ object CorpusMlQueries {
       |SELECT qid, id, d_code, rank FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** Value of the first 15 hex digits of `h15` as a BIGINT — the
+    * engine-portable md5-60 construction every seeded oracle uses. */
+  private def hexVal: String = (0 until 15).map(i =>
+    s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+    .mkString(" + ")
+
+  /** Shared DSIR CTE chain ([[graft.ops.Dsir]]): hashed-bigram bucket
+    * counts, the add-one-smoothed target (lang='en') and raw bucket
+    * multinomials, per-bucket log importance ratios, per-doc weights. */
+  private val dsirCtes: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |dbg AS (
+       |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+       |    FROM dt WHERE len(tk) > 1)),
+       |hb AS (
+       |  SELECT doc_id, CAST($hexVal AS BIGINT) % 512 AS bucket
+       |  FROM (SELECT doc_id, substring(md5(w1 || ' ' || w2), 1, 15) AS h15 FROM dbg)),
+       |feats AS (SELECT doc_id, bucket, count(*) AS cnt FROM hb GROUP BY doc_id, bucket),
+       |raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc FROM feats GROUP BY bucket),
+       |tgt AS (
+       |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS tc
+       |  FROM feats JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket),
+       |tot AS (SELECT (SELECT sum(rc) FROM raw) AS rn, (SELECT sum(tc) FROM tgt) AS tn),
+       |model AS (
+       |  SELECT bucket,
+       |    ln((coalesce(tc, 0) + 1) / CAST(tn + 512 AS DOUBLE)) -
+       |    ln((rc + 1) / CAST(rn + 512 AS DOUBLE)) AS llr
+       |  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+       |w AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+       |    round(sum(cnt * llr), 3) AS logw
+       |  FROM feats JOIN model USING (bucket) GROUP BY doc_id)""".stripMargin
+
+  /** DSIR importance weights ([[graft.ops.Dsir]], Xie et al. NeurIPS'23):
+    * every document's log importance under hashed-bigram target (lang
+    * 'en') vs raw multinomials. The oracle replays the WHOLE model —
+    * md5 buckets, smoothing, llr, the weighted sum. Documents with < 2
+    * tokens have no features and are absent by definition. */
+  val qDsirWeights: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ops.Dsir.train(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 512)
+    graft.ops.Dsir.logWeights(docs, "doc_id", "text", model)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val qDsirWeightsSql: String =
+    s"""$dsirCtes
+       |SELECT doc_id, n_feats, logw FROM w ORDER BY doc_id""".stripMargin
+
+  /** DSIR selection: Gumbel-top-50 without replacement ∝ exp(logw) —
+    * the stateless ranking form of importance resampling. Key = logw +
+    * Gumbel(md5-uniform(seed, doc_id)), rounded 4 dp on BOTH engines
+    * before ranking (the tf-idf discipline). */
+  val qSampleDsir: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ops.Dsir.train(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 512)
+    val w = graft.ops.Dsir.logWeights(docs, "doc_id", "text", model)
+    graft.ops.Dsir.resample(w, n = 50, seed = "dsir1")
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("key").as("skey"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  val qSampleDsirSql: String =
+    s"""$dsirCtes,
+       |keyed AS (
+       |  SELECT doc_id, lang,
+       |    round(logw + -ln(-ln((CAST($hexVal AS DOUBLE) + 0.5) / 1152921504606846976.0)), 4) AS skey
+       |  FROM (
+       |    SELECT w.doc_id AS doc_id, d.lang AS lang, w.logw AS logw,
+       |      substring(md5('dsir1' || CAST(w.doc_id AS VARCHAR)), 1, 15) AS h15
+       |    FROM w JOIN documents d USING (doc_id))),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id) AS rk FROM keyed)
+       |SELECT doc_id, lang, skey, rk FROM ranked WHERE rk <= 50
+       |ORDER BY rk""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "ann_sq8" -> annSq8)
+    "ann_sq8" -> annSq8,
+    "q_dsir_weights" -> qDsirWeights,
+    "q_sample_dsir" -> qSampleDsir)
 
   val oracles: Map[String, String] = Map(
-    "ann_sq8" -> annSq8Sql)
+    "ann_sq8" -> annSq8Sql,
+    "q_dsir_weights" -> qDsirWeightsSql,
+    "q_sample_dsir" -> qSampleDsirSql)
 }
