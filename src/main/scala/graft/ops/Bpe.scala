@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING over a corpus (Sennrich et al.
+  * ACL 2016 — the subword vocabulary construction behind every modern
+  * LLM tokenizer), plus corpus encoding under the learned merges. The
+  * missing member next to the token-counting and LM-scoring family: a
+  * pretraining build learns its tokenizer FROM the corpus, and both the
+  * merge table and the resulting tokens-per-document (the token budget
+  * that drives packing and mixing) are corpus-scale jobs.
+  *
+  * The classic algorithm is a sequential loop; the scalable form
+  * (Sennrich's own implementation, SentencePiece likewise) trains on the
+  * WORD-FREQUENCY TABLE, not the corpus:
+  *
+  *   - The corpus is touched exactly ONCE — one explode→count pass
+  *     builds (word, cnt). Everything after runs on that vocabulary
+  *     relation, Heaps-law-bounded (orders of magnitude below corpus
+  *     size; tiny even at 100 TB of natural text).
+  *   - Each of the N merge steps is one aggregation over the vocab's
+  *     adjacent symbol pairs (weighted by word count) + a 1-row argmax
+  *     collect — the driver holds N (step, pair) rows, a model
+  *     parameter like the k-means centroids. The evolving segmentation
+  *     is a stack of `replace` expressions over the persisted base, so
+  *     no step re-reads the corpus.
+  *   - ENCODING goes through the vocabulary too: distinct words map to
+  *     token counts once, and the corpus joins that map (broadcast at
+  *     sane vocab sizes) — per-document token budgets without
+  *     re-segmenting every occurrence.
+  *
+  * Segmentation state is a flanked string with DOUBLE-space separators
+  * (" w  o  r  d ": two spaces between symbols, one on each end). The
+  * merge rewrite `replace(seg, " a  b ", " ab ")` then consumes exactly
+  * one of the two boundary spaces on each side — so back-to-back
+  * occurrences of the same pair (" a  b  a  b ", or a run " a  a  a ")
+  * each leave the single space the next match needs, and left-to-right
+  * non-overlapping `replace` IS greedy per-word BPE exactly. Symbols
+  * never contain spaces, so the pattern can never match inside a symbol
+  * or across the word boundary. Ties in pair frequency break on
+  * (w1, w2) byte order. Characters are split with a regex `.` —
+  * identical across engines up to the basic multilingual plane (an
+  * astral code point is two chars to Java, one to RE2; no corpus
+  * fixture contains one).
+  */
+object Bpe {
+
+  /** One learned merge: at `step`, the adjacent symbol pair (w1, w2)
+    * had the highest frequency-weighted count and fused into `merged`. */
+  final case class Merge(step: Int, w1: String, w2: String, merged: String,
+      pairCount: Long)
+
+  /** Flanked initial segmentation: " a  b  c " for word "abc" (double
+    * spaces between symbols, single flanks — the greedy-replace
+    * invariant). */
+  def charSeg(word: Column): Column =
+    concat(lit(" "), trim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
+
+  /** One corpus pass: (word, cnt). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent symbol pairs of `segCol` weighted by `cnt`:
+    * (w1, w2, c). */
+  private def pairCounts(base: DataFrame, segCol: Column): DataFrame = {
+    val tk = base.select(col("cnt"), split(trim(segCol), "  ").as("tk"))
+      .filter(size(col("tk")) > 1)
+    tk.select(col("cnt"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(sum("cnt").as("c"))
+  }
+
+  /** The trained tokenizer: the ordered merge list and the final
+    * vocabulary segmentation (word, cnt, seg). */
+  final case class BpeModel(merges: Seq[Merge], vocabSeg: DataFrame)
+
+  /** Train `nMerges` merges. Stops early if the vocabulary runs out of
+    * adjacent pairs (every word fused to one symbol). */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): BpeModel = {
+    val base = wordCounts(docs, textCol)
+      .withColumn("seg", charSeg(col("word")))
+      .persist()
+    var segCol: Column = col("seg")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = pairCounts(base, segCol)
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (w1, w2, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        val merged = w1 + w2
+        segCol = org.apache.spark.sql.functions.replace(
+          segCol, lit(s" $w1  $w2 "), lit(s" $merged "))
+        merges += Merge(step, w1, w2, merged, c)
+        step += 1
+      }
+    }
+    BpeModel(merges.toSeq,
+      base.select(col("word"), col("cnt"), segCol.as("seg")))
+  }
+
+  /** The merge table as a DataFrame — the `text_bpe_train` surface. */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("step", "w1", "w2", "merged", "pair_count")
+  }
+
+  /** Per-document token budget under the trained merges: every word
+    * maps to its subword count via the vocabulary (one broadcast-sized
+    * relation), the corpus joins it once. Output: (id, n_words,
+    * n_bpe_tokens, bpe_ratio = chars/token rounded 4 dp). */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val nTok = model.vocabSeg
+      .select(col("word"), size(split(trim(col("seg")), "  ")).as("ntok"),
+        length(col("word")).as("nch"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .join(broadcast(nTok), Seq("word"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("ntok").as("n_bpe_tokens"),
+        round(sum(col("nch")).cast("double") / sum(col("ntok")), 4).as("bpe_ratio"))
+  }
+}

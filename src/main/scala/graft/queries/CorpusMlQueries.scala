@@ -149,13 +149,165 @@ object CorpusMlQueries {
        |SELECT doc_id, lang, skey, rk FROM ranked WHERE rk <= 50
        |ORDER BY rk""".stripMargin
 
+  /** Number of BPE merges the gate queries train. Far below exhaustion
+    * on every fixture corpus (the 31-word vocab supports ~130 merges),
+    * so the oracle's unrolled stages never see an empty argmax. */
+  private val BpeMerges = 10
+
+  /** The unrolled BPE training CTE chain: `w0` (one corpus pass of word
+    * counts), `s0` (flanked char segmentation), then per merge step i —
+    * `p{i}` adjacent-pair counts weighted by word count, `b{i}` the
+    * 1-row argmax (count DESC, then pair byte order), `s{i}` the
+    * segmentation rewritten through the flanked `replace`. The oracle
+    * re-DISCOVERS every merge itself; nothing from the Spark run is
+    * embedded. */
+  private def bpeCtes(n: Int): String = {
+    val stages = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+         |      j -> struct_pack(w1 := tk[j], w2 := tk[j+1]))) AS bg
+         |    FROM (SELECT cnt, string_split(trim(seg), '  ') AS tk FROM s${i - 1})
+         |    WHERE len(tk) > 1)
+         |  GROUP BY w1, w2),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS step, w1, w2, w1 || w2 AS merged, c AS pair_count
+         |  FROM p$i ORDER BY c DESC, w1, w2 LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    replace(seg,
+         |      ' ' || (SELECT w1 FROM b$i) || '  ' || (SELECT w2 FROM b$i) || ' ',
+         |      ' ' || (SELECT merged FROM b$i) || ' ') AS seg
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS seg
+       |  FROM w0),
+       |$stages""".stripMargin
+  }
+
+  /** BPE tokenizer training ([[graft.ops.Bpe]], Sennrich ACL'16): the
+    * learned merge table — 10 frequency-argmax merges over the
+    * vocabulary relation, corpus touched once. Every value integer or
+    * string; the DuckDB oracle re-runs the whole training loop as 10
+    * unrolled CTE stages and must land on the identical merges. */
+  val textBpeTrain: Q = (s, dir) => {
+    val model = graft.ops.Bpe.train(Tables.documents(s, dir), "text", BpeMerges)
+    graft.ops.Bpe.mergesDf(s, model.merges)
+      .select(col("step"), col("w1"), col("w2"), col("merged"),
+        col("pair_count"))
+      .orderBy(col("step"))
+  }
+
+  val textBpeTrainSql: String = {
+    val union = (1 to BpeMerges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""${bpeCtes(BpeMerges)}
+       |SELECT step, w1, w2, merged, CAST(pair_count AS BIGINT) AS pair_count
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** Per-document token budget under the trained tokenizer: encode via
+    * the VOCABULARY (each distinct word segments once, the corpus joins
+    * the word→subword-count map) — the number that drives shard packing
+    * and mix planning. bpe_ratio = chars per subword token. */
+  val textBpeEncode: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ops.Bpe.train(docs, "text", BpeMerges)
+    graft.ops.Bpe.encodeStats(docs, "doc_id", "text", model)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val textBpeEncodeSql: String =
+    s"""${bpeCtes(BpeMerges)},
+       |nt AS (
+       |  SELECT word, len(string_split(trim(seg), '  ')) AS ntok,
+       |    length(word) AS nch
+       |  FROM s$BpeMerges),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(nch) AS DOUBLE) / sum(ntok), 4) AS bpe_ratio
+       |FROM dw JOIN nt USING (word) GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Zipf-law fit of the token frequency distribution: OLS of ln(freq)
+    * on ln(rank) over the vocabulary relation — the corpus-health
+    * diagnostic next to the drift monitor (natural text sits near slope
+    * −1; a synthetic or template-heavy corpus shows up as a flat or
+    * kinked line, r² far from 1). The token counts are the only
+    * data-sized pass; the regression runs on the Heaps-law-bounded
+    * vocabulary (the rank window is vocabulary-sized by construction).
+    * Closed-form OLS from five sums of identical ln operands; outputs
+    * rounded 4 dp (summation-order discipline). */
+  val qZipfFit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("token"))))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_types"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+          .as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
+
+  val qZipfFitSql: String =
+    """WITH freq AS (
+      |  SELECT token, count(*) AS f FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS token
+      |    FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY token),
+      |ranked AS (
+      |  SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, token) AS DOUBLE)) AS x,
+      |    ln(CAST(f AS DOUBLE)) AS y
+      |  FROM freq),
+      |sums AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM ranked)
+      |SELECT n AS n_types,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+      |FROM sums""".stripMargin
+
   val all: Map[String, Q] = Map(
     "ann_sq8" -> annSq8,
     "q_dsir_weights" -> qDsirWeights,
-    "q_sample_dsir" -> qSampleDsir)
+    "q_sample_dsir" -> qSampleDsir,
+    "text_bpe_train" -> textBpeTrain,
+    "text_bpe_encode" -> textBpeEncode,
+    "q_zipf_fit" -> qZipfFit)
 
   val oracles: Map[String, String] = Map(
     "ann_sq8" -> annSq8Sql,
     "q_dsir_weights" -> qDsirWeightsSql,
-    "q_sample_dsir" -> qSampleDsirSql)
+    "q_sample_dsir" -> qSampleDsirSql,
+    "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
+    "q_zipf_fit" -> qZipfFitSql)
 }

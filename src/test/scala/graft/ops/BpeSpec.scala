@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("learns the hand-computed merge sequence and stops when pairs run out") {
+    // words: abab ×3, cd ×3
+    //   step 1: (a,b) fused in both positions of every abab → count 6
+    //   step 2: tie (ab,ab)=3 vs (c,d)=3 → byte order picks "ab" first
+    //   step 3: (c,d)=3; then nothing is left to merge → early stop
+    val docs = corpus("abab abab cd", "abab cd cd")
+    val model = Bpe.train(docs, "text", nMerges = 5)
+    assert(model.merges == Seq(
+      Bpe.Merge(1, "a", "b", "ab", 6),
+      Bpe.Merge(2, "ab", "ab", "abab", 3),
+      Bpe.Merge(3, "c", "d", "cd", 3)))
+    val segs = model.vocabSeg.select("word", "seg").as[(String, String)]
+      .collect().toMap
+    assert(segs("abab") == " abab " && segs("cd") == " cd ")
+  }
+
+  test("same-symbol runs rewrite exactly like greedy BPE (double-space invariant)") {
+    val docs = corpus("aaa", "aaaa")
+    val model = Bpe.train(docs, "text", nMerges = 1)
+    assert(model.merges.head == Bpe.Merge(1, "a", "a", "aa", 5))
+    val segs = model.vocabSeg.select("word", "seg").as[(String, String)]
+      .collect().toMap
+    assert(segs("aaa") == " aa  a ", s"got '${segs("aaa")}'")
+    assert(segs("aaaa") == " aa  aa ", s"got '${segs("aaaa")}'")
+  }
+
+  test("flanked pattern can never match inside a symbol or mid-word") {
+    // merging (a,x) must not touch the standalone "x y" pairing in "xy"'s
+    // neighbor words, nor the 'x' inside another word's segmentation
+    val docs = corpus("x ax xy", "ax")
+    val model = Bpe.train(docs, "text", nMerges = 1)
+    assert(model.merges.head.w1 == "a" && model.merges.head.w2 == "x")
+    val segs = model.vocabSeg.select("word", "seg").as[(String, String)]
+      .collect().toMap
+    assert(segs("ax") == " ax " && segs("x") == " x " && segs("xy") == " x  y ")
+  }
+
+  test("encodeStats: per-doc token budget from the vocabulary join") {
+    val docs = corpus("abab abab cd", "abab cd cd")
+    val model = Bpe.train(docs, "text", nMerges = 5)
+    val got = Bpe.encodeStats(docs, "doc_id", "text", model)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // after full fusion each word is 1 token: doc0 = 3 words / 10 chars,
+    // doc1 = 3 words / 8 chars
+    assert(got.toSeq == Seq(
+      (0L, 3L, 3L, math.rint(10.0 / 3 * 1e4) / 1e4),
+      (1L, 3L, 3L, math.rint(8.0 / 3 * 1e4) / 1e4)))
+  }
+
+  test("real corpus: training is deterministic and encoding covers every doc") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val m1 = Bpe.train(docs, "text", nMerges = 10)
+    val m2 = Bpe.train(docs, "text", nMerges = 10)
+    assert(m1.merges == m2.merges, "training must be deterministic")
+    assert(m1.merges.length == 10)
+    // merge counts are non-increasing in frequency-argmax training ONLY
+    // per fused pair lineage, but the TOP count can never increase
+    // beyond the previous step's chosen count
+    val counts = m1.merges.map(_.pairCount)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"argmax sequence increased: $counts")
+    val enc = Bpe.encodeStats(docs, "doc_id", "text", m1)
+    assert(enc.count() == docs.filter(col("text").isNotNull).count())
+    // subword count per doc sits between word count (full fusion) and
+    // char count (no fusion)
+    val bad = enc.filter(col("n_bpe_tokens") < col("n_words")).count()
+    assert(bad == 0, "a word encoded to fewer than 1 token")
+  }
+}
