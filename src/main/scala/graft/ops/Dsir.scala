@@ -83,6 +83,27 @@ object Dsir {
     DsirModel(ratios, buckets, tN, rN)
   }
 
+  /** The model frozen to plain arrays — serialization-safe and free of
+    * any lineage back to the training corpus, so a streaming gate
+    * ([[graft.streaming.DsirGate]]) scores every epoch against the
+    * identical ratios (the frozen-quantizer stance). ≤ `buckets` rows
+    * by construction — driver-sized like a codebook. */
+  final case class FrozenModel(llr: Array[(Int, Double)], buckets: Int,
+      targetTotal: Long, rawTotal: Long) {
+    /** Rebuild the (tiny) relational form for [[logWeights]]. */
+    def thaw(spark: org.apache.spark.sql.SparkSession): DsirModel = {
+      import spark.implicits._
+      DsirModel(llr.toIndexedSeq.toDF("bucket", "llr"), buckets,
+        targetTotal, rawTotal)
+    }
+  }
+
+  /** Collect a trained model's ratios into the frozen form. */
+  def freeze(model: DsirModel): FrozenModel =
+    FrozenModel(model.ratios.select("bucket", "llr").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))),
+      model.buckets, model.targetTotal, model.rawTotal)
+
   /** Per-document log importance weight: (id, n_feats, logw) with
     * logw = round(Σ cnt·llr, 3). The model side is broadcast. */
   def logWeights(docs: DataFrame, idCol: String, textCol: String,
