@@ -159,6 +159,85 @@ case class IntSqDistExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `sq_dot(qvec, codes)` = Σ qᵢ · decode(codeᵢ) — the dot-product form
+  * of the asymmetric estimator, the term an IVF-SQ probe adds to its
+  * exact q·centroid component ([[graft.ops.IvfSq]], mirroring the
+  * residual-PQ score decomposition). Left child is the float/double
+  * query vector, right child the `array<int>` codes. */
+case class SqDotExpr(left: Expression, right: Expression,
+    lo: Array[Double], hi: Array[Double])
+    extends BinaryExpression {
+  require(lo.length == hi.length, "lo/hi bound arrays must be same length")
+  override def prettyName: String = "sq_dot"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val qType: DataType = left.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => t
+    case other => throw new IllegalArgumentException(
+      s"$prettyName requires array<float|double> query, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<int>), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  @inline private def qElem(arr: ArrayData, i: Int): Double = qType match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (q, c) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val d = lo.length
+    if (q.numElements() != d || c.numElements() != d) return null
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      if (q.isNullAt(i) || c.isNullAt(i)) return null
+      acc += qElem(q, i) * SqExprs.decodeOf(c.getInt(i), lo(i), hi(i))
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val loRef = ctx.addReferenceObj("sqLo", lo, "double[]")
+      val hiRef = ctx.addReferenceObj("sqHi", hi, "double[]")
+      val d = ctx.freshName("d"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val l = ctx.freshName("l"); val h = ctx.freshName("h")
+      val rec = ctx.freshName("rec")
+      val qAcc = qType match {
+        case FloatType => s"(double) $q.getFloat($i)"
+        case _ => s"$q.getDouble($i)"
+      }
+      s"""
+         |int $d = $loRef.length;
+         |if ($q.numElements() != $d || $c.numElements() != $d) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($q.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $l = $loRef[$i]; double $h = $hiRef[$i];
+         |    double $rec = $h > $l ? $l + ($c.getInt($i) + 0.5) * ($h - $l) / 255.0 : $l;
+         |    $acc += $qAcc * $rec;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `sq_adc(qvec, codes)` = Σ (qᵢ − decode(codeᵢ))² — the ASYMMETRIC
   * distance (query kept full-precision, corpus decoded from its codes at
   * the bin midpoint). The production estimator: one quantization error

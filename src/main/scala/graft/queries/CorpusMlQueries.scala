@@ -64,6 +64,48 @@ object CorpusMlQueries {
       |SELECT qid, id, d_code, rank FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** The COMPOSED IVF-SQ8 index ([[graft.ops.IvfSq]] — FAISS "IVF,SQ8"),
+    * oracle-gated the exhaustive way: build the cell-partitioned
+    * residual-SQ store, probe every cell with an uncapped shortlist —
+    * the exact re-rank sees every row, so the full train→encode→ADC→
+    * re-rank pipeline must reproduce brute force exactly (the
+    * `ann_ivfpq`/`ann_ivfpq_res` argument). The pruned two-lever
+    * configuration is recall- and plan-gated in IvfSqSpec. */
+  val annIvfSq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = graft.ops.IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val b = graft.ops.IvfSq.trainBounds(corpus, centroids)
+    val path = graft.Staging.dirFor("ivfsq-q")
+    graft.ops.IvfSq.writeIndex(corpus, centroids, b, path)
+    graft.ops.IvfSq.topK(s, path, queries, centroids, b,
+        k = 10, nProbe = 8, shortlist = Int.MaxValue)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** PRODUCTION-pruned IVF-SQ8 in the timed surface, WITHOUT an oracle
+    * (approximate by design → rows-only check; the recall floor is
+    * asserted in IvfSqSpec) — the `ann_ivfpq_pruned` convention. */
+  val annIvfSqPruned: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = graft.ops.IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val b = graft.ops.IvfSq.trainBounds(corpus, centroids)
+    val path = graft.Staging.dirFor("ivfsq-pruned-q")
+    graft.ops.IvfSq.writeIndex(corpus, centroids, b, path)
+    graft.ops.IvfSq.topK(s, path, queries, centroids, b,
+        k = 10, nProbe = 2, shortlist = 50)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Value of the first 15 hex digits of `h15` as a BIGINT — the
     * engine-portable md5-60 construction every seeded oracle uses. */
   private def hexVal: String = (0 until 15).map(i =>
@@ -297,6 +339,8 @@ object CorpusMlQueries {
 
   val all: Map[String, Q] = Map(
     "ann_sq8" -> annSq8,
+    "ann_ivfsq" -> annIvfSq,
+    "ann_ivfsq_pruned" -> annIvfSqPruned,
     "q_dsir_weights" -> qDsirWeights,
     "q_sample_dsir" -> qSampleDsir,
     "text_bpe_train" -> textBpeTrain,
@@ -305,6 +349,8 @@ object CorpusMlQueries {
 
   val oracles: Map[String, String] = Map(
     "ann_sq8" -> annSq8Sql,
+    // exhaustive mode ≡ brute force — the shared exact-top-k oracle
+    "ann_ivfsq" -> QueryCatalog.annTopKSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_sample_dsir" -> qSampleDsirSql,
     "text_bpe_train" -> textBpeTrainSql,
