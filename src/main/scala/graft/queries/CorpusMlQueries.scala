@@ -337,10 +337,76 @@ object CorpusMlQueries {
       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
       |FROM sums""".stripMargin
 
+  /** Clustering-evaluation metrics ([[graft.ops.ClusterEval]]): purity
+    * and NMI between a cluster assignment and the embedding labels. The
+    * cluster source here is the fully deterministic sign-quadrant of
+    * the first two committed principal components (the `ann_pca`
+    * fixture) — the k-means trainers seed from xxhash64 order, which no
+    * oracle can replay, while the metric machinery is what this query
+    * gates: ONE contingency aggregation over the data, every metric a
+    * finishing aggregation over the ≤ k·L grid. */
+  val qClusterEval: Q = (s, dir) => {
+    val basis = graft.ops.Pca.loadBasis(s,
+      s"${graft.Tables.fixturesDir}/pca_basis.parquet")
+    val emb = Tables.embeddings(s, dir)
+    val clustered = emb.select(col("label"),
+      graft.ops.Pca.projectCol(col("embedding"), basis, 2).as("p"))
+      .select(col("label"),
+        (when(element_at(col("p"), 1) >= 0, lit(2)).otherwise(lit(0)) +
+          when(element_at(col("p"), 2) >= 0, lit(1)).otherwise(lit(0)))
+          .as("cluster"))
+    graft.ops.ClusterEval.metrics(clustered, "cluster", "label")
+  }
+
+  val qClusterEvalSql: String =
+    s"""WITH b AS (
+       |  SELECT component, evec, "offset" AS off
+       |  FROM '${graft.Tables.fixturesDir}/pca_basis.parquet'
+       |  WHERE component < 2),
+       |e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id, any_value(label) AS label,
+       |    list(list_dot_product(vec, evec) - off ORDER BY component) AS pv
+       |  FROM e CROSS JOIN b GROUP BY vec_id),
+       |cl AS (
+       |  SELECT label,
+       |    (CASE WHEN pv[1] >= 0 THEN 2 ELSE 0 END +
+       |     CASE WHEN pv[2] >= 0 THEN 1 ELSE 0 END) AS cluster
+       |  FROM p),
+       |cont AS (SELECT cluster, label, count(*) AS n_cl FROM cl GROUP BY cluster, label),
+       |rowm AS (
+       |  SELECT cluster, CAST(sum(n_cl) AS BIGINT) AS n_c,
+       |    CAST(max(n_cl) AS BIGINT) AS n_c_max
+       |  FROM cont GROUP BY cluster),
+       |colm AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cont GROUP BY label),
+       |tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cont),
+       |mi AS (
+       |  SELECT sum((CAST(n_cl AS DOUBLE) / n) *
+       |    ln(CAST(n_cl * n AS DOUBLE) / (n_c * n_l))) AS mi
+       |  FROM cont JOIN rowm USING (cluster) JOIN colm USING (label) CROSS JOIN tot),
+       |hc AS (
+       |  SELECT -sum((CAST(n_c AS DOUBLE) / n) * ln(CAST(n_c AS DOUBLE) / n)) AS hc
+       |  FROM rowm CROSS JOIN tot),
+       |hl AS (
+       |  SELECT -sum((CAST(n_l AS DOUBLE) / n) * ln(CAST(n_l AS DOUBLE) / n)) AS hl
+       |  FROM colm CROSS JOIN tot),
+       |pur AS (SELECT CAST(sum(n_c_max) AS DOUBLE) / max(n) AS purity FROM rowm CROSS JOIN tot),
+       |cnts AS (
+       |  SELECT CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       |    CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+       |  FROM cont)
+       |SELECT n, n_clusters, n_labels, round(purity, 4) AS purity,
+       |  round(CASE WHEN hc > 0 AND hl > 0 THEN mi / sqrt(hc * hl) ELSE 0.0 END, 4) AS nmi
+       |FROM tot CROSS JOIN cnts CROSS JOIN pur CROSS JOIN mi
+       |CROSS JOIN hc CROSS JOIN hl""".stripMargin
+
   val all: Map[String, Q] = Map(
     "ann_sq8" -> annSq8,
     "ann_ivfsq" -> annIvfSq,
     "ann_ivfsq_pruned" -> annIvfSqPruned,
+    "q_cluster_eval" -> qClusterEval,
     "q_dsir_weights" -> qDsirWeights,
     "q_sample_dsir" -> qSampleDsir,
     "text_bpe_train" -> textBpeTrain,
@@ -351,6 +417,7 @@ object CorpusMlQueries {
     "ann_sq8" -> annSq8Sql,
     // exhaustive mode ≡ brute force — the shared exact-top-k oracle
     "ann_ivfsq" -> QueryCatalog.annTopKSql,
+    "q_cluster_eval" -> qClusterEvalSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_sample_dsir" -> qSampleDsirSql,
     "text_bpe_train" -> textBpeTrainSql,

@@ -103,6 +103,38 @@ class CompactionSpec extends SparkSpec {
     assert(probe().nonEmpty)
   }
 
+  test("compaction over an IVF-SQ layout: probes identical, nested cells preserved, appends continue") {
+    val ann = graft.Staging.dirFor("compact-sq-ann")
+    val emb = Tables.embeddings(spark, sf001).filter($"vec_id" < 40)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = IvfIndex.train(emb, "id", "vec", k = 4)
+    val b = IvfSq.trainBounds(emb, cents)
+    (0 until 3).foreach { e =>
+      IvfSq.appendIndexEpoch(
+        emb.filter($"id" % 3 === e), cents, b, ann, e.toLong)
+    }
+    assert(epochDirs(ann) == 3)
+    val queries = Tables.embeddings(spark, sf001)
+      .filter($"vec_id" >= 100 && $"vec_id" < 103)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def probe() = IvfSq.topK(spark, ann, queries, cents, b,
+        k = 5, nProbe = 4, shortlist = Int.MaxValue)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val before = probe()
+
+    Compaction.compactEpochs(spark, ann, maxEpochId = 2L,
+      nestedPartCols = Seq("cell"))
+
+    assert(epochDirs(ann) == 1)
+    assert(probe() == before, "compaction must not change probe results")
+    val extra = Tables.embeddings(spark, sf001)
+      .filter($"vec_id" >= 40 && $"vec_id" < 45)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    IvfSq.appendIndexEpoch(extra, cents, b, ann, 7L)
+    assert(spark.read.parquet(ann).count() == 45)
+    assert(probe().nonEmpty)
+  }
+
   test("checkpoint horizon: epochs above maxEpochId are never touched") {
     val acc = graft.Staging.dirFor("compact-horizon")
     (0 until 5).foreach { e =>

@@ -120,6 +120,51 @@ class RetractionSpec extends SparkSpec {
     assert(fileSet(ann) == annFiles, "re-retracting must be a no-op")
   }
 
+  test("retractAll over an IVF-SQ layout: probes victim-free, untouched epoch byte-identical, idempotent") {
+    // The SQ-coded store shares the residual family's cell= nested
+    // layout, so the generic sweep MUST serve it — but "must" is a spec,
+    // not an assumption (the round-13 residual-PQ lesson).
+    val acc = graft.Staging.dirFor("retract-sq-acc")
+    val idx = graft.Staging.dirFor("retract-sq-idx")
+    val ann = graft.Staging.dirFor("retract-sq-ann")
+    val emb = Tables.embeddings(spark, sf001).filter($"vec_id" < 40)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = IvfIndex.train(emb, "id", "vec", k = 4)
+    val b = IvfSq.trainBounds(emb, cents)
+    val e0 = emb.filter($"id" < 20)
+    val e1 = emb.filter($"id" >= 20)
+    IvfSq.appendIndexEpoch(e0, cents, b, ann, 0L)
+    IvfSq.appendIndexEpoch(e1, cents, b, ann, 1L)
+    emb.select($"id".as("doc_id"), lit("t").as("text"),
+        (($"id" >= 20).cast("int")).as("batch"))
+      .write.mode("overwrite").partitionBy("batch").parquet(acc)
+    emb.select($"id", xxhash64($"id").as("sig"),
+        (($"id" >= 20).cast("int")).as("batch"))
+      .write.mode("overwrite").partitionBy("batch").parquet(idx)
+    val epoch1Files = fileSet(s"$ann/batch=1")
+
+    Retraction.retractAll(spark, Seq(2L, 5L), "doc_id", acc, idx, Some(ann))
+
+    assert(spark.read.parquet(ann).select("id").as[Long].collect().toSet
+      == (0L until 40L).toSet -- Set(2L, 5L))
+    val queries = Tables.embeddings(spark, sf001)
+      .filter($"vec_id" >= 100 && $"vec_id" < 103)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val probed = IvfSq.topK(spark, ann, queries, cents, b,
+      k = 5, nProbe = 4, shortlist = Int.MaxValue)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val survivors = emb.filter(!$"id".isin(2L, 5L))
+    val exact = Similarity.bruteForceTopK(queries, survivors, 5)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(probed == exact,
+      "retracted IVF-SQ index must probe exactly like one built without the victims")
+    assert(fileSet(s"$ann/batch=1") == epoch1Files,
+      "victim-free epoch of the SQ layout must not be rewritten")
+    val annFiles = fileSet(ann)
+    Retraction.retractAll(spark, Seq(2L, 5L), "doc_id", acc, idx, Some(ann))
+    assert(fileSet(ann) == annFiles, "re-retracting must be a no-op")
+  }
+
   test("retractPostings: a BM25 probe never returns a victim; untouched buckets byte-identical; stats ≡ rebuilt; idempotent") {
     val pidx = graft.Staging.dirFor("retract-postings")
     // vocabulary big enough that with 64 buckets some hold no victim terms
