@@ -337,6 +337,88 @@ object CorpusMlQueries {
       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
       |FROM sums""".stripMargin
 
+  /** NN-Descent k-NN graph construction ([[graft.ops.NnDescent]], Dong
+    * et al. WWW'11): the graph-index family. k=5, two local-join
+    * sweeps from the deterministic md5-ring init, adjacencies
+    * ρ-sampled at 10. The oracle REPLAYS THE WHOLE ALGORITHM — ring,
+    * both sweeps' undirect/cap/local-join/top-k — as unrolled
+    * materialized CTE stages (the BPE discipline), so a one-edge
+    * divergence anywhere in the iteration fails the hash. */
+  val annKnnGraph: Q = (s, dir) => {
+    val nodes = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.ops.NnDescent.knnGraph(nodes, k = 5, iters = 2, sample = 10,
+        seed = "nnd")
+      .orderBy(col("id"), col("rank"))
+  }
+
+  val annKnnGraphSql: String = {
+    val k = 5; val cap = 10; val iters = 2
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a.vec, $b.vec) / " +
+        s"(sqrt(list_dot_product($a.vec, $a.vec)) * sqrt(list_dot_product($b.vec, $b.vec)))"
+    val sweeps = (1 to iters).map { i =>
+      s"""u$i AS MATERIALIZED (
+         |  SELECT id AS c, nbr AS v FROM g${i - 1}
+         |  UNION
+         |  SELECT nbr AS c, id AS v FROM g${i - 1}),
+         |cap$i AS MATERIALIZED (
+         |  SELECT c, v FROM (
+         |    SELECT c, v, row_number() OVER (PARTITION BY c ORDER BY CAST($hexVal AS BIGINT), v) AS hr
+         |    FROM (SELECT c, v,
+         |            substring(md5('nnd' || CAST(c AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 15) AS h15
+         |          FROM u$i))
+         |  WHERE hr <= $cap),
+         |cand$i AS MATERIALIZED (
+         |  SELECT DISTINCT a.v AS id, b.v AS nbr
+         |  FROM cap$i a JOIN cap$i b USING (c) WHERE a.v <> b.v),
+         |sc$i AS MATERIALIZED (
+         |  SELECT cand.id AS id, cand.nbr AS nbr, round(${cos("nv", "nn")}, 4) AS score
+         |  FROM cand$i cand JOIN nodes nv ON nv.id = cand.id
+         |  JOIN nodes nn ON nn.id = cand.nbr),
+         |al$i AS MATERIALIZED (
+         |  SELECT id, nbr, max(score) AS score FROM (
+         |    SELECT id, nbr, score FROM g${i - 1}
+         |    UNION ALL SELECT id, nbr, score FROM sc$i)
+         |  GROUP BY id, nbr),
+         |g$i AS MATERIALIZED (
+         |  SELECT id, nbr, score, rank FROM (
+         |    SELECT id, nbr, score,
+         |      row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr) AS rank
+         |    FROM al$i)
+         |  WHERE rank <= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |rk AS MATERIALIZED (
+       |  SELECT id, row_number() OVER (ORDER BY CAST($hexVal AS BIGINT), id) AS r
+       |  FROM (SELECT id, substring(md5('nnd' || CAST(id AS VARCHAR)), 1, 15) AS h15
+       |        FROM nodes)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+       |j0 AS MATERIALIZED (
+       |  SELECT a.r AS r, a.id AS id,
+       |    substring(md5('nnd' || CAST(a.r AS VARCHAR) || '_' || CAST(o.off AS VARCHAR)), 1, 15) AS h15
+       |  FROM rk a CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS off) o),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT j0.id AS id, b.id AS nbr
+       |  FROM j0 CROSS JOIN tot
+       |  JOIN rk b ON b.r = (j0.r - 1 + (CAST($hexVal AS BIGINT) % (n - 1) + 1)) % n + 1
+       |  WHERE j0.id <> b.id),
+       |se0 AS MATERIALIZED (
+       |  SELECT e0.id AS id, e0.nbr AS nbr, round(${cos("nv", "nn")}, 4) AS score
+       |  FROM e0 JOIN nodes nv ON nv.id = e0.id JOIN nodes nn ON nn.id = e0.nbr),
+       |g0 AS MATERIALIZED (
+       |  SELECT id, nbr, score, rank FROM (
+       |    SELECT id, nbr, score,
+       |      row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr) AS rank
+       |    FROM se0)
+       |  WHERE rank <= $k),
+       |$sweeps
+       |SELECT id, nbr, score, rank FROM g$iters
+       |ORDER BY id, rank""".stripMargin
+  }
+
   /** Clustering-evaluation metrics ([[graft.ops.ClusterEval]]): purity
     * and NMI between a cluster assignment and the embedding labels. The
     * cluster source here is the fully deterministic sign-quadrant of
@@ -406,6 +488,7 @@ object CorpusMlQueries {
     "ann_sq8" -> annSq8,
     "ann_ivfsq" -> annIvfSq,
     "ann_ivfsq_pruned" -> annIvfSqPruned,
+    "ann_knn_graph" -> annKnnGraph,
     "q_cluster_eval" -> qClusterEval,
     "q_dsir_weights" -> qDsirWeights,
     "q_sample_dsir" -> qSampleDsir,
@@ -417,6 +500,7 @@ object CorpusMlQueries {
     "ann_sq8" -> annSq8Sql,
     // exhaustive mode ≡ brute force — the shared exact-top-k oracle
     "ann_ivfsq" -> QueryCatalog.annTopKSql,
+    "ann_knn_graph" -> annKnnGraphSql,
     "q_cluster_eval" -> qClusterEvalSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_sample_dsir" -> qSampleDsirSql,

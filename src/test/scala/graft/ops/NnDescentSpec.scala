@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class NnDescentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nodes = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    .select($"vec_id".as("id"), $"embedding".as("vec"))
+
+  private def exactGraph(k: Int): Map[Long, Set[Long]] = {
+    val qs = nodes.select($"id".as("qid"), $"vec".as("qvec"))
+    // ask for k+1 then drop self (cosine 1.0 occupies rank 1)
+    Similarity.bruteForceTopK(qs, nodes.filter(lit(true)), k + 1)
+      .filter($"qid" =!= $"id")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy($"rank")))
+      .filter($"rk" <= k)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+  }
+
+  private def recallOf(g: org.apache.spark.sql.DataFrame, k: Int): Double = {
+    val truth = exactGraph(k)
+    val got = g.select("id", "nbr").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size
+    }.sum / truth.size
+  }
+
+  test("graph shape: every node has exactly k ranked distinct neighbors, none itself") {
+    val g = NnDescent.knnGraph(nodes, k = 5, iters = 1).persist()
+    val n = nodes.count()
+    assert(g.count() == n * 5)
+    assert(g.filter($"id" === $"nbr").count() == 0)
+    assert(g.groupBy("id").agg(countDistinct("nbr").as("d"))
+      .filter($"d" =!= 5).count() == 0)
+    assert(g.groupBy("id").agg(max("rank").as("m"), min("rank").as("lo"))
+      .filter($"m" =!= 5 || $"lo" =!= 1).count() == 0)
+  }
+
+  test("sweeps improve the graph monotonically, far above the random baseline (hard corpus)") {
+    // The synthetic embeddings are near-isotropic — the paper's own
+    // hard case (high intrinsic dimension ⇒ weak neighbor-of-neighbor
+    // signal, §5.3). The honest contract here: every sweep improves,
+    // and 4 sweeps sit ~40× above a random graph's recall (5/499 ≈
+    // 0.01). The strong-signal convergence claim lives in the planted
+    // clustered test below.
+    val g0 = NnDescent.knnGraph(nodes, k = 5, iters = 1)
+    val g2 = NnDescent.knnGraph(nodes, k = 5, iters = 2)
+    val g4 = NnDescent.knnGraph(nodes, k = 5, iters = 4)
+    val (r0, r2, r4) = (recallOf(g0, 5), recallOf(g2, 5), recallOf(g4, 5))
+    info(f"kNN-graph recall@5: 1 sweep $r0%.3f, 2 sweeps $r2%.3f, 4 sweeps $r4%.3f")
+    assert(r2 >= r0 && r4 >= r2, s"recall must not degrade: $r0 → $r2 → $r4")
+    assert(r4 >= 0.35, s"4 sweeps should sit far above the 0.01 random baseline: $r4")
+    // the monotone objective the paper guarantees: mean kept score
+    def meanScore(g: org.apache.spark.sql.DataFrame) =
+      g.agg(avg("score")).head().getDouble(0)
+    assert(meanScore(g2) >= meanScore(g0) - 1e-9)
+    assert(meanScore(g4) >= meanScore(g2) - 1e-9)
+  }
+
+  test("clustered corpus: the descent closes the graph in 3 sweeps") {
+    // Planted structure (8 tight clusters): a neighbor's neighbor IS a
+    // neighbor, the regime the algorithm is built for.
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val cl = rows.toDF("id", "vec")
+    val qs = cl.select($"id".as("qid"), $"vec".as("qvec"))
+    val truth = Similarity.bruteForceTopK(qs, cl, 6)
+      .filter($"qid" =!= $"id")
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).take(5).toSet }
+    val g = NnDescent.knnGraph(cl, k = 5, iters = 3)
+    val got = g.select("id", "nbr").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recall = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size
+    }.sum / truth.size
+    info(f"clustered-corpus recall@5 after 3 sweeps: $recall%.3f")
+    assert(recall >= 0.8, s"descent should close a clustered graph: $recall")
+  }
+
+  test("deterministic: same seed twice bit-equal; different seed differs pre-convergence") {
+    val a = NnDescent.knnGraph(nodes, k = 5, iters = 1, seed = "s1")
+      .orderBy("id", "rank").collect().toSeq
+    val b = NnDescent.knnGraph(nodes, k = 5, iters = 1, seed = "s1")
+      .orderBy("id", "rank").collect().toSeq
+    assert(a == b)
+    val c = NnDescent.knnGraph(nodes, k = 5, iters = 1, seed = "s2")
+      .orderBy("id", "rank").collect().toSeq
+    assert(a != c, "a different ring init must differ after one sweep")
+  }
+
+  test("ρ-sampling caps the local join: a hub adjacency cannot explode a sweep") {
+    // plant a hub: node 0 appears in every node's ring neighborhood by
+    // wiring a star graph, then run one sweep with a small cap — the
+    // candidate relation stays ≤ n·cap² rather than n²
+    val star = nodes.select($"id".as("nbr"), lit(0L).as("id"))
+      .filter($"nbr" =!= 0L)
+      .join(nodes.select($"id", $"vec"), Seq("id"))
+      .join(nodes.select($"id".as("nbr"), $"vec".as("nvec")), Seq("nbr"))
+      .select($"id", $"nbr",
+        round(Similarity.cosine($"vec", $"nvec"), 4).as("score"),
+        lit(1).as("rank"))
+    val out = NnDescent.sweep(star, nodes, k = 5, sample = 8, seed = "hub")
+    // node 0's capped adjacency has ≤ 8 members → candidates touching 0
+    // through the hub are bounded; the sweep completes and stays ranked
+    assert(out.groupBy("id").agg(max("rank").as("m")).filter($"m" > 5).count() == 0)
+    assert(out.count() > 0)
+  }
+}
