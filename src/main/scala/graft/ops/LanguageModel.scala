@@ -106,4 +106,80 @@ object LanguageModel {
     val lm = trainBigramLm(docs.filter(refFilter), textCol)
     perplexity(docs, idCol, textCol, lm)
   }
+
+  // ------------------------------------------------------------------
+  // Interpolated Kneser–Ney (Kneser & Ney 1995; Chen & Goodman 1999
+  // §2.7) — the smoothing KenLM (and therefore CCNet's quality model)
+  // actually uses. Add-one treats every unseen bigram alike; KN backs
+  // off to how PROMISCUOUS a word is (how many distinct contexts it
+  // follows), which is the right prior for natural text ("Francisco"
+  // is frequent but follows only "San"). Everything below is count
+  // aggregations over the bigram relation — same vocabulary-bounded
+  // model shape as the add-one form, one extra groupBy for the
+  // continuation counts.
+  // ------------------------------------------------------------------
+
+  /** Interpolated-KN bigram model.
+    * @param bigrams  (w1, w2, c12)
+    * @param contexts (w1, c1, n1fwd) — total and distinct continuations
+    * @param rights   (w2, n1bwd) — distinct left-contexts of w2
+    * @param n1all    distinct bigram count
+    * @param vocab    distinct token count of the reference slice
+    * @param discount absolute discount D = n₁/(n₁+2n₂) from the
+    *                 count-of-counts (Ney's estimate; 0.5 if degenerate) */
+  final case class KnBigramLm(bigrams: DataFrame, contexts: DataFrame,
+      rights: DataFrame, n1all: Long, vocab: Long, discount: Double)
+
+  /** Train the KN model: the add-one trainer's two aggregations plus
+    * the right-context counts and two scalar count-of-counts. */
+  def trainKnBigramLm(ref: DataFrame, textCol: String): KnBigramLm = {
+    val pairs = docBigrams(ref.select(lit(0L).as("_id"), col(textCol)), "_id", textCol)
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contexts = bigrams.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1fwd"))
+    val rights = bigrams.groupBy("w2").agg(count(lit(1)).as("n1bwd"))
+    val cc = bigrams.agg(
+      sum((col("c12") === 1).cast("long")).as("n1"),
+      sum((col("c12") === 2).cast("long")).as("n2"),
+      count(lit(1)).as("n1all")).collect().head
+    val (n1, n2, n1all) = (cc.getLong(0), cc.getLong(1), cc.getLong(2))
+    val vocab = ref.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).collect().head.getLong(0)
+    val d = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2) else 0.5
+    KnBigramLm(bigrams, contexts, rights, n1all, vocab, d)
+  }
+
+  /** Per-document mean negative log-likelihood under interpolated KN:
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D·n1fwd(w1)/c1) · P_cont(w2)
+    *   P_cont(w2) = (n1bwd(w2) + 1) / (n1all + V)   [add-one for OOV]
+    *   unseen context w1 → P(w2|w1) = P_cont(w2)
+    *
+    * Same output shape as [[perplexity]]: (id, n_bigrams, nll 3 dp). */
+  def perplexityKn(docs: DataFrame, idCol: String, textCol: String,
+      lm: KnBigramLm): DataFrame = {
+    val bg = docBigrams(docs, idCol, textCol)
+    val pcont = (coalesce(col("n1bwd"), lit(0L)) + lit(1L)).cast("double") /
+      lit((lm.n1all + lm.vocab).toDouble)
+    val seen = greatest(coalesce(col("c12"), lit(0L)).cast("double") -
+        lit(lm.discount), lit(0.0)) / col("c1") +
+      (lit(lm.discount) * col("n1fwd") / col("c1")) * col("pcont")
+    bg.join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.contexts, Seq("w1"), "left")
+      .join(lm.rights, Seq("w2"), "left")
+      .withColumn("pcont", pcont)
+      .withColumn("p", when(col("c1").isNull, col("pcont")).otherwise(seen))
+      .withColumn("nll_term", -log(col("p")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll_term")), 3).as("nll"))
+  }
+
+  /** KN twin of [[perplexityVsSlice]]. */
+  def perplexityKnVsSlice(docs: DataFrame, idCol: String, textCol: String,
+      refFilter: Column): DataFrame = {
+    val lm = trainKnBigramLm(docs.filter(refFilter), textCol)
+    perplexityKn(docs, idCol, textCol, lm)
+  }
 }

@@ -337,6 +337,70 @@ object CorpusMlQueries {
       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
       |FROM sums""".stripMargin
 
+  /** Interpolated Kneser–Ney perplexity
+    * ([[graft.ops.LanguageModel.perplexityKnVsSlice]]) — the smoothing
+    * KenLM (and therefore CCNet's production quality model) uses, next
+    * to the add-one `text_lm_perplexity`: unseen bigrams back off to
+    * how many distinct contexts a word FOLLOWS, with the Ney
+    * count-of-counts discount. The oracle replays the whole model —
+    * counts, continuation counts, the discount estimate, the
+    * interpolation — and the per-doc mean rounds 3 dp (the established
+    * ln-sum discipline). */
+  val textLmKn: Q = (s, dir) =>
+    graft.ops.LanguageModel.perplexityKnVsSlice(
+        Tables.documents(s, dir), "doc_id", "text", col("lang") === "en")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val textLmKnSql: String =
+    """WITH rt AS (
+      |  SELECT string_split_regex(text, '\s+') AS tk FROM documents
+      |  WHERE lang = 'en' AND text IS NOT NULL),
+      |rbg AS (
+      |  SELECT bg.w1 AS w1, bg.w2 AS w2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(tk)),
+      |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+      |    FROM rt WHERE len(tk) > 1)),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY w1, w2),
+      |ctx AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n1fwd
+      |  FROM big GROUP BY w1),
+      |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bwd FROM big GROUP BY w2),
+      |cc AS (
+      |  SELECT CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(count(*) AS BIGINT) AS n1all
+      |  FROM big),
+      |voc AS (
+      |  SELECT count(DISTINCT t) AS v FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents
+      |    WHERE lang = 'en' AND text IS NOT NULL)),
+      |dd AS (
+      |  SELECT CASE WHEN n1 + 2 * n2 > 0
+      |           THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2) ELSE 0.5 END AS d,
+      |    n1all, (SELECT v FROM voc) AS v
+      |  FROM cc),
+      |dbg AS (
+      |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+      |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+      |          FROM documents WHERE text IS NOT NULL)
+      |    WHERE len(tk) > 1)),
+      |terms AS (
+      |  SELECT doc_id,
+      |    -ln(CASE WHEN c1 IS NULL THEN pcont
+      |         ELSE greatest(coalesce(c12, 0) - d, 0.0) / c1 +
+      |              (d * n1fwd / c1) * pcont END) AS nll_term
+      |  FROM (
+      |    SELECT doc_id, c12, c1, n1fwd, d,
+      |      (coalesce(n1bwd, 0) + 1) / CAST(n1all + v AS DOUBLE) AS pcont
+      |    FROM dbg LEFT JOIN big USING (w1, w2) LEFT JOIN ctx USING (w1)
+      |    LEFT JOIN rgt USING (w2) CROSS JOIN dd))
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll_term), 3) AS nll
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** NN-Descent k-NN graph construction ([[graft.ops.NnDescent]], Dong
     * et al. WWW'11): the graph-index family. k=5, two local-join
     * sweeps from the deterministic md5-ring init, adjacencies
@@ -490,6 +554,7 @@ object CorpusMlQueries {
     "ann_ivfsq_pruned" -> annIvfSqPruned,
     "ann_knn_graph" -> annKnnGraph,
     "q_cluster_eval" -> qClusterEval,
+    "text_lm_kn" -> textLmKn,
     "q_dsir_weights" -> qDsirWeights,
     "q_sample_dsir" -> qSampleDsir,
     "text_bpe_train" -> textBpeTrain,
@@ -502,6 +567,7 @@ object CorpusMlQueries {
     "ann_ivfsq" -> QueryCatalog.annTopKSql,
     "ann_knn_graph" -> annKnnGraphSql,
     "q_cluster_eval" -> qClusterEvalSql,
+    "text_lm_kn" -> textLmKnSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_sample_dsir" -> qSampleDsirSql,
     "text_bpe_train" -> textBpeTrainSql,
