@@ -416,7 +416,9 @@ object CorpusMlQueries {
       .orderBy(col("id"), col("rank"))
   }
 
-  val annKnnGraphSql: String = {
+  /** CTE body (no leading WITH) that rebuilds the NN-Descent graph —
+    * shared by `ann_knn_graph` and the mutual-kNN clustering replay. */
+  private val knnGraphCtesBody: String = {
     val k = 5; val cap = 10; val iters = 2
     val cos = (a: String, b: String) =>
       s"list_dot_product($a.vec, $b.vec) / " +
@@ -452,7 +454,7 @@ object CorpusMlQueries {
          |    FROM al$i)
          |  WHERE rank <= $k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nodes AS MATERIALIZED (
+    s"""nodes AS MATERIALIZED (
        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
        |  FROM embeddings),
        |rk AS MATERIALIZED (
@@ -478,10 +480,64 @@ object CorpusMlQueries {
        |      row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr) AS rank
        |    FROM se0)
        |  WHERE rank <= $k),
-       |$sweeps
-       |SELECT id, nbr, score, rank FROM g$iters
-       |ORDER BY id, rank""".stripMargin
+       |$sweeps""".stripMargin
   }
+
+  val annKnnGraphSql: String =
+    s"""WITH $knnGraphCtesBody
+       |SELECT id, nbr, score, rank FROM g2
+       |ORDER BY id, rank""".stripMargin
+
+  /** Mutual-kNN semantic clustering ([[graft.ops.NnDescent]] +
+    * [[graft.ops.Dedup.componentsFromStar]]): keep only RECIPROCATED
+    * graph edges (the standard noise filter — a hub attracting one-way
+    * edges does not chain clusters together), then connected components
+    * and the cluster-size census. The SemDeDup-cell alternative built
+    * on the graph index; components run the size-dispatched machinery
+    * every dedup family shares. The oracle replays the full graph build
+    * AND the component fixpoint (WITH RECURSIVE reachability → min
+    * label). */
+  val qGraphClusters: Q = (s, dir) => {
+    val nodes = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = graft.ops.NnDescent.knnGraph(nodes, k = 5, iters = 2,
+      sample = 10, seed = "nnd")
+    val rev = g.select(col("id").as("b_id"), col("nbr").as("b_nbr"))
+    val mut = g.join(rev, col("id") === col("b_nbr") && col("nbr") === col("b_id"))
+      .filter(col("id") < col("nbr"))
+      .select(col("id"), col("nbr"))
+    val star = mut.select(col("nbr").as("id"), col("id").as("root"))
+    val comps = graft.ops.Dedup.componentsFromStar(nodes.select("id"), star)
+    comps.groupBy("component").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .orderBy(col("csize"))
+  }
+
+  // The recursive component fixpoint nests in a SUBQUERY with its own
+  // WITH RECURSIVE: putting RECURSIVE on the OUTER chain changes how
+  // DuckDB evaluates the (non-recursive) graph CTEs and lands on a
+  // different-but-deterministic g2 than the plain-WITH `ann_knn_graph`
+  // oracle computes from the identical text (observed at sf0.001: one
+  // gained/lost mutual edge). Scoping RECURSIVE to the subquery keeps
+  // the graph stages byte-identical between the two oracles.
+  val qGraphClustersSql: String =
+    s"""WITH $knnGraphCtesBody,
+       |mut AS MATERIALIZED (
+       |  SELECT a.id AS id, a.nbr AS nbr
+       |  FROM g2 a JOIN g2 b ON a.id = b.nbr AND a.nbr = b.id
+       |  WHERE a.id < a.nbr),
+       |gedges AS MATERIALIZED (
+       |  SELECT id AS src, nbr AS dst FROM mut
+       |  UNION SELECT nbr AS src, id AS dst FROM mut)
+       |SELECT csize, CAST(count(*) AS BIGINT) AS n_components FROM (
+       |  WITH RECURSIVE reach(id, label) AS (
+       |    SELECT id, id FROM nodes
+       |    UNION
+       |    SELECT e.dst, r.label FROM reach r JOIN gedges e ON e.src = r.id)
+       |  SELECT component, CAST(count(*) AS BIGINT) AS csize FROM (
+       |    SELECT id, min(label) AS component FROM reach GROUP BY id)
+       |  GROUP BY component)
+       |GROUP BY csize ORDER BY csize""".stripMargin
 
   /** Clustering-evaluation metrics ([[graft.ops.ClusterEval]]): purity
     * and NMI between a cluster assignment and the embedding labels. The
@@ -554,6 +610,7 @@ object CorpusMlQueries {
     "ann_ivfsq_pruned" -> annIvfSqPruned,
     "ann_knn_graph" -> annKnnGraph,
     "q_cluster_eval" -> qClusterEval,
+    "q_graph_clusters" -> qGraphClusters,
     "text_lm_kn" -> textLmKn,
     "q_dsir_weights" -> qDsirWeights,
     "q_sample_dsir" -> qSampleDsir,
@@ -567,6 +624,7 @@ object CorpusMlQueries {
     "ann_ivfsq" -> QueryCatalog.annTopKSql,
     "ann_knn_graph" -> annKnnGraphSql,
     "q_cluster_eval" -> qClusterEvalSql,
+    "q_graph_clusters" -> qGraphClustersSql,
     "text_lm_kn" -> textLmKnSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_sample_dsir" -> qSampleDsirSql,

@@ -99,6 +99,37 @@ class NnDescentSpec extends SparkSpec {
     assert(a != c, "a different ring init must differ after one sweep")
   }
 
+  test("mutual-kNN components recover planted clusters") {
+    // 6 tight, well-separated clusters of 30: reciprocated 5-NN edges
+    // stay inside clusters, so components = clusters exactly
+    val rnd = new scala.util.Random(11L)
+    val centers = Array.fill(6)(Array.fill(16)(rnd.nextGaussian() * 3))
+    val rows = (0 until 180).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val cl = rows.toDF("id", "vec")
+    val g = NnDescent.knnGraph(cl, k = 5, iters = 4)
+    val rev = g.select($"id".as("b_id"), $"nbr".as("b_nbr"))
+    val mut = g.join(rev, $"id" === $"b_nbr" && $"nbr" === $"b_id")
+      .filter($"id" < $"nbr").select("id", "nbr")
+    val star = mut.select($"nbr".as("id"), $"id".as("root"))
+    val comps = Dedup.componentsFromStar(cl.select("id"), star)
+    val sizes = comps.groupBy("component").count()
+      .select("count").as[Long].collect().sorted
+    // mutuality is a deliberate noise filter: a node whose list is not
+    // yet converged loses reciprocation and stays a singleton rather
+    // than bridging clusters — so the contract is "six large pure
+    // components + possibly a few stragglers", never a merged blob
+    val big = sizes.filter(_ >= 20)
+    assert(big.length == 6 && sizes.forall(s => s >= 20 || s <= 2),
+      s"expected six ≥20-member components + stragglers, got ${sizes.toSeq}")
+    // and the components agree with the planted labels exactly
+    val lbl = comps.withColumn("truth", pmod($"id", lit(6)))
+      .groupBy("component").agg(countDistinct("truth").as("d"))
+    assert(lbl.filter($"d" =!= 1).count() == 0, "a component mixed two planted clusters")
+  }
+
   test("ρ-sampling caps the local join: a hub adjacency cannot explode a sweep") {
     // plant a hub: node 0 appears in every node's ring neighborhood by
     // wiring a star graph, then run one sweep with a small cap — the
