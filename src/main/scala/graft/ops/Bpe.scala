@@ -115,6 +115,41 @@ object Bpe {
     merges.toDF("step", "w1", "w2", "merged", "pair_count")
   }
 
+  /** Segmentation of ANY word under a frozen merge list: the char seg
+    * folded through the merges in training order — by construction this
+    * reproduces [[BpeModel.vocabSeg]] exactly for in-vocabulary words
+    * (training built the vocab seg through the same fold) and handles
+    * OUT-of-vocabulary words the way a real tokenizer does (merges that
+    * apply, apply; the rest stays character-split). The merge list is a
+    * model parameter (N literal replaces fused into the scan); for an
+    * in-vocab corpus the [[encodeStats]] vocabulary join costs less per
+    * occurrence — this form is the streaming/frozen-model path where
+    * unseen words must not silently drop. */
+  def segmentCol(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(charSeg(word)) { (seg, m) =>
+      org.apache.spark.sql.functions.replace(
+        seg, lit(s" ${m.w1}  ${m.w2} "), lit(s" ${m.merged} "))
+    }
+
+  /** Subword count of a word under frozen merges. */
+  def ntokCol(word: Column, merges: Seq[Merge]): Column =
+    size(split(trim(segmentCol(word, merges)), "  "))
+
+  /** [[encodeStats]] under a FROZEN merge list, vocabulary-free: per
+    * occurrence, the fold-of-replaces segmentation (OOV-safe). Output
+    * schema identical to [[encodeStats]]. */
+  def encodeStatsFrozen(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .select(col("id"), ntokCol(col("word"), merges).as("ntok"),
+        length(col("word")).as("nch"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("ntok").as("n_bpe_tokens"),
+        round(sum(col("nch")).cast("double") / sum(col("ntok")), 4).as("bpe_ratio"))
+
   /** Per-document token budget under the trained merges: every word
     * maps to its subword count via the vocabulary (one broadcast-sized
     * relation), the corpus joins it once. Output: (id, n_words,

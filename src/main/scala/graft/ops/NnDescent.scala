@@ -101,6 +101,40 @@ object NnDescent {
       .select(col("id"), col("nbr"), col("score"), col("rank"))
   }
 
+  /** Epoch append — the graph index's frozen-quantizer lifecycle
+    * analogue ([[IvfPq.appendIndexEpoch]]'s stance, adapted to a
+    * structure that has no frozen codebook): `delta` nodes receive
+    * md5-jump init edges over the UNION node set, then `iters` local-
+    * join sweeps run over (existing graph ∪ delta init). Old nodes KEEP
+    * their edges and may adopt new arrivals through the local join —
+    * that is the correct maintenance semantics (a better neighbor that
+    * just arrived must become visible graph-wide), and the monotone
+    * top-k refresh means an append can only improve any node's
+    * neighborhood. Deterministic: the delta init is a pure function of
+    * (seed, union ranking), the sweeps of the edge set.
+    *
+    * Returns the refreshed full graph (id, nbr, score, rank). */
+  def appendNodes(graph: DataFrame, allNodes: DataFrame, delta: DataFrame,
+      k: Int, iters: Int, sample: Int = 0, seed: String = "nnd"): DataFrame = {
+    require(iters >= 1 && k >= 1)
+    val cap = if (sample > 0) sample else 2 * k
+    val deltaInit = randomInit(allNodes, k, seed)
+      .join(delta.select(col("id")), Seq("id"), "left_semi")
+      .join(allNodes.select(col("id"), col("vec")), Seq("id"))
+      .join(allNodes.select(col("id").as("nbr"), col("vec").as("nvec")), Seq("nbr"))
+      .select(col("id"), col("nbr"), cosRounded(col("vec"), col("nvec")).as("score"))
+    val seeded = graph.select(col("id"), col("nbr"), col("score"))
+      .union(deltaInit)
+      .groupBy("id", "nbr").agg(max("score").as("score"))
+    var g = Skew.saltedTopK(seeded, Seq("id"),
+        Seq(col("score").desc, col("nbr").asc), k, saltBy = col("nbr"))
+      .select(col("id"), col("nbr"), col("score"), col("rank"))
+    (1 to iters).foreach { _ =>
+      g = sweep(g, allNodes, k, cap, seed).localCheckpoint()
+    }
+    g
+  }
+
   /** Build the k-NN graph: ring init, `iters` local-join sweeps.
     * Output: (id, nbr, score, rank) with rank ∈ [1, k]. */
   def knnGraph(nodes: DataFrame, k: Int, iters: Int,

@@ -130,6 +130,27 @@ class NnDescentSpec extends SparkSpec {
     assert(lbl.filter($"d" =!= 1).count() == 0, "a component mixed two planted clusters")
   }
 
+  test("epoch append: new nodes descend in, old nodes adopt them, quality matches a rebuild") {
+    val half1 = nodes.filter($"id" % 2 === 0)
+    val half2 = nodes.filter($"id" % 2 === 1)
+    val g1 = NnDescent.knnGraph(half1, k = 5, iters = 3)
+    val appended = NnDescent.appendNodes(g1, nodes, half2, k = 5, iters = 3)
+    val rebuilt = NnDescent.knnGraph(nodes, k = 5, iters = 3)
+    // every node (old and new) ends with k ranked neighbors
+    assert(appended.count() == nodes.count() * 5)
+    // old nodes adopted new arrivals where they belong
+    val adopted = appended.filter($"id" % 2 === 0 && $"nbr" % 2 === 1).count()
+    assert(adopted > 0, "no old node adopted a new arrival")
+    // appended graph quality ≈ full rebuild at the same sweep budget
+    val (ra, rr) = (recallOf(appended, 5), recallOf(rebuilt, 5))
+    info(f"appended recall $ra%.3f vs rebuilt $rr%.3f")
+    assert(ra >= rr - 0.05, s"append must not lose materially vs rebuild: $ra vs $rr")
+    // deterministic
+    val again = NnDescent.appendNodes(g1, nodes, half2, k = 5, iters = 3)
+      .orderBy("id", "rank").collect().toSeq
+    assert(again == appended.orderBy("id", "rank").collect().toSeq)
+  }
+
   test("ρ-sampling caps the local join: a hub adjacency cannot explode a sweep") {
     // plant a hub: node 0 appears in every node's ring neighborhood by
     // wiring a star graph, then run one sweep with a small cap — the
