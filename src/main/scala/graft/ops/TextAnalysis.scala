@@ -416,4 +416,34 @@ object TextAnalysis {
           (col("_s").getField("n_tokens") * 1000.0)).as("score"),
         (col("_s").getField("raw") > 0).as("keep"))
   }
+
+  /** Calibration table of the trained classifier against ground truth —
+    * the audit a pipeline runs before TRUSTING the keep-probability for
+    * thresholding or mix weighting (a 96%-accurate model can still be
+    * badly calibrated, and then "keep if P ≥ 0.9" means nothing). Each
+    * document's serving score maps through the logistic link to a
+    * confidence; equal-width confidence bins report observed positive
+    * rate vs mean stated confidence — the reliability diagram's data,
+    * from ONE scan + one bounded-grid aggregation (expected calibration
+    * error is Σ over bins of (n_b/N)·|frac_pos − avg_conf|, a pure
+    * finishing fold the spec computes). Scores are bit-exact integer
+    * ratios; the sigmoid and the bin floor are single IEEE expressions
+    * on identical operands (boundary landings measure-zero, the
+    * established convention). */
+  def classifierCalibration(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, weights: Array[Long], bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val scored = classifierScoreInline(docs, idCol, textCol, weights)
+    scored
+      .join(docs.select(col(idCol).as("id"), col(labelCol).as("label")), Seq("id"))
+      .withColumn("conf", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+      .withColumn("bin",
+        least(floor(col("conf") * lit(bins.toDouble)), lit((bins - 1).toDouble))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("conf")), 4).as("avg_conf"),
+        round(avg(col("label").cast("double")), 4).as("frac_pos"))
+      .orderBy(col("bin"))
+  }
 }

@@ -337,6 +337,45 @@ object CorpusMlQueries {
       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
       |FROM sums""".stripMargin
 
+  /** Classifier calibration table
+    * ([[graft.ops.TextAnalysis.classifierCalibration]]): the trained
+    * quality model's reliability diagram over the committed labeled
+    * fixture — 10 equal-width confidence bins, observed positive rate
+    * vs mean stated confidence. The oracle replays scoring (md5 buckets
+    * against the committed weights), the logistic link, the binning and
+    * both bin means. */
+  val textClassifierCalibration: Q = (s, dir) => {
+    val docs = s.read.parquet(
+      s"${graft.Tables.fixturesDir}/labeled_quality.parquet")
+    graft.ops.TextAnalysis.classifierCalibration(docs, "doc_id", "text",
+      "label", graft.ops.TextAnalysis.trainedWeightArray(s), bins = 10)
+  }
+
+  def textClassifierCalibrationSql: String =
+    s"""WITH docs AS (
+       |  SELECT * FROM '${graft.Tables.fixturesDir}/labeled_quality.parquet'),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM docs),
+       |hashed AS (
+       |  SELECT doc_id, ($hexVal) AS h
+       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
+       |scored AS (
+       |  SELECT doc_id, CAST(sum(w.iw) AS BIGINT) AS raw
+       |  FROM hashed
+       |  JOIN '${graft.Tables.fixturesDir}/classifier_weights.parquet' w
+       |    ON (h % 1024) = w.bucket
+       |  GROUP BY doc_id),
+       |conf AS (
+       |  SELECT d.doc_id AS doc_id, d.label AS label,
+       |    1.0 / (1.0 + exp(-(s.raw /
+       |      (len(string_split_regex(d.text, '\\s+')) * 1000.0)))) AS conf
+       |  FROM docs d JOIN scored s USING (doc_id))
+       |SELECT CAST(least(floor(conf * 10.0), 9.0) AS INT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(avg(conf), 4) AS avg_conf,
+       |  round(avg(CAST(label AS DOUBLE)), 4) AS frac_pos
+       |FROM conf GROUP BY 1 ORDER BY bin""".stripMargin
+
   /** Interpolated Kneser–Ney perplexity
     * ([[graft.ops.LanguageModel.perplexityKnVsSlice]]) — the smoothing
     * KenLM (and therefore CCNet's production quality model) uses, next
@@ -612,6 +651,7 @@ object CorpusMlQueries {
     "q_cluster_eval" -> qClusterEval,
     "q_graph_clusters" -> qGraphClusters,
     "text_lm_kn" -> textLmKn,
+    "text_classifier_calibration" -> textClassifierCalibration,
     "q_dsir_weights" -> qDsirWeights,
     "q_sample_dsir" -> qSampleDsir,
     "text_bpe_train" -> textBpeTrain,
@@ -626,6 +666,7 @@ object CorpusMlQueries {
     "q_cluster_eval" -> qClusterEvalSql,
     "q_graph_clusters" -> qGraphClustersSql,
     "text_lm_kn" -> textLmKnSql,
+    "text_classifier_calibration" -> textClassifierCalibrationSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_sample_dsir" -> qSampleDsirSql,
     "text_bpe_train" -> textBpeTrainSql,
