@@ -24,7 +24,8 @@ object SparkEntry {
     QueryCatalog.all ++ graft.queries.ExtraQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.CorpusOpsQueries.all ++
-      graft.queries.CorpusMlQueries.all
+      graft.queries.CorpusMlQueries.all ++
+      graft.queries.ServeQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +35,6 @@ object SparkEntry {
     QueryCatalog.oracles ++ graft.queries.ExtraQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CorpusOpsQueries.oracles ++
-      graft.queries.CorpusMlQueries.oracles
+      graft.queries.CorpusMlQueries.oracles ++
+      graft.queries.ServeQueries.oracles
 }

@@ -105,8 +105,15 @@ object Bpe {
         step += 1
       }
     }
-    BpeModel(merges.toSeq,
-      base.select(col("word"), col("cnt"), segCol.as("seg")))
+    // Materialize the final segmentation (vocab-sized — one cheap job)
+    // so the training cache can be RELEASED here instead of living for
+    // the session: vocabSeg keeps no lineage back to `base`, and every
+    // train call (batch queries, per-epoch stream model builds) leaves
+    // the block store as it found it.
+    val vocabSeg = base.select(col("word"), col("cnt"), segCol.as("seg"))
+      .localCheckpoint()
+    base.unpersist()
+    BpeModel(merges.toSeq, vocabSeg)
   }
 
   /** The merge table as a DataFrame — the `text_bpe_train` surface. */

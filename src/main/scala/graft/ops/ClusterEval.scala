@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * per-cluster majority vote never touch the data again.
   *
   * Cross-engine determinism: all counts exact longs; each MI/entropy
-  * term is one ln of identical IEEE operands (products of longs stay in
-  * long range for any corpus that fits a long count); the ≤ k·L-term
+  * term is one ln of identical IEEE operands — the MI ratio's products
+  * are taken in DOUBLE (n_cl·n and n_c·n_l overflow a long once n
+  * passes ~3·10⁹ rows; the double form is exact below 2⁵³ and merely
+  * rounds, never wraps, above it), with the DuckDB oracle multiplying
+  * in the identical order; the ≤ k·L-term
   * sums round at the output (4 dp). Degenerate single-cluster or
   * single-label inputs have zero entropy on that side — NMI is defined
   * as 0 there (no information to normalize), purity still meaningful.
@@ -42,8 +45,8 @@ object ClusterEval {
       .join(colm, Seq("label"))
       .crossJoin(tot)
       .agg(sum((col("n_cl").cast("double") / col("n")) *
-        log((col("n_cl") * col("n")).cast("double") /
-          (col("n_c") * col("n_l")))).as("mi"))
+        log((col("n_cl").cast("double") * col("n")) /
+          (col("n_c").cast("double") * col("n_l")))).as("mi"))
     val hc = rowm.crossJoin(tot)
       .agg((-sum((col("n_c").cast("double") / col("n")) *
         log(col("n_c").cast("double") / col("n")))).as("hc"))

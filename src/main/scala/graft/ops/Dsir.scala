@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *   - The corpus is exploded ONCE into (id, bucket, cnt); both bucket
   *     distributions aggregate from that relation (map-side combine to
   *     ≤ `buckets` rows per task). At production scale the bucketed
-  *     relation is written at ingest next to the token stats and this
-  *     becomes three scans of a tiny side table.
+  *     relation is WRITTEN AT INGEST ([[writeFeatures]], the band-index
+  *     pattern) and training/scoring become scans of that store
+  *     ([[trainFeatures]]/[[logWeightsFeatures]]); the inline [[train]]
+  *     persists its explode so no action recomputes it.
   *   - The MODEL is `buckets` rows (one llr per bucket) — broadcast to
   *     the scoring join; the per-doc aggregation collapses the exploded
   *     stream immediately. Nothing document-sized crosses more than one
@@ -53,34 +55,74 @@ object Dsir {
       .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** The on-disk FEATURE STORE — the hashed-bigram relation written at
+    * ingest next to the token stats (the [[Dedup]] band-index /
+    * [[TextIndex]] postings pattern), so training, scoring and every
+    * re-weighting probe read a tiny (id, bucket, cnt) parquet instead
+    * of re-exploding the corpus per action. ONE data-sized pass, ever. */
+  def writeFeatures(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, path: String): Unit =
+    hashedFeatures(docs, idCol, textCol, buckets)
+      .write.mode("overwrite").parquet(path)
+
+  /** Re-open a [[writeFeatures]] store. */
+  def readFeatures(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
   /** The trained model: per-bucket log importance ratio
-    * llr_b = ln p̂_b − ln q̂_b, plus the smoothing scalars. `ratios` has
-    * one row per bucket OBSERVED in the raw pool (a document can never
-    * hit an unobserved bucket — its own occurrence would have been
-    * counted), each with exact integer counts and the smoothed llr. */
+    * llr_b = ln p̂_b − ln q̂_b, plus the smoothing scalars. `ratios` is
+    * DENSE — one row for EVERY bucket in [0, buckets), unobserved ones
+    * carrying the pure-smoothing llr = ln((0+1)/(tN+B)) − ln((0+1)/
+    * (rN+B)) — so scoring NEW documents (the [[graft.streaming.DsirGate]]
+    * path) never silently drops a feature that hashed to a bucket the
+    * training pool missed (add-one smoothing defines every bucket;
+    * only the training pool itself is guaranteed to hit observed ones).
+    * ≤ `buckets` rows with exact integer counts, checkpointed free of
+    * corpus lineage. */
   final case class DsirModel(ratios: DataFrame, buckets: Int,
       targetTotal: Long, rawTotal: Long)
 
-  /** Train on `docs`: target distribution from the `targetFilter` slice,
-    * raw distribution from the whole pool. Two aggregations over the
-    * bucketed relation + two scalar counts. */
-  def train(docs: DataFrame, idCol: String, textCol: String,
-      targetFilter: Column, buckets: Int): DsirModel = {
-    val feats = hashedFeatures(docs, idCol, textCol, buckets)
-    val tIds = docs.filter(targetFilter)
-      .select(col(idCol).as("id")).distinct()
-    val tFeats = feats.join(broadcast(tIds), Seq("id"), "left_semi")
+  /** Train from a FEATURE relation ((id, bucket, cnt) — a
+    * [[writeFeatures]] store or an inline [[hashedFeatures]]): target
+    * distribution from the `targetIds` slice, raw from the whole pool.
+    * Two aggregations + two scalar counts; the dense ratios relation is
+    * ≤ `buckets` rows, localCheckpointed so the model carries no
+    * lineage back to the features. */
+  def trainFeatures(feats: DataFrame, targetIds: DataFrame,
+      buckets: Int): DsirModel = {
+    val spark = feats.sparkSession
+    val tFeats = feats.join(broadcast(targetIds), Seq("id"), "left_semi")
     val raw = feats.groupBy("bucket").agg(sum("cnt").as("rc"))
     val tgt = tFeats.groupBy("bucket").agg(sum("cnt").as("tc"))
     val rN = raw.agg(sum("rc")).collect().head.getLong(0)
     val tN = tgt.agg(sum("tc")).collect().head.getLong(0)
-    val ratios = raw.join(tgt, Seq("bucket"), "left")
-      .select(col("bucket"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"),
+    val spine = spark.range(buckets).select(col("id").cast("int").as("bucket"))
+    val ratios = spine.join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"),
         (log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
             (lit(tN) + lit(buckets.toLong)).cast("double")) -
-          log((col("rc") + lit(1L)).cast("double") /
+          log((coalesce(col("rc"), lit(0L)) + lit(1L)).cast("double") /
             (lit(rN) + lit(buckets.toLong)).cast("double"))).as("llr"))
+      .localCheckpoint()
     DsirModel(ratios, buckets, tN, rN)
+  }
+
+  /** Train on `docs` inline: explode once, persist the feature relation
+    * for the duration of training (raw agg + target agg + two collects
+    * all read the cache, not four re-explodes), then release it — the
+    * returned model's ratios are checkpointed, so nothing retains the
+    * lineage. Production pipelines should [[writeFeatures]] at ingest
+    * and call [[trainFeatures]]/[[logWeightsFeatures]] on the store. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, buckets: Int): DsirModel = {
+    val feats = hashedFeatures(docs, idCol, textCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tIds = docs.filter(targetFilter)
+      .select(col(idCol).as("id")).distinct()
+    try trainFeatures(feats, tIds, buckets)
+    finally feats.unpersist()
   }
 
   /** The model frozen to plain arrays — serialization-safe and free of
@@ -104,15 +146,23 @@ object Dsir {
         .map(r => (r.getInt(0), r.getDouble(1))),
       model.buckets, model.targetTotal, model.rawTotal)
 
-  /** Per-document log importance weight: (id, n_feats, logw) with
-    * logw = round(Σ cnt·llr, 3). The model side is broadcast. */
-  def logWeights(docs: DataFrame, idCol: String, textCol: String,
-      model: DsirModel): DataFrame =
-    hashedFeatures(docs, idCol, textCol, model.buckets)
+  /** Per-document log importance weight from a FEATURE relation:
+    * (id, n_feats, logw) with logw = round(Σ cnt·llr, 3). The model
+    * side is broadcast and DENSE, so every feature of every document —
+    * including ones hashing to buckets the training pool never saw —
+    * receives its smoothed llr. */
+  def logWeightsFeatures(feats: DataFrame, model: DsirModel): DataFrame =
+    feats
       .join(broadcast(model.ratios.select("bucket", "llr")), Seq("bucket"))
       .groupBy("id")
       .agg(sum("cnt").as("n_feats"),
         round(sum(col("cnt") * col("llr")), 3).as("logw"))
+
+  /** [[logWeightsFeatures]] over an inline explode of `docs`. */
+  def logWeights(docs: DataFrame, idCol: String, textCol: String,
+      model: DsirModel): DataFrame =
+    logWeightsFeatures(hashedFeatures(docs, idCol, textCol, model.buckets),
+      model)
 
   /** Gumbel key for sampling-without-replacement ∝ exp(logw): for
     * uniform u the key logw + (−ln(−ln u)) ranks a Gumbel race. u is a

@@ -43,28 +43,60 @@ object NnDescent {
   private def cosRounded(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     round(Similarity.cosine(a, b), 4)
 
-  /** Deterministic pseudo-RANDOM init: nodes ranked by md5-60 order,
-    * each adopting k hash-derived JUMP targets (jump ∈ [1, n−1] from
-    * md5(seed, rank, j)). A seeded ring would be far simpler but is
-    * pathologically LOCAL — every co-neighborhood lies within ±k ring
-    * positions, so the local join only ever meets ring-adjacent nodes
-    * and convergence stalls (measured: recall 0.04 after a sweep).
+  /** Global md5-order rank of the node set — `row_number` by (h, id)
+    * where h = md5-60(seed ‖ id) — computed as a TWO-PHASE distributed
+    * rank (the [[Sampling.packShardsGlobal]] prefix-sum shape), never a
+    * global unpartitioned window: bucket each node by the top 10 bits
+    * of its hash (monotone in h, so bucket order ≡ global hash order),
+    * collect the ≤ 1024 per-bucket COUNTS to the driver (model-sized,
+    * like centroids — this also yields n for free), exclusive-prefix
+    * them there, then rank WITHIN each bucket in parallel and add the
+    * broadcast bucket offset. Ties in h land in one bucket by
+    * construction (bucket is a function of h), so the (h, id)
+    * tie-break is exact and the result is row-identical to the global
+    * window form — but no partition ever sees more than ~n/1024 rows.
+    *
+    * Returns ((id, r), n) with r ∈ [1, n] — the same pure function of
+    * (seed, id-set) the DuckDB oracle replays with ONE ranking window. */
+  private[ops] def rankByHash(nodes: DataFrame, seed: String): (DataFrame, Long) = {
+    val hashed = nodes.select(col("id"))
+      .withColumn("h", Dedup.md5TokenHash60(concat(lit(seed), col("id").cast("string"))))
+      .withColumn("bkt", shiftright(col("h"), 50))
+    val totals = hashed.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    var acc = 0L
+    val offs = totals.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val offDf = offs.toIndexedSeq.toDF("bkt", "boff")
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("h"), col("id"))
+    val ranked = hashed.join(broadcast(offDf), Seq("bkt"))
+      .withColumn("r", col("boff") + row_number().over(wIn))
+      .select("id", "r")
+    (ranked, n)
+  }
+
+  /** Deterministic pseudo-RANDOM init: nodes ranked by md5-60 order
+    * ([[rankByHash]] — two-phase, no global window), each adopting k
+    * hash-derived JUMP targets (jump ∈ [1, n−1] from md5(seed, rank,
+    * j)). A seeded ring would be far simpler but is pathologically
+    * LOCAL — every co-neighborhood lies within ±k ring positions, so
+    * the local join only ever meets ring-adjacent nodes and
+    * convergence stalls (measured: recall 0.04 after a sweep).
     * Random jumps restore the paper's uniform init while staying an
     * exact function of (seed, rank, j) the oracle replays. Duplicate
     * jump targets collapse (DISTINCT), so a node may start with < k
     * neighbors — the first sweep's top-k refills. */
   private[ops] def randomInit(nodes: DataFrame, k: Int, seed: String): DataFrame = {
-    val ranked = nodes.select(col("id"))
-      .withColumn("h", Dedup.md5TokenHash60(concat(lit(seed), col("id").cast("string"))))
-      .withColumn("r", row_number().over(Window.orderBy(col("h"), col("id"))))
-      .select("id", "r")
-    val tot = ranked.agg(count(lit(1)).as("n"))
+    val (ranked, n) = rankByHash(nodes, seed)
+    require(n >= 2, s"NN-Descent needs >= 2 nodes (jump ∈ [1, n−1]); got $n")
     val offDf = nodes.sparkSession.range(1, k + 1).toDF("j")
-    ranked.crossJoin(tot).crossJoin(broadcast(offDf))
+    ranked.crossJoin(broadcast(offDf))
       .withColumn("jump", pmod(Dedup.md5TokenHash60(concat(lit(seed),
         col("r").cast("string"), lit("_"), col("j").cast("string"))),
-        col("n") - 1) + 1)
-      .withColumn("r2", pmod(col("r") - 1 + col("jump"), col("n")) + 1)
+        lit(n - 1)) + 1)
+      .withColumn("r2", pmod(col("r") - 1 + col("jump"), lit(n)) + 1)
       .join(ranked.select(col("r").as("r2"), col("id").as("nbr")), Seq("r2"))
       .filter(col("id") =!= col("nbr"))
       .select("id", "nbr").distinct()
@@ -133,6 +165,79 @@ object NnDescent {
       g = sweep(g, allNodes, k, cap, seed).localCheckpoint()
     }
     g
+  }
+
+  /** Query-time GRAPH-ANN search over a built k-NN graph — the SERVING
+    * half of the graph family (the greedy/beam routing HNSW and DiskANN
+    * run), so the graph index has a probe path like every other family
+    * ([[IvfSq.topK]], [[IvfIndex.topKIndexed]], PQ ADC). Spark-native
+    * form: iterative FRONTIER EXPANSION as ≤ `hops` broadcast-joined
+    * rounds against the undirected edge relation — per hop, the current
+    * beam's neighbors are gathered, never-visited ones scored, the best
+    * `beam` become the next frontier, and the answer is the top-k of
+    * everything visited.
+    *
+    *   - ENTRY points are the md5-rank head ([[rankByHash]] — the same
+    *     deterministic order the init uses), query-independent.
+    *   - Each hop's frontier is (queries × beam) rows — broadcast onto
+    *     the edge relation, so the only data-sized side is the edge
+    *     scan and no hop shuffles the corpus. Visited sets stay
+    *     ≤ queries × (entries + hops·beam·2k) rows by construction.
+    *   - The walk uses the UNDIRECTED adjacency (a reverse edge reaches
+    *     a node whose own top-k never adopted us — standard in graph
+    *     ANN serving; mirrors the sweep's undirect step).
+    *
+    * Exhaustive-expansion mode (`entries` ≥ n) degenerates to scoring
+    * every node — ≡ brute force, the family's standard oracle gate;
+    * the pruned configuration's recall floor is spec-gated
+    * (GraphSearchSpec). Deterministic end-to-end: scores rounded 4 dp
+    * before every ranking, ties break on id — the DuckDB oracle
+    * replays the entire walk hop by hop.
+    *
+    * SIZING `entries`: the walk can only reach nodes CONNECTED to an
+    * entry point, and a k-NN graph of well-separated clusters is
+    * disconnected by construction (every top-k edge stays in-cluster)
+    * — measured on the 8-cluster spec fixture, recall with 3 entries
+    * is exactly the covered-component fraction (0.40) and goes to 1.0
+    * at 16 entries. Size `entries` ≥ a few × the expected cluster
+    * count, or seed one entry per IVF cell ([[IvfIndex.train]]
+    * centroids' nearest nodes) when a coarse quantizer already exists
+    * — the single-layer analogue of HNSW's upper-layer routing.
+    *
+    * @param graph   (id, nbr, …) — a [[knnGraph]] result
+    * @param nodes   (id, vec)    — the indexed corpus
+    * @param queries (qid, qvec)  — small; broadcast
+    * @return (qid, id, score, rank) with rank ∈ [1, k] */
+  def searchGraph(graph: DataFrame, nodes: DataFrame, queries: DataFrame,
+      k: Int, entries: Int, beam: Int, hops: Int,
+      seed: String = "nnd"): DataFrame = {
+    require(k >= 1 && entries >= 1 && beam >= 1 && hops >= 0)
+    val und = graph.select(col("id").as("c"), col("nbr").as("v"))
+      .union(graph.select(col("nbr").as("c"), col("id").as("v")))
+      .distinct()
+    def score(cand: DataFrame): DataFrame =
+      cand.join(nodes.select(col("id"), col("vec")), Seq("id"))
+        .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+        .select(col("qid"), col("id"), cosRounded(col("qvec"), col("vec")).as("score"))
+    def topPerQ(scored: DataFrame, m: Int): DataFrame =
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+        .filter(col("rank") <= m)
+    val (ranked, _) = rankByHash(nodes, seed)
+    val entry = ranked.filter(col("r") <= entries).select("id")
+    var visited = score(queries.select("qid").crossJoin(entry))
+      .localCheckpoint()
+    var frontier = topPerQ(visited, beam).select("qid", "id")
+    (1 to hops).foreach { _ =>
+      val cand = broadcast(frontier.select(col("qid"), col("id").as("c")))
+        .join(und, Seq("c"))
+        .select(col("qid"), col("v").as("id")).distinct()
+        .join(visited.select("qid", "id"), Seq("qid", "id"), "left_anti")
+      val sc = score(cand).localCheckpoint()
+      visited = visited.union(sc).localCheckpoint()
+      frontier = topPerQ(sc, beam).select("qid", "id")
+    }
+    topPerQ(visited, k).select("qid", "id", "score", "rank")
   }
 
   /** Build the k-NN graph: ring init, `iters` local-join sweeps.

@@ -149,10 +149,17 @@ object CorpusMlQueries {
     * md5 buckets, smoothing, llr, the weighted sum. Documents with < 2
     * tokens have no features and are absent by definition. */
   val qDsirWeights: Q = (s, dir) => {
+    // the production shape: ONE corpus explode into the on-disk feature
+    // store, then training and scoring scan the tiny store (3 probes of
+    // a bucket-bounded parquet, zero re-explodes)
     val docs = Tables.documents(s, dir)
-    val model = graft.ops.Dsir.train(docs, "doc_id", "text",
-      col("lang") === "en", buckets = 512)
-    graft.ops.Dsir.logWeights(docs, "doc_id", "text", model)
+    val path = graft.Staging.dirFor("dsir-feats")
+    graft.ops.Dsir.writeFeatures(docs, "doc_id", "text", 512, path)
+    val feats = graft.ops.Dsir.readFeatures(s, path)
+    val tIds = docs.filter(col("lang") === "en")
+      .select(col("doc_id").as("id")).distinct()
+    val model = graft.ops.Dsir.trainFeatures(feats, tIds, buckets = 512)
+    graft.ops.Dsir.logWeightsFeatures(feats, model)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -167,9 +174,13 @@ object CorpusMlQueries {
     * before ranking (the tf-idf discipline). */
   val qSampleDsir: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val model = graft.ops.Dsir.train(docs, "doc_id", "text",
-      col("lang") === "en", buckets = 512)
-    val w = graft.ops.Dsir.logWeights(docs, "doc_id", "text", model)
+    val path = graft.Staging.dirFor("dsir-feats-sample")
+    graft.ops.Dsir.writeFeatures(docs, "doc_id", "text", 512, path)
+    val feats = graft.ops.Dsir.readFeatures(s, path)
+    val tIds = docs.filter(col("lang") === "en")
+      .select(col("doc_id").as("id")).distinct()
+    val model = graft.ops.Dsir.trainFeatures(feats, tIds, buckets = 512)
+    val w = graft.ops.Dsir.logWeightsFeatures(feats, model)
     graft.ops.Dsir.resample(w, n = 50, seed = "dsir1")
       .withColumnRenamed("id", "doc_id")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
@@ -354,8 +365,12 @@ object CorpusMlQueries {
   def textClassifierCalibrationSql: String =
     s"""WITH docs AS (
        |  SELECT * FROM '${graft.Tables.fixturesDir}/labeled_quality.parquet'),
+       |-- coalesce mirrors classifierScoreInline: a NULL text scores as
+       |-- one empty token on BOTH sides (unnest of NULL would silently
+       |-- drop the doc here while Spark keeps it)
        |toks AS (
-       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM docs),
+       |  SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '\\s+')) AS tok
+       |  FROM docs),
        |hashed AS (
        |  SELECT doc_id, ($hexVal) AS h
        |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
@@ -368,7 +383,7 @@ object CorpusMlQueries {
        |conf AS (
        |  SELECT d.doc_id AS doc_id, d.label AS label,
        |    1.0 / (1.0 + exp(-(s.raw /
-       |      (len(string_split_regex(d.text, '\\s+')) * 1000.0)))) AS conf
+       |      (len(string_split_regex(coalesce(d.text, ''), '\\s+')) * 1000.0)))) AS conf
        |  FROM docs d JOIN scored s USING (doc_id))
        |SELECT CAST(least(floor(conf * 10.0), 9.0) AS INT) AS bin,
        |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -456,8 +471,10 @@ object CorpusMlQueries {
   }
 
   /** CTE body (no leading WITH) that rebuilds the NN-Descent graph —
-    * shared by `ann_knn_graph` and the mutual-kNN clustering replay. */
-  private val knnGraphCtesBody: String = {
+    * shared by `ann_knn_graph`, the mutual-kNN clustering replay, and
+    * (with `nodesWhere = " WHERE vec_id >= 5"`) the graph-search replay
+    * over the corpus-only index ([[ServeQueries]]). */
+  private[queries] def knnGraphCtesBody(nodesWhere: String = ""): String = {
     val k = 5; val cap = 10; val iters = 2
     val cos = (a: String, b: String) =>
       s"list_dot_product($a.vec, $b.vec) / " +
@@ -495,7 +512,7 @@ object CorpusMlQueries {
     }.mkString(",\n")
     s"""nodes AS MATERIALIZED (
        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-       |  FROM embeddings),
+       |  FROM embeddings$nodesWhere),
        |rk AS MATERIALIZED (
        |  SELECT id, row_number() OVER (ORDER BY CAST($hexVal AS BIGINT), id) AS r
        |  FROM (SELECT id, substring(md5('nnd' || CAST(id AS VARCHAR)), 1, 15) AS h15
@@ -523,7 +540,7 @@ object CorpusMlQueries {
   }
 
   val annKnnGraphSql: String =
-    s"""WITH $knnGraphCtesBody
+    s"""WITH ${knnGraphCtesBody()}
        |SELECT id, nbr, score, rank FROM g2
        |ORDER BY id, rank""".stripMargin
 
@@ -560,7 +577,7 @@ object CorpusMlQueries {
   // gained/lost mutual edge). Scoping RECURSIVE to the subquery keeps
   // the graph stages byte-identical between the two oracles.
   val qGraphClustersSql: String =
-    s"""WITH $knnGraphCtesBody,
+    s"""WITH ${knnGraphCtesBody()},
        |mut AS MATERIALIZED (
        |  SELECT a.id AS id, a.nbr AS nbr
        |  FROM g2 a JOIN g2 b ON a.id = b.nbr AND a.nbr = b.id
@@ -625,7 +642,7 @@ object CorpusMlQueries {
        |tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cont),
        |mi AS (
        |  SELECT sum((CAST(n_cl AS DOUBLE) / n) *
-       |    ln(CAST(n_cl * n AS DOUBLE) / (n_c * n_l))) AS mi
+       |    ln((CAST(n_cl AS DOUBLE) * n) / (CAST(n_c AS DOUBLE) * n_l))) AS mi
        |  FROM cont JOIN rowm USING (cluster) JOIN colm USING (label) CROSS JOIN tot),
        |hc AS (
        |  SELECT -sum((CAST(n_c AS DOUBLE) / n) * ln(CAST(n_c AS DOUBLE) / n)) AS hc

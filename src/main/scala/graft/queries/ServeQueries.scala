@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Sixth wave of the query surface (round 16): the SERVING half of two
+  * families that previously stopped at construction — graph-ANN
+  * query-time beam search over the NN-Descent index
+  * ([[graft.ops.NnDescent.searchGraph]]), and classifier calibration
+  * FITTING (temperature scaling, Guo et al. ICML 2017) with its
+  * re-audited reliability table. Same oracle conventions as
+  * [[QueryCatalog]]: identical aliases both sides, total ORDER BY,
+  * integer outputs CAST to BIGINT in DuckDB, scores rounded 4 dp before
+  * every ranking, NLL/ECE folds rounded 6 dp.
+  */
+object ServeQueries {
+  import QueryCatalog.Q
+
+  private val SearchK = 10
+  private val SearchEntries = 3
+  private val SearchBeam = 5
+  private val SearchHops = 3
+
+  /** Graph-ANN SEARCH ([[graft.ops.NnDescent.searchGraph]]): build the
+    * k-NN graph over the corpus slice, then answer the 5 standing query
+    * vectors by beam-walking the graph — entries=3 md5-rank entry
+    * points, beam 5, 3 hops, top-10 of everything visited. This is the
+    * PRUNED production walk, hash-gated end to end: the oracle replays
+    * the whole pipeline — init, both graph sweeps, AND every hop of the
+    * search (frontier → unvisited neighbor expansion → scoring → beam
+    * cut) — as unrolled materialized CTEs (the `ann_knn_graph`
+    * discipline), so a one-node divergence in any hop fails the hash.
+    * The exhaustive-expansion ≡ brute-force gate and the recall floor
+    * vs the flat scan live in GraphSearchSpec. */
+  val annGraphSearch: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = graft.ops.NnDescent.knnGraph(corpus, k = 5, iters = 2,
+      sample = 10, seed = "nnd")
+    graft.ops.NnDescent.searchGraph(g, corpus, queries, k = SearchK,
+        entries = SearchEntries, beam = SearchBeam, hops = SearchHops,
+        seed = "nnd")
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The search replay: undirected adjacency of the replayed graph,
+    * md5-rank entry points, then per hop — frontier-neighbor expansion
+    * (DISTINCT), visited anti-join, scoring, beam cut — exactly the
+    * Spark walk. */
+  private def graphSearchCtes: String = {
+    val cosQ =
+      "round(list_dot_product(qv.qvec, nv.vec) / " +
+        "(sqrt(list_dot_product(qv.qvec, qv.qvec)) * " +
+        "sqrt(list_dot_product(nv.vec, nv.vec))), 4)"
+    val hops = (1 to SearchHops).map { i =>
+      s"""cnd$i AS MATERIALIZED (
+         |  SELECT DISTINCT f${i - 1}.qid AS qid, und.v AS id
+         |  FROM f${i - 1} JOIN und ON und.c = f${i - 1}.id),
+         |new$i AS MATERIALIZED (
+         |  SELECT c.qid AS qid, c.id AS id FROM cnd$i c
+         |  LEFT JOIN v${i - 1} p ON p.qid = c.qid AND p.id = c.id
+         |  WHERE p.id IS NULL),
+         |s$i AS MATERIALIZED (
+         |  SELECT n.qid AS qid, n.id AS id, $cosQ AS score
+         |  FROM new$i n JOIN nodes nv ON nv.id = n.id JOIN qv ON qv.qid = n.qid),
+         |v$i AS MATERIALIZED (
+         |  SELECT qid, id, score FROM v${i - 1}
+         |  UNION ALL SELECT qid, id, score FROM s$i),
+         |f$i AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+         |    FROM s$i) WHERE rn <= $SearchBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""und AS MATERIALIZED (
+       |  SELECT id AS c, nbr AS v FROM g2
+       |  UNION
+       |  SELECT nbr AS c, id AS v FROM g2),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+       |  FROM embeddings WHERE vec_id < 5),
+       |ent AS (SELECT id FROM rk WHERE r <= $SearchEntries),
+       |v0 AS MATERIALIZED (
+       |  SELECT qv.qid AS qid, nv.id AS id, $cosQ AS score
+       |  FROM qv CROSS JOIN ent JOIN nodes nv ON nv.id = ent.id),
+       |f0 AS MATERIALIZED (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+       |    FROM v0) WHERE rn <= $SearchBeam),
+       |$hops""".stripMargin
+  }
+
+  val annGraphSearchSql: String =
+    s"""WITH ${CorpusMlQueries.knnGraphCtesBody(" WHERE vec_id >= 5")},
+       |$graphSearchCtes
+       |SELECT qid, id, score, rank FROM (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM v$SearchHops) WHERE rank <= $SearchK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Shared calibration-fit CTE chain: score the committed labeled
+    * fixture against the committed weights (the
+    * `text_classifier_calibration` scoring replay), quantize scores to
+    * the 4-dp histogram, evaluate the NLL over the temperature grid
+    * T = i/40 (i ∈ [10, 128] — T = 1 included so fitted NLL ≤ raw NLL
+    * by construction), argmin with ties toward smaller T. */
+  private def calibrationFitCtes: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val p = "1.0/(1.0+exp(-(z/t)))"
+    s"""docs AS (
+       |  SELECT * FROM '${graft.Tables.fixturesDir}/labeled_quality.parquet'),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '\\s+')) AS tok
+       |  FROM docs),
+       |hashed AS (
+       |  SELECT doc_id, ($hexVal) AS h
+       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
+       |sraw AS (
+       |  SELECT doc_id, CAST(sum(w.iw) AS BIGINT) AS raw
+       |  FROM hashed
+       |  JOIN '${graft.Tables.fixturesDir}/classifier_weights.parquet' w
+       |    ON (h % 1024) = w.bucket
+       |  GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.doc_id AS doc_id, d.label AS label,
+       |    s.raw / (len(string_split_regex(coalesce(d.text, ''), '\\s+')) * 1000.0) AS score
+       |  FROM docs d JOIN sraw s USING (doc_id)),
+       |-- floor(10⁴·z + ½)/10⁴, NOT round(): round() is half-up on the
+       |-- engine's decimal rendering and diverges from Spark at exact
+       |-- 4th-decimal ties (which raw/(n·1000) scores hit); the floor
+       |-- chain is one IEEE expression on identical operands
+       |hist AS (
+       |  SELECT floor(score * 10000.0 + 0.5) / 10000.0 AS z,
+       |    CAST(label AS DOUBLE) AS y, count(*) AS cnt
+       |  FROM sc GROUP BY z, y),
+       |grid AS (
+       |  SELECT CAST(i AS DOUBLE) / 40.0 AS t
+       |  FROM (SELECT unnest(range(10, 129)) AS i)),
+       |nll AS (
+       |  SELECT t, round(sum(cnt * -(y * ln($p) + (1.0 - y) * ln(1.0 - $p))), 6) AS nll
+       |  FROM hist CROSS JOIN grid GROUP BY t),
+       |fit AS (SELECT t, nll FROM nll ORDER BY nll, t LIMIT 1)""".stripMargin
+  }
+
+  /** Reliability-table CTE over `sc` at temperature `tExpr` (a scalar
+    * SQL expression): the `text_classifier_calibration` binning. */
+  private def calibTableSql(tExpr: String): String =
+    s"""SELECT CAST(least(floor(conf * 10.0), 9.0) AS INT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(avg(conf), 4) AS avg_conf,
+       |  round(avg(CAST(label AS DOUBLE)), 4) AS frac_pos
+       |FROM (SELECT label, 1.0 / (1.0 + exp(-(score / ($tExpr)))) AS conf FROM sc)
+       |GROUP BY 1""".stripMargin
+
+  private def eceSql(table: String): String =
+    s"""SELECT round(sum(CAST(n_docs AS DOUBLE) * abs(frac_pos - avg_conf)) /
+       |  CAST(sum(n_docs) AS DOUBLE), 6) AS ece FROM $table""".stripMargin
+
+  /** TEMPERATURE-SCALING fit of the trained quality classifier
+    * ([[graft.ops.TextAnalysis.fitTemperature]]) + the before/after
+    * audit scalars: fitted T, NLL at T and at 1, and the expected
+    * calibration error of the raw vs the re-fitted reliability table.
+    * The oracle replays the whole loop — scoring, the 4-dp score
+    * histogram, all 119 grid NLLs, the argmin, both tables, both ECE
+    * folds. */
+  val textCalibrationFit: Q = (s, dir) => {
+    val docs = s.read.parquet(
+      s"${graft.Tables.fixturesDir}/labeled_quality.parquet")
+    val w = graft.ops.TextAnalysis.trainedWeightArray(s)
+    val scored = graft.ops.TextAnalysis
+      .classifierScoreInline(docs, "doc_id", "text", w)
+      .join(docs.select(col("doc_id").as("id"), col("label")), Seq("id"))
+    val nll = graft.ops.TextAnalysis.temperatureNll(scored)
+    val fit = graft.ops.TextAnalysis.fitTemperature(scored)
+    val nllRaw = nll.filter(col("t") === 1.0).select(col("nll").as("nll_raw"))
+    val eceRaw = graft.ops.TextAnalysis.calibrationEce(
+        graft.ops.TextAnalysis.classifierCalibration(
+          docs, "doc_id", "text", "label", w))
+      .select(col("ece").as("ece_raw"))
+    val eceFit = graft.ops.TextAnalysis.calibrationEce(
+        graft.ops.TextAnalysis.classifierCalibrationFitted(
+          docs, "doc_id", "text", "label", w))
+      .select(col("ece").as("ece_fit"))
+    fit.select(col("t"), col("nll").as("nll_fit"))
+      .crossJoin(nllRaw).crossJoin(eceRaw).crossJoin(eceFit)
+  }
+
+  val textCalibrationFitSql: String =
+    s"""WITH $calibrationFitCtes,
+       |raw_tab AS (${calibTableSql("1.0")}),
+       |fit_tab AS (${calibTableSql("SELECT t FROM fit")})
+       |SELECT fit.t AS t, fit.nll AS nll_fit,
+       |  (SELECT nll FROM nll WHERE t = 1.0) AS nll_raw,
+       |  (${eceSql("raw_tab")}) AS ece_raw,
+       |  (${eceSql("fit_tab")}) AS ece_fit
+       |FROM fit""".stripMargin
+
+  /** The re-audited reliability table under the FITTED temperature
+    * ([[graft.ops.TextAnalysis.classifierCalibrationFitted]]) — the
+    * second calibration table a pipeline publishes after correcting the
+    * miscalibration the raw table exposed. */
+  val textCalibrationFitted: Q = (s, dir) => {
+    val docs = s.read.parquet(
+      s"${graft.Tables.fixturesDir}/labeled_quality.parquet")
+    graft.ops.TextAnalysis.classifierCalibrationFitted(docs, "doc_id",
+      "text", "label", graft.ops.TextAnalysis.trainedWeightArray(s), bins = 10)
+  }
+
+  val textCalibrationFittedSql: String =
+    s"""WITH $calibrationFitCtes
+       |${calibTableSql("SELECT t FROM fit")}
+       |ORDER BY bin""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "ann_graph_search" -> annGraphSearch,
+    "text_calibration_fit" -> textCalibrationFit,
+    "text_calibration_fitted" -> textCalibrationFitted)
+
+  val oracles: Map[String, String] = Map(
+    "ann_graph_search" -> annGraphSearchSql,
+    "text_calibration_fit" -> textCalibrationFitSql,
+    "text_calibration_fitted" -> textCalibrationFittedSql)
+}

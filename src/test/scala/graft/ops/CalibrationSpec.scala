@@ -36,9 +36,50 @@ class CalibrationSpec extends SparkSpec {
       (nb / n) * math.abs(pos - conf)
     }.sum
     info(f"ECE over ${table.length} occupied bins: $ece%.4f")
-    // the fit is uncalibrated by construction (no Platt/temperature
-    // step), so the assertion is sanity, not quality: the table must
-    // yield a usable finite number well inside [0, 1]
+    // the raw table is uncalibrated by construction; the temperature
+    // fit below is the correction step. The raw assertion is sanity,
+    // not quality: a usable finite number well inside [0, 1]
     assert(ece >= 0.0 && ece < 0.5, s"implausible ECE $ece")
+  }
+
+  private lazy val weights = TextAnalysis.trainedWeightArray(spark)
+  private lazy val scored = TextAnalysis
+    .classifierScoreInline(docs, "doc_id", "text", weights)
+    .join(docs.select($"doc_id".as("id"), $"label"), Seq("id"))
+
+  test("temperature fit: grid contains T=1, so fitted NLL can never exceed raw NLL") {
+    val nll = TextAnalysis.temperatureNll(scored)
+      .as[(Double, Double)].collect().toMap
+    assert(nll.contains(1.0), "grid must contain the identity temperature")
+    val (tFit, nllFit) = TextAnalysis.fitTemperature(scored)
+      .as[(Double, Double)].collect().head
+    info(f"fitted T=$tFit%.3f nll=$nllFit%.6f vs raw nll=${nll(1.0)}%.6f")
+    assert(nllFit <= nll(1.0))
+    assert(tFit >= 0.25 && tFit <= 3.2, s"T outside the grid: $tFit")
+  }
+
+  test("the re-audited table under the fitted temperature has strictly lower ECE") {
+    def ece(t: org.apache.spark.sql.DataFrame): Double =
+      TextAnalysis.calibrationEce(t).as[Double].collect().head
+    val raw = ece(TextAnalysis.classifierCalibration(
+      docs, "doc_id", "text", "label", weights))
+    val fitted = ece(TextAnalysis.classifierCalibrationFitted(
+      docs, "doc_id", "text", "label", weights))
+    info(f"ECE raw=$raw%.6f fitted=$fitted%.6f")
+    // the committed fixture is separable, so the NLL-optimal T sharpens
+    // toward the grid floor and the reliability gap closes outright
+    assert(fitted < raw,
+      s"temperature fit must improve calibration on the committed fixture: $fitted !< $raw")
+  }
+
+  test("fit is deterministic and the fitted table still partitions the fixture") {
+    val a = TextAnalysis.fitTemperature(scored).as[(Double, Double)].collect().head
+    val b = TextAnalysis.fitTemperature(scored).as[(Double, Double)].collect().head
+    assert(a == b)
+    val tab = TextAnalysis.classifierCalibrationFitted(
+        docs, "doc_id", "text", "label", weights)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(tab.map(_._2).sum == docs.count())
+    assert(tab.forall(r => r._1 >= 0 && r._1 <= 9))
   }
 }

@@ -53,6 +53,39 @@ class DsirSpec extends SparkSpec {
     assert(other != again, "different seed should move the Gumbel race")
   }
 
+  test("the on-disk feature store reproduces the inline path row for row") {
+    val path = graft.Staging.dirFor("dsir-feats-spec")
+    Dsir.writeFeatures(docs, "doc_id", "text", 512, path)
+    val feats = Dsir.readFeatures(spark, path)
+    val tIds = docs.filter(col("lang") === "en")
+      .select(col("doc_id").as("id")).distinct()
+    val stored = Dsir.trainFeatures(feats, tIds, buckets = 512)
+    assert(stored.targetTotal == model.targetTotal &&
+      stored.rawTotal == model.rawTotal)
+    val a = Dsir.logWeightsFeatures(feats, stored)
+      .orderBy("id").collect().toSeq
+    val b = weights.orderBy("id").collect().toSeq
+    assert(a == b, "store-path weights diverge from the inline explode")
+  }
+
+  test("the model is DENSE: a new document's unseen bucket gets the smoothed llr, not a drop") {
+    assert(model.ratios.count() == 512,
+      "ratios must cover every bucket, observed or not")
+    // the pure-smoothing llr every unobserved bucket must carry
+    val expected = math.log(1.0 / (model.targetTotal + 512.0)) -
+      math.log(1.0 / (model.rawTotal + 512.0))
+    val unobserved = model.ratios.filter(col("rc") === 0)
+      .select("llr").as[Double].collect()
+    assert(unobserved.nonEmpty, "fixture should leave some buckets unobserved")
+    assert(unobserved.forall(l => math.abs(l - expected) < 1e-12))
+    // scoring a doc whose bigrams the training pool never saw: every
+    // feature lands (n_feats counts all of them) instead of dropping
+    val novel = Seq((999999L, "zzqq1 zzqq2 zzqq3")).toDF("doc_id", "text")
+    val w = Dsir.logWeights(novel, "doc_id", "text", model).collect()
+    assert(w.length == 1 && w.head.getLong(1) == 2,
+      s"both novel bigrams must be scored: ${w.toSeq}")
+  }
+
   test("plan: the model side broadcasts into the scoring join") {
     val df = Dsir.logWeights(docs, "doc_id", "text", model)
     df.collect()

@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Query-time graph-ANN beam search ([[NnDescent.searchGraph]]) — the
+  * serving half of the graph family. Gates: exhaustive-expansion mode
+  * ≡ brute force (the family's standard oracle argument), a recall
+  * floor for the pruned production walk, determinism, and the bounded
+  * visited-set shape. */
+class GraphSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val queries = emb.filter($"vec_id" < 5)
+    .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+  private lazy val corpus = emb.filter($"vec_id" >= 5)
+    .select($"vec_id".as("id"), $"embedding".as("vec"))
+  private lazy val graph =
+    NnDescent.knnGraph(corpus, k = 5, iters = 3, sample = 10).persist()
+
+  /** Flat-scan baseline under the SAME ranking convention the graph
+    * family uses (scores rounded 4 dp BEFORE ranking, ties by id) —
+    * [[Similarity.bruteForceTopK]] ranks the raw double, which can
+    * order a 4-dp tie differently. */
+  private def flatTopK(qs: org.apache.spark.sql.DataFrame,
+      corp: org.apache.spark.sql.DataFrame, k: Int): Seq[org.apache.spark.sql.Row] = {
+    val scored = corp.crossJoin(broadcast(qs))
+      .select($"qid", $"id",
+        round(Similarity.cosine($"qvec", $"vec"), 4).as("score"))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy($"score".desc, $"id")))
+      .filter($"rank" <= k)
+      .orderBy("qid", "rank").collect().toSeq
+  }
+
+  private lazy val brute = flatTopK(queries, corpus, 10)
+
+  test("exhaustive-expansion mode (entries ≥ n) is exactly the flat scan") {
+    val n = corpus.count().toInt
+    val got = NnDescent.searchGraph(graph, corpus, queries, k = 10,
+        entries = n, beam = 5, hops = 0)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got == brute, "all-entry expansion must reproduce the flat scan")
+    // extra hops cannot change a complete answer (everything is visited)
+    val hopped = NnDescent.searchGraph(graph, corpus, queries, k = 10,
+        entries = n, beam = 5, hops = 2)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(hopped == brute)
+  }
+
+  test("the pruned walk clears a recall floor against the flat scan") {
+    // Recall through a graph walk is CAPPED by graph quality. The
+    // production claim lives where the graph is good — a clustered
+    // corpus (the NN-Descent convergence regime); the near-isotropic
+    // sf0.01 embeddings are the paper's hard case and get an info line
+    // plus a loose floor (the graph itself sits at recall ≈ 0.4 there).
+    val rnd = new scala.util.Random(13L)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 2))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val cl = rows.toDF("id", "vec")
+    val clQs = rows.take(5)
+      .map { case (i, v) => (i + 1000L, v) }.toDF("qid", "qvec")
+    val clGraph = NnDescent.knnGraph(cl, k = 5, iters = 3)
+    def recallOf(got: Seq[org.apache.spark.sql.Row],
+        truth: Seq[org.apache.spark.sql.Row]): Double = {
+      val g = got.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val t = truth.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      t.map { case (q, s) =>
+        g.getOrElse(q, Set.empty).count(s.contains).toDouble / s.size
+      }.sum / t.size
+    }
+    // entries must COVER the components: a k-NN graph of well-separated
+    // clusters is disconnected (all 5-NN edges stay in-cluster), so a
+    // walk can only ever reach clusters holding an entry point — with 3
+    // entries over 8 clusters the measured recall is exactly the
+    // covered fraction (0.40). 16 md5-rank entries cover all 8 here and
+    // recall goes to 1.0 (measured); the scaladoc documents the rule.
+    val clGot = NnDescent.searchGraph(clGraph, cl, clQs, k = 10,
+      entries = 16, beam = 5, hops = 3).collect().toSeq
+    val clRecall = recallOf(clGot, flatTopK(clQs, cl, 10))
+    info(f"clustered-corpus graph-search recall@10 (entries=16, beam=5, hops=3): $clRecall%.3f")
+    assert(clRecall >= 0.9,
+      s"beam walk over a converged, entry-covered graph should land the true top-10: $clRecall")
+    val clFew = NnDescent.searchGraph(clGraph, cl, clQs, k = 10,
+      entries = 3, beam = 5, hops = 3).collect().toSeq
+    val clFewRecall = recallOf(clFew, flatTopK(clQs, cl, 10))
+    info(f"under-covered entries=3 recall: $clFewRecall%.3f (= covered-component fraction)")
+    assert(clFewRecall < clRecall, "entry coverage must be the binding lever here")
+
+    val isoGot = NnDescent.searchGraph(graph, corpus, queries, k = 10,
+      entries = 3, beam = 5, hops = 3).collect().toSeq
+    val isoRecall = recallOf(isoGot, brute)
+    info(f"isotropic graph-search recall@10: $isoRecall%.3f (graph-quality-capped)")
+    assert(isoRecall >= 0.2, s"even the hard case must beat chance by far: $isoRecall")
+    // more hops never hurt: the visited set only grows
+    val deeper = NnDescent.searchGraph(graph, corpus, queries, k = 10,
+      entries = 3, beam = 5, hops = 5).collect().toSeq
+    val recallDeeper = recallOf(deeper, brute)
+    info(f"isotropic graph-search recall@10 at 5 hops: $recallDeeper%.3f")
+    assert(recallDeeper >= isoRecall - 1e-9)
+  }
+
+  test("deterministic and well-formed: k ranked rows per query, no duplicates") {
+    val a = NnDescent.searchGraph(graph, corpus, queries, k = 10,
+      entries = 3, beam = 5, hops = 3)
+    val rows = a.orderBy("qid", "rank").collect().toSeq
+    val again = NnDescent.searchGraph(graph, corpus, queries, k = 10,
+        entries = 3, beam = 5, hops = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(rows == again)
+    assert(rows.size == queries.count() * 10)
+    assert(a.groupBy("qid").agg(countDistinct("id").as("d"))
+      .filter($"d" =!= 10).count() == 0)
+    assert(a.groupBy("qid").agg(max("rank").as("m"), min("rank").as("lo"))
+      .filter($"m" =!= 10 || $"lo" =!= 1).count() == 0)
+  }
+
+  test("the visited set stays bounded: ≤ entries + hops·beam·2k nodes per query") {
+    // the scale contract: pruning is structural, not data-dependent —
+    // a frontier of `beam` nodes can introduce at most beam·2k new
+    // candidates per hop (k out-edges + ≤k reverse edges each)
+    val (entries, beam, hops, k) = (3, 5, 3, 5)
+    val visited = NnDescent.searchGraph(graph, corpus, queries,
+      k = Int.MaxValue - 1, entries = entries, beam = beam, hops = hops)
+    val maxVisited = visited.groupBy("qid").count()
+      .agg(max("count")).as[Long].collect().head
+    val bound = entries + hops * beam * 2 * k
+    info(s"max visited per query: $maxVisited (bound $bound)")
+    assert(maxVisited <= bound, s"$maxVisited exceeds the structural bound $bound")
+  }
+}

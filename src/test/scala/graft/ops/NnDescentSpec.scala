@@ -151,6 +151,42 @@ class NnDescentSpec extends SparkSpec {
     assert(again == appended.orderBy("id", "rank").collect().toSeq)
   }
 
+  test("two-phase md5 rank is row-identical to the global-window rank, and n is exact") {
+    val (ranked, n) = NnDescent.rankByHash(nodes, "nnd")
+    val global = nodes.select($"id")
+      .withColumn("h", Dedup.md5TokenHash60(concat(lit("nnd"), $"id".cast("string"))))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"h", $"id")).cast("long"))
+      .select("id", "r")
+    assert(ranked.orderBy("r").collect().toSeq == global.orderBy("r").collect().toSeq)
+    assert(n == nodes.count())
+  }
+
+  test("plan: the init rank never funnels the node set through an unpartitioned window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val init = NnDescent.randomInit(nodes, k = 5, seed = "nnd")
+    init.collect()
+    val wins = flatten(init.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the within-bucket rank window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "a global unpartitioned window survived in the init rank — the 10⁹-node bottleneck")
+  }
+
+  test("fewer than 2 nodes is rejected (the jump modulus would be zero)") {
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      NnDescent.knnGraph(one, k = 2, iters = 1)
+    }
+  }
+
   test("ρ-sampling caps the local join: a hub adjacency cannot explode a sweep") {
     // plant a hub: node 0 appears in every node's ring neighborhood by
     // wiring a star graph, then run one sweep with a small cap — the
