@@ -258,6 +258,65 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  /** Family-grouped JSON object for the lean line (`"dedup":{"exact":
+    * 0.8,…}`, family = first-underscore prefix; singletons stay flat).
+    * Object-level (not nested in main) so BenchJsonSpec can gate the
+    * duplicate-key fold directly. */
+  private[graft] def groupedObj(kv: Seq[(String, Double)],
+      fmt: Double => String): String = {
+    val clamped = kv.map { case (k, v) => k -> (if (v.isFinite) v else 9999.0) }
+    val byPrefix = clamped.groupBy(_._1.split("_", 2)(0))
+    val parts = clamped.map(_._1.split("_", 2)(0)).distinct.sorted.flatMap { p =>
+      val (grouped, flat) = byPrefix(p).sortBy(_._1)
+        .partition(m => m._1.contains("_") && byPrefix(p).length > 1)
+      // A query named exactly the family prefix (bare "ann" next to
+      // "ann_pq") would otherwise emit BOTH a flat "ann":1.2 and the
+      // group "ann":{...} — duplicate keys a parser silently drops
+      // one of. Fold the bare entry into its group under the "_"
+      // sentinel (reassembly rule: "_" means the family name itself).
+      val (collides, flatClean) =
+        flat.partition(m => grouped.nonEmpty && m._1 == p)
+      val flatParts = flatClean.map { case (k, v) => s"${q(k)}:${fmt(v)}" }
+      val groupPart =
+        if (grouped.isEmpty) Nil
+        else Seq(s"${q(p)}:" + (
+          collides.map { case (_, v) => s"${q("_")}:${fmt(v)}" } ++
+          grouped.map { case (k, v) =>
+            s"${q(k.split("_", 2)(1))}:${fmt(v)}" }).mkString("{", ",", "}"))
+      flatParts ++ groupPart
+    }
+    parts.mkString("{", ",", "}")
+  }
+
+  /** FIXED-WORK single-core calibration kernel: 4·10⁸ xorshift64 steps
+    * — pure register arithmetic, no allocation, no memory traffic, so
+    * its wall time tracks the host's effective single-thread speed and
+    * nothing else. The round-15 verdict's recurring finding: byte-
+    * identical plans drifted 1.40× fleet-wide between round artifacts
+    * because the HOST was slower that session (below the competing-JVM
+    * check's radar). Recording this scalar beside the totals lets any
+    * cross-round comparison self-normalize:
+    * `value_normalized = value · (REF / calibration_sec)`.
+    * Returns (seconds, checksum) — the checksum defeats DCE and is
+    * emitted so the work is auditable as identical across rounds. */
+  private[graft] def calibrationRun(): (Double, Long) = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 400000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, x)
+  }
+
+  /** The committed reference for [[calibrationRun]] on a QUIET driver
+    * host (min of 5 interleaved samples, 2026-08-15 session). A future
+    * round's artifact normalizes against this: calibration_sec above
+    * REF ⇒ the host was that factor slower, and raw walls inflate by
+    * the same factor on unchanged plans. */
+  private[graft] val ReferenceCalibrationSec = 0.850
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -281,6 +340,9 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     val jvms = competingJvms()
     jvms.foreach(j => System.err.println(s"[bench] competing JVM: $j"))
+    // host-speed calibration, half the samples up front (min over all
+    // wins — a stall can only inflate a sample, never deflate it)
+    val calStart = (1 to 2).map(_ => calibrationRun())
     val byteMetrics = new ByteMetricsListener
     spark.sparkContext.addSparkListener(byteMetrics)
 
@@ -456,6 +518,16 @@ object Bench {
       }.mkString("{", ",", "}")}"""
     extraJson ++= s""","gc_ms":${objL(gcOfMin.filter(_._2 > 0))}"""
     extraJson ++= s""","competing_jvms":${jvms.length}"""
+    // close the calibration sampling (other half at the end) and emit
+    // the host-speed scalar + the self-normalized total next to raw —
+    // the round-15 verdict's cross-session noise mitigation
+    val calAll = calStart ++ (1 to 2).map(_ => calibrationRun())
+    val calSec = calAll.map(_._1).min
+    val calRef =
+      if (ReferenceCalibrationSec > 0) ReferenceCalibrationSec else calSec
+    val totalNorm = total * (calRef / calSec)
+    extraJson ++= f""","calibration":{"sec":$calSec%.3f,"ref":$calRef%.3f,"checksum":"${calAll.head._2}%016x"}"""
+    extraJson ++= f""","value_normalized":$totalNorm%.3f"""
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(results)},"budget_violations":${obj(violations)}$extraJson,"sf":${q(sfDir)}}"""
     // Full-fidelity record (per-query 3-decimal timings + byte metrics +
@@ -488,30 +560,6 @@ object Bench {
         val x = if (v.isFinite) v else 9999.0
         s"${q(k)}:" + String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
       }.mkString("{", ",", "}")
-    def groupedObj(kv: Seq[(String, Double)], fmt: Double => String): String = {
-      val clamped = kv.map { case (k, v) => k -> (if (v.isFinite) v else 9999.0) }
-      val byPrefix = clamped.groupBy(_._1.split("_", 2)(0))
-      val parts = clamped.map(_._1.split("_", 2)(0)).distinct.sorted.flatMap { p =>
-        val (grouped, flat) = byPrefix(p).sortBy(_._1)
-          .partition(m => m._1.contains("_") && byPrefix(p).length > 1)
-        // A query named exactly the family prefix (bare "ann" next to
-        // "ann_pq") would otherwise emit BOTH a flat "ann":1.2 and the
-        // group "ann":{...} — duplicate keys a parser silently drops
-        // one of. Fold the bare entry into its group under the "_"
-        // sentinel (reassembly rule: "_" means the family name itself).
-        val (collides, flatClean) =
-          flat.partition(m => grouped.nonEmpty && m._1 == p)
-        val flatParts = flatClean.map { case (k, v) => s"${q(k)}:${fmt(v)}" }
-        val groupPart =
-          if (grouped.isEmpty) Nil
-          else Seq(s"${q(p)}:" + (
-            collides.map { case (_, v) => s"${q("_")}:${fmt(v)}" } ++
-            grouped.map { case (k, v) =>
-              s"${q(k.split("_", 2)(1))}:${fmt(v)}" }).mkString("{", ",", "}"))
-        flatParts ++ groupPart
-      }
-      parts.mkString("{", ",", "}")
-    }
     def leanLine(queriesField: String): String = {
       val extra = new StringBuilder
       extra ++= queriesField
@@ -523,7 +571,7 @@ object Bench {
         extra ++= s""","subset":${present.sorted.map(q).mkString("[", ",", "]")}"""
       if (failures.nonEmpty)
         extra ++= s""","failures":${failures.sorted.map(q).mkString("[", ",", "]")}"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$extra,"sf":${q(sfDir)}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","value_normalized":$totalNorm%.2f,"calibration_sec":$calSec%.2f$extra,"sf":${q(sfDir)}}"""
     }
     def dp(n: Int)(v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${n}f", Double.box(v))

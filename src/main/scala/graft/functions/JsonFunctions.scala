@@ -265,6 +265,13 @@ object functions {
       nProbe: Int): Column =
     col(ProbeCellsExpr(expr(vec), unitCentroids, nProbe))
 
+  /** BPE segmentation with the merge table carried as data — O(1)
+    * codegen size in the merge count. `merges` = (pattern, replacement)
+    * pairs in training order. */
+  def bpe_segment(word: Column, merges: Seq[(String, String)]): Column =
+    col(BpeSegmentExpr(expr(word), merges.map(_._1).toArray,
+      merges.map(_._2).toArray))
+
   /** Scan-side hashed-linear-classifier kernel: array<string> tokens →
     * struct(n_tokens, raw) against a weights-as-data table. */
   def hashed_score(tokens: Column, weights: Array[Long]): Column =

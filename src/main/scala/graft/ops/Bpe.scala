@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *     adjacent symbol pairs (weighted by word count) + a 1-row argmax
   *     collect — the driver holds N (step, pair) rows, a model
   *     parameter like the k-means centroids. The evolving segmentation
-  *     is a stack of `replace` expressions over the persisted base, so
-  *     no step re-reads the corpus.
+  *     is ONE merge-table-as-data kernel
+  *     ([[graft.functions.BpeSegmentExpr]]) over the persisted base —
+  *     plan size O(1) in the step count — and no step re-reads the
+  *     corpus.
   *   - ENCODING goes through the vocabulary too: distinct words map to
   *     token counts once, and the corpus joins that map (broadcast at
   *     sane vocab sizes) — per-document token budgets without
@@ -99,9 +101,12 @@ object Bpe {
         val (w1, w2, c) = (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
         val merged = w1 + w2
-        segCol = org.apache.spark.sql.functions.replace(
-          segCol, lit(s" $w1  $w2 "), lit(s" $merged "))
         merges += Merge(step, w1, w2, merged, c)
+        // the evolving segmentation is the ONE merge-table-as-data
+        // kernel over the persisted base — plan size O(1) in the step
+        // count, so training to a 32k-merge vocabulary never grows the
+        // expression tree (the fold form is step-linear)
+        segCol = segmentCol(col("word"), merges.toSeq)
         step += 1
       }
     }
@@ -122,17 +127,27 @@ object Bpe {
     merges.toDF("step", "w1", "w2", "merged", "pair_count")
   }
 
-  /** Segmentation of ANY word under a frozen merge list: the char seg
-    * folded through the merges in training order — by construction this
-    * reproduces [[BpeModel.vocabSeg]] exactly for in-vocabulary words
-    * (training built the vocab seg through the same fold) and handles
-    * OUT-of-vocabulary words the way a real tokenizer does (merges that
-    * apply, apply; the rest stays character-split). The merge list is a
-    * model parameter (N literal replaces fused into the scan); for an
-    * in-vocab corpus the [[encodeStats]] vocabulary join costs less per
-    * occurrence — this form is the streaming/frozen-model path where
-    * unseen words must not silently drop. */
+  /** Segmentation of ANY word under a frozen merge list — by
+    * construction this reproduces [[BpeModel.vocabSeg]] exactly for
+    * in-vocabulary words (training built the vocab seg through the same
+    * merge order) and handles OUT-of-vocabulary words the way a real
+    * tokenizer does (merges that apply, apply; the rest stays
+    * character-split). The merge list rides the expression as TWO
+    * reference-object arrays ([[graft.functions.BpeSegmentExpr]] — the
+    * centroids-as-data idiom), so the kernel survives a production 32k-
+    * merge vocabulary where a fold of N literal `replace`s would blow
+    * Janino's method cap. For an in-vocab corpus the [[encodeStats]]
+    * vocabulary join costs less per occurrence — this form is the
+    * streaming/frozen-model path where unseen words must not drop. */
   def segmentCol(word: Column, merges: Seq[Merge]): Column =
+    graft.functions.functions.bpe_segment(word,
+      merges.map(m => (s" ${m.w1}  ${m.w2} ", s" ${m.merged} ")))
+
+  /** The reference fold-of-replaces form [[segmentCol]] replaces: one
+    * literal `replace` expression per merge — byte-identical semantics
+    * (BpeSpec pins it), linear plan size in N. Kept for the parity gate
+    * and as the executable spec of the merge rewrite. */
+  private[graft] def segmentColUnfused(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(charSeg(word)) { (seg, m) =>
       org.apache.spark.sql.functions.replace(
         seg, lit(s" ${m.w1}  ${m.w2} "), lit(s" ${m.merged} "))

@@ -98,8 +98,12 @@ object ClassifierTrain {
     val hit = scores.join(labels, Seq("id"))
       .select(((col("s") > 0).cast("int") === col("y").cast("int"))
         .cast("long").as("ok"))
-      .agg(avg(col("ok"))).collect().head.getDouble(0)
-    hit
+      .agg(avg(col("ok"))).collect().head
+    // avg over an EMPTY slice is SQL NULL — getDouble would NPE. An
+    // arbitrary labeled-corpus path can legitimately produce an empty
+    // audit subset (e.g. a holdout residue with nothing in it); NaN is
+    // the honest "nothing to measure" the trainer records.
+    if (hit.isNullAt(0)) Double.NaN else hit.getDouble(0)
   }
 
   /** Quantize trained double weights to the serving kernel's integer

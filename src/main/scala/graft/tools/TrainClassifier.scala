@@ -66,9 +66,14 @@ object TrainClassifier {
       // the two audit numbers: how the RULE does on holdout, and how
       // the MODEL does on the holdout docs the rule misclassifies
       val holdWithRule = holdIds.join(rulePred, Seq("id"))
-      val ruleHoldAcc = holdWithRule
-        .select((col("rule_y") === col("y")).cast("long").as("ok"))
-        .agg(avg("ok")).collect().head.getDouble(0)
+      val ruleHoldAcc = {
+        val r = holdWithRule
+          .select((col("rule_y") === col("y")).cast("long").as("ok"))
+          .agg(avg("ok")).collect().head
+        // empty holdout (a labeled path whose ids all avoid id%5==0) —
+        // NaN, not an avg(NULL) NPE; same contract as accuracy()
+        if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+      }
       val ruleWrongIds = holdWithRule.filter(col("rule_y") =!= col("y"))
         .select("id", "y")
       val nRuleWrong = ruleWrongIds.count()

@@ -78,4 +78,44 @@ class BpeSpec extends SparkSpec {
     val bad = enc.filter(col("n_bpe_tokens") < col("n_words")).count()
     assert(bad == 0, "a word encoded to fewer than 1 token")
   }
+
+  test("merge-table-as-data kernel is byte-identical to the fold-of-replaces form") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val model = Bpe.train(docs, "text", nMerges = 10)
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      // OOV probes: unseen words, multi-char runs, empty-ish edge
+      .union(Seq("zzzz", "ababab", "q", "ab-cd").toDF("word"))
+    val both = words.select(col("word"),
+      Bpe.segmentCol(col("word"), model.merges).as("fused"),
+      Bpe.segmentColUnfused(col("word"), model.merges).as("folded"))
+    assert(both.filter(col("fused") =!= col("folded")).count() == 0,
+      "kernel diverged from the reference fold")
+    // frozen encode path (the streaming twin's kernel) agrees with the
+    // vocabulary-join path on the in-vocab corpus
+    val a = Bpe.encodeStatsFrozen(docs, "doc_id", "text", model.merges)
+      .orderBy("id").collect().toSeq
+    val b = Bpe.encodeStats(docs, "doc_id", "text", model)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("a production-scale merge table stays in whole-stage codegen") {
+    // 4000 synthetic merges (none match the probe words — size is the
+    // point: the fold form at this N would blow the Janino method cap)
+    val merges = (1 to 4000).map(i =>
+      Bpe.Merge(i, s"x$i", s"y$i", s"x${i}y$i", 1L))
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold
+    // the projection at plan time and nothing would reach codegen
+    val df = spark.range(2)
+      .select(concat(lit("word"), col("id")).as("word"))
+      .select(col("word"), Bpe.segmentCol(col("word"), merges).as("seg"))
+    val rows = df.collect()
+    assert(rows.map(_.getString(1)).sorted.toSeq ==
+      Seq(" w  o  r  d  0 ", " w  o  r  d  1 "))
+    // executed-plan check: codegen spans print as `*(n)` prefixes
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("),
+      s"4k-merge segmentation fell out of whole-stage codegen:\n$plan")
+  }
 }

@@ -67,6 +67,18 @@ class ClassifierTrainSpec extends SparkSpec {
       "null text must contribute one empty-token row, not vanish")
   }
 
+  test("accuracy over an EMPTY audit slice is NaN, not an avg(NULL) NPE") {
+    // an arbitrary labeled-corpus path can produce an empty holdout or
+    // an empty rule-wrong residue — the trainer must record "nothing to
+    // measure", not crash (round-13 ADVICE, TrainClassifier.scala:75)
+    val docs = corpus.toDF("doc_id", "text", "y")
+    val feats = ClassifierTrain.features(docs, "doc_id", "text", dim)
+    val empty = docs.filter(lit(false))
+      .select(col("doc_id").as("id"), col("y"))
+    val acc = ClassifierTrain.accuracy(spark, feats, empty, new Array[Double](dim))
+    assert(acc.isNaN, s"expected NaN on an empty slice, got $acc")
+  }
+
   test("training epoch keeps the weight relation broadcast") {
     val docs = corpus.take(20).toDF("doc_id", "text", "y")
     val feats = ClassifierTrain.features(docs, "doc_id", "text", dim)
