@@ -855,4 +855,58 @@ object Dedup {
         .localCheckpoint(true)
     } finally { sh.unpersist(false); () }
   }
+
+  /** Exact CONTAINMENT similarity join — the ASYMMETRIC twin of
+    * [[prefixJaccardJoin]]: every ordered pair (A, B) with
+    * C(A→B) = |A∩B| / |A| ≥ `threshold` over word-`n`-gram shingle
+    * sets. Containment is what QUOTE / near-superset detection needs
+    * and Jaccard structurally cannot express: a short document fully
+    * embedded in a long one has J ≈ |A|/|B| (arbitrarily small) but
+    * C(A→B) = 1 — the "benchmark passage quoted inside a web page"
+    * case that motivates span decontamination, surfaced here as a
+    * pairwise relation (who contains whom) instead of a scrub.
+    *
+    * Exactness: if C(A→B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so ANY
+    * |A| − ⌈t·|A|⌉ + 1 elements of A include at least one shared
+    * shingle — A's [[rarityPrefix]] (the same lossless prefix as the
+    * Jaccard join) must hit B. Because containment puts NO lower bound
+    * on where the shared shingle sits in B's order, the index side is
+    * B's FULL shingle relation (the inverted-index shape the BM25
+    * postings already use), not B's prefix; the verification pass is
+    * the same per-document array_intersect.
+    *
+    * Scale shape: candidate fan-out is Σ over A-prefix postings of
+    * df(shingle) — bounded because prefixes hold each document's
+    * globally RAREST shingles by construction (a stop-shingle can only
+    * enter the prefix of a document too small to have rare material,
+    * where completeness requires it). Verification touches candidate
+    * pairs only; the doc-set relation joins by id (broadcast at gate
+    * scale, id-keyed shuffle on a cluster). */
+  def prefixContainmentJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingleHashes(df, idCol, textCol, n).persist()
+    try {
+      val prefix = rarityPrefix(sh, threshold)
+      val cands = prefix.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+      val docSets = sh.groupBy("id")
+        .agg(sort_array(collect_list(col("shingle"))).as("set"),
+          count(lit(1)).as("sz"))
+      cands
+        .join(broadcast(docSets.select(col("id").as("id1"),
+          col("set").as("setA"), col("sz").as("sz1"))), Seq("id1"))
+        .join(broadcast(docSets.select(col("id").as("id2"),
+          col("set").as("setB"))), Seq("id2"))
+        .withColumn("inter", size(array_intersect(col("setA"), col("setB"))))
+        .select(col("id1"), col("id2"),
+          (col("inter").cast("double") / col("sz1").cast("double"))
+            .as("containment"))
+        .filter(col("containment") >= threshold)
+        .localCheckpoint(true)
+    } finally { sh.unpersist(false); () }
+  }
 }

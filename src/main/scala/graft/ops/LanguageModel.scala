@@ -182,4 +182,50 @@ object LanguageModel {
     val lm = trainKnBigramLm(docs.filter(refFilter), textCol)
     perplexityKn(docs, idCol, textCol, lm)
   }
+
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020): split the corpus into `bands` equal-population
+    * tiers by LM perplexity — the head/middle/tail partition CCNet
+    * publishes and downstream mixes sample from (head = reads most
+    * like the reference slice). Input is any (id, …, nll) relation
+    * ([[perplexityKn]]/[[perplexity]] output); adds (band, tier) —
+    * band ∈ [0, bands), tier the head/middle/tail label (band indices
+    * past 3 keep the numeric form).
+    *
+    * Cut VALUES, not cut ranks: band k's cut is the smallest nll whose
+    * cumulative count reaches ⌈(k+1)·n/bands⌉, and every document is
+    * assigned by VALUE comparison against the cuts — ties at a cut all
+    * land in the lower band (bands deviate from n/bands only by tie
+    * mass), membership is a pure function of (nll, cuts) the oracle
+    * replays, and re-runs under any partitioning agree.
+    *
+    * Scale shape: nll is 3-dp-rounded over a bounded range, so the
+    * (nll, count) histogram is a BOUNDED relation (the [[Drift]]
+    * binning discipline — ≤ range·10³ rows regardless of corpus size);
+    * it is collected like a codebook and the cuts computed on the
+    * driver — no global sort or rank of the data anywhere. Assignment
+    * is one scan against `bands − 1` literal cuts. */
+  def perplexityBuckets(ppl: DataFrame, bands: Int = 3): DataFrame = {
+    require(bands >= 2, s"need at least 2 bands, got $bands")
+    val hist = ppl.groupBy("nll").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    require(n > 0, "no scored documents to bucket")
+    val cuts = (1 until bands).map { k =>
+      val need = math.ceil(k.toDouble * n / bands).toLong
+      var acc = 0L
+      hist.find { case (_, c) => acc += c; acc >= need }.get._1
+    }
+    val bandCol = cuts.foldLeft(lit(0)) { (acc, cv) =>
+      acc + when(col("nll") > cv, 1).otherwise(0)
+    }
+    val tier =
+      if (bands == 3)
+        when(col("band") === 0, lit("head"))
+          .when(col("band") === 1, lit("middle"))
+          .otherwise(lit("tail"))
+      else col("band").cast("string")
+    ppl.withColumn("band", bandCol).withColumn("tier", tier)
+  }
 }

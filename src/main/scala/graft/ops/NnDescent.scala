@@ -241,7 +241,18 @@ object NnDescent {
   }
 
   /** Build the k-NN graph: ring init, `iters` local-join sweeps.
-    * Output: (id, nbr, score, rank) with rank ∈ [1, k]. */
+    * Output: (id, nbr, score, rank) with rank ∈ [1, k].
+    *
+    * SIZING `k` (the ProfileNnDescent convergence tables): on clustered
+    * corpora 3–4 sweeps at the default cap converge (recall 0.94–0.96);
+    * on hard NEAR-ISOTROPIC corpora sweeps and cap SATURATE (~0.47 at
+    * any budget, build-k=5) because narrow per-node lists starve the
+    * local join of the weak neighbor-of-neighbor signal — the measured
+    * remedy is OVERBUILD-THEN-TRUNCATE (Dong §5.3's K trade): build at
+    * 2–4× the serving k and keep rank ≤ k, which measures 0.887 /
+    * 0.985 / 0.998 at build-k 10/15/20 for serving k=5 on the same
+    * fixture, at ~2–3× the build wall. Candidate volume stays n·cap²
+    * (linear in n) either way. */
   def knnGraph(nodes: DataFrame, k: Int, iters: Int,
       sample: Int = 0, seed: String = "nnd"): DataFrame = {
     require(iters >= 1 && k >= 1)

@@ -406,8 +406,11 @@ object CorpusMlQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
-  val textLmKnSql: String =
-    """WITH rt AS (
+  /** The KN model + per-bigram term CTE chain (no leading WITH, ends at
+    * `terms`) — shared by `text_lm_kn` and the perplexity-bucketing
+    * replay ([[ServeQueries]]). */
+  private[queries] val knPplCtesBody: String =
+    """rt AS (
       |  SELECT string_split_regex(text, '\s+') AS tk FROM documents
       |  WHERE lang = 'en' AND text IS NOT NULL),
       |rbg AS (
@@ -451,9 +454,12 @@ object CorpusMlQueries {
       |    SELECT doc_id, c12, c1, n1fwd, d,
       |      (coalesce(n1bwd, 0) + 1) / CAST(n1all + v AS DOUBLE) AS pcont
       |    FROM dbg LEFT JOIN big USING (w1, w2) LEFT JOIN ctx USING (w1)
-      |    LEFT JOIN rgt USING (w2) CROSS JOIN dd))
-      |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll_term), 3) AS nll
-      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |    LEFT JOIN rgt USING (w2) CROSS JOIN dd))""".stripMargin
+
+  val textLmKnSql: String =
+    s"""WITH $knPplCtesBody
+       |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll_term), 3) AS nll
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** NN-Descent k-NN graph construction ([[graft.ops.NnDescent]], Dong
     * et al. WWW'11): the graph-index family. k=5, two local-join

@@ -218,13 +218,89 @@ object ServeQueries {
        |${calibTableSql("SELECT t FROM fit")}
        |ORDER BY bin""".stripMargin
 
+  /** CCNet perplexity bucketing
+    * ([[graft.ops.LanguageModel.perplexityBuckets]], Wenzek LREC'20):
+    * the head/middle/tail equal-population split by Kneser–Ney
+    * perplexity against the English reference slice — the partition a
+    * CCNet-style pipeline publishes and downstream mixes sample from.
+    * The oracle replays the WHOLE chain: the KN model (`text_lm_kn`'s
+    * CTE body), the per-doc nll, the bounded (nll, count) histogram,
+    * the cumulative cut values, and the by-value band assignment. */
+  val textPplBuckets: Q = (s, dir) => {
+    val ppl = graft.ops.LanguageModel.perplexityKnVsSlice(
+      Tables.documents(s, dir), "doc_id", "text", col("lang") === "en")
+    graft.ops.LanguageModel.perplexityBuckets(ppl, bands = 3)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("nll"), col("band"), col("tier"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPplBucketsSql: String =
+    s"""WITH ${CorpusMlQueries.knPplCtesBody},
+       |w AS (SELECT doc_id, round(avg(nll_term), 3) AS nll
+       |      FROM terms GROUP BY doc_id),
+       |hist AS (SELECT nll, count(*) AS c FROM w GROUP BY nll),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+       |cum AS (SELECT nll, sum(c) OVER (ORDER BY nll) AS cum FROM hist),
+       |cuts AS (SELECT
+       |  (SELECT min(nll) FROM cum CROSS JOIN tot
+       |   WHERE cum >= CAST(ceil(1.0 * n / 3) AS BIGINT)) AS c1,
+       |  (SELECT min(nll) FROM cum CROSS JOIN tot
+       |   WHERE cum >= CAST(ceil(2.0 * n / 3) AS BIGINT)) AS c2)
+       |SELECT doc_id, nll,
+       |  CAST((CASE WHEN nll > c1 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN nll > c2 THEN 1 ELSE 0 END) AS INT) AS band,
+       |  CASE WHEN nll <= c1 THEN 'head'
+       |       WHEN nll <= c2 THEN 'middle' ELSE 'tail' END AS tier
+       |FROM w CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+
+  /** Exact containment join
+    * ([[graft.ops.Dedup.prefixContainmentJoin]]): every ordered pair
+    * with |A∩B|/|A| ≥ 0.8 over 3-gram shingle sets — near-SUPERSET /
+    * quote detection, the asymmetric relation Jaccard cannot express.
+    * Value-equal oracle: all-pairs string-shingle containment (the
+    * `dedup_jaccard_join` convention — hash sets ≡ string sets modulo
+    * 64-bit collisions). */
+  val dedupContainmentJoin: Q = (s, dir) =>
+    graft.ops.Dedup.prefixContainmentJoin(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.8)
+      .select(col("id1"), col("id2"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("id1"), col("id2"))
+
+  val dedupContainmentJoinSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(t) >= 3
+      |        THEN unnest(list_transform(range(1, len(t) - 1),
+      |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |        ELSE unnest([array_to_string(t, ' ')]) END AS sh
+      |    FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2,
+      |  round(CAST(i AS DOUBLE) / s1.sz, 4) AS containment
+      |FROM inter JOIN sizes s1 ON s1.doc_id = id1
+      |WHERE CAST(i AS DOUBLE) / s1.sz >= 0.8
+      |ORDER BY id1, id2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "ann_graph_search" -> annGraphSearch,
     "text_calibration_fit" -> textCalibrationFit,
-    "text_calibration_fitted" -> textCalibrationFitted)
+    "text_calibration_fitted" -> textCalibrationFitted,
+    "text_ppl_buckets" -> textPplBuckets,
+    "dedup_containment_join" -> dedupContainmentJoin)
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search" -> annGraphSearchSql,
     "text_calibration_fit" -> textCalibrationFitSql,
-    "text_calibration_fitted" -> textCalibrationFittedSql)
+    "text_calibration_fitted" -> textCalibrationFittedSql,
+    "text_ppl_buckets" -> textPplBucketsSql,
+    "dedup_containment_join" -> dedupContainmentJoinSql)
 }

@@ -88,6 +88,17 @@ object ProfileAnnFamilies {
       () => Sq.topKAdc(queries, corpus, sqB, 10))
     measure("IVF-SQ8 nProbe=2, shortlist=50",
       () => IvfSq.topK(spark, s"$tmp/ivfsq", queries, centroids, ivfSqB, 10, 2, 50))
+    // graph family: the k-NN graph is the ingest-time artifact (like
+    // every codebook above); the probe is the beam walk. Build wide
+    // (the ProfileNnDescent overbuild lesson — a build-k=5 graph on
+    // this isotropic corpus caps the walk at recall 0.24); entries
+    // sized by the searchGraph coverage rule.
+    val graph = NnDescent.knnGraph(corpus, k = 20, iters = 4, sample = 40)
+      .persist()
+    graph.count()
+    measure("graph-ANN beam walk (build-k=20; entries=32, beam=10, hops=4)",
+      () => NnDescent.searchGraph(graph, corpus, queries, 10,
+        entries = 32, beam = 10, hops = 4))
     spark.stop()
   }
 }
