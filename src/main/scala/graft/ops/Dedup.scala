@@ -909,4 +909,32 @@ object Dedup {
         .localCheckpoint(true)
     } finally { sh.unpersist(false); () }
   }
+
+  /** The ACTIONABLE form of [[prefixContainmentJoin]]: drop every
+    * document contained (≥ `threshold`) in a LARGER document — the
+    * quote/near-subset collapse a pipeline runs after the pairwise
+    * relation exists. Dominance is (larger shingle set wins; equal
+    * sizes — the exact-dup case, containment is symmetric there — keep
+    * the smaller id), so exactly one exemplar of every exact-dup set
+    * survives, a short passage quoted inside a long page is dropped in
+    * favor of the page, and the rule is a pure function of the pair
+    * relation (deterministic, partitioning-independent).
+    *
+    * Scale shape: the join inherits the prefix-filtered candidate
+    * economics; the collapse itself is one distinct + one left anti
+    * join on ids. Documents with no shingles (null/empty text) never
+    * enter the relation and always survive. */
+  def containmentCollapse(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val pairs = prefixContainmentJoin(df, idCol, textCol, threshold, n)
+    val sizes = shingleHashes(df, idCol, textCol, n)
+      .groupBy("id").agg(count(lit(1)).as("sz"))
+    val dominated = pairs
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .filter(col("sz2") > col("sz1") ||
+        (col("sz2") === col("sz1") && col("id2") < col("id1")))
+      .select(col("id1").as(idCol)).distinct()
+    df.join(dominated, Seq(idCol), "left_anti")
+  }
 }

@@ -206,20 +206,32 @@ object LanguageModel {
     * it is collected like a codebook and the cuts computed on the
     * driver — no global sort or rank of the data anywhere. Assignment
     * is one scan against `bands − 1` literal cuts. */
-  def perplexityBuckets(ppl: DataFrame, bands: Int = 3): DataFrame = {
+  /** The by-value band cuts of [[perplexityBuckets]], exposed so a
+    * frozen gate ([[graft.streaming.PplGate]]) carries the identical
+    * `bands − 1` driver scalars the batch operator computes. */
+  def perplexityCuts(ppl: DataFrame, bands: Int): Seq[Double] = {
     require(bands >= 2, s"need at least 2 bands, got $bands")
     val hist = ppl.groupBy("nll").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
     val n = hist.map(_._2).sum
     require(n > 0, "no scored documents to bucket")
-    val cuts = (1 until bands).map { k =>
+    (1 until bands).map { k =>
       val need = math.ceil(k.toDouble * n / bands).toLong
       var acc = 0L
       hist.find { case (_, c) => acc += c; acc >= need }.get._1
     }
-    val bandCol = cuts.foldLeft(lit(0)) { (acc, cv) =>
+  }
+
+  /** Band assignment fold under fixed cut values — shared by the batch
+    * bucketing and the frozen streaming gate. */
+  def bandOfCuts(cuts: Seq[Double]): Column =
+    cuts.foldLeft(lit(0)) { (acc, cv) =>
       acc + when(col("nll") > cv, 1).otherwise(0)
     }
+
+  def perplexityBuckets(ppl: DataFrame, bands: Int = 3): DataFrame = {
+    val cuts = perplexityCuts(ppl, bands)
+    val bandCol = bandOfCuts(cuts)
     val tier =
       if (bands == 3)
         when(col("band") === 0, lit("head"))

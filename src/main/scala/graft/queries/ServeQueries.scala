@@ -290,17 +290,57 @@ object ServeQueries {
       |WHERE CAST(i AS DOUBLE) / s1.sz >= 0.8
       |ORDER BY id1, id2""".stripMargin
 
+  /** The ACTIONABLE collapse over the containment relation
+    * ([[graft.ops.Dedup.containmentCollapse]]): drop every document
+    * ≥80%-contained in a larger one (equal sizes keep the smaller id),
+    * so quotes collapse into their containing pages and exact-dup sets
+    * keep one exemplar. Unshingled (null-text) documents always
+    * survive. */
+  val dedupContainmentCollapse: Q = (s, dir) =>
+    graft.ops.Dedup.containmentCollapse(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.8)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val dedupContainmentCollapseSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(t) >= 3
+      |        THEN unnest(list_transform(range(1, len(t) - 1),
+      |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |        ELSE unnest([array_to_string(t, ' ')]) END AS sh
+      |    FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |dominated AS (
+      |  SELECT DISTINCT id1 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = id1
+      |  JOIN sizes s2 ON s2.doc_id = id2
+      |  WHERE CAST(i AS DOUBLE) / s1.sz >= 0.8
+      |    AND (s2.sz > s1.sz OR (s2.sz = s1.sz AND id2 < id1)))
+      |SELECT doc_id, lang FROM documents
+      |WHERE doc_id NOT IN (SELECT id1 FROM dominated)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "ann_graph_search" -> annGraphSearch,
     "text_calibration_fit" -> textCalibrationFit,
     "text_calibration_fitted" -> textCalibrationFitted,
     "text_ppl_buckets" -> textPplBuckets,
-    "dedup_containment_join" -> dedupContainmentJoin)
+    "dedup_containment_join" -> dedupContainmentJoin,
+    "dedup_containment_collapse" -> dedupContainmentCollapse)
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search" -> annGraphSearchSql,
     "text_calibration_fit" -> textCalibrationFitSql,
     "text_calibration_fitted" -> textCalibrationFittedSql,
     "text_ppl_buckets" -> textPplBucketsSql,
-    "dedup_containment_join" -> dedupContainmentJoinSql)
+    "dedup_containment_join" -> dedupContainmentJoinSql,
+    "dedup_containment_collapse" -> dedupContainmentCollapseSql)
 }

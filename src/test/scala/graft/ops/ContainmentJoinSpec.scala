@@ -87,6 +87,27 @@ class ContainmentJoinSpec extends SparkSpec {
     assert(cont.nonEmpty)
   }
 
+  test("collapse: quotes fold into their pages, exact-dup sets keep the smallest id") {
+    val df = corpus.toDF("doc_id", "text")
+    val kept = Dedup.containmentCollapse(df, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    // 0 is quoted in 1 (dropped toward the larger page); 4 is an exact
+    // dup of 0 — but 0 is already gone, and 4 is contained in 1 too,
+    // so only the page and the unrelated docs survive
+    assert(kept == Set(1L, 2L, 3L), kept.toString)
+    // with only the exact-dup pair present, the smaller id survives
+    val two = corpus.filter(d => d._1 == 0L || d._1 == 4L).toDF("doc_id", "text")
+    val keptTwo = Dedup.containmentCollapse(two, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTwo == Set(0L), keptTwo.toString)
+    // unshingled docs always survive
+    val withNull = corpus.toDF("doc_id", "text")
+      .union(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val keptNull = Dedup.containmentCollapse(withNull, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNull.contains(99L))
+  }
+
   private implicit class Pairs(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
