@@ -409,9 +409,15 @@ object CorpusMlQueries {
   /** The KN model + per-bigram term CTE chain (no leading WITH, ends at
     * `terms`) — shared by `text_lm_kn` and the perplexity-bucketing
     * replay ([[ServeQueries]]). */
-  private[queries] val knPplCtesBody: String =
-    """rt AS (
-      |  SELECT string_split_regex(text, '\s+') AS tk FROM documents
+  private[queries] val knPplCtesBody: String = knPplCtes()
+
+  /** Same chain with the SCORED side parameterized (`scoredRel` — any
+    * earlier CTE carrying (doc_id, text)); the reference slice (rt,
+    * voc) always trains on the full `documents` en slice. Used by the
+    * v4 pipeline replay ([[ServeQueries]]). */
+  private[queries] def knPplCtes(scoredRel: String = "documents"): String =
+    s"""rt AS (
+      |  SELECT string_split_regex(text, '\\s+') AS tk FROM documents
       |  WHERE lang = 'en' AND text IS NOT NULL),
       |rbg AS (
       |  SELECT bg.w1 AS w1, bg.w2 AS w2 FROM (
@@ -431,7 +437,7 @@ object CorpusMlQueries {
       |  FROM big),
       |voc AS (
       |  SELECT count(DISTINCT t) AS v FROM (
-      |    SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents
+      |    SELECT unnest(string_split_regex(text, '\\s+')) AS t FROM documents
       |    WHERE lang = 'en' AND text IS NOT NULL)),
       |dd AS (
       |  SELECT CASE WHEN n1 + 2 * n2 > 0
@@ -442,8 +448,8 @@ object CorpusMlQueries {
       |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
       |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
-      |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
-      |          FROM documents WHERE text IS NOT NULL)
+      |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+      |          FROM $scoredRel WHERE text IS NOT NULL)
       |    WHERE len(tk) > 1)),
       |terms AS (
       |  SELECT doc_id,

@@ -328,7 +328,92 @@ object ServeQueries {
       |WHERE doc_id NOT IN (SELECT id1 FROM dominated)
       |ORDER BY doc_id""".stripMargin
 
+  /** The SELECTION-side composed flagship — corpus_pipeline v1–v3 are
+    * the CLEANING family (gates → near-dup collapse → decontaminate →
+    * pack); v4 is the stage a training build runs next, composed from
+    * this round's operators: exact keep-first dedup → containment
+    * collapse (quotes fold into their pages) → Kneser–Ney perplexity
+    * TIERING against the English reference (CCNet's head/middle/tail)
+    * → keep head+middle → token-budget shard packing (the global
+    * two-phase prefix sum). Documents with no bigram evidence drop at
+    * the tiering stage (the gate family's conservative direction).
+    * Output: the shard census. The oracle replays every stage —
+    * exact-dedup groups, the containment dominance rule, the whole KN
+    * model, the by-value cuts, the prefix-sum packing. */
+  val corpusPipelineV4: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val keepIds = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+    val uniq = docs.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    val unquoted = graft.ops.Dedup.containmentCollapse(uniq, "doc_id",
+      "text", threshold = 0.8)
+    val lm = graft.ops.LanguageModel.trainKnBigramLm(
+      docs.filter(col("lang") === "en"), "text")
+    val ppl = graft.ops.LanguageModel.perplexityKn(unquoted, "doc_id",
+      "text", lm)
+    val kept = graft.ops.LanguageModel.perplexityBuckets(ppl, bands = 3)
+      .filter(col("band") <= 1)
+      .select(col("id").as("doc_id"), (col("n_bigrams") + 1).as("n_tokens"))
+    graft.ops.Sampling.packShardsGlobal(kept, "doc_id", "n_tokens",
+        budgetTokens = 500)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  val corpusPipelineV4Sql: String =
+    s"""WITH keep0 AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |u AS (SELECT d.* FROM documents d JOIN keep0 USING (doc_id)),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM u),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(t) >= 3
+       |        THEN unnest(list_transform(range(1, len(t) - 1),
+       |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |        ELSE unnest([array_to_string(t, ' ')]) END AS sh
+       |    FROM toks)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |cinter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |dominated AS (
+       |  SELECT DISTINCT id1 FROM cinter
+       |  JOIN sizes s1 ON s1.doc_id = id1
+       |  JOIN sizes s2 ON s2.doc_id = id2
+       |  WHERE CAST(i AS DOUBLE) / s1.sz >= 0.8
+       |    AND (s2.sz > s1.sz OR (s2.sz = s1.sz AND id2 < id1))),
+       |surv AS (
+       |  SELECT * FROM u WHERE doc_id NOT IN (SELECT id1 FROM dominated)),
+       |${CorpusMlQueries.knPplCtes("surv")},
+       |w AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, round(avg(nll_term), 3) AS nll
+       |  FROM terms GROUP BY doc_id),
+       |hist AS (SELECT nll, count(*) AS c FROM w GROUP BY nll),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+       |cum AS (SELECT nll, sum(c) OVER (ORDER BY nll) AS cum FROM hist),
+       |cuts AS (SELECT
+       |  (SELECT min(nll) FROM cum CROSS JOIN tot
+       |   WHERE cum >= CAST(ceil(2.0 * n / 3) AS BIGINT)) AS c2),
+       |kept AS (
+       |  SELECT doc_id, n_bigrams + 1 AS n_tokens
+       |  FROM w CROSS JOIN cuts WHERE nll <= c2),
+       |p AS (
+       |  SELECT n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM kept)
+       |SELECT CAST(floor(prior / 500.0) AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM p GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "corpus_pipeline_v4" -> corpusPipelineV4,
     "ann_graph_search" -> annGraphSearch,
     "text_calibration_fit" -> textCalibrationFit,
     "text_calibration_fitted" -> textCalibrationFitted,
@@ -337,6 +422,7 @@ object ServeQueries {
     "dedup_containment_collapse" -> dedupContainmentCollapse)
 
   val oracles: Map[String, String] = Map(
+    "corpus_pipeline_v4" -> corpusPipelineV4Sql,
     "ann_graph_search" -> annGraphSearchSql,
     "text_calibration_fit" -> textCalibrationFitSql,
     "text_calibration_fitted" -> textCalibrationFittedSql,
