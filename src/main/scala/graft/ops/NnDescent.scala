@@ -200,9 +200,11 @@ object NnDescent {
     * — measured on the 8-cluster spec fixture, recall with 3 entries
     * is exactly the covered-component fraction (0.40) and goes to 1.0
     * at 16 entries. Size `entries` ≥ a few × the expected cluster
-    * count, or seed one entry per IVF cell ([[IvfIndex.train]]
-    * centroids' nearest nodes) when a coarse quantizer already exists
-    * — the single-layer analogue of HNSW's upper-layer routing.
+    * count, or seed one entry per IVF cell ([[entriesFromCells]] +
+    * [[searchGraphFrom]]) when a coarse quantizer already exists — the
+    * single-layer analogue of HNSW's upper-layer routing; overpartition
+    * the quantizer (cells ≈ √n) so no true cluster shares a cell
+    * (GraphSearchSpec: 16 seeded entries go exact where 8 cover 58%).
     *
     * @param graph   (id, nbr, …) — a [[knnGraph]] result
     * @param nodes   (id, vec)    — the indexed corpus
@@ -211,7 +213,41 @@ object NnDescent {
   def searchGraph(graph: DataFrame, nodes: DataFrame, queries: DataFrame,
       k: Int, entries: Int, beam: Int, hops: Int,
       seed: String = "nnd"): DataFrame = {
-    require(k >= 1 && entries >= 1 && beam >= 1 && hops >= 0)
+    require(entries >= 1)
+    val (ranked, _) = rankByHash(nodes, seed)
+    searchGraphFrom(graph, nodes, queries, k,
+      ranked.filter(col("r") <= entries).select("id"), beam, hops)
+  }
+
+  /** ONE entry point per coarse-quantizer cell — the node closest to
+    * its cell centroid (4-dp cosine, ties by id): entry coverage
+    * follows the corpus's OWN cluster structure instead of md5 luck
+    * (the [[searchGraph]] coverage rule's recommended form when an IVF
+    * index already exists). On the 8-cluster spec fixture, 8 seeded
+    * entries match what 16 md5 entries buy (GraphSearchSpec measures
+    * both). Per-cell top-1 window — partitions = cells, each bounded
+    * by its cell population. */
+  def entriesFromCells(nodes: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val cells = IvfIndex.assignCells(nodes, "id", "vec", centroids)
+    val cdf = centroids.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cvec")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(cosRounded(col("vec"), col("cvec")).desc, col("id"))
+    cells.join(broadcast(cdf), Seq("cell"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("id")
+  }
+
+  /** [[searchGraph]] from an EXPLICIT entry relation (one `id` column)
+    * — the hook for quantizer-seeded or otherwise curated entries. */
+  def searchGraphFrom(graph: DataFrame, nodes: DataFrame,
+      queries: DataFrame, k: Int, entryIds: DataFrame, beam: Int,
+      hops: Int): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0)
     val und = graph.select(col("id").as("c"), col("nbr").as("v"))
       .union(graph.select(col("nbr").as("c"), col("id").as("v")))
       .distinct()
@@ -223,9 +259,7 @@ object NnDescent {
       scored.withColumn("rank", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
         .filter(col("rank") <= m)
-    val (ranked, _) = rankByHash(nodes, seed)
-    val entry = ranked.filter(col("r") <= entries).select("id")
-    var visited = score(queries.select("qid").crossJoin(entry))
+    var visited = score(queries.select("qid").crossJoin(entryIds.select("id")))
       .localCheckpoint()
     var frontier = topPerQ(visited, beam).select("qid", "id")
     (1 to hops).foreach { _ =>

@@ -50,32 +50,37 @@ class GraphSearchSpec extends SparkSpec {
     assert(hopped == brute)
   }
 
+  // planted 8-cluster fixture shared by the recall and entry-seeding tests
+  private lazy val clRows: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(13L)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 2))
+    (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+  }
+  private lazy val cl = clRows.toDF("id", "vec")
+  private lazy val clQs = clRows.take(5)
+    .map { case (i, v) => (i + 1000L, v) }.toDF("qid", "qvec")
+  private lazy val clGraph = NnDescent.knnGraph(cl, k = 5, iters = 3).persist()
+
+  private def recallOf(got: Seq[org.apache.spark.sql.Row],
+      truth: Seq[org.apache.spark.sql.Row]): Double = {
+    val g = got.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val t = truth.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    t.map { case (q, s) =>
+      g.getOrElse(q, Set.empty).count(s.contains).toDouble / s.size
+    }.sum / t.size
+  }
+
   test("the pruned walk clears a recall floor against the flat scan") {
     // Recall through a graph walk is CAPPED by graph quality. The
     // production claim lives where the graph is good — a clustered
     // corpus (the NN-Descent convergence regime); the near-isotropic
     // sf0.01 embeddings are the paper's hard case and get an info line
     // plus a loose floor (the graph itself sits at recall ≈ 0.4 there).
-    val rnd = new scala.util.Random(13L)
-    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 2))
-    val rows = (0 until 400).map { i =>
-      val c = centers(i % 8)
-      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
-    }
-    val cl = rows.toDF("id", "vec")
-    val clQs = rows.take(5)
-      .map { case (i, v) => (i + 1000L, v) }.toDF("qid", "qvec")
-    val clGraph = NnDescent.knnGraph(cl, k = 5, iters = 3)
-    def recallOf(got: Seq[org.apache.spark.sql.Row],
-        truth: Seq[org.apache.spark.sql.Row]): Double = {
-      val g = got.map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-      val t = truth.map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-      t.map { case (q, s) =>
-        g.getOrElse(q, Set.empty).count(s.contains).toDouble / s.size
-      }.sum / t.size
-    }
     // entries must COVER the components: a k-NN graph of well-separated
     // clusters is disconnected (all 5-NN edges stay in-cluster), so a
     // walk can only ever reach clusters holding an entry point — with 3
@@ -93,6 +98,31 @@ class GraphSearchSpec extends SparkSpec {
     val clFewRecall = recallOf(clFew, flatTopK(clQs, cl, 10))
     info(f"under-covered entries=3 recall: $clFewRecall%.3f (= covered-component fraction)")
     assert(clFewRecall < clRecall, "entry coverage must be the binding lever here")
+  }
+
+  test("IVF-seeded entries cover components STRUCTURALLY (one per cell, overpartitioned)") {
+    // standard IVF practice overpartitions (cells ≈ √n, here 16 over 8
+    // planted clusters) — a k=8 k-means can merge clusters into one
+    // cell (measured: 8 cells cover only ~58% here), 16 cells place a
+    // centroid inside every true cluster and the walk goes exact
+    val centroids = IvfIndex.train(cl, "id", "vec", k = 16, iters = 3)
+    val seeded = NnDescent.entriesFromCells(cl, centroids)
+    val nSeeded = seeded.count()
+    assert(nSeeded <= 16, s"one entry per cell at most: $nSeeded")
+    val truth = flatTopK(clQs, cl, 10)
+    val viaSeed = recallOf(NnDescent.searchGraphFrom(clGraph, cl, clQs,
+      k = 10, seeded, beam = 5, hops = 3).collect().toSeq, truth)
+    info(f"recall via $nSeeded IVF-seeded entries: $viaSeed%.3f")
+    assert(viaSeed >= 0.9, s"seeded walk should land the true top-10: $viaSeed")
+    // and searchGraphFrom ≡ searchGraph when fed the md5 head (same hook)
+    val (ranked, _) = NnDescent.rankByHash(cl, "nnd")
+    val viaHook = NnDescent.searchGraphFrom(clGraph, cl, clQs, k = 10,
+        ranked.filter($"r" <= 16).select("id"), beam = 5, hops = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val direct = NnDescent.searchGraph(clGraph, cl, clQs, k = 10,
+        entries = 16, beam = 5, hops = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(viaHook == direct)
 
     val isoGot = NnDescent.searchGraph(graph, corpus, queries, k = 10,
       entries = 3, beam = 5, hops = 3).collect().toSeq
