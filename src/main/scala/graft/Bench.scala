@@ -246,7 +246,50 @@ object Bench {
     // hash projection + per-type bottom-k windows over ≤ k rows
     "q_quantile_kmv" -> 3.0,
     // profile scan + melted per-column bottom-k sketch + tiny join
-    "q_profile_quantiles" -> 4.0)
+    "q_profile_quantiles" -> 4.0,
+    // Rounds 14–16 surface, budgeted in round 16 at ~3× the quiet-host
+    // min (calibration 0.852 s vs the 0.850 s reference — so these are
+    // quiet numbers; the 3× margin absorbs the observed 1.4× host
+    // sessions with room to spare), floor 2 s. Closing the gap where
+    // only the ≤ r13 surface was budget-gated.
+    "ann_graph_search" -> 11.5,
+    "ann_ivfpq_opq" -> 8.0,
+    "ann_ivfpq_opq_pruned" -> 8.0,
+    "ann_ivfpq_res" -> 6.5,
+    "ann_ivfpq_res_pruned" -> 7.0,
+    "ann_ivfsq" -> 3.5,
+    "ann_ivfsq_pruned" -> 3.0,
+    "ann_knn_graph" -> 7.5,
+    "ann_lsh_multiprobe" -> 5.0,
+    "ann_opq" -> 6.0,
+    "ann_opq_iter" -> 11.0,
+    "ann_pca" -> 2.0,
+    "ann_sq8" -> 2.0,
+    "corpus_pipeline_v4" -> 12.0,
+    "dedup_containment_collapse" -> 4.5,
+    "dedup_containment_join" -> 4.0,
+    "dedup_jaccard_join" -> 5.0,
+    "q_cluster_eval" -> 2.0,
+    "q_drift" -> 2.0,
+    "q_dsir_weights" -> 4.5,
+    "q_graph_clusters" -> 8.5,
+    "q_pca_outlier" -> 2.0,
+    "q_pca_variance" -> 2.0,
+    "q_sample_dsir" -> 4.5,
+    "q_split_leakage" -> 5.0,
+    "q_zipf_fit" -> 2.0,
+    "text_bpe_encode" -> 5.5,
+    "text_bpe_train" -> 4.5,
+    "text_calibration_fit" -> 3.0,
+    "text_calibration_fitted" -> 2.0,
+    "text_classifier_calibration" -> 2.0,
+    "text_decontaminate_spans" -> 4.0,
+    "text_lm_kn" -> 4.0,
+    "text_lm_perplexity" -> 3.0,
+    "text_ppl_buckets" -> 6.5,
+    "text_quality_audit" -> 2.0,
+    "text_substring_scrub" -> 5.5,
+    "text_substring_scrub_inc" -> 5.5)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be
