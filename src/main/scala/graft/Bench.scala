@@ -289,7 +289,9 @@ object Bench {
     "text_ppl_buckets" -> 6.5,
     "text_quality_audit" -> 2.0,
     "text_substring_scrub" -> 5.5,
-    "text_substring_scrub_inc" -> 5.5)
+    "text_substring_scrub_inc" -> 5.5,
+    // keep-first block rank + reassembly agg (quiet min 0.90 s sf0.1, flat to sf1)
+    "text_paragraph_dedup" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be
@@ -360,6 +362,47 @@ object Bench {
     * the same factor on unchanged plans. */
   private[graft] val ReferenceCalibrationSec = 0.850
 
+  /** MEMORY-BANDWIDTH calibration: stream-sum a 64 MB long array 16
+    * times (1 GB of DRAM reads — far past any cache, so the wall
+    * tracks effective memory bandwidth). The companion blind-spot
+    * probe to [[calibrationRun]]: measured this round, a session can
+    * show cal_cpu only 1.03× the reference while byte-identical plans
+    * run 1.31× — co-tenant MEMORY traffic that pure-register xorshift
+    * cannot see but shuffle/scan-bound Spark pays in full. A record
+    * whose walls inflate beyond what `sec/ref` explains should find
+    * the remainder in `mem_sec/mem_ref`. */
+  private[graft] def calibrationMemRun(): (Double, Long) = {
+    val n = 1 << 23
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    var s = 0L
+    // untimed warm passes: the sum loop only reaches its C2/vectorized
+    // form after ~3 traversals — timing cold passes would measure JIT
+    // tiering, not bandwidth (observed 0.21 s cold vs 0.085 s warm)
+    var w = 0
+    while (w < 4) {
+      var j = 0
+      while (j < n) { s += a(j); j += 1 }
+      w += 1
+    }
+    val t0 = System.nanoTime()
+    var r = 0
+    while (r < 16) {
+      var j = 0
+      while (j < n) { s += a(j); j += 1 }
+      r += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, s)
+  }
+
+  /** [[calibrationMemRun]] reference (min of 5 calls, same 2026-08-15
+    * session as the CPU reference; quiet-session min-of-4 with the
+    * in-method warm passes — partially-warm or loaded sessions measure
+    * 0.12–0.21 s, so treat mem_sec/mem_ref ≫ 1 as bandwidth contention
+    * only when the CPU ratio stays near 1). */
+  private[graft] val ReferenceCalibrationMemSec = 0.054
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -386,6 +429,7 @@ object Bench {
     // host-speed calibration, half the samples up front (min over all
     // wins — a stall can only inflate a sample, never deflate it)
     val calStart = (1 to 2).map(_ => calibrationRun())
+    val calMemStart = (1 to 2).map(_ => calibrationMemRun())
     val byteMetrics = new ByteMetricsListener
     spark.sparkContext.addSparkListener(byteMetrics)
 
@@ -568,8 +612,13 @@ object Bench {
     val calSec = calAll.map(_._1).min
     val calRef =
       if (ReferenceCalibrationSec > 0) ReferenceCalibrationSec else calSec
+    val calMemAll = calMemStart ++ (1 to 2).map(_ => calibrationMemRun())
+    val calMemSec = calMemAll.map(_._1).min
+    val calMemRef =
+      if (ReferenceCalibrationMemSec > 0) ReferenceCalibrationMemSec
+      else calMemSec
     val totalNorm = total * (calRef / calSec)
-    extraJson ++= f""","calibration":{"sec":$calSec%.3f,"ref":$calRef%.3f,"checksum":"${calAll.head._2}%016x"}"""
+    extraJson ++= f""","calibration":{"sec":$calSec%.3f,"ref":$calRef%.3f,"checksum":"${calAll.head._2}%016x","mem_sec":$calMemSec%.3f,"mem_ref":$calMemRef%.3f}"""
     extraJson ++= f""","value_normalized":$totalNorm%.3f"""
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(results)},"budget_violations":${obj(violations)}$extraJson,"sf":${q(sfDir)}}"""

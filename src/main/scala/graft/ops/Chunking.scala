@@ -335,4 +335,53 @@ object Chunking {
         org.apache.spark.sql.functions.size(col("chunk")).as("n_tokens"),
         Dedup.md5TokenHash60(array_join(col("chunk"), " ")).as("chunk_hash"))
   }
+
+  /** PARAGRAPH-level deduplication with KEEP-FIRST semantics (the Dolma
+    * pipeline's paragraph dedup — Soldaini et al., ACL 2024): drop every
+    * later corpus-wide copy of a paragraph but KEEP its first
+    * occurrence, then reassemble each document from its surviving
+    * paragraphs. The third granularity in the dedup family — document-
+    * level ([[Dedup]] exact/near) drops whole docs, substring-level
+    * ([[scrubRepeatedSubstrings]], Lee ACL'22) removes ALL copies of a
+    * repeated span from every doc; paragraph dedup is the middle
+    * ground a web build actually ships (boilerplate paragraphs survive
+    * exactly once, the documents around them survive always).
+    *
+    * "Paragraph" here is a fixed `window`-token block (the harness
+    * corpus is flat token text; on corpora with real separators, split
+    * on those instead — the downstream keep-first/reassembly machinery
+    * is separator-agnostic).
+    *
+    * Mechanics, all relational: non-overlapping windows → md5-60 key →
+    * ONE key-partitioned rank by global (doc id, position) order keeps
+    * rank 1 (deterministic first occurrence; the partition a key sees
+    * is its own duplication factor, never the corpus) → per-doc
+    * reassembly sorts surviving blocks by position. Fully-deduplicated
+    * documents remain in the census with n_kept = 0 and empty text.
+    *
+    * Output: (id, n_chunks, n_kept, kept_text). */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = tokenized(docs, idCol, textCol)
+    val chunks = base
+      .withColumn("st", explode(sequence(lit(0), col("n") - 1, lit(window))))
+      .select(col("id"), (col("st") / window).cast("long").as("idx"),
+        array_join(slice(col("ts"), col("st") + 1, lit(window)), " ").as("chunk"))
+    val keyed = chunks.withColumn("key", Dedup.md5TokenHash60(col("chunk")))
+    val w = Window.partitionBy(col("key")).orderBy(col("id"), col("idx"))
+    val kept = keyed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val census = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("kept_text"))
+    census.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

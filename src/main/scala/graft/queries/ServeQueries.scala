@@ -412,8 +412,50 @@ object ServeQueries {
        |FROM p GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  /** Dolma-style paragraph dedup
+    * ([[graft.ops.Chunking.dedupParagraphs]]): keep the FIRST corpus-
+    * wide occurrence of every 20-token block, drop later copies,
+    * reassemble — the middle dedup granularity between whole-document
+    * collapse and the Lee-style all-copies substring scrub. The oracle
+    * replays blocks, the keep-first rank (keyed on the block STRING —
+    * value-equal to the md5-60 key groups), and the ordered
+    * reassembly. */
+  val textParagraphDedup: Q = (s, dir) =>
+    graft.ops.Chunking.dedupParagraphs(Tables.documents(s, dir),
+        "doc_id", "text", window = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val textParagraphDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ts
+      |  FROM documents WHERE text IS NOT NULL),
+      |chunks AS (
+      |  SELECT doc_id, CAST(st / 20 AS BIGINT) AS idx,
+      |    array_to_string(ts[st + 1 : st + 20], ' ') AS chunk
+      |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts), 20)) AS st
+      |        FROM base WHERE len(ts) > 0)),
+      |kept AS (
+      |  SELECT doc_id, idx, chunk FROM (
+      |    SELECT doc_id, idx, chunk,
+      |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rk
+      |    FROM chunks) WHERE rk = 1),
+      |census AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM chunks
+      |  GROUP BY doc_id),
+      |rebuilt AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id AS doc_id, c.n_chunks AS n_chunks,
+      |  coalesce(r.n_kept, 0) AS n_kept,
+      |  coalesce(r.kept_text, '') AS kept_text
+      |FROM census c LEFT JOIN rebuilt r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "corpus_pipeline_v4" -> corpusPipelineV4,
+    "text_paragraph_dedup" -> textParagraphDedup,
     "ann_graph_search" -> annGraphSearch,
     "text_calibration_fit" -> textCalibrationFit,
     "text_calibration_fitted" -> textCalibrationFitted,
@@ -423,6 +465,7 @@ object ServeQueries {
 
   val oracles: Map[String, String] = Map(
     "corpus_pipeline_v4" -> corpusPipelineV4Sql,
+    "text_paragraph_dedup" -> textParagraphDedupSql,
     "ann_graph_search" -> annGraphSearchSql,
     "text_calibration_fit" -> textCalibrationFitSql,
     "text_calibration_fitted" -> textCalibrationFittedSql,

@@ -32,4 +32,18 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(sec > 0.05 && sec < 60.0, s"implausible calibration wall $sec s")
     assert(Bench.ReferenceCalibrationSec > 0)
   }
+
+  test("memory-bandwidth kernel: fixed work, deterministic checksum, plausible wall") {
+    val (sec, checksum) = Bench.calibrationMemRun()
+    // 20 total passes (4 warm + 16 timed) over the fixed fill
+    assert(checksum == {
+      var expect = 0L
+      val n = 1 << 23
+      var i = 0
+      while (i < n) { expect += 20L * (i * 0x9E3779B97F4A7C15L); i += 1 }
+      expect
+    }, f"memory calibration work changed: checksum $checksum%016x")
+    assert(sec > 0.01 && sec < 30.0, s"implausible mem calibration wall $sec s")
+    assert(Bench.ReferenceCalibrationMemSec > 0)
+  }
 }

@@ -274,4 +274,38 @@ class ChunkingSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"chunking must be embarrassingly parallel — zero exchanges:\n$p")
   }
+
+  test("paragraph dedup: keep-first corpus-wide, ordered reassembly, fully-deduped docs stay in the census") {
+    import spark.implicits._
+    // 4-token window; doc 1 repeats doc 0's first block and has its own
+    // tail; doc 2 is doc 0 verbatim (loses everything); doc 3 unrelated
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d x y z w"),
+      (2L, "a b c d e f g h"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val out = Chunking.dedupParagraphs(docs, "doc_id", "text", window = 4)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, "a b c d e f g h"),
+      (1L, 2L, 1L, "x y z w"),
+      (2L, 2L, 0L, ""),
+      (3L, 1L, 1L, "p q r s")), out.toString)
+    // KEEP-FIRST vs the substring scrub's REMOVE-ALL: doc 0 keeps the
+    // shared block the scrub would strip from every copy
+    val scrubbedClean = Chunking.scrubRepeatedSubstrings(docs, "doc_id", "text",
+        minLen = 4)
+      .filter($"id" === 0L).select("n_tokens_clean").as[Int].collect().head
+    assert(scrubbedClean < 8,
+      s"scrub removes all copies — including doc 0's: $scrubbedClean tokens kept")
+    // an intra-doc repeated block also collapses to its first position
+    val intra = Seq((7L, "a b c d a b c d e f g h")).toDF("doc_id", "text")
+    val one = Chunking.dedupParagraphs(intra, "doc_id", "text", window = 4)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(one == ((7L, 3L, 2L, "a b c d e f g h")), one.toString)
+    // deterministic
+    val again = Chunking.dedupParagraphs(docs, "doc_id", "text", window = 4)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(again == out)
+  }
 }
