@@ -291,7 +291,9 @@ object Bench {
     "text_substring_scrub" -> 5.5,
     "text_substring_scrub_inc" -> 5.5,
     // keep-first block rank + reassembly agg (quiet min 0.90 s sf0.1, flat to sf1)
-    "text_paragraph_dedup" -> 3.0)
+    "text_paragraph_dedup" -> 3.0,
+    // 6191-cell (A,B) grid x the bounded histogram (quiet min 3.3 s, sf-independent)
+    "text_calibration_platt" -> 10.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

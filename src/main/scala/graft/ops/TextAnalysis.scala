@@ -475,13 +475,19 @@ object TextAnalysis {
     * fixture docs) — whereas the floor chain is one IEEE expression on
     * identical operands. Every NLL term is likewise a pure IEEE chain;
     * per-T sums round 6 dp; grid ties break toward smaller T. */
-  def temperatureNll(scoredLabeled: DataFrame): DataFrame = {
-    val hist = scoredLabeled
+  /** The 4-dp (score, label) histogram both calibration fits evaluate
+    * over — the one data-sized aggregation; see [[temperatureNll]] for
+    * the floor-chain quantizer rationale. */
+  private def scoreHistogram(scoredLabeled: DataFrame): DataFrame =
+    scoredLabeled
       .select((floor(col("score") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("z"),
         col("label").cast("double").as("y"))
       .groupBy("z", "y").agg(count(lit(1)).as("cnt"))
+
+  def temperatureNll(scoredLabeled: DataFrame): DataFrame = {
     val p = lit(1.0) / (lit(1.0) + exp(-(col("z") / col("t"))))
-    hist.crossJoin(broadcast(temperatureGrid(scoredLabeled.sparkSession)))
+    scoreHistogram(scoredLabeled)
+      .crossJoin(broadcast(temperatureGrid(scoredLabeled.sparkSession)))
       .select(col("t"), (col("cnt") *
         -(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p)))
         .as("term"))
@@ -492,6 +498,38 @@ object TextAnalysis {
     * One row (t, nll). */
   def fitTemperature(scoredLabeled: DataFrame): DataFrame =
     temperatureNll(scoredLabeled).orderBy(col("nll"), col("t")).limit(1)
+
+  /** PLATT-SCALING NLL surface (Platt 1999 — the two-parameter sigmoid
+    * recalibration σ(A·z + B), the generalization of temperature
+    * scaling that can also fix a calibration OFFSET, not just the
+    * slope): the same bounded 4-dp histogram crossed with a 119 × 41
+    * (A, B) grid — A = i/40 ∈ [0.25, 4.0] (contains 1, and spans the full
+    * reciprocal range of the temperature grid so the slope the T fit
+    * can reach, the Platt fit can too), B = j/10 ∈ [−2, 2] (contains
+    * 0), so the identity sits on the grid and the fitted NLL can
+    * never exceed the raw one. Grid cells × histogram
+    * rows is a bounded cross product (the [[temperatureNll]] shape,
+    * one more broadcast factor); ties break toward (smaller A,
+    * smaller B). */
+  def plattNll(scoredLabeled: DataFrame): DataFrame = {
+    val spark = scoredLabeled.sparkSession
+    val aGrid = spark.range(10, 161)
+      .select((col("id").cast("double") / lit(40.0)).as("a"))
+    val bGrid = spark.range(-20, 21)
+      .select((col("id").cast("double") / lit(10.0)).as("b"))
+    val p = lit(1.0) / (lit(1.0) + exp(-(col("a") * col("z") + col("b"))))
+    scoreHistogram(scoredLabeled)
+      .crossJoin(broadcast(aGrid)).crossJoin(broadcast(bGrid))
+      .select(col("a"), col("b"), (col("cnt") *
+        -(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p)))
+        .as("term"))
+      .groupBy("a", "b").agg(round(sum("term"), 6).as("nll"))
+  }
+
+  /** The fitted Platt parameters: grid argmin of [[plattNll]].
+    * One row (a, b, nll). */
+  def fitPlatt(scoredLabeled: DataFrame): DataFrame =
+    plattNll(scoredLabeled).orderBy(col("nll"), col("a"), col("b")).limit(1)
 
   /** [[classifierCalibration]] under a FITTED temperature: fit T on the
     * (score, label) relation, then bin confidences σ(score/T) — the

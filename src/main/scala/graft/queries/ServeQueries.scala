@@ -149,6 +149,21 @@ object ServeQueries {
        |fit AS (SELECT t, nll FROM nll ORDER BY nll, t LIMIT 1)""".stripMargin
   }
 
+  /** The Platt (A, B) grid NLL + argmin over the same `hist` CTE. */
+  private def plattFitCtes: String = {
+    val p = "1.0/(1.0+exp(-(a*z+b)))"
+    s"""agrid AS (
+       |  SELECT CAST(i AS DOUBLE) / 40.0 AS a
+       |  FROM (SELECT unnest(range(10, 161)) AS i)),
+       |bgrid AS (
+       |  SELECT CAST(j AS DOUBLE) / 10.0 AS b
+       |  FROM (SELECT unnest(range(-20, 21)) AS j)),
+       |pnll AS (
+       |  SELECT a, b, round(sum(cnt * -(y * ln($p) + (1.0 - y) * ln(1.0 - $p))), 6) AS nll
+       |  FROM hist CROSS JOIN agrid CROSS JOIN bgrid GROUP BY a, b),
+       |pfit AS (SELECT a, b, nll FROM pnll ORDER BY nll, a, b LIMIT 1)""".stripMargin
+  }
+
   /** Reliability-table CTE over `sc` at temperature `tExpr` (a scalar
     * SQL expression): the `text_classifier_calibration` binning. */
   private def calibTableSql(tExpr: String): String =
@@ -453,9 +468,39 @@ object ServeQueries {
       |FROM census c LEFT JOIN rebuilt r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** PLATT-SCALING fit ([[graft.ops.TextAnalysis.fitPlatt]], Platt
+    * 1999): the two-parameter recalibration σ(A·z + B) next to the
+    * temperature fit — B also fixes a calibration OFFSET. One row:
+    * the fitted (a, b), its NLL, and the raw (a=1, b=0) NLL — on the
+    * grid by construction, so nll_platt ≤ nll_raw always. The oracle
+    * replays the scoring, the histogram, all 6 191 grid NLLs and the
+    * argmin. */
+  val textCalibrationPlatt: Q = (s, dir) => {
+    val docs = s.read.parquet(
+      s"${graft.Tables.fixturesDir}/labeled_quality.parquet")
+    val w = graft.ops.TextAnalysis.trainedWeightArray(s)
+    val scored = graft.ops.TextAnalysis
+      .classifierScoreInline(docs, "doc_id", "text", w)
+      .join(docs.select(col("doc_id").as("id"), col("label")), Seq("id"))
+    val nll = graft.ops.TextAnalysis.plattNll(scored)
+    val fit = graft.ops.TextAnalysis.fitPlatt(scored)
+    val raw = nll.filter(col("a") === 1.0 && col("b") === 0.0)
+      .select(col("nll").as("nll_raw"))
+    fit.select(col("a"), col("b"), col("nll").as("nll_platt"))
+      .crossJoin(raw)
+  }
+
+  val textCalibrationPlattSql: String =
+    s"""WITH $calibrationFitCtes,
+       |$plattFitCtes
+       |SELECT pfit.a AS a, pfit.b AS b, pfit.nll AS nll_platt,
+       |  (SELECT nll FROM pnll WHERE a = 1.0 AND b = 0.0) AS nll_raw
+       |FROM pfit""".stripMargin
+
   val all: Map[String, Q] = Map(
     "corpus_pipeline_v4" -> corpusPipelineV4,
     "text_paragraph_dedup" -> textParagraphDedup,
+    "text_calibration_platt" -> textCalibrationPlatt,
     "ann_graph_search" -> annGraphSearch,
     "text_calibration_fit" -> textCalibrationFit,
     "text_calibration_fitted" -> textCalibrationFitted,
@@ -466,6 +511,7 @@ object ServeQueries {
   val oracles: Map[String, String] = Map(
     "corpus_pipeline_v4" -> corpusPipelineV4Sql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
+    "text_calibration_platt" -> textCalibrationPlattSql,
     "ann_graph_search" -> annGraphSearchSql,
     "text_calibration_fit" -> textCalibrationFitSql,
     "text_calibration_fitted" -> textCalibrationFittedSql,

@@ -72,6 +72,25 @@ class CalibrationSpec extends SparkSpec {
       s"temperature fit must improve calibration on the committed fixture: $fitted !< $raw")
   }
 
+  test("Platt fit: identity on the grid, never worse than raw, beats temperature (extra offset dof)") {
+    val nll = TextAnalysis.plattNll(scored)
+    val raw = nll.filter($"a" === 1.0 && $"b" === 0.0)
+      .select("nll").as[Double].collect()
+    assert(raw.length == 1, "identity (a=1, b=0) must sit on the grid")
+    val (a, b, nllP) = TextAnalysis.fitPlatt(scored)
+      .as[(Double, Double, Double)].collect().head
+    val (_, nllT) = TextAnalysis.fitTemperature(scored)
+      .as[(Double, Double)].collect().head
+    info(f"Platt (a=$a%.3f, b=$b%.2f) nll=$nllP%.6f vs temperature nll=$nllT%.6f, raw=${raw.head}%.6f")
+    assert(nllP <= raw.head)
+    // the A grid spans the temperature grid's full reciprocal range and
+    // B adds a free offset — up to grid quantization the 2-parameter
+    // family can only improve
+    assert(nllP <= nllT + 1e-6,
+      s"Platt must not lose to its 1-parameter special case: $nllP vs $nllT")
+    assert(a >= 0.25 && a <= 4.0 && b >= -2.0 && b <= 2.0)
+  }
+
   test("fit is deterministic and the fitted table still partitions the fixture") {
     val a = TextAnalysis.fitTemperature(scored).as[(Double, Double)].collect().head
     val b = TextAnalysis.fitTemperature(scored).as[(Double, Double)].collect().head
