@@ -205,7 +205,7 @@ object CorpusMlQueries {
   /** Number of BPE merges the gate queries train. Far below exhaustion
     * on every fixture corpus (the 31-word vocab supports ~130 merges),
     * so the oracle's unrolled stages never see an empty argmax. */
-  private val BpeMerges = 10
+  private[queries] val BpeMerges = 10
 
   /** The unrolled BPE training CTE chain: `w0` (one corpus pass of word
     * counts), `s0` (flanked char segmentation), then per merge step i —
@@ -214,7 +214,7 @@ object CorpusMlQueries {
     * segmentation rewritten through the flanked `replace`. The oracle
     * re-DISCOVERS every merge itself; nothing from the Spark run is
     * embedded. */
-  private def bpeCtes(n: Int): String = {
+  private[queries] def bpeCtes(n: Int): String = {
     val stages = (1 to n).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(sum(cnt) AS BIGINT) AS c FROM (

@@ -497,10 +497,53 @@ object ServeQueries {
        |  (SELECT nll FROM pnll WHERE a = 1.0 AND b = 0.0) AS nll_raw
        |FROM pfit""".stripMargin
 
+  /** Tokenizer-aware shard packing: pack by the TRAINED BPE tokenizer's
+    * per-document subword budget ([[graft.ops.Bpe.encodeStats]] →
+    * [[graft.ops.Sampling.packShardsGlobal]]) instead of whitespace
+    * token counts — the budget a trainer actually consumes, so shards
+    * land on the sequence-length target instead of drifting with the
+    * corpus's chars-per-token ratio. Output: the shard census. The
+    * oracle re-trains all 10 merges, re-encodes, and replays the
+    * prefix-sum packing. */
+  val qPackBpe: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ops.Bpe.train(docs, "text", CorpusMlQueries.BpeMerges)
+    val enc = graft.ops.Bpe.encodeStats(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"), col("n_bpe_tokens"))
+    graft.ops.Sampling.packShardsGlobal(enc, "doc_id", "n_bpe_tokens",
+        budgetTokens = 800)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  val qPackBpeSql: String =
+    s"""${CorpusMlQueries.bpeCtes(CorpusMlQueries.BpeMerges)},
+       |nt AS (
+       |  SELECT word, len(string_split(trim(seg), '  ')) AS ntok
+       |  FROM s${CorpusMlQueries.BpeMerges}),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |enc AS (
+       |  SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN nt USING (word) GROUP BY doc_id),
+       |p AS (
+       |  SELECT n_bpe_tokens,
+       |    coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM enc)
+       |SELECT CAST(floor(prior / 800.0) AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+       |FROM p GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val all: Map[String, Q] = Map(
     "corpus_pipeline_v4" -> corpusPipelineV4,
     "text_paragraph_dedup" -> textParagraphDedup,
     "text_calibration_platt" -> textCalibrationPlatt,
+    "q_pack_bpe" -> qPackBpe,
     "ann_graph_search" -> annGraphSearch,
     "text_calibration_fit" -> textCalibrationFit,
     "text_calibration_fitted" -> textCalibrationFitted,
@@ -512,6 +555,7 @@ object ServeQueries {
     "corpus_pipeline_v4" -> corpusPipelineV4Sql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "text_calibration_platt" -> textCalibrationPlattSql,
+    "q_pack_bpe" -> qPackBpeSql,
     "ann_graph_search" -> annGraphSearchSql,
     "text_calibration_fit" -> textCalibrationFitSql,
     "text_calibration_fitted" -> textCalibrationFittedSql,
