@@ -748,6 +748,28 @@ object Dedup {
         min_by(col("cos"), col("id1")).as("cos"))
   }
 
+  /** Cutover for the prefix-join verify stage's doc-set broadcast:
+    * below this estimated size the per-doc sorted shingle arrays ride a
+    * broadcast hint (candidate relation never shuffles — the right
+    * gate-scale plan); above it the hint is DROPPED and the verify is a
+    * plain id-keyed join (explicit hints are honored unconditionally up
+    * to the 8 GB hard limit, so an unconditional hint is a scale-killer
+    * at 100 TB). 256 MB keeps every bench corpus on the broadcast plan
+    * while cutting over ~30× before the hard limit. */
+  private[ops] val DocSetBroadcastMaxBytes: Long = 256L << 20
+
+  /** The doc-set relation with a broadcast hint iff its estimated
+    * broadcast size (8 B per shingle hash + ~16 B per-doc row overhead,
+    * read as two scalars off the persisted shingle relation) fits
+    * `maxBytes`. Exposed for PrefixJoinSpec's plan assertions. */
+  private[ops] def maybeBroadcastDocSets(sh: DataFrame, docSets: DataFrame,
+      maxBytes: Long): DataFrame = {
+    val st = sh.agg(count(lit(1)).as("n_sh"),
+      count_distinct(col("id")).as("n_docs")).head()
+    val estBytes = 8L * st.getLong(0) + 16L * st.getLong(1)
+    if (estBytes <= maxBytes) broadcast(docSets) else docSets
+  }
+
   /** Per-document PREFIX of the global-rarity-ordered shingle set — the
     * candidate-generation half of [[prefixJaccardJoin]]. A set of size
     * `sz` keeps its `sz − ⌈t·sz⌉ + 1` rarest shingles (ties broken on
@@ -795,7 +817,8 @@ object Dedup {
     * only; its cost tracks the true near-dup count, not n².
     */
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
+      threshold: Double, n: Int = 3,
+      maxBroadcastDocSetBytes: Long = DocSetBroadcastMaxBytes): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // 8-byte shingle HASHES, not strings: every downstream pass (the
@@ -838,14 +861,21 @@ object Dedup {
         .agg(sort_array(collect_list(col("shingle"))).as("set"),
           count(lit(1)).as("sz"))
       // the doc-set relation is |docs|-sized (~sz·8 B per row) — at
-      // local/bench scale that broadcasts (the candidate relation never
-      // shuffles); past broadcast size Spark falls back to the id-keyed
-      // shuffle join, which is the correct cluster plan anyway
+      // local/bench scale it broadcasts (the candidate relation never
+      // shuffles), but the hint is SIZE-GATED: an explicit broadcast
+      // hint is honored unconditionally (8 GB hard limit, driver OOM
+      // pressure long before), so past the cutover the hint is dropped
+      // and the verify runs as a plain id-keyed join — the correct
+      // cluster plan, and AQE may still choose broadcast if the
+      // runtime stats allow it ([[QuantizerRelation.CutoverCells]]'s
+      // two-form stance). The estimate reads two scalars off the
+      // persisted shingle relation; results are plan-independent.
+      val bSets = maybeBroadcastDocSets(sh, docSets, maxBroadcastDocSetBytes)
       val inter = cands
-        .join(broadcast(docSets.select(col("id").as("id1"), col("set").as("setA"),
-          col("sz").as("sz1"))), Seq("id1"))
-        .join(broadcast(docSets.select(col("id").as("id2"), col("set").as("setB"),
-          col("sz").as("sz2"))), Seq("id2"))
+        .join(bSets.select(col("id").as("id1"), col("set").as("setA"),
+          col("sz").as("sz1")), Seq("id1"))
+        .join(bSets.select(col("id").as("id2"), col("set").as("setB"),
+          col("sz").as("sz2")), Seq("id2"))
         .withColumn("inter", size(array_intersect(col("setA"), col("setB"))))
       inter
         .select(col("id1"), col("id2"),
@@ -880,10 +910,16 @@ object Dedup {
     * globally RAREST shingles by construction (a stop-shingle can only
     * enter the prefix of a document too small to have rare material,
     * where completeness requires it). Verification touches candidate
-    * pairs only; the doc-set relation joins by id (broadcast at gate
-    * scale, id-keyed shuffle on a cluster). */
+    * pairs only; the doc-set relation joins by id — broadcast-hinted
+    * below [[DocSetBroadcastMaxBytes]], plain id-keyed join above (the
+    * same size-gated cutover as [[prefixJaccardJoin]]).
+    *
+    * Output carries the pair's set sizes (id1, id2, containment, sz1,
+    * sz2) so [[containmentCollapse]]'s dominance rule reuses the single
+    * shingle pass instead of re-tokenizing the corpus. */
   def prefixContainmentJoin(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
+      threshold: Double, n: Int = 3,
+      maxBroadcastDocSetBytes: Long = DocSetBroadcastMaxBytes): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val sh = shingleHashes(df, idCol, textCol, n).persist()
@@ -896,15 +932,16 @@ object Dedup {
       val docSets = sh.groupBy("id")
         .agg(sort_array(collect_list(col("shingle"))).as("set"),
           count(lit(1)).as("sz"))
+      val bSets = maybeBroadcastDocSets(sh, docSets, maxBroadcastDocSetBytes)
       cands
-        .join(broadcast(docSets.select(col("id").as("id1"),
-          col("set").as("setA"), col("sz").as("sz1"))), Seq("id1"))
-        .join(broadcast(docSets.select(col("id").as("id2"),
-          col("set").as("setB"))), Seq("id2"))
+        .join(bSets.select(col("id").as("id1"),
+          col("set").as("setA"), col("sz").as("sz1")), Seq("id1"))
+        .join(bSets.select(col("id").as("id2"),
+          col("set").as("setB"), col("sz").as("sz2")), Seq("id2"))
         .withColumn("inter", size(array_intersect(col("setA"), col("setB"))))
         .select(col("id1"), col("id2"),
           (col("inter").cast("double") / col("sz1").cast("double"))
-            .as("containment"))
+            .as("containment"), col("sz1"), col("sz2"))
         .filter(col("containment") >= threshold)
         .localCheckpoint(true)
     } finally { sh.unpersist(false); () }
@@ -921,17 +958,14 @@ object Dedup {
     * relation (deterministic, partitioning-independent).
     *
     * Scale shape: the join inherits the prefix-filtered candidate
-    * economics; the collapse itself is one distinct + one left anti
-    * join on ids. Documents with no shingles (null/empty text) never
-    * enter the relation and always survive. */
+    * economics (including the size carry — sz1/sz2 ride the pair
+    * relation, so the collapse never re-tokenizes the corpus); the
+    * collapse itself is one distinct + one left anti join on ids.
+    * Documents with no shingles (null/empty text) never enter the
+    * relation and always survive. */
   def containmentCollapse(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
-    val pairs = prefixContainmentJoin(df, idCol, textCol, threshold, n)
-    val sizes = shingleHashes(df, idCol, textCol, n)
-      .groupBy("id").agg(count(lit(1)).as("sz"))
-    val dominated = pairs
-      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
-      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+    val dominated = prefixContainmentJoin(df, idCol, textCol, threshold, n)
       .filter(col("sz2") > col("sz1") ||
         (col("sz2") === col("sz1") && col("id2") < col("id1")))
       .select(col("id1").as(idCol)).distinct()

@@ -42,6 +42,7 @@ class ContainmentJoinSpec extends SparkSpec {
     val df = corpus.toDF("doc_id", "text")
     Seq(0.5, 0.8, 1.0).foreach { t =>
       val fast = Dedup.prefixContainmentJoin(df, "doc_id", "text", t)
+        .select("id1", "id2", "containment")
         .as[(Long, Long, Double)].collect().toSet
       val brute = bruteContainment(df, t)
       assert(fast == brute, s"threshold $t: $fast vs $brute")
@@ -52,6 +53,7 @@ class ContainmentJoinSpec extends SparkSpec {
   test("the asymmetric quote case: contained scores 1.0 forward, low backward") {
     val df = corpus.toDF("doc_id", "text")
     val out = Dedup.prefixContainmentJoin(df, "doc_id", "text", 0.9)
+      .select("id1", "id2", "containment")
       .as[(Long, Long, Double)].collect().toMap2
     assert(out((0L, 1L)) == 1.0, s"doc 0 is fully quoted inside doc 1: $out")
     assert(!out.contains((1L, 0L)),
@@ -66,6 +68,7 @@ class ContainmentJoinSpec extends SparkSpec {
   test("exact duplicates contain each other in BOTH directions") {
     val df = corpus.toDF("doc_id", "text")
     val out = Dedup.prefixContainmentJoin(df, "doc_id", "text", 1.0)
+      .select("id1", "id2", "containment")
       .as[(Long, Long, Double)].collect().toSet
     assert(out.contains((0L, 4L, 1.0)) && out.contains((4L, 0L, 1.0)))
     assert(out.contains((0L, 1L, 1.0)) && !out.exists(p => p._1 == 1L && p._2 == 0L))

@@ -79,4 +79,60 @@ class PrefixJoinSpec extends SparkSpec {
     val n = Dedup.rarityPrefix(sh, 0.6).count()
     assert(n == 10 - 6 + 1, s"expected 5 prefix shingles, got $n")
   }
+
+  test("verify-stage doc-set broadcast is SIZE-GATED: hint below the cutover, plain join above") {
+    val df = corpus.toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(df, "doc_id", "text", 3)
+    val docSets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("shingle"))).as("set"),
+        count(lit(1)).as("sz"))
+    val cands = sh.select(col("id").as("id1")).distinct()
+      .crossJoin(sh.select(col("id").as("id2")).distinct())
+      .filter(col("id1") < col("id2"))
+    // kill every automatic broadcast so the plan shows EXACTLY what the
+    // gate decided: an explicit hint is honored unconditionally, an
+    // ungated relation must fall to the id-keyed shuffle join
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def verifyPlan(maxBytes: Long): String = {
+        val joined = cands.join(
+          Dedup.maybeBroadcastDocSets(sh, docSets, maxBytes)
+            .select(col("id").as("id1"), col("set").as("setA")), Seq("id1"))
+        joined.collect() // finalize AQE before reading the plan
+        joined.queryExecution.executedPlan.toString
+      }
+      assert(verifyPlan(Long.MaxValue).contains("BroadcastHashJoin"),
+        "below the cutover the doc-set side must ride the broadcast hint")
+      assert(!verifyPlan(0L).contains("BroadcastHashJoin"),
+        "above the cutover the hint must be dropped (plain id-keyed join)")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+    // the gate is plan-only: both paths produce identical pair relations
+    def pairs(maxBytes: Long) =
+      Dedup.prefixJaccardJoin(df, "doc_id", "text", 0.6,
+          maxBroadcastDocSetBytes = maxBytes)
+        .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    assert(pairs(Long.MaxValue) == pairs(0L))
+  }
+
+  test("containment join carries sz1/sz2 so the collapse reuses the single shingle pass") {
+    val df = corpus.toDF("doc_id", "text")
+    val out = Dedup.prefixContainmentJoin(df, "doc_id", "text", 1.0)
+      .select("id1", "id2", "sz1", "sz2").as[(Long, Long, Long, Long)]
+      .collect()
+    val sizes = Dedup.shingleHashes(df, "doc_id", "text", 3)
+      .groupBy("id").agg(count(lit(1)).as("sz"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id1, id2, sz1, sz2) =>
+      assert(sz1 == sizes(id1) && sz2 == sizes(id2),
+        s"carried sizes must match the shingle pass: ($id1,$id2,$sz1,$sz2)")
+    }
+  }
 }
