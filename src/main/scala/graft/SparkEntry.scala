@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.all ++
       graft.queries.CorpusOpsQueries.all ++
       graft.queries.CorpusMlQueries.all ++
-      graft.queries.ServeQueries.all
+      graft.queries.ServeQueries.all ++
+      graft.queries.LifecycleQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CorpusOpsQueries.oracles ++
       graft.queries.CorpusMlQueries.oracles ++
-      graft.queries.ServeQueries.oracles
+      graft.queries.ServeQueries.oracles ++
+      graft.queries.LifecycleQueries.oracles
 }

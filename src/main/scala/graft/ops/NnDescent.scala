@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -242,15 +242,23 @@ object NnDescent {
       .select("id")
   }
 
-  /** [[searchGraph]] from an EXPLICIT entry relation (one `id` column)
-    * — the hook for quantizer-seeded or otherwise curated entries. */
-  def searchGraphFrom(graph: DataFrame, nodes: DataFrame,
-      queries: DataFrame, k: Int, entryIds: DataFrame, beam: Int,
-      hops: Int): DataFrame = {
-    require(k >= 1 && beam >= 1 && hops >= 0)
-    val und = graph.select(col("id").as("c"), col("nbr").as("v"))
+  /** The UNDIRECTED adjacency of a [[knnGraph]] result: (c, v) with
+    * both edge directions present, deduplicated. One union + one
+    * DISTINCT exchange over the edge set. */
+  private def undirected(graph: DataFrame): DataFrame =
+    graph.select(col("id").as("c"), col("nbr").as("v"))
       .union(graph.select(col("nbr").as("c"), col("id").as("v")))
       .distinct()
+
+  /** The shared beam walk: score entries, then ≤ `hops` rounds of
+    * expand-never-visited → score → beam cut; answer is the top-k of
+    * everything visited. `expand` maps the current (qid, id) frontier
+    * to candidate (qid, id) rows — the inline form joins the
+    * checkpointed undirected relation, the indexed form prunes the
+    * on-disk layout to the frontier's node buckets. */
+  private def beamWalk(nodes: DataFrame, queries: DataFrame, k: Int,
+      entryIds: DataFrame, beam: Int, hops: Int,
+      expand: DataFrame => DataFrame): DataFrame = {
     def score(cand: DataFrame): DataFrame =
       cand.join(nodes.select(col("id"), col("vec")), Seq("id"))
         .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
@@ -263,15 +271,134 @@ object NnDescent {
       .localCheckpoint()
     var frontier = topPerQ(visited, beam).select("qid", "id")
     (1 to hops).foreach { _ =>
-      val cand = broadcast(frontier.select(col("qid"), col("id").as("c")))
-        .join(und, Seq("c"))
-        .select(col("qid"), col("v").as("id")).distinct()
+      val cand = expand(frontier)
         .join(visited.select("qid", "id"), Seq("qid", "id"), "left_anti")
       val sc = score(cand).localCheckpoint()
       visited = visited.union(sc).localCheckpoint()
       frontier = topPerQ(sc, beam).select("qid", "id")
     }
     topPerQ(visited, k).select("qid", "id", "score", "rank")
+  }
+
+  /** [[searchGraph]] from an EXPLICIT entry relation (one `id` column)
+    * — the hook for quantizer-seeded or otherwise curated entries.
+    * The undirected edge relation is materialized ONCE
+    * (localCheckpoint) before the hop loop — each hop's frontier join
+    * reads the checkpointed blocks, never re-running the union+distinct
+    * exchange (hops× the single edge pass otherwise; most of the
+    * round-16 `ann_graph_search` wall). */
+  def searchGraphFrom(graph: DataFrame, nodes: DataFrame,
+      queries: DataFrame, k: Int, entryIds: DataFrame, beam: Int,
+      hops: Int): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0)
+    val und = if (hops > 0) undirected(graph).localCheckpoint()
+      else undirected(graph)
+    beamWalk(nodes, queries, k, entryIds, beam, hops, frontier =>
+      broadcast(frontier.select(col("qid"), col("id").as("c")))
+        .join(und, Seq("c"))
+        .select(col("qid"), col("v").as("id")).distinct())
+  }
+
+  /** Node-id buckets for the on-disk graph layout. 64 keeps a gate-
+    * scale index at a handful of files per epoch; a 10⁹-node corpus
+    * wants ~10³–10⁴ so each bucket stays a few GB. */
+  val DefaultGraphBuckets: Int = 64
+
+  private def bucketOf(c: Column, numBuckets: Int): Column =
+    pmod(c.cast("long"), lit(numBuckets.toLong))
+
+  /** Persist a [[knnGraph]]'s UNDIRECTED adjacency as the graph
+    * family's on-disk SERVING index — the [[IvfIndex.writeIndexed]] /
+    * [[Similarity.writeLshBucketed]] lifecycle story for graphs.
+    * Layout: `batch=<epoch>/nb=<bucket>/` parquet of (c, v), bucketed
+    * by `nb = pmod(c, numBuckets)` and sorted by c within files, so a
+    * probe reads ONLY the frontier's buckets (literal partition
+    * filters) and row-group stats prune within them. Node ids must be
+    * numeric (every ANN corpus here keys on long ids) — the probe
+    * recomputes the bucket driver-side for the pruning literals.
+    * Epoch discipline: overwrite-by-epoch ([[graft.streaming.IngestGate]]
+    * convention), so replays are idempotent; [[Compaction.compactEpochs]]
+    * and [[Retraction.retract]] (on BOTH edge columns — see
+    * [[Retraction.retractAll]]) apply generically to the layout. */
+  def writeGraphIndex(graph: DataFrame, path: String,
+      numBuckets: Int = DefaultGraphBuckets, epoch: Long = 0L): Unit = {
+    require(numBuckets > 0)
+    undirected(graph)
+      .withColumn("nb", bucketOf(col("c"), numBuckets))
+      .repartition(col("nb"))
+      .sortWithinPartitions("c")
+      .write.mode("overwrite").partitionBy("nb")
+      .parquet(s"$path/batch=$epoch")
+  }
+
+  /** Epoch APPEND for the graph index: the undirected edges of a
+    * refreshed graph ([[appendNodes]]' result) that are NOT yet in the
+    * store land in `batch=<epoch>`. Append-only maintenance makes the
+    * served adjacency a SUPERSET of the refreshed graph (edges a
+    * refresh dropped stay until compaction/rebuild): beam search only
+    * GAINS reachability from extra edges — recall is monotone, the
+    * standard DiskANN/HNSW incremental stance — and visited-set growth
+    * is bounded by the stale fraction. Reads exclude `batch = epoch`
+    * itself so a replay recomputes the same delta instead of
+    * self-cancelling ([[graft.streaming.IngestGate]]'s exclusion).
+    * Periodic rebuild = [[writeGraphIndex]] (full overwrite). */
+  def appendGraphIndexEpoch(refreshed: DataFrame, path: String,
+      epoch: Long, numBuckets: Int = DefaultGraphBuckets): Unit = {
+    val spark = refreshed.sparkSession
+    val existing = spark.read.parquet(path)
+      .filter(col("batch") =!= epoch).select("c", "v")
+    undirected(refreshed)
+      .join(existing, Seq("c", "v"), "left_anti")
+      .withColumn("nb", bucketOf(col("c"), numBuckets))
+      .repartition(col("nb"))
+      .sortWithinPartitions("c")
+      .write.mode("overwrite").partitionBy("nb")
+      .parquet(s"$path/batch=$epoch")
+  }
+
+  /** [[searchGraphFrom]] served from a [[writeGraphIndex]] layout —
+    * the graph family's probe path. Per hop, the frontier (queries ×
+    * beam rows, model-sized by construction) collects its distinct
+    * node ids; the adjacency scan is pruned to the frontier's buckets
+    * (literal `nb` partition filters) AND its exact source ids (pushed
+    * `c IN (...)` row-group filter) — the only data-sized relation any
+    * hop touches is the handful of bucket files the frontier lands in,
+    * the [[IvfIndex.topKIndexed]] probed-cells discipline. Identical
+    * results to the inline walk (the store holds the same undirected
+    * relation; GraphSearchSpec pins indexed ≡ inline). */
+  def searchGraphIndexedFrom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nodes: DataFrame, queries: DataFrame, k: Int,
+      entryIds: DataFrame, beam: Int, hops: Int,
+      numBuckets: Int = DefaultGraphBuckets): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0)
+    val adjAll = spark.read.parquet(indexPath)
+    beamWalk(nodes, queries, k, entryIds, beam, hops, { frontier =>
+      val cVals = frontier.select("id").distinct().collect().map(_.get(0))
+      val buckets = cVals
+        .map(v => java.lang.Long.valueOf(
+          Math.floorMod(v.asInstanceOf[Number].longValue(), numBuckets.toLong)))
+        .distinct
+      val adj = adjAll
+        .filter(col("nb").isin(buckets.toIndexedSeq: _*) &&
+          col("c").isin(cVals.toIndexedSeq: _*))
+        .select(col("c"), col("v")).distinct()
+      broadcast(frontier.select(col("qid"), col("id").as("c")))
+        .join(adj, Seq("c"))
+        .select(col("qid"), col("v").as("id")).distinct()
+    })
+  }
+
+  /** [[searchGraph]]'s indexed twin: md5-rank-head entry points over
+    * the indexed corpus, then [[searchGraphIndexedFrom]]. */
+  def searchGraphIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nodes: DataFrame, queries: DataFrame, k: Int,
+      entries: Int, beam: Int, hops: Int,
+      numBuckets: Int = DefaultGraphBuckets,
+      seed: String = "nnd"): DataFrame = {
+    require(entries >= 1)
+    val (ranked, _) = rankByHash(nodes, seed)
+    searchGraphIndexedFrom(spark, indexPath, nodes, queries, k,
+      ranked.filter(col("r") <= entries).select("id"), beam, hops, numBuckets)
   }
 
   /** Build the k-NN graph: ring init, `iters` local-join sweeps.

@@ -193,16 +193,33 @@ object Retraction {
     * (id, vec) postings, so the generic [[retract]] machinery applies
     * with `partCol = "bucket"`: a victim's rows occupy at most `tables`
     * buckets, so the rewrite touches ≤ |ids|·tables directories and
-    * every other bucket keeps its exact files. */
+    * every other bucket keeps its exact files.
+    *
+    * The graph-ANN serving index ([[NnDescent.writeGraphIndex]],
+    * `graphDir`) is the sixth store: its rows are UNDIRECTED edges
+    * (c, v), so a forgotten doc must vanish as SOURCE and as NEIGHBOR —
+    * two [[retract]] sweeps, one per edge column, each preserving the
+    * nested `nb=` bucket layout. A victim's c-rows live in exactly its
+    * own bucket; its v-rows in the buckets of its ≤ 2k graph neighbors
+    * — the rewrite stays |ids|·(degree)-bounded, every other bucket
+    * keeps its files. After the sweep the victim is unreachable AND
+    * unroutable-through (no edge mentions it), which is the graph
+    * analogue of the postings scrub. */
   def retractAll(spark: SparkSession, ids: Seq[Long], idCol: String,
       acceptedDir: String, indexDir: String,
       annDir: Option[String] = None,
       postingsDir: Option[String] = None,
-      lshDir: Option[String] = None): Unit = {
+      lshDir: Option[String] = None,
+      graphDir: Option[String] = None): Unit = {
     retract(spark, acceptedDir, idCol, ids)
     retract(spark, indexDir, "id", ids)
     annDir.foreach(d => retract(spark, d, "id", ids, nestedPartCols = Seq("cell")))
     postingsDir.foreach(d => retractPostings(spark, d, ids))
     lshDir.foreach(d => retract(spark, d, "id", ids, partCol = "bucket"))
+    graphDir.foreach { d =>
+      retract(spark, d, "c", ids, nestedPartCols = Seq("nb"))
+      retract(spark, d, "v", ids, nestedPartCols = Seq("nb"))
+      ()
+    }
   }
 }

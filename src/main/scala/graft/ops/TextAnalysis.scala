@@ -484,8 +484,19 @@ object TextAnalysis {
         col("label").cast("double").as("y"))
       .groupBy("z", "y").agg(count(lit(1)).as("cnt"))
 
+  /** Sigmoid output clamped to [ε, 1−ε] BEFORE the logs: once |logit|
+    * ≳ 37 a double sigmoid saturates to exactly 0.0/1.0 — Spark's
+    * `log` then returns NULL and the term silently DROPS from the NLL
+    * sum (a silent fit bias that also breaks the fitted ≤ raw
+    * invariant), while the DuckDB oracle's ln(0) errors. The clamp is
+    * the identical single expression on both engines, an identity for
+    * every non-saturated score. */
+  private val NllEps = 1e-15
+  private def clamped(p: org.apache.spark.sql.Column) =
+    greatest(least(p, lit(1.0 - NllEps)), lit(NllEps))
+
   def temperatureNll(scoredLabeled: DataFrame): DataFrame = {
-    val p = lit(1.0) / (lit(1.0) + exp(-(col("z") / col("t"))))
+    val p = clamped(lit(1.0) / (lit(1.0) + exp(-(col("z") / col("t")))))
     scoreHistogram(scoredLabeled)
       .crossJoin(broadcast(temperatureGrid(scoredLabeled.sparkSession)))
       .select(col("t"), (col("cnt") *
@@ -517,7 +528,8 @@ object TextAnalysis {
       .select((col("id").cast("double") / lit(40.0)).as("a"))
     val bGrid = spark.range(-20, 21)
       .select((col("id").cast("double") / lit(10.0)).as("b"))
-    val p = lit(1.0) / (lit(1.0) + exp(-(col("a") * col("z") + col("b"))))
+    val p = clamped(
+      lit(1.0) / (lit(1.0) + exp(-(col("a") * col("z") + col("b")))))
     scoreHistogram(scoredLabeled)
       .crossJoin(broadcast(aGrid)).crossJoin(broadcast(bGrid))
       .select(col("a"), col("b"), (col("cnt") *
@@ -547,6 +559,33 @@ object TextAnalysis {
     val tRow = fitTemperature(scored).select(col("t"))
     scored.crossJoin(broadcast(tRow))
       .withColumn("conf", lit(1.0) / (lit(1.0) + exp(-(col("score") / col("t")))))
+      .withColumn("bin",
+        least(floor(col("conf") * lit(bins.toDouble)), lit((bins - 1).toDouble))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("conf")), 4).as("avg_conf"),
+        round(avg(col("label").cast("double")), 4).as("frac_pos"))
+      .orderBy(col("bin"))
+  }
+
+  /** [[classifierCalibration]] under the FITTED Platt parameters —
+    * [[classifierCalibrationFitted]]'s two-parameter twin: fit (A, B)
+    * on the (score, label) relation, then bin confidences σ(A·score+B).
+    * Completes the fit→audit symmetry: both calibration families now
+    * publish the corrected reliability table, not just the fitted
+    * scalars. Same shape budget (one histogram fit + one audit-sized
+    * binning; the (a, b) row broadcasts like the temperature scalar). */
+  def classifierCalibrationPlattFitted(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, weights: Array[Long],
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val scored = classifierScoreInline(docs, idCol, textCol, weights)
+      .join(docs.select(col(idCol).as("id"), col(labelCol).as("label")), Seq("id"))
+    val abRow = fitPlatt(scored).select(col("a"), col("b"))
+    scored.crossJoin(broadcast(abRow))
+      .withColumn("conf", lit(1.0) /
+        (lit(1.0) + exp(-(col("a") * col("score") + col("b")))))
       .withColumn("bin",
         least(floor(col("conf") * lit(bins.toDouble)), lit((bins - 1).toDouble))
           .cast("int"))

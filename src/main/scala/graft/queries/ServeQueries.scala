@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
 object ServeQueries {
   import QueryCatalog.Q
 
-  private val SearchK = 10
-  private val SearchEntries = 3
-  private val SearchBeam = 5
-  private val SearchHops = 3
+  private[queries] val SearchK = 10
+  private[queries] val SearchEntries = 3
+  private[queries] val SearchBeam = 5
+  private[queries] val SearchHops = 3
 
   /** Graph-ANN SEARCH ([[graft.ops.NnDescent.searchGraph]]): build the
     * k-NN graph over the corpus slice, then answer the 5 standing query
@@ -109,11 +109,14 @@ object ServeQueries {
     * the 4-dp histogram, evaluate the NLL over the temperature grid
     * T = i/40 (i ∈ [10, 128] — T = 1 included so fitted NLL ≤ raw NLL
     * by construction), argmin with ties toward smaller T. */
-  private def calibrationFitCtes: String = {
+  private[queries] def calibrationFitCtes: String = {
     val hexVal = (0 until 15).map(i =>
       s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
       .mkString(" + ")
-    val p = "1.0/(1.0+exp(-(z/t)))"
+    // σ clamped to [ε, 1−ε] before ln on BOTH engines — a saturated
+    // sigmoid (|z/t| ≳ 37, reachable on larger-score corpora) would
+    // otherwise NULL-drop the term in Spark and error ln(0) here
+    val p = "greatest(least(1.0/(1.0+exp(-(z/t))), 1.0 - 1e-15), 1e-15)"
     s"""docs AS (
        |  SELECT * FROM '${graft.Tables.fixturesDir}/labeled_quality.parquet'),
        |toks AS (
@@ -150,8 +153,8 @@ object ServeQueries {
   }
 
   /** The Platt (A, B) grid NLL + argmin over the same `hist` CTE. */
-  private def plattFitCtes: String = {
-    val p = "1.0/(1.0+exp(-(a*z+b)))"
+  private[queries] def plattFitCtes: String = {
+    val p = "greatest(least(1.0/(1.0+exp(-(a*z+b))), 1.0 - 1e-15), 1e-15)"
     s"""agrid AS (
        |  SELECT CAST(i AS DOUBLE) / 40.0 AS a
        |  FROM (SELECT unnest(range(10, 161)) AS i)),

@@ -91,6 +91,44 @@ class CalibrationSpec extends SparkSpec {
     assert(a >= 0.25 && a <= 4.0 && b >= -2.0 && b <= 2.0)
   }
 
+  test("Platt re-audit table: ECE ≤ the temperature re-audit's + ε, table partitions the fixture") {
+    def ece(t: org.apache.spark.sql.DataFrame): Double =
+      TextAnalysis.calibrationEce(t).as[Double].collect().head
+    val tFit = ece(TextAnalysis.classifierCalibrationFitted(
+      docs, "doc_id", "text", "label", weights))
+    val pTab = TextAnalysis.classifierCalibrationPlattFitted(
+      docs, "doc_id", "text", "label", weights)
+    val pFit = ece(pTab)
+    info(f"ECE temperature-fitted=$tFit%.6f platt-fitted=$pFit%.6f")
+    // both fits minimize NLL, not ECE, so the 2-parameter family is
+    // only guaranteed better in NLL — the pin allows grid-quantization
+    // slack on the ECE side
+    assert(pFit <= tFit + 0.02,
+      s"Platt re-audit should not lose to temperature beyond grid slack: $pFit vs $tFit")
+    val rows = pTab.as[(Int, Long, Double, Double)].collect()
+    assert(rows.map(_._2).sum == docs.count())
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+  }
+
+  test("saturated scores: the NLL clamp keeps every term finite (no silent NULL drop)") {
+    // scores far past the sigmoid's double saturation point (|z| > 40):
+    // without the clamp Spark's ln(0) → NULL silently removes the term
+    // and the per-T sums collapse to the few unsaturated rows
+    val extreme = Seq((1L, 60.0, 1L), (2L, -60.0, 0L), (3L, 60.0, 0L),
+        (4L, 0.5, 1L))
+      .toDF("id", "score", "label")
+    val nll = TextAnalysis.temperatureNll(extreme)
+      .as[(Double, Double)].collect()
+    assert(nll.nonEmpty && nll.forall(r => !r._2.isNaN),
+      "every grid NLL must be a finite number")
+    // the mislabeled saturated row (id 3) must DOMINATE the sum — its
+    // clamped −ln(ε) ≈ 34.5 per unit count — not vanish from it
+    val atOne = nll.toMap.apply(1.0)
+    assert(atOne > 30.0, s"saturated mislabel must contribute ~-ln(eps): $atOne")
+    val platt = TextAnalysis.plattNll(extreme).count()
+    assert(platt == 151 * 41, "full (a, b) grid must evaluate finite")
+  }
+
   test("fit is deterministic and the fitted table still partitions the fixture") {
     val a = TextAnalysis.fitTemperature(scored).as[(Double, Double)].collect().head
     val b = TextAnalysis.fitTemperature(scored).as[(Double, Double)].collect().head

@@ -152,6 +152,54 @@ class GraphSearchSpec extends SparkSpec {
       .filter($"m" =!= 10 || $"lo" =!= 1).count() == 0)
   }
 
+  test("on-disk serving index: indexed walk ≡ inline walk; the probe scan prunes to frontier buckets") {
+    val path = graft.Staging.dirFor("graph-index-spec")
+    NnDescent.writeGraphIndex(clGraph, path, numBuckets = 8)
+    val inline = NnDescent.searchGraph(clGraph, cl, clQs, k = 10,
+        entries = 16, beam = 5, hops = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val indexed = NnDescent.searchGraphIndexed(spark, path, cl, clQs,
+        k = 10, entries = 16, beam = 5, hops = 3, numBuckets = 8)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(indexed == inline,
+      "serving from the persisted adjacency must replay the inline walk exactly")
+    // plan gate: a frontier-shaped probe reads ONLY its buckets
+    // (literal nb partition filters) and pushes the source-id filter
+    // into the parquet scan
+    val probe = spark.read.parquet(path)
+      .filter($"nb".isin(1L, 2L) && $"c".isin(1L, 2L, 10L))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("nb"),
+      s"bucket predicate must prune partitions:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*c".r.findFirstIn(plan).isDefined,
+      s"source-id predicate must reach the scan:\n$plan")
+  }
+
+  test("epoch append: the store grows to a SUPERSET of the refreshed graph; replay is idempotent") {
+    val path = graft.Staging.dirFor("graph-index-epochs")
+    val half = cl.filter($"id" < 200)
+    val g0 = NnDescent.knnGraph(half, k = 5, iters = 2)
+    NnDescent.writeGraphIndex(g0, path, numBuckets = 8, epoch = 0L)
+    val delta = cl.filter($"id" >= 200)
+    val g1 = NnDescent.appendNodes(g0, cl, delta, k = 5, iters = 2)
+    NnDescent.appendGraphIndexEpoch(g1, path, epoch = 1L, numBuckets = 8)
+    val stored = spark.read.parquet(path)
+      .select("c", "v").as[(Long, Long)].collect().toSet
+    val refreshed = g1.select($"id".as("c"), $"nbr".as("v"))
+      .union(g1.select($"nbr".as("c"), $"id".as("v")))
+      .as[(Long, Long)].collect().toSet
+    assert(refreshed.subsetOf(stored),
+      "every refreshed undirected edge must be servable from the store")
+    // replay of epoch 1 recomputes the same delta (self-exclusion), so
+    // the store is unchanged — and a served walk matches the inline
+    // walk over the stored relation's graph either way
+    NnDescent.appendGraphIndexEpoch(g1, path, epoch = 1L, numBuckets = 8)
+    val replayed = spark.read.parquet(path)
+      .select("c", "v").as[(Long, Long)].collect().toSet
+    assert(replayed == stored, "epoch replay must be idempotent")
+  }
+
   test("the visited set stays bounded: ≤ entries + hops·beam·2k nodes per query") {
     // the scale contract: pruning is structural, not data-dependent —
     // a frontier of `beam` nodes can introduce at most beam·2k new

@@ -71,6 +71,47 @@ class RetractionSpec extends SparkSpec {
     assert(fileSet(acc) == accFiles, "re-retracting must be a no-op")
   }
 
+  test("retractAll sweeps the graph-ANN serving index (sixth store): victim gone as source AND neighbor; untouched epoch byte-identical; idempotent") {
+    val acc = graft.Staging.dirFor("retract-graph-acc")
+    val idx = graft.Staging.dirFor("retract-graph-idx")
+    val gdir = graft.Staging.dirFor("retract-graph-store")
+    val nodes = Tables.embeddings(spark, sf001).filter($"vec_id" < 40)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val docs = nodes.select($"id".as("doc_id"))
+      .as[Long].collect().map(i => (i, mkText(i.toInt))).toSeq
+      .toDF("doc_id", "text")
+    assert(IngestGate.gateBatch(docs, 0L, idx, acc, "doc_id", "text") == 40L)
+    // two epochs: the base graph over ids < 30, then an append of the
+    // rest — the victim arrives with the delta, so every edge that
+    // mentions it (forward AND reverse) lives in batch=1 only, and the
+    // rewrite must leave batch=0 byte-identical (the ANN-store
+    // epoch-granularity contract)
+    val base = nodes.filter($"id" < 30)
+    val g0 = NnDescent.knnGraph(base, k = 4, iters = 2)
+    NnDescent.writeGraphIndex(g0, gdir, numBuckets = 8, epoch = 0L)
+    val delta = nodes.filter($"id" >= 30)
+    val g1 = NnDescent.appendNodes(g0, nodes, delta, k = 4, iters = 2)
+    NnDescent.appendGraphIndexEpoch(g1, gdir, epoch = 1L, numBuckets = 8)
+    val victim = 35L
+    // the victim is routable before the sweep (graph edges mention it)
+    val before = spark.read.parquet(gdir)
+    assert(before.filter($"c" === victim || $"v" === victim).count() > 0)
+    val epoch0Files = fileSet(s"$gdir/batch=0")
+    Retraction.retractAll(spark, Seq(victim), "doc_id", acc, idx,
+      graphDir = Some(gdir))
+    val after = spark.read.parquet(gdir)
+    assert(after.filter($"c" === victim || $"v" === victim).count() == 0,
+      "a forgotten doc must be unreachable AND unroutable-through")
+    assert(after.count() > 0, "survivor edges must remain")
+    assert(fileSet(s"$gdir/batch=0") == epoch0Files,
+      "the epoch without victim rows must keep its exact files")
+    // idempotent: a second sweep rewrites nothing
+    val allFiles = fileSet(gdir)
+    Retraction.retractAll(spark, Seq(victim), "doc_id", acc, idx,
+      graphDir = Some(gdir))
+    assert(fileSet(gdir) == allFiles, "re-retracting must be a no-op")
+  }
+
   test("retractAll over a RESIDUAL-encoded ANN layout: probes victim-free, untouched epoch byte-identical, idempotent") {
     val acc = graft.Staging.dirFor("retract-res-acc")
     val idx = graft.Staging.dirFor("retract-res-idx")
