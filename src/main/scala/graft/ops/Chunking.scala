@@ -360,19 +360,26 @@ object Chunking {
     * documents remain in the census with n_kept = 0 and empty text.
     *
     * Output: (id, n_chunks, n_kept, kept_text). */
-  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
-      window: Int): DataFrame = {
+  /** Non-overlapping `window`-token blocks per document: (id, idx,
+    * chunk). The chunking half of [[dedupParagraphs]], exposed so the
+    * streaming gate ([[graft.streaming.ParagraphGate]]) runs the
+    * identical segmentation per micro-batch. */
+  private[graft] def paragraphChunks(docs: DataFrame, idCol: String,
+      textCol: String, window: Int): DataFrame = {
     require(window > 0, "window must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val base = tokenized(docs, idCol, textCol)
-    val chunks = base
+    tokenized(docs, idCol, textCol)
       .withColumn("st", explode(sequence(lit(0), col("n") - 1, lit(window))))
       .select(col("id"), (col("st") / window).cast("long").as("idx"),
         array_join(slice(col("ts"), col("st") + 1, lit(window)), " ").as("chunk"))
-    val keyed = chunks.withColumn("key", Dedup.md5TokenHash60(col("chunk")))
-    val w = Window.partitionBy(col("key")).orderBy(col("id"), col("idx"))
-    val kept = keyed.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+  }
+
+  /** Reassemble documents from their surviving blocks: census over ALL
+    * of a document's chunks, ordered concatenation of the kept ones.
+    * Fully-deduplicated documents stay in the census with n_kept = 0
+    * and empty text. The reassembly half of [[dedupParagraphs]], shared
+    * with the streaming gate. */
+  private[graft] def rebuildFromKept(chunks: DataFrame,
+      kept: DataFrame): DataFrame = {
     val census = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
     val rebuilt = kept.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
@@ -383,5 +390,16 @@ object Chunking {
       .select(col("id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = paragraphChunks(docs, idCol, textCol, window)
+    val keyed = chunks.withColumn("key", Dedup.md5TokenHash60(col("chunk")))
+    val w = Window.partitionBy(col("key")).orderBy(col("id"), col("idx"))
+    val kept = keyed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    rebuildFromKept(chunks, kept)
   }
 }

@@ -947,6 +947,94 @@ object Dedup {
     } finally { sh.unpersist(false); () }
   }
 
+  /** The on-disk CONTAINMENT index — the corpus's full shingle relation
+    * with the per-doc set size denormalized: (id, shingle, sz). The
+    * [[bandIndex]] pattern for the containment family: built once over
+    * the accumulated corpus (or appended per accepted epoch, the gate
+    * convention), so a nightly [[newVsCorpusContainment]] probe never
+    * re-shingles the corpus — the index IS the inverted relation the
+    * batch prefix joins, and verification reconstructs candidate doc
+    * sets from the same rows. One id-partitioned window supplies sz
+    * (each partition bounded by its own doc's shingle count). */
+  def containmentIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+    shingleHashes(corpus, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(w))
+  }
+
+  /** Persist a [[containmentIndex]] (parquet; epoch layouts are the
+    * caller's convention, as with [[bandIndex]]). */
+  def writeContainmentIndex(corpus: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int = 3): Unit =
+    containmentIndex(corpus, idCol, textCol, n)
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a NEW batch against a prebuilt [[containmentIndex]]: every
+    * pair (id1 = new doc, id2 = corpus doc) with C(new → corpus) =
+    * |A∩B| / |A| ≥ `threshold` — the ingest-gate direction (an arriving
+    * quote/near-subset of stored content is the thing to reject).
+    * The incremental cost profile, mirroring [[newVsCorpusPairs]]:
+    *
+    *   - only the BATCH is shingled (one scan of the arrivals);
+    *   - the batch-side prefix is ordered by the CORPUS document
+    *     frequency of each shingle, computed over index rows semi-join-
+    *     pruned to the batch's shingles (cost tracks the batch; an
+    *     unseen shingle gets df 0 = rarest). Exactness never depends on
+    *     the order — ANY |A| − ⌈t·|A|⌉ + 1 elements of A must hit a
+    *     C ≥ t superset — so frozen corpus stats are sound, and rarity
+    *     remains the candidate-economy choice;
+    *   - the candidate join probes prefix → index (the new side is
+    *     batch-sized); verification rebuilds doc sets from INDEX rows
+    *     pruned to the broadcast candidate ids — corpus text is never
+    *     read.
+    * A doc id on both sides stays two distinct documents (the sides
+    * never pool shingles — batch sets come from `newSh`, corpus sets
+    * from the index). Full-replay equivalence: the result equals
+    * [[prefixContainmentJoin]] over corpus ∪ batch restricted to
+    * (id1 ∈ batch, id2 ∈ corpus) — the `dedup_containment_inc` oracle
+    * replays exactly that. */
+  def newVsCorpusContainment(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val newSh = shingleHashes(newDocs, idCol, textCol, n).persist()
+    try {
+      val batchShingles = newSh.select("shingle").distinct()
+      val freq = index.join(batchShingles, Seq("shingle"), "left_semi")
+        .groupBy("shingle").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy(col("id")).orderBy(col("freq"), col("shingle"))
+      val wAll = Window.partitionBy(col("id"))
+      val prefix = newSh.join(freq, Seq("shingle"), "left")
+        .withColumn("freq", coalesce(col("freq"), lit(0L)))
+        .withColumn("pos", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(wAll))
+        .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+        .select(col("id"), col("shingle"))
+      val cands = prefix.select(col("id").as("id1"), col("shingle"))
+        .join(index.select(col("id").as("id2"), col("shingle")), Seq("shingle"))
+        .select("id1", "id2").distinct()
+      val newSets = newSh.groupBy("id")
+        .agg(sort_array(collect_list(col("shingle"))).as("setA"),
+          count(lit(1)).as("sz1"))
+      val candIds = cands.select(col("id2").as("id")).distinct()
+      val corpSets = index
+        .join(broadcast(candIds), Seq("id"), "left_semi")
+        .groupBy("id")
+        .agg(sort_array(collect_list(col("shingle"))).as("setB"))
+      cands
+        .join(newSets.withColumnRenamed("id", "id1"), Seq("id1"))
+        .join(corpSets.withColumnRenamed("id", "id2"), Seq("id2"))
+        .withColumn("inter", size(array_intersect(col("setA"), col("setB"))))
+        .select(col("id1"), col("id2"),
+          (col("inter").cast("double") / col("sz1").cast("double"))
+            .as("containment"))
+        .filter(col("containment") >= threshold)
+        .localCheckpoint(true)
+    } finally { newSh.unpersist(false); () }
+  }
+
   /** The ACTIONABLE form of [[prefixContainmentJoin]]: drop every
     * document contained (≥ `threshold`) in a LARGER document — the
     * quote/near-subset collapse a pipeline runs after the pairwise

@@ -108,7 +108,7 @@ object CorpusMlQueries {
 
   /** Value of the first 15 hex digits of `h15` as a BIGINT — the
     * engine-portable md5-60 construction every seeded oracle uses. */
-  private def hexVal: String = (0 until 15).map(i =>
+  private[queries] def hexVal: String = (0 until 15).map(i =>
     s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
     .mkString(" + ")
 

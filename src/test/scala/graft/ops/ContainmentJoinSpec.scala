@@ -111,6 +111,43 @@ class ContainmentJoinSpec extends SparkSpec {
     assert(keptNull.contains(99L))
   }
 
+  test("incremental probe ≡ full replay restricted to (batch → corpus); unseen-shingle batch docs are safe") {
+    // planted history ↔ batch pair: the corpus holds the long page and
+    // unrelated docs; the batch delivers the quote (fully contained in
+    // the page), a partial overlap, and a doc of entirely UNSEEN
+    // shingles (exercises the df=0 prefix path)
+    val corpusDocs = corpus.filter(d => d._1 != 0L && d._1 != 4L)
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog tonight"),
+      (201L, "entirely novel content about deep sea bioluminescence patterns"),
+      (202L, corpus(3)._2)).toDF("doc_id", "text")
+    val idx = graft.Staging.dirFor("containment-inc-spec")
+    Dedup.writeContainmentIndex(corpusDocs, "doc_id", "text", idx)
+    val index = spark.read.parquet(idx)
+    Seq(0.5, 0.8, 1.0).foreach { t =>
+      val inc = Dedup.newVsCorpusContainment(index, batch,
+          "doc_id", "text", threshold = t)
+        .select("id1", "id2", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      // full replay over corpus ∪ batch, restricted to cross-split
+      val full = Dedup.prefixContainmentJoin(
+          corpusDocs.union(batch), "doc_id", "text", t)
+        .filter($"id1" >= 200L && $"id2" < 200L)
+        .select("id1", "id2", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(inc == full, s"threshold $t: $inc vs $full")
+    }
+    val at1 = Dedup.newVsCorpusContainment(index, batch,
+        "doc_id", "text", threshold = 1.0)
+      .select("id1", "id2", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(at1.contains((200L, 1L, 1.0)),
+      s"the quote must be flagged as contained in the stored page: $at1")
+    assert(at1.contains((202L, 3L, 1.0)), "exact re-delivery must score 1.0")
+    assert(!at1.exists(_._1 == 201L), "unseen content must pass untouched")
+  }
+
   private implicit class Pairs(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
