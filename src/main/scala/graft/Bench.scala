@@ -293,7 +293,22 @@ object Bench {
     // keep-first block rank + reassembly agg (quiet min 0.90 s sf0.1, flat to sf1)
     "text_paragraph_dedup" -> 3.0,
     // 6191-cell (A,B) grid x the bounded histogram (quiet min 3.3 s, sf-independent)
-    "text_calibration_platt" -> 10.0)
+    "text_calibration_platt" -> 10.0,
+    // the round-16 gap (ledger directive): BPE train + encode + global
+    // prefix-sum pack (quiet min 2.0 s sf0.1)
+    "q_pack_bpe" -> 6.0,
+    // Round-17 surface, ~3x quiet mins (the round-16 sizing convention).
+    // Graph build + index write + bucket-pruned serve (quiet 5.1 s)
+    "ann_graph_search_indexed" -> 13.0,
+    // platt fit + one audit-sized binning on top of text_calibration_platt
+    "text_calibration_platt_fitted" -> 11.0,
+    // batch-only shingling + pruned index probe: strictly less work
+    // than the full containment join
+    "dedup_containment_inc" -> 4.0,
+    // v4 + the DSIR feature store/model/Gumbel selection stage
+    "corpus_pipeline_v5" -> 15.0,
+    // two gated epochs of the paragraph keep-first rank + store probe
+    "text_paragraph_dedup_inc" -> 4.5)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -28,10 +28,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * each merge applied in training order as a literal left-to-right
   * non-overlapping replace (`java.lang.String.replace`, the same
   * contract as Spark's `StringReplace` and DuckDB's `replace` — the
-  * greedy-BPE invariant the double-space separators encode). */
-case class BpeSegmentExpr(child: Expression, pats: Array[String],
-    reps: Array[String]) extends UnaryExpression {
+  * greedy-BPE invariant the double-space separators encode).
+  *
+  * The merge tables are `Seq[String]` (not arrays) so the case class's
+  * structural equals/hashCode hold: two semantically identical
+  * bpe_segment expressions compare equal, keeping semanticEquals-based
+  * common-subexpression elimination and canonicalized plan caching
+  * effective (array params are reference-compared and defeat both). */
+case class BpeSegmentExpr(child: Expression, pats: Seq[String],
+    reps: Seq[String]) extends UnaryExpression {
   require(pats.length == reps.length, "merge pattern/replacement arity mismatch")
+
+  @transient private lazy val patArr: Array[String] = pats.toArray
+  @transient private lazy val repArr: Array[String] = reps.toArray
 
   override def prettyName: String = "bpe_segment"
   override def dataType: DataType = StringType
@@ -44,12 +53,13 @@ case class BpeSegmentExpr(child: Expression, pats: Array[String],
 
   override def nullSafeEval(w: Any): Any =
     UTF8String.fromString(
-      BpeSegmentExpr.segment(w.asInstanceOf[UTF8String].toString, pats, reps))
+      BpeSegmentExpr.segment(w.asInstanceOf[UTF8String].toString,
+        patArr, repArr))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val p = ctx.addReferenceObj("bpePats", pats, "java.lang.String[]")
-      val r = ctx.addReferenceObj("bpeReps", reps, "java.lang.String[]")
+      val p = ctx.addReferenceObj("bpePats", patArr, "java.lang.String[]")
+      val r = ctx.addReferenceObj("bpeReps", repArr, "java.lang.String[]")
       s"""
          |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
          |  graft.functions.BpeSegmentExpr.segment($v.toString(), $p, $r));

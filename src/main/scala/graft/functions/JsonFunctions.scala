@@ -269,8 +269,7 @@ object functions {
     * codegen size in the merge count. `merges` = (pattern, replacement)
     * pairs in training order. */
   def bpe_segment(word: Column, merges: Seq[(String, String)]): Column =
-    col(BpeSegmentExpr(expr(word), merges.map(_._1).toArray,
-      merges.map(_._2).toArray))
+    col(BpeSegmentExpr(expr(word), merges.map(_._1), merges.map(_._2)))
 
   /** Scan-side hashed-linear-classifier kernel: array<string> tokens →
     * struct(n_tokens, raw) against a weights-as-data table. */

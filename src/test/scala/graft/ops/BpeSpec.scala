@@ -118,4 +118,16 @@ class BpeSpec extends SparkSpec {
     assert(plan.contains("*("),
       s"4k-merge segmentation fell out of whole-stage codegen:\n$plan")
   }
+
+  test("equal merge tables make equal expressions (CSE / plan-cache eligible)") {
+    // Seq params give the case class structural equality; array params
+    // would reference-compare and defeat semanticEquals-based
+    // common-subexpression elimination
+    def mk() = graft.functions.BpeSegmentExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        " a  b ", org.apache.spark.sql.types.StringType),
+      Seq(" a  b ", " ab  c "), Seq(" ab ", " abc "))
+    assert(mk() == mk())
+    assert(mk().semanticEquals(mk()))
+  }
 }
