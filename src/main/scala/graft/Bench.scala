@@ -308,7 +308,10 @@ object Bench {
     // v4 + the DSIR feature store/model/Gumbel selection stage
     "corpus_pipeline_v5" -> 15.0,
     // two gated epochs of the paragraph keep-first rank + store probe
-    "text_paragraph_dedup_inc" -> 4.5)
+    "text_paragraph_dedup_inc" -> 4.5,
+    // scoring + one bounded histogram + driver PAV + an audit binning
+    // (sf-independent fixture)
+    "text_calibration_isotonic" -> 3.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

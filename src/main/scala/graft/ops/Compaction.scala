@@ -111,13 +111,22 @@ object Compaction {
   }
 
   /** Compact every sink the ingest gate maintains, up to the stream's
-    * committed checkpoint horizon. */
+    * committed checkpoint horizon. The graph-ANN serving index
+    * ([[NnDescent.writeGraphIndex]], `graphDir`) compacts like the ANN
+    * index with its `nb=` bucket level preserved — epoch merge only;
+    * edges a later refresh DROPPED stay until a full rebuild
+    * ([[NnDescent.writeGraphIndex]] overwrite), which is the graph
+    * family's stale-edge cleanup (appends are anti-joined, so the
+    * store never holds duplicate rows for compaction to collapse). */
   def compactAll(spark: SparkSession, acceptedDir: String, indexDir: String,
-      maxEpochId: Long, annDir: Option[String] = None): Unit = {
+      maxEpochId: Long, annDir: Option[String] = None,
+      graphDir: Option[String] = None): Unit = {
     compactEpochs(spark, acceptedDir, maxEpochId)
     compactEpochs(spark, indexDir, maxEpochId)
     annDir.foreach(d => compactEpochs(spark, d, maxEpochId,
       nestedPartCols = Seq("cell")))
+    graphDir.foreach(d => compactEpochs(spark, d, maxEpochId,
+      nestedPartCols = Seq("nb")))
     ()
   }
 }

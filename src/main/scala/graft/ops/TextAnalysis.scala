@@ -596,6 +596,85 @@ object TextAnalysis {
       .orderBy(col("bin"))
   }
 
+  /** ISOTONIC-REGRESSION calibration fit (Zadrozny & Elkan, KDD 2002 —
+    * the NON-parametric family next to temperature and Platt: fit the
+    * best monotone non-decreasing map score → P(positive), no sigmoid
+    * assumption, the correction of choice when the reliability curve
+    * is monotone but not sigmoid-shaped). Returns the fitted step
+    * function as (z, yhat) rows over the 4-dp score histogram's
+    * distinct quantized scores.
+    *
+    * Shape for 100 TB: ONE data-sized aggregation produces the bounded
+    * (z, Σy, n) histogram (the same [[Drift]]-binning stance as both
+    * parametric fits); pool-adjacent-violators then runs on the
+    * COLLECTED histogram — O(bins) driver work on a model-sized
+    * relation, the centroid/SQ-bounds convention. Pool comparisons are
+    * exact (BigInt cross-multiplication of integer label sums and
+    * counts), each fitted value is ONE IEEE division of exact integer
+    * sums, quantized by the engine-portable floor chain.
+    *
+    * Cross-engine determinism: the DuckDB oracle replays the fit with
+    * the MINIMAX identity ŷ_i = max_{j≤i} min_{k≥i} avg(y[j..k]) over
+    * the same histogram — the classical closed form of isotonic
+    * regression. Equality is exact in IEEE: every candidate average is
+    * a correctly-rounded division of exact integer sums, division is
+    * monotone, so the rounded max-min equals the rounded pooled block
+    * average PAV computes. */
+  def fitIsotonic(scoredLabeled: DataFrame): Seq[(Double, Double)] = {
+    val hist = scoreHistogram(scoredLabeled)
+      .groupBy("z").agg(sum(col("y") * col("cnt")).as("sy"),
+        sum(col("cnt")).as("w"))
+      .orderBy("z")
+      .collect()
+      .map(r => (r.getDouble(0), BigInt(r.getDouble(1).toLong),
+        BigInt(r.getLong(2))))
+    require(hist.nonEmpty, "isotonic fit needs a nonempty (score, label) relation")
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(BigInt, BigInt, List[Double])]
+    hist.foreach { case (z, sy, w) =>
+      var cur = (sy, w, List(z))
+      // pool while the previous block's average ≥ the current's
+      // (violates monotone non-decreasing) — exact rational compare
+      while (blocks.nonEmpty &&
+          blocks.last._1 * cur._2 >= cur._1 * blocks.last._2) {
+        val p = blocks.remove(blocks.length - 1)
+        cur = (p._1 + cur._1, p._2 + cur._2, p._3 ::: cur._3)
+      }
+      blocks += cur
+    }
+    blocks.iterator.flatMap { case (sy, w, zs) =>
+      val yhat = math.floor(sy.toDouble / w.toDouble * 1e6 + 0.5) / 1e6
+      zs.map(z => (z, yhat))
+    }.toSeq
+  }
+
+  /** [[classifierCalibration]] under the fitted ISOTONIC map — the
+    * non-parametric member of the fit→audit family: each document's
+    * quantized score looks up its pooled positive rate (the fitted
+    * step function broadcasts — bounded by the histogram), and the
+    * reliability table bins those calibrated confidences. */
+  def classifierCalibrationIsotonic(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, weights: Array[Long],
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = classifierScoreInline(docs, idCol, textCol, weights)
+      .join(docs.select(col(idCol).as("id"), col(labelCol).as("label")), Seq("id"))
+    val fitDf = fitIsotonic(scored).toDF("z", "conf")
+    scored
+      .withColumn("z",
+        floor(col("score") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+      .join(broadcast(fitDf), Seq("z"))
+      .withColumn("bin",
+        least(floor(col("conf") * lit(bins.toDouble)), lit((bins - 1).toDouble))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("conf")), 4).as("avg_conf"),
+        round(avg(col("label").cast("double")), 4).as("frac_pos"))
+      .orderBy(col("bin"))
+  }
+
   /** Expected calibration error of a [[classifierCalibration]]-shaped
     * table: Σ_b (n_b/N)·|frac_pos − avg_conf| over the (already
     * 4-dp-rounded) bin means — one finishing fold over ≤ bins rows,

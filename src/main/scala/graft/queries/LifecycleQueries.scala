@@ -313,17 +313,77 @@ object LifecycleQueries {
       |FROM census c LEFT JOIN rebuilt r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** ISOTONIC-REGRESSION calibration
+    * ([[graft.ops.TextAnalysis.fitIsotonic]], Zadrozny & Elkan KDD'02):
+    * the reliability table under the fitted monotone step map — the
+    * NON-parametric third member of the calibration family next to
+    * temperature and Platt. Spark fits by pool-adjacent-violators over
+    * the collected bounded histogram (exact BigInt pooling, one IEEE
+    * division per block); the oracle replays the fit through the
+    * MINIMAX closed form ŷ_i = max_{j≤i} min_{k≥i} avg(y[j..k]) over
+    * the same histogram — equal in IEEE because every candidate
+    * average is a correctly-rounded division of exact integer sums and
+    * division is monotone. */
+  val textCalibrationIsotonic: Q = (s, dir) => {
+    val docs = s.read.parquet(
+      s"${graft.Tables.fixturesDir}/labeled_quality.parquet")
+    graft.ops.TextAnalysis.classifierCalibrationIsotonic(docs, "doc_id",
+      "text", "label", graft.ops.TextAnalysis.trainedWeightArray(s), bins = 10)
+  }
+
+  val textCalibrationIsotonicSql: String =
+    s"""WITH ${ServeQueries.calibrationFitCtes},
+       |ihist AS (
+       |  SELECT z, CAST(sum(y * cnt) AS BIGINT) AS sy,
+       |    CAST(sum(cnt) AS BIGINT) AS w
+       |  FROM hist GROUP BY z),
+       |idx AS (
+       |  SELECT z, row_number() OVER (ORDER BY z) AS i,
+       |    sum(sy) OVER (ORDER BY z) AS cs,
+       |    sum(w) OVER (ORDER BY z) AS cw
+       |  FROM ihist),
+       |-- avg(y[j..k]) via prefix-sum differences of EXACT integer sums
+       |pairs AS (
+       |  SELECT j.i AS j, k.i AS k,
+       |    CAST(k.cs - coalesce(jp.cs, 0) AS DOUBLE) /
+       |      CAST(k.cw - coalesce(jp.cw, 0) AS DOUBLE) AS a
+       |  FROM idx j JOIN idx k ON k.i >= j.i
+       |  LEFT JOIN idx jp ON jp.i = j.i - 1),
+       |-- m(j, i) = min over k ≥ i of a(j, k): a suffix min per j
+       |sufmin AS (
+       |  SELECT j, k AS i, min(a) OVER (PARTITION BY j ORDER BY k DESC) AS m
+       |  FROM pairs),
+       |zfit AS (
+       |  SELECT idx.z AS z, f.conf AS conf FROM (
+       |    SELECT i, floor(max(m) * 1000000.0 + 0.5) / 1000000.0 AS conf
+       |    FROM sufmin WHERE j <= i GROUP BY i) f
+       |  JOIN idx ON idx.i = f.i),
+       |iso AS (
+       |  SELECT q.label AS label, zf.conf AS conf
+       |  FROM (SELECT label,
+       |          floor(score * 10000.0 + 0.5) / 10000.0 AS z FROM sc) q
+       |  JOIN zfit zf USING (z))
+       |SELECT CAST(least(floor(conf * 10.0), 9.0) AS INT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(avg(conf), 4) AS avg_conf,
+       |  round(avg(CAST(label AS DOUBLE)), 4) AS frac_pos
+       |FROM iso
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
   val all: Map[String, Q] = Map(
     "ann_graph_search_indexed" -> annGraphSearchIndexed,
     "text_calibration_platt_fitted" -> textCalibrationPlattFitted,
     "dedup_containment_inc" -> dedupContainmentInc,
     "corpus_pipeline_v5" -> corpusPipelineV5,
-    "text_paragraph_dedup_inc" -> textParagraphDedupInc)
+    "text_paragraph_dedup_inc" -> textParagraphDedupInc,
+    "text_calibration_isotonic" -> textCalibrationIsotonic)
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search_indexed" -> annGraphSearchIndexedSql,
     "text_calibration_platt_fitted" -> textCalibrationPlattFittedSql,
     "dedup_containment_inc" -> dedupContainmentIncSql,
     "corpus_pipeline_v5" -> corpusPipelineV5Sql,
-    "text_paragraph_dedup_inc" -> textParagraphDedupIncSql)
+    "text_paragraph_dedup_inc" -> textParagraphDedupIncSql,
+    "text_calibration_isotonic" -> textCalibrationIsotonicSql)
 }

@@ -99,6 +99,12 @@ object ProfileAnnFamilies {
     measure("graph-ANN beam walk (build-k=20; entries=32, beam=10, hops=4)",
       () => NnDescent.searchGraph(graph, corpus, queries, 10,
         entries = 32, beam = 10, hops = 4))
+    // the round-17 serving path: same walk from the persisted
+    // node-id-bucketed adjacency, each hop pruned to frontier buckets
+    NnDescent.writeGraphIndex(graph, s"$tmp/graphidx")
+    measure("graph-ANN beam walk INDEXED (on-disk adjacency, bucket-pruned hops)",
+      () => NnDescent.searchGraphIndexed(spark, s"$tmp/graphidx", corpus,
+        queries, 10, entries = 32, beam = 10, hops = 4))
     spark.stop()
   }
 }

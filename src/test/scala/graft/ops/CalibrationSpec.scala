@@ -129,6 +129,38 @@ class CalibrationSpec extends SparkSpec {
     assert(platt == 151 * 41, "full (a, b) grid must evaluate finite")
   }
 
+  test("isotonic fit: PAV matches the hand-pooled blocks, step map is monotone non-decreasing") {
+    // y = [1, 0, 0, 1, 1] over ascending scores: PAV pools the leading
+    // violator run [1,0,0] to 1/3, then [1,1] stays at 1.0
+    val hand = Seq((1L, 0.1, 1L), (2L, 0.2, 0L), (3L, 0.3, 0L),
+      (4L, 0.4, 1L), (5L, 0.5, 1L)).toDF("id", "score", "label")
+    val fit = TextAnalysis.fitIsotonic(hand).sortBy(_._1)
+    assert(fit.map(_._1) == Seq(0.1, 0.2, 0.3, 0.4, 0.5))
+    assert(fit.map(_._2) == Seq(0.333333, 0.333333, 0.333333, 1.0, 1.0),
+      fit.toString)
+    // fixture-scale fit: monotone in z everywhere (the PAV invariant)
+    val big = TextAnalysis.fitIsotonic(scored).sortBy(_._1)
+    assert(big.sliding(2).forall(p => p.head._2 <= p.last._2),
+      "isotonic map must be non-decreasing")
+    assert(big.forall(p => p._2 >= 0.0 && p._2 <= 1.0))
+  }
+
+  test("isotonic re-audit table: partitions the fixture, ECE at or below the raw table's") {
+    def ece(t: org.apache.spark.sql.DataFrame): Double =
+      TextAnalysis.calibrationEce(t).as[Double].collect().head
+    val raw = ece(TextAnalysis.classifierCalibration(
+      docs, "doc_id", "text", "label", weights))
+    val tab = TextAnalysis.classifierCalibrationIsotonic(
+      docs, "doc_id", "text", "label", weights)
+    val iso = ece(tab)
+    info(f"ECE raw=$raw%.6f isotonic=$iso%.6f")
+    assert(iso <= raw,
+      s"the non-parametric fit must not lose to no fit at all: $iso vs $raw")
+    val rows = tab.as[(Int, Long, Double, Double)].collect()
+    assert(rows.map(_._2).sum == docs.count())
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+  }
+
   test("fit is deterministic and the fitted table still partitions the fixture") {
     val a = TextAnalysis.fitTemperature(scored).as[(Double, Double)].collect().head
     val b = TextAnalysis.fitTemperature(scored).as[(Double, Double)].collect().head

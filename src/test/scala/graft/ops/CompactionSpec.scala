@@ -135,6 +135,44 @@ class CompactionSpec extends SparkSpec {
     assert(probe().nonEmpty)
   }
 
+  test("compaction over the graph-ANN serving index: served walk identical, nb buckets preserved, appends continue") {
+    val acc = graft.Staging.dirFor("compact-graph-acc")
+    val idx = graft.Staging.dirFor("compact-graph-idx")
+    val gdir = graft.Staging.dirFor("compact-graph-store")
+    val nodes = Tables.embeddings(spark, sf001).filter($"vec_id" >= 5 && $"vec_id" < 45)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = Tables.embeddings(spark, sf001).filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // two epochs: base graph over the first 30 ids, append the rest
+    val base = nodes.filter($"id" < 35)
+    val g0 = NnDescent.knnGraph(base, k = 4, iters = 2)
+    NnDescent.writeGraphIndex(g0, gdir, numBuckets = 8, epoch = 0L)
+    val g1 = NnDescent.appendNodes(g0, nodes, nodes.filter($"id" >= 35),
+      k = 4, iters = 2)
+    NnDescent.appendGraphIndexEpoch(g1, gdir, epoch = 1L, numBuckets = 8)
+    // a gate pair so compactAll has its mandatory sinks
+    val docs = Seq((1L, mkText(1)), (2L, mkText(2))).toDF("doc_id", "text")
+    graft.streaming.IngestGate.gateBatch(docs, 0L, idx, acc, "doc_id", "text")
+    def serve() = NnDescent.searchGraphIndexed(spark, gdir, nodes, queries,
+        k = 5, entries = 8, beam = 4, hops = 2, numBuckets = 8)
+      .orderBy("qid", "rank").collect().toSeq
+    val before = serve()
+    assert(epochDirs(gdir) == 2)
+
+    Compaction.compactAll(spark, acc, idx, maxEpochId = 1L,
+      graphDir = Some(gdir))
+
+    assert(epochDirs(gdir) == 1, "graph epochs must collapse to the base")
+    assert(new java.io.File(s"$gdir/batch=-1").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("nb=")) > 0,
+      "the nb= bucket level must survive compaction")
+    assert(serve() == before, "the served walk must be identical after compaction")
+    // appends continue on the compacted store
+    NnDescent.appendGraphIndexEpoch(g1, gdir, epoch = 2L, numBuckets = 8)
+    assert(serve() == before,
+      "re-appending the same refreshed graph adds no edges (anti-joined) and changes nothing")
+  }
+
   test("checkpoint horizon: epochs above maxEpochId are never touched") {
     val acc = graft.Staging.dirFor("compact-horizon")
     (0 until 5).foreach { e =>
