@@ -311,7 +311,9 @@ object Bench {
     "text_paragraph_dedup_inc" -> 4.5,
     // scoring + one bounded histogram + driver PAV + an audit binning
     // (sf-independent fixture)
-    "text_calibration_isotonic" -> 3.0)
+    "text_calibration_isotonic" -> 3.0,
+    // lossless prefix probe: index write + batch-sized candidate join
+    "dedup_jaccard_inc" -> 6.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -1035,6 +1035,110 @@ object Dedup {
     } finally { newSh.unpersist(false); () }
   }
 
+  /** The on-disk EXACT-JACCARD prefix index — [[writeContainmentIndex]]'s
+    * symmetric sibling, the store [[newVsCorpusJaccard]] probes. Two
+    * relations under `path`:
+    *   - `postings` (id, shingle, sz, pos): the corpus shingle relation
+    *     with each doc's set size and the shingle's RANK within the doc
+    *     under the FROZEN corpus rarity order (document frequency asc,
+    *     shingle asc — a total order fixed at build time);
+    *   - `freq` (shingle, freq): that frozen order itself, so a probe
+    *     ranks BATCH docs under the identical order (prefix-filtering
+    *     completeness needs ONE shared total order across both sides;
+    *     any fixed order is lossless — Chaudhuri ICDE'06).
+    * Built in one corpus pass; epoch layouts are the caller's
+    * convention (the [[bandIndex]] stance). */
+  def writeJaccardIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3): Unit = {
+    val sh = shingleHashes(corpus, idCol, textCol, n).persist()
+    try {
+      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy(col("id")).orderBy(col("freq"), col("shingle"))
+      val wAll = Window.partitionBy(col("id"))
+      sh.join(freq, Seq("shingle"))
+        .withColumn("pos", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(wAll))
+        .select(col("id"), col("shingle"), col("sz"), col("pos"))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      freq.write.mode("overwrite").parquet(s"$path/freq")
+    } finally { sh.unpersist(false); () }
+  }
+
+  /** Probe a NEW batch against a [[writeJaccardIndex]] store: every
+    * cross-split pair (id1 = corpus doc, id2 = new doc) with
+    * J(A,B) ≥ `threshold` — the EXACT incremental twin of
+    * [[newVsCorpusPairs]] (banded candidates are probabilistic with a
+    * verified recall floor; prefix candidates are LOSSLESS, so this
+    * probe provably misses nothing). Incremental cost profile:
+    *
+    *   - only the batch is shingled; its docs rank under the store's
+    *     frozen order (one broadcast-sized probe of `freq` restricted
+    *     to batch shingles; unseen shingles take df 0 = rarest, which
+    *     only SHORTENS real work — they cannot match the corpus);
+    *   - candidates are corpus-PREFIX ⋈ batch-PREFIX rows on the
+    *     shingle (both prefixes under the one frozen order — exactness
+    *     holds for any fixed shared total order), with the lossless
+    *     size filter and PPJoin positional bound applied in the join
+    *     condition;
+    *   - verification rebuilds corpus candidate doc sets from INDEX
+    *     rows (broadcast candidate-id prune) — corpus text never read.
+    * Full-replay equivalence: ≡ [[prefixJaccardJoin]] over
+    * corpus ∪ batch restricted to cross-split pairs ≡ the exact
+    * cross-split Jaccard join (the `dedup_incremental` oracle, which
+    * `dedup_jaccard_inc` reuses verbatim — two different candidate
+    * engines, one exact answer). */
+  def newVsCorpusJaccard(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val postings = spark.read.parquet(s"$indexPath/postings")
+    val freq = spark.read.parquet(s"$indexPath/freq")
+    val newSh = shingleHashes(newDocs, idCol, textCol, n).persist()
+    try {
+      val batchShingles = newSh.select("shingle").distinct()
+      val frozenFreq = freq.join(batchShingles, Seq("shingle"), "left_semi")
+      val w = Window.partitionBy(col("id")).orderBy(col("freq"), col("shingle"))
+      val wAll = Window.partitionBy(col("id"))
+      val bPrefix = newSh.join(frozenFreq, Seq("shingle"), "left")
+        .withColumn("freq", coalesce(col("freq"), lit(0L)))
+        .withColumn("pos", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(wAll))
+        .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+        .select(col("id"), col("shingle"), col("sz"), col("pos"))
+      val cPrefix = postings
+        .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      val bestOverlap = lit(1) +
+        least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
+      val needed = lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz"))
+      val cands = cPrefix.as("a").join(bPrefix.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            least(col("a.sz"), col("b.sz")) >=
+              lit(threshold) * greatest(col("a.sz"), col("b.sz")) &&
+            bestOverlap >= needed)
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+      val candIds = cands.select(col("id1").as("id")).distinct()
+      val cSets = postings.join(broadcast(candIds), Seq("id"), "left_semi")
+        .groupBy("id")
+        .agg(sort_array(collect_list(col("shingle"))).as("setA"),
+          count(lit(1)).as("sz1"))
+      val bSets = newSh.groupBy("id")
+        .agg(sort_array(collect_list(col("shingle"))).as("setB"),
+          count(lit(1)).as("sz2"))
+      cands
+        .join(cSets.withColumnRenamed("id", "id1"), Seq("id1"))
+        .join(bSets.withColumnRenamed("id", "id2"), Seq("id2"))
+        .withColumn("inter", size(array_intersect(col("setA"), col("setB"))))
+        .select(col("id1"), col("id2"),
+          (col("inter").cast("double") /
+            (col("sz1") + col("sz2") - col("inter")).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally { newSh.unpersist(false); () }
+  }
+
   /** The ACTIONABLE form of [[prefixContainmentJoin]]: drop every
     * document contained (≥ `threshold`) in a LARGER document — the
     * quote/near-subset collapse a pipeline runs after the pairwise

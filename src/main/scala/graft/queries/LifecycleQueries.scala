@@ -371,13 +371,36 @@ object LifecycleQueries {
        |GROUP BY 1
        |ORDER BY bin""".stripMargin
 
+  /** EXACT incremental Jaccard ([[graft.ops.Dedup.writeJaccardIndex]] +
+    * [[graft.ops.Dedup.newVsCorpusJaccard]]): the corpus (doc_id % 5 ≠
+    * 0) persists its prefix index once; the "day's batch" (doc_id % 5
+    * = 0) probes it with LOSSLESS prefix-filtered candidates under the
+    * store's frozen rarity order — the exact twin of
+    * `dedup_incremental`'s banded probe, so the oracle is that query's
+    * SQL verbatim: two different candidate engines, one exact
+    * cross-split answer. */
+  val dedupJaccardInc: Q = (s, dir) => {
+    val idxDir = graft.Staging.dirFor("jaccard-index")
+    graft.ops.Dedup.writeJaccardIndex(
+      Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", idxDir)
+    graft.ops.Dedup.newVsCorpusJaccard(s, idxDir,
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+  }
+
+  val dedupJaccardIncSql: String = QueryCatalog.dedupIncrementalSql
+
   val all: Map[String, Q] = Map(
     "ann_graph_search_indexed" -> annGraphSearchIndexed,
     "text_calibration_platt_fitted" -> textCalibrationPlattFitted,
     "dedup_containment_inc" -> dedupContainmentInc,
     "corpus_pipeline_v5" -> corpusPipelineV5,
     "text_paragraph_dedup_inc" -> textParagraphDedupInc,
-    "text_calibration_isotonic" -> textCalibrationIsotonic)
+    "text_calibration_isotonic" -> textCalibrationIsotonic,
+    "dedup_jaccard_inc" -> dedupJaccardInc)
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search_indexed" -> annGraphSearchIndexedSql,
@@ -385,5 +408,6 @@ object LifecycleQueries {
     "dedup_containment_inc" -> dedupContainmentIncSql,
     "corpus_pipeline_v5" -> corpusPipelineV5Sql,
     "text_paragraph_dedup_inc" -> textParagraphDedupIncSql,
-    "text_calibration_isotonic" -> textCalibrationIsotonicSql)
+    "text_calibration_isotonic" -> textCalibrationIsotonicSql,
+    "dedup_jaccard_inc" -> dedupJaccardIncSql)
 }

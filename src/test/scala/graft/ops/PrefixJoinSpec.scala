@@ -121,6 +121,62 @@ class PrefixJoinSpec extends SparkSpec {
     assert(pairs(Long.MaxValue) == pairs(0L))
   }
 
+  test("exact incremental probe ≡ full join restricted cross-split ≡ the banded probe (real corpus)") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val idx = graft.Staging.dirFor("jaccard-inc-spec")
+    Dedup.writeJaccardIndex(corpus, "doc_id", "text", idx)
+    Seq(0.5, 0.8).foreach { t =>
+      val inc = Dedup.newVsCorpusJaccard(spark, idx, batch,
+          "doc_id", "text", t)
+        .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      // full replay over the union, restricted to cross-split and
+      // oriented (corpus, batch) — prefixJaccardJoin emits id1 < id2
+      val full = Dedup.prefixJaccardJoin(docs, "doc_id", "text", t)
+        .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+        .collect()
+        .flatMap { case (a, b, j) =>
+          if (a % 5 != 0 && b % 5 == 0) Some((a, b, j))
+          else if (a % 5 == 0 && b % 5 != 0) Some((b, a, j))
+          else None
+        }.toSet
+      assert(inc == full, s"threshold $t: $inc vs $full")
+      assert(full.nonEmpty, s"threshold $t must have cross-split matches")
+    }
+    // and the banded engine agrees at its gated config — two candidate
+    // generators, one exact verified answer
+    val banded = Dedup.newVsCorpusPairs(corpus,
+        Dedup.bandIndex(corpus, "doc_id", "text", 64, 32),
+        batch, "doc_id", "text", 64, 32, threshold = 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val exact = Dedup.newVsCorpusJaccard(spark, idx, batch,
+        "doc_id", "text", 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(exact == banded,
+      "the lossless prefix engine and the banded engine must verify the same pairs here")
+  }
+
+  test("exact incremental probe: unseen-shingle batch docs are safe, planted cross dup found") {
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, corpus.head._2),                       // exact copy of doc 0
+      (201L, "entirely novel content about deep sea bioluminescence " +
+        "patterns and their chemical origin story")) // no shared shingle
+      .toDF("doc_id", "text")
+    val idx = graft.Staging.dirFor("jaccard-inc-spec2")
+    Dedup.writeJaccardIndex(corpusDf, "doc_id", "text", idx)
+    val out = Dedup.newVsCorpusJaccard(spark, idx, batch,
+        "doc_id", "text", 1.0)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(out.contains((0L, 200L, 1.0)), s"exact re-delivery must score 1.0: $out")
+    assert(!out.exists(_._2 == 201L), "unseen content must pass untouched")
+  }
+
   test("containment join carries sz1/sz2 so the collapse reuses the single shingle pass") {
     val df = corpus.toDF("doc_id", "text")
     val out = Dedup.prefixContainmentJoin(df, "doc_id", "text", 1.0)
