@@ -204,13 +204,30 @@ object Retraction {
     * — the rewrite stays |ids|·(degree)-bounded, every other bucket
     * keeps its files. After the sweep the victim is unreachable AND
     * unroutable-through (no edge mentions it), which is the graph
-    * analogue of the postings scrub. */
+    * analogue of the postings scrub.
+    *
+    * The CONTAINMENT gate's epoch-partitioned shingle index
+    * ([[graft.streaming.ContainmentGate]], `containmentDir`) is the
+    * seventh: its rows are (id, shingle, sz) under `batch=` epochs, so
+    * the generic sweep applies directly — after it, no probe can
+    * surface the victim as a containing document, and the forgotten
+    * content becomes re-ingestable (the gate no longer rejects a
+    * future arrival against it). One-shot [[Dedup.writeJaccardIndex]]
+    * / [[Dedup.writeContainmentIndex]] artifacts are unpartitioned
+    * batch builds — retraction there is a rebuild over the retracted
+    * corpus, by design. [[graft.streaming.ParagraphGate]]'s accepted
+    * sink retracts generically by doc id; its KEY store holds bare
+    * 60-bit content fingerprints with no document attribution —
+    * non-reversible, retained so dedup semantics survive the
+    * deletion (the text itself leaves the accepted sink).
+    */
   def retractAll(spark: SparkSession, ids: Seq[Long], idCol: String,
       acceptedDir: String, indexDir: String,
       annDir: Option[String] = None,
       postingsDir: Option[String] = None,
       lshDir: Option[String] = None,
-      graphDir: Option[String] = None): Unit = {
+      graphDir: Option[String] = None,
+      containmentDir: Option[String] = None): Unit = {
     retract(spark, acceptedDir, idCol, ids)
     retract(spark, indexDir, "id", ids)
     annDir.foreach(d => retract(spark, d, "id", ids, nestedPartCols = Seq("cell")))
@@ -221,5 +238,7 @@ object Retraction {
       retract(spark, d, "v", ids, nestedPartCols = Seq("nb"))
       ()
     }
+    containmentDir.foreach(d => retract(spark, d, "id", ids))
+    ()
   }
 }

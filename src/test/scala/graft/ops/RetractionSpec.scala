@@ -112,6 +112,45 @@ class RetractionSpec extends SparkSpec {
     assert(fileSet(gdir) == allFiles, "re-retracting must be a no-op")
   }
 
+  test("retractAll sweeps the containment-gate store (seventh): content becomes re-ingestable; untouched epoch byte-identical") {
+    val acc = graft.Staging.dirFor("retract-cont-acc")
+    val idx = graft.Staging.dirFor("retract-cont-idx")
+    val cacc = graft.Staging.dirFor("retract-cont-gacc")
+    val cidx = graft.Staging.dirFor("retract-cont-gidx")
+    // gate two epochs through the containment gate; victim in epoch 1
+    val page = "the quick brown fox jumps over the lazy dog tonight " +
+      "and then a long discussion of canine behavior patterns"
+    val other = "volcanic soil produces exceptionally robust coffee " +
+      "beans across the equatorial highlands of three continents"
+    val b0 = Seq((1L, other)).toDF("doc_id", "text")
+    val b1 = Seq((7L, page)).toDF("doc_id", "text")
+    assert(graft.streaming.ContainmentGate.gateBatch(b0, 0L, cidx, cacc,
+      "doc_id", "text") == 1L)
+    assert(graft.streaming.ContainmentGate.gateBatch(b1, 1L, cidx, cacc,
+      "doc_id", "text") == 1L)
+    // the banded-gate pair so retractAll has its mandatory sinks
+    assert(graft.streaming.IngestGate.gateBatch(b1, 0L, idx, acc,
+      "doc_id", "text") == 1L)
+    // before the sweep the gate REJECTS a quote of the victim's content
+    val quote = Seq((20L, "the quick brown fox jumps over the lazy " +
+      "dog tonight")).toDF("doc_id", "text")
+    assert(graft.streaming.ContainmentGate.gateBatch(quote, 2L, cidx, cacc,
+      "doc_id", "text") == 0L)
+    val epoch0Files = fileSet(s"$cidx/batch=0")
+
+    Retraction.retractAll(spark, Seq(7L), "doc_id", acc, idx,
+      containmentDir = Some(cidx))
+
+    assert(spark.read.parquet(cidx).filter($"id" === 7L).count() == 0,
+      "the victim's shingle rows must leave the gate store")
+    assert(fileSet(s"$cidx/batch=0") == epoch0Files,
+      "the epoch without victim rows must keep its exact files")
+    // the forgotten content is re-ingestable: the same quote now PASSES
+    assert(graft.streaming.ContainmentGate.gateBatch(quote, 3L, cidx, cacc,
+      "doc_id", "text") == 1L,
+      "after retraction the gate must no longer reject against the forgotten doc")
+  }
+
   test("retractAll over a RESIDUAL-encoded ANN layout: probes victim-free, untouched epoch byte-identical, idempotent") {
     val acc = graft.Staging.dirFor("retract-res-acc")
     val idx = graft.Staging.dirFor("retract-res-idx")
