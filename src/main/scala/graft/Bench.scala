@@ -313,7 +313,9 @@ object Bench {
     // (sf-independent fixture)
     "text_calibration_isotonic" -> 3.0,
     // lossless prefix probe: index write + batch-sized candidate join
-    "dedup_jaccard_inc" -> 6.0)
+    "dedup_jaccard_inc" -> 6.0,
+    // same build + walk as ann_graph_search plus one answer semi-join
+    "ann_graph_search_filtered" -> 12.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -256,17 +256,21 @@ object NnDescent {
     * to candidate (qid, id) rows — the inline form joins the
     * checkpointed undirected relation, the indexed form prunes the
     * on-disk layout to the frontier's node buckets. */
-  private def beamWalk(nodes: DataFrame, queries: DataFrame, k: Int,
+  private def topPerQ(scored: DataFrame, m: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= m)
+
+  /** The walk's VISITED relation (qid, id, score) — every node any
+    * hop scored. Exposed separately so the plain and the
+    * metadata-FILTERED answer selections share one walk. */
+  private def beamWalkVisited(nodes: DataFrame, queries: DataFrame,
       entryIds: DataFrame, beam: Int, hops: Int,
       expand: DataFrame => DataFrame): DataFrame = {
     def score(cand: DataFrame): DataFrame =
       cand.join(nodes.select(col("id"), col("vec")), Seq("id"))
         .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
         .select(col("qid"), col("id"), cosRounded(col("qvec"), col("vec")).as("score"))
-    def topPerQ(scored: DataFrame, m: Int): DataFrame =
-      scored.withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
-        .filter(col("rank") <= m)
     var visited = score(queries.select("qid").crossJoin(entryIds.select("id")))
       .localCheckpoint()
     var frontier = topPerQ(visited, beam).select("qid", "id")
@@ -277,8 +281,14 @@ object NnDescent {
       visited = visited.union(sc).localCheckpoint()
       frontier = topPerQ(sc, beam).select("qid", "id")
     }
-    topPerQ(visited, k).select("qid", "id", "score", "rank")
+    visited
   }
+
+  private def beamWalk(nodes: DataFrame, queries: DataFrame, k: Int,
+      entryIds: DataFrame, beam: Int, hops: Int,
+      expand: DataFrame => DataFrame): DataFrame =
+    topPerQ(beamWalkVisited(nodes, queries, entryIds, beam, hops, expand), k)
+      .select("qid", "id", "score", "rank")
 
   /** [[searchGraph]] from an EXPLICIT entry relation (one `id` column)
     * — the hook for quantizer-seeded or otherwise curated entries.
@@ -297,6 +307,44 @@ object NnDescent {
       broadcast(frontier.select(col("qid"), col("id").as("c")))
         .join(und, Seq("c"))
         .select(col("qid"), col("v").as("id")).distinct())
+  }
+
+  /** METADATA-FILTERED graph serving — the graph family's
+    * [[IvfIndex.topKIndexedFiltered]]: only nodes satisfying
+    * `predicate` (a relational condition over the `nodes` columns) may
+    * RANK, but the walk ROUTES through the FULL adjacency. Routing
+    * must not be filtered: a k-NN graph restricted to a selective
+    * predicate fragments (matching islands reachable only through
+    * non-matching nodes vanish — the Filtered-DiskANN lesson), so the
+    * beam expands over everything and the predicate applies to the
+    * ANSWER selection only. Guaranteeing k qualified answers under a
+    * σ-selective predicate means visiting ~k/σ nodes — size beam/hops
+    * up accordingly (exhaustive expansion degenerates to brute force
+    * over the filtered corpus, the family's oracle gate;
+    * GraphSearchSpec pins both). */
+  def searchGraphFiltered(graph: DataFrame, nodes: DataFrame,
+      queries: DataFrame, k: Int, entries: Int, beam: Int, hops: Int,
+      predicate: Column, seed: String = "nnd"): DataFrame = {
+    require(entries >= 1)
+    val (ranked, _) = rankByHash(nodes, seed)
+    searchGraphFilteredFrom(graph, nodes, queries, k,
+      ranked.filter(col("r") <= entries).select("id"), beam, hops, predicate)
+  }
+
+  /** [[searchGraphFiltered]] from an explicit entry relation. */
+  def searchGraphFilteredFrom(graph: DataFrame, nodes: DataFrame,
+      queries: DataFrame, k: Int, entryIds: DataFrame, beam: Int,
+      hops: Int, predicate: Column): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0)
+    val und = if (hops > 0) undirected(graph).localCheckpoint()
+      else undirected(graph)
+    val visited = beamWalkVisited(nodes, queries, entryIds, beam, hops,
+      frontier => broadcast(frontier.select(col("qid"), col("id").as("c")))
+        .join(und, Seq("c"))
+        .select(col("qid"), col("v").as("id")).distinct())
+    val admissible = nodes.filter(predicate).select(col("id"))
+    topPerQ(visited.join(admissible, Seq("id"), "left_semi"), k)
+      .select("qid", "id", "score", "rank")
   }
 
   /** Node-id buckets for the on-disk graph layout. 64 keeps a gate-

@@ -371,6 +371,38 @@ object LifecycleQueries {
        |GROUP BY 1
        |ORDER BY bin""".stripMargin
 
+  /** METADATA-FILTERED graph serving
+    * ([[graft.ops.NnDescent.searchGraphFiltered]]): the standing walk
+    * with only `vec_id % 3 = 0` nodes admissible to the ANSWER — the
+    * walk still routes through the full adjacency (filtering the graph
+    * would fragment it, the Filtered-DiskANN lesson). The oracle is
+    * the same hop-by-hop replay with the predicate applied to the
+    * final ranking only. */
+  val annGraphSearchFiltered: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = graft.ops.NnDescent.knnGraph(corpus, k = 5, iters = 2,
+      sample = 10, seed = "nnd")
+    graft.ops.NnDescent.searchGraphFiltered(g, corpus, queries,
+        k = ServeQueries.SearchK, entries = ServeQueries.SearchEntries,
+        beam = ServeQueries.SearchBeam, hops = ServeQueries.SearchHops,
+        predicate = col("id") % 3 === 0, seed = "nnd")
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annGraphSearchFilteredSql: String =
+    s"""WITH ${CorpusMlQueries.knnGraphCtesBody(" WHERE vec_id >= 5")},
+       |${ServeQueries.graphSearchCtes}
+       |SELECT qid, id, score, rank FROM (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM v${ServeQueries.SearchHops} WHERE id % 3 = 0)
+       |WHERE rank <= ${ServeQueries.SearchK}
+       |ORDER BY qid, rank""".stripMargin
+
   /** EXACT incremental Jaccard ([[graft.ops.Dedup.writeJaccardIndex]] +
     * [[graft.ops.Dedup.newVsCorpusJaccard]]): the corpus (doc_id % 5 ≠
     * 0) persists its prefix index once; the "day's batch" (doc_id % 5
@@ -400,7 +432,8 @@ object LifecycleQueries {
     "corpus_pipeline_v5" -> corpusPipelineV5,
     "text_paragraph_dedup_inc" -> textParagraphDedupInc,
     "text_calibration_isotonic" -> textCalibrationIsotonic,
-    "dedup_jaccard_inc" -> dedupJaccardInc)
+    "dedup_jaccard_inc" -> dedupJaccardInc,
+    "ann_graph_search_filtered" -> annGraphSearchFiltered)
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search_indexed" -> annGraphSearchIndexedSql,
@@ -409,5 +442,6 @@ object LifecycleQueries {
     "corpus_pipeline_v5" -> corpusPipelineV5Sql,
     "text_paragraph_dedup_inc" -> textParagraphDedupIncSql,
     "text_calibration_isotonic" -> textCalibrationIsotonicSql,
-    "dedup_jaccard_inc" -> dedupJaccardIncSql)
+    "dedup_jaccard_inc" -> dedupJaccardIncSql,
+    "ann_graph_search_filtered" -> annGraphSearchFilteredSql)
 }

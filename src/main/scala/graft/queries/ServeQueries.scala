@@ -50,7 +50,7 @@ object ServeQueries {
     * md5-rank entry points, then per hop — frontier-neighbor expansion
     * (DISTINCT), visited anti-join, scoring, beam cut — exactly the
     * Spark walk. */
-  private def graphSearchCtes: String = {
+  private[queries] def graphSearchCtes: String = {
     val cosQ =
       "round(list_dot_product(qv.qvec, nv.vec) / " +
         "(sqrt(list_dot_product(qv.qvec, qv.qvec)) * " +

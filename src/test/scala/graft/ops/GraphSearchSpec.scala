@@ -176,6 +176,29 @@ class GraphSearchSpec extends SparkSpec {
       s"source-id predicate must reach the scan:\n$plan")
   }
 
+  test("filtered serving: exhaustive expansion ≡ brute force over the FILTERED corpus; routing stays unfiltered") {
+    val n = corpus.count().toInt
+    val pred = $"id" % 3 === 0
+    val got = NnDescent.searchGraphFiltered(graph, corpus, queries, k = 10,
+        entries = n, beam = 5, hops = 0, predicate = pred)
+      .orderBy("qid", "rank").collect().toSeq
+    val bruteFiltered = flatTopK(queries, corpus.filter(pred), 10)
+    assert(got == bruteFiltered,
+      "all-entry filtered expansion must reproduce the filtered flat scan")
+    // the pruned walk: every answer satisfies the predicate, and
+    // because routing is unfiltered, recall against the filtered truth
+    // tracks the unfiltered walk's quality (clustered fixture)
+    val clPred = $"id" % 3 === 0
+    val clGot = NnDescent.searchGraphFiltered(clGraph, cl, clQs, k = 10,
+      entries = 16, beam = 8, hops = 4, predicate = clPred).collect().toSeq
+    assert(clGot.forall(_.getLong(1) % 3 == 0),
+      "only predicate-passing nodes may rank")
+    val clRecall = recallOf(clGot, flatTopK(clQs, cl.filter(clPred), 10))
+    info(f"filtered (1/3-selective) pruned-walk recall@10: $clRecall%.3f")
+    assert(clRecall >= 0.8,
+      s"routing through non-matching nodes must keep filtered recall high: $clRecall")
+  }
+
   test("epoch append: the store grows to a SUPERSET of the refreshed graph; replay is idempotent") {
     val path = graft.Staging.dirFor("graph-index-epochs")
     val half = cl.filter($"id" < 200)
