@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HYBRID retrieval fusion — Reciprocal-Rank Fusion (Cormack, Clarke &
+  * Buettcher, SIGIR 2009): combine a lexical (BM25) ranking and a
+  * vector (cosine ANN) ranking into one list by
+  * `rrf(d) = Σ_r 1/(k0 + rank_r(d))`, summed over the rankers that
+  * retrieved d at all. RRF is the standard production fusion because
+  * it needs NO score normalization (ranks only — BM25 logits and
+  * cosines never share a scale) and a document strong in both lists
+  * reliably outranks one strong in either.
+  *
+  * Scale shape: fusion consumes the rankers' TOP-m lists — both are
+  * model-sized by construction (m ≈ 10–1000), so the full-outer join
+  * and the final ranking run on ≤ 2m rows regardless of corpus size;
+  * the heavy lifting stays inside the rankers, each with its own
+  * bucket-pruned index path ([[TextIndex.bm25TopKIndexed]], the ANN
+  * family). Cross-engine determinism: each reciprocal term is one IEEE
+  * division on exact integers, summed in the fixed (lexical, vector)
+  * order and rounded 6 dp before the final ranking; ties break on id.
+  */
+object Hybrid {
+
+  /** Fuse two (id, rk) rankings. A doc absent from one list
+    * contributes nothing for that ranker (the paper's convention).
+    * Output: (id, rrf, rk), rk ∈ [1, k]. */
+  def rrfTopK(lex: DataFrame, vec: DataFrame, k: Int,
+      k0: Int = 60): DataFrame = {
+    require(k >= 1 && k0 >= 0)
+    lex.select(col("id"), col("rk").as("lrk"))
+      .join(vec.select(col("id"), col("rk").as("vrk")), Seq("id"), "full_outer")
+      .select(col("id"), round(
+        coalesce(lit(1.0) / (lit(k0) + col("lrk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("vrk")), lit(0.0)), 6).as("rrf"))
+      // ≤ 2m fused rows by construction — the global window is bounded
+      // by the rankers' list sizes, never the corpus
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("id"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** Single-query hybrid top-k over a corpus carrying BOTH a text and
+    * an embedding column: BM25 over `queryTerms` fused with cosine
+    * against `qvec` (a 1-row (qvec) relation), each ranker cut at `m`
+    * before fusion. The vector ranking is the family's two-phase
+    * salted top-k (4-dp rounded scores, ties by id) — no global window
+    * ever sees the corpus. */
+  def hybridTopK(corpus: DataFrame, idCol: String, textCol: String,
+      vecCol: String, queryTerms: Seq[String], qvec: DataFrame,
+      k: Int, m: Int, k0: Int = 60): DataFrame = {
+    require(m >= k, s"fusion depth m=$m must cover the answer k=$k")
+    val lex = TextIndex.bm25TopK(corpus, idCol, textCol, queryTerms, m)
+      .select(col("id"), col("rk"))
+    val scored = corpus.crossJoin(broadcast(qvec))
+      .select(lit(0).as("qid"), col(idCol).as("id"),
+        round(Similarity.cosine(col(vecCol), col("qvec")), 4).as("score"))
+    val vec = Skew.saltedTopK(scored, Seq("qid"),
+        Seq(col("score").desc, col("id").asc), m, saltBy = col("id"))
+      .select(col("id"), col("rank").as("rk"))
+    rrfTopK(lex, vec, k, k0)
+  }
+}

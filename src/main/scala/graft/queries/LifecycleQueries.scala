@@ -403,6 +403,73 @@ object LifecycleQueries {
        |WHERE rank <= ${ServeQueries.SearchK}
        |ORDER BY qid, rank""".stripMargin
 
+  /** HYBRID retrieval ([[graft.ops.Hybrid.hybridTopK]], RRF — Cormack
+    * SIGIR'09): BM25 over the standing 3-term query fused with cosine
+    * against standing query vector 3, over the corpus slice carrying
+    * BOTH text and an embedding (doc_id = vec_id, ids ≥ 5 — the
+    * standing-query exclusion). Each ranker cut at m = 20, fused to
+    * the top 10 by Σ 1/(60 + rank). The oracle replays both rankers —
+    * the full BM25 formula over the restricted corpus and the 4-dp
+    * cosine ranking — and the fusion sum in the same term order. */
+  val qHybridRrf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = Tables.documents(s, dir)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .filter(col("doc_id") >= 5)
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").as("qvec"))
+    graft.ops.Hybrid.hybridTopK(corpus, "doc_id", "text", "embedding",
+        Seq("spark", "window", "merge"), qv, k = 10, m = 20)
+      .orderBy(col("rk"))
+  }
+
+  val qHybridRrfSql: String =
+    """WITH corpus AS (
+      |  SELECT d.doc_id AS doc_id, d.text AS text,
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |  WHERE d.doc_id >= 5),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+      |  FROM corpus WHERE text IS NOT NULL),
+      |dl_t AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_t),
+      |post AS (
+      |  SELECT token, doc_id, count(*) AS tf FROM toks
+      |  WHERE token IN ('spark', 'window', 'merge') GROUP BY token, doc_id),
+      |df_t AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+      |lexscored AS (
+      |  SELECT doc_id AS id,
+      |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      |  FROM post JOIN df_t USING (token) JOIN dl_t USING (doc_id) CROSS JOIN stats
+      |  GROUP BY doc_id),
+      |lexranked AS (
+      |  SELECT id, rk FROM (
+      |    SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rk
+      |    FROM lexscored) WHERE rk <= 20),
+      |qv AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      |  FROM embeddings WHERE vec_id = 3),
+      |vecranked AS (
+      |  SELECT id, rk FROM (
+      |    SELECT doc_id AS id,
+      |      row_number() OVER (ORDER BY
+      |        round(list_dot_product(qvec, vec) /
+      |          (sqrt(list_dot_product(qvec, qvec)) *
+      |           sqrt(list_dot_product(vec, vec))), 4) DESC, doc_id) AS rk
+      |    FROM corpus CROSS JOIN qv) WHERE rk <= 20),
+      |fused AS (
+      |  SELECT coalesce(l.id, v.id) AS id,
+      |    round(coalesce(1.0 / (60 + l.rk), 0.0) +
+      |          coalesce(1.0 / (60 + v.rk), 0.0), 6) AS rrf
+      |  FROM lexranked l FULL OUTER JOIN vecranked v ON l.id = v.id)
+      |SELECT id, rrf, rk FROM (
+      |  SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rk
+      |  FROM fused) WHERE rk <= 10
+      |ORDER BY rk""".stripMargin
+
   /** EXACT incremental Jaccard ([[graft.ops.Dedup.writeJaccardIndex]] +
     * [[graft.ops.Dedup.newVsCorpusJaccard]]): the corpus (doc_id % 5 ≠
     * 0) persists its prefix index once; the "day's batch" (doc_id % 5
@@ -433,7 +500,8 @@ object LifecycleQueries {
     "text_paragraph_dedup_inc" -> textParagraphDedupInc,
     "text_calibration_isotonic" -> textCalibrationIsotonic,
     "dedup_jaccard_inc" -> dedupJaccardInc,
-    "ann_graph_search_filtered" -> annGraphSearchFiltered)
+    "ann_graph_search_filtered" -> annGraphSearchFiltered,
+    "q_hybrid_rrf" -> qHybridRrf)
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search_indexed" -> annGraphSearchIndexedSql,
@@ -443,5 +511,6 @@ object LifecycleQueries {
     "text_paragraph_dedup_inc" -> textParagraphDedupIncSql,
     "text_calibration_isotonic" -> textCalibrationIsotonicSql,
     "dedup_jaccard_inc" -> dedupJaccardIncSql,
-    "ann_graph_search_filtered" -> annGraphSearchFilteredSql)
+    "ann_graph_search_filtered" -> annGraphSearchFilteredSql,
+    "q_hybrid_rrf" -> qHybridRrfSql)
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval fusion ([[Hybrid]], RRF): the fusion formula on a
+  * hand case, full-outer semantics for single-list docs, consensus
+  * dominance, and the end-to-end hybrid over the real corpus. */
+class HybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RRF hand case: formula exact, consensus beats single-list, absent lists contribute zero") {
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rk")
+    val vec = Seq((11L, 1L), (13L, 2L)).toDF("id", "rk")
+    val out = Hybrid.rrfTopK(lex, vec, k = 10)
+      .select("id", "rrf", "rk").as[(Long, Double, Long)]
+      .collect().sortBy(_._3)
+    def r(x: Double) = math.rint(x * 1e6) / 1e6
+    // 11 is in BOTH lists (rank 2 + rank 1) and must fuse highest
+    assert(out.head._1 == 11L)
+    assert(out.head._2 == r(1.0 / 62 + 1.0 / 61))
+    val m = out.map(o => o._1 -> o._2).toMap
+    assert(m(10L) == r(1.0 / 61), "lex-only doc scores its one term")
+    assert(m(13L) == r(1.0 / 62), "vec-only doc scores its one term")
+    assert(m(12L) == r(1.0 / 63))
+    // ordering: consensus, then the better single-list ranks
+    assert(out.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+  }
+
+  test("hybrid over the real corpus: k well-formed rows, both modalities represented at fusion depth") {
+    val emb = Tables.embeddings(spark, sf001)
+    val corpus = Tables.documents(spark, sf001)
+      .join(emb.select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+      .filter($"doc_id" >= 5)
+    val qv = emb.filter($"vec_id" === 3).select($"embedding".as("qvec"))
+    val out = Hybrid.hybridTopK(corpus, "doc_id", "text", "embedding",
+      Seq("spark", "window", "merge"), qv, k = 10, m = 20)
+    val rows = out.select("id", "rrf", "rk").as[(Long, Double, Long)]
+      .collect().sortBy(_._3)
+    assert(rows.length == 10)
+    assert(rows.map(_._3).toSeq == (1L to 10L))
+    assert(rows.map(_._1).distinct.length == 10)
+    // monotone fused scores
+    assert(rows.sliding(2).forall(p => p.head._2 >= p.last._2))
+    // the fused list draws on both rankers: at least one top doc comes
+    // from each modality's top-20
+    val lexTop = TextIndex.bm25TopK(corpus, "doc_id", "text",
+        Seq("spark", "window", "merge"), 20)
+      .select("id").as[Long].collect().toSet
+    assert(rows.exists(r => lexTop.contains(r._1)),
+      "fusion must surface lexical hits")
+    assert(rows.exists(r => !lexTop.contains(r._1)),
+      "fusion must surface vector-only hits on this corpus")
+  }
+
+  test("fusion depth m must cover k") {
+    val df = Seq((1L, 1L)).toDF("id", "rk")
+    intercept[IllegalArgumentException] {
+      Hybrid.hybridTopK(df.withColumn("text", lit("x"))
+          .withColumn("vec", array(lit(1.0f))),
+        "id", "text", "vec", Seq("x"),
+        Seq(Tuple1(Seq(1.0f))).toDF("qvec"), k = 10, m = 5)
+    }
+  }
+}
