@@ -317,7 +317,9 @@ object Bench {
     // same build + walk as ann_graph_search plus one answer semi-join
     "ann_graph_search_filtered" -> 12.0,
     // BM25 term-pruned pass + one salted cosine top-m + bounded fusion
-    "q_hybrid_rrf" -> 5.0)
+    "q_hybrid_rrf" -> 5.0,
+    // builds BOTH on-disk indexes in-query, then the pruned probes
+    "q_hybrid_rrf_indexed" -> 8.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

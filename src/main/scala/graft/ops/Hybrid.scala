@@ -62,4 +62,40 @@ object Hybrid {
       .select(col("id"), col("rank").as("rk"))
     rrfTopK(lex, vec, k, k0)
   }
+
+  /** The SERVING composition: [[hybridTopK]] from the two ON-DISK
+    * indexes — BM25 through the token-bucket-pruned postings
+    * ([[TextIndex.bm25TopKIndexed]], scan opens ≤ |terms| of the
+    * bucket directories) and the vector side through an
+    * [[IvfIndex.writeIndexed]] cell layout pruned to `nProbe` probed
+    * cells (literal partition filters). `nProbe` ≥ the cell count
+    * makes the vector side exhaustive — ≡ [[hybridTopK]] row for row
+    * (the family's oracle stance; `q_hybrid_rrf_indexed` hash-gates
+    * it); smaller `nProbe` is the recall-traded production
+    * configuration, whose fused recall HybridSpec floors. The vector
+    * ranking keeps the 4-dp salted-top-k convention, so indexed ≡
+    * inline is exact, not approximate. */
+  def hybridTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      bm25Path: String, annPath: String,
+      centroids: Array[Array[Double]], queryTerms: Seq[String],
+      qvec: DataFrame, k: Int, m: Int, nProbe: Int,
+      k0: Int = 60, nBuckets: Int = 64): DataFrame = {
+    require(m >= k, s"fusion depth m=$m must cover the answer k=$k")
+    val lex = TextIndex.bm25TopKIndexed(spark, bm25Path, queryTerms, m,
+        nBuckets)
+      .select(col("id"), col("rk"))
+    val probed = qvec
+      .select(explode(IvfIndex.probeCells(col("qvec"), centroids,
+        math.min(nProbe, centroids.length))).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val cb = spark.read.parquet(annPath)
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+    val scored = cb.crossJoin(broadcast(qvec))
+      .select(lit(0).as("qid"), col("id"),
+        round(Similarity.cosine(col("vec"), col("qvec")), 4).as("score"))
+    val vec = Skew.saltedTopK(scored, Seq("qid"),
+        Seq(col("score").desc, col("id").asc), m, saltBy = col("id"))
+      .select(col("id"), col("rank").as("rk"))
+    rrfTopK(lex, vec, k, k0)
+  }
 }

@@ -470,6 +470,33 @@ object LifecycleQueries {
       |  FROM fused) WHERE rk <= 10
       |ORDER BY rk""".stripMargin
 
+  /** [[qHybridRrf]] served from the two ON-DISK indexes
+    * ([[graft.ops.Hybrid.hybridTopKIndexed]]): BM25 through the
+    * token-bucket postings, the vector side through an IVF cell layout
+    * with an exhaustive probe (nProbe ≥ cells ⇒ ≡ the inline fusion
+    * row for row — indexed ≡ inline is the family contract, so the
+    * oracle is [[qHybridRrfSql]] byte-for-byte; HybridSpec floors the
+    * recall of the pruned production probe). */
+  val qHybridRrfIndexed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = Tables.documents(s, dir)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .filter(col("doc_id") >= 5)
+    val bm25Path = graft.Staging.dirFor("hybrid-bm25")
+    graft.ops.TextIndex.writePostings(corpus, "doc_id", "text", bm25Path)
+    val vecCorpus = corpus.select(col("doc_id").as("id"),
+      col("embedding").as("vec"))
+    val cents = graft.ops.IvfIndex.train(vecCorpus, "id", "vec", k = 8)
+    val annPath = graft.Staging.dirFor("hybrid-ann")
+    graft.ops.IvfIndex.writeIndexed(vecCorpus, cents, annPath)
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").as("qvec"))
+    graft.ops.Hybrid.hybridTopKIndexed(s, bm25Path, annPath, cents,
+        Seq("spark", "window", "merge"), qv, k = 10, m = 20, nProbe = 8)
+      .orderBy(col("rk"))
+  }
+
   /** EXACT incremental Jaccard ([[graft.ops.Dedup.writeJaccardIndex]] +
     * [[graft.ops.Dedup.newVsCorpusJaccard]]): the corpus (doc_id % 5 ≠
     * 0) persists its prefix index once; the "day's batch" (doc_id % 5
@@ -501,7 +528,8 @@ object LifecycleQueries {
     "text_calibration_isotonic" -> textCalibrationIsotonic,
     "dedup_jaccard_inc" -> dedupJaccardInc,
     "ann_graph_search_filtered" -> annGraphSearchFiltered,
-    "q_hybrid_rrf" -> qHybridRrf)
+    "q_hybrid_rrf" -> qHybridRrf,
+    "q_hybrid_rrf_indexed" -> qHybridRrfIndexed)
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search_indexed" -> annGraphSearchIndexedSql,
@@ -512,5 +540,6 @@ object LifecycleQueries {
     "text_calibration_isotonic" -> textCalibrationIsotonicSql,
     "dedup_jaccard_inc" -> dedupJaccardIncSql,
     "ann_graph_search_filtered" -> annGraphSearchFilteredSql,
-    "q_hybrid_rrf" -> qHybridRrfSql)
+    "q_hybrid_rrf" -> qHybridRrfSql,
+    "q_hybrid_rrf_indexed" -> qHybridRrfSql)
 }

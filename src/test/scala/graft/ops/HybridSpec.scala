@@ -53,6 +53,38 @@ class HybridSpec extends SparkSpec {
       "fusion must surface vector-only hits on this corpus")
   }
 
+  test("indexed serving: exhaustive-probe fusion ≡ inline fusion row for row; pruned probe clears a fused recall floor") {
+    val emb = Tables.embeddings(spark, sf001)
+    val corpus = Tables.documents(spark, sf001)
+      .join(emb.select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+      .filter($"doc_id" >= 5)
+    val qv = emb.filter($"vec_id" === 3).select($"embedding".as("qvec"))
+    val terms = Seq("spark", "window", "merge")
+    val bm25Path = graft.Staging.dirFor("hybrid-spec-bm25")
+    TextIndex.writePostings(corpus, "doc_id", "text", bm25Path)
+    val vecCorpus = corpus.select($"doc_id".as("id"), $"embedding".as("vec"))
+    val cents = IvfIndex.train(vecCorpus, "id", "vec", k = 8)
+    val annPath = graft.Staging.dirFor("hybrid-spec-ann")
+    IvfIndex.writeIndexed(vecCorpus, cents, annPath)
+    val inline = Hybrid.hybridTopK(corpus, "doc_id", "text", "embedding",
+        terms, qv, k = 10, m = 20)
+      .select("id", "rrf", "rk").as[(Long, Double, Long)]
+      .collect().sortBy(_._3).toSeq
+    val indexed = Hybrid.hybridTopKIndexed(spark, bm25Path, annPath,
+        cents, terms, qv, k = 10, m = 20, nProbe = 8)
+      .select("id", "rrf", "rk").as[(Long, Double, Long)]
+      .collect().sortBy(_._3).toSeq
+    assert(indexed == inline,
+      "exhaustive-probe indexed fusion must replay the inline fusion exactly")
+    val pruned = Hybrid.hybridTopKIndexed(spark, bm25Path, annPath,
+        cents, terms, qv, k = 10, m = 20, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    val recall = inline.map(_._1).count(pruned.contains) / 10.0
+    info(f"fused recall@10 at nProbe=2 of 8 cells: $recall%.2f")
+    assert(recall >= 0.5,
+      s"the lexical half is probe-independent, so fused recall must stay high: $recall")
+  }
+
   test("fusion depth m must cover k") {
     val df = Seq((1L, 1L)).toDF("id", "rk")
     intercept[IllegalArgumentException] {
