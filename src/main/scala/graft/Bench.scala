@@ -319,7 +319,13 @@ object Bench {
     // BM25 term-pruned pass + one salted cosine top-m + bounded fusion
     "q_hybrid_rrf" -> 5.0,
     // builds BOTH on-disk indexes in-query, then the pruned probes
-    "q_hybrid_rrf_indexed" -> 8.0)
+    "q_hybrid_rrf_indexed" -> 8.0,
+    // two model-sized top-k lists joined + integer metric folds
+    "q_retrieval_eval" -> 5.0,
+    // one salted top-m + a 20x20 sim matrix + the driver greedy fold
+    "q_retrieval_mmr" -> 4.0,
+    // batch-only signing + block-equality probe of the persisted store
+    "dedup_simhash_inc" -> 6.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

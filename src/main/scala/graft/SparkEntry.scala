@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.CorpusOpsQueries.all ++
       graft.queries.CorpusMlQueries.all ++
       graft.queries.ServeQueries.all ++
-      graft.queries.LifecycleQueries.all
+      graft.queries.LifecycleQueries.all ++
+      graft.queries.EvalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.CorpusOpsQueries.oracles ++
       graft.queries.CorpusMlQueries.oracles ++
       graft.queries.ServeQueries.oracles ++
-      graft.queries.LifecycleQueries.oracles
+      graft.queries.LifecycleQueries.oracles ++
+      graft.queries.EvalQueries.oracles
 }

@@ -1163,4 +1163,100 @@ object Dedup {
       .select(col("id1").as(idCol)).distinct()
     df.join(dominated, Seq(idCol), "left_anti")
   }
+
+  /** (id, sig) → (key, b, id, sig): the `blocks` contiguous bit-range
+    * keys of each signature. Block b covers bits [b·w, (b+1)·w) with
+    * w = bits/blocks; `blocks` must divide `bits` so the agreement
+    * regions PARTITION the signature exactly — the pigeonhole guarantee
+    * in [[newVsCorpusSimhash]] depends on it. Pure bit arithmetic
+    * (shift + mask), fully codegen'd. */
+  def simhashBlocks(sigs: DataFrame, bits: Int, blocks: Int): DataFrame = {
+    require(blocks >= 1 && bits % blocks == 0,
+      s"blocks must divide bits, got bits=$bits blocks=$blocks")
+    val w = bits / blocks
+    val mask = (1L << w) - 1
+    sigs.select(col("id"), col("sig"),
+        explode(array((0 until blocks).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("sig"), b * w).bitwiseAND(mask).as("key"))): _*))
+          .as("blk"))
+      .select(col("blk.key").as("key"), col("blk.b").as("b"),
+        col("id"), col("sig"))
+  }
+
+  /** The on-disk SIMHASH near-dup index — the Hamming-space member of
+    * the incremental-probe family (banded MinHash: [[bandIndex]];
+    * exact Jaccard: [[writeJaccardIndex]]; containment:
+    * [[writeContainmentIndex]]; SemDeDup cells: [[semanticProbe]]'s
+    * cell layout). Manku, Jain & Das Sarma's blocked scheme (WWW 2007,
+    * "Detecting near-duplicates for web crawling"): split every
+    * `bits`-bit signature into `blocks` contiguous bit-ranges; by
+    * pigeonhole, two signatures within Hamming distance r ≤ blocks−1
+    * must agree EXACTLY on at least one whole block, so block-equality
+    * candidates are LOSSLESS at the standard r = 3, blocks = 4 — the
+    * one near-dup family whose candidate stage is exact with no
+    * banding-recall caveat (verification only FILTERS, recomputing the
+    * distance from signatures the candidate rows already carry).
+    *
+    * Store under `path`:
+    *   - `sigs` (id, sig) — one row per corpus doc (compaction /
+    *     retraction sweeps and full rebuilds read this relation);
+    *   - `blocks` (key, id, sig, b) — `blocks` rows per doc,
+    *     PARTITIONED BY block ordinal `b` and sorted by `key` within
+    *     each partition, so a probe's equality join prunes to its block
+    *     directories and parquet row-group min/max statistics skip
+    *     non-colliding key ranges — the Spark-relational form of
+    *     Manku's sorted permuted tables.
+    * One corpus pass; epoch layouts are the caller's convention (the
+    * [[bandIndex]] stance). */
+  def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, tokenHash: Column => Column = md5TokenHash60,
+      bits: Int = 60, blocks: Int = 4): Unit = {
+    val sigs = simhashSignatures(corpus, idCol, textCol, tokenHash, bits)
+      .persist()
+    try {
+      sigs.write.mode("overwrite").parquet(s"$path/sigs")
+      simhashBlocks(sigs, bits, blocks)
+        .repartition(col("b"))
+        .sortWithinPartitions(col("key"))
+        .write.mode("overwrite").partitionBy("b").parquet(s"$path/blocks")
+    } finally { sigs.unpersist(false); () }
+  }
+
+  /** Probe a NEW batch against a [[writeSimhashIndex]] store: every
+    * cross-split pair (id1 = new doc, id2 = corpus doc) with
+    * Hamming(sig1, sig2) ≤ `maxDist` — near-duplicate detection at
+    * crawl-ingest time, exactly Manku's production setting. LOSSLESS
+    * for maxDist ≤ blocks−1 (the pigeonhole guarantee — enforced), so
+    * unlike the banded MinHash probe there is no recall floor to
+    * quantify: the result EQUALS the brute-force cross-split Hamming
+    * join, which is what the `dedup_simhash_inc` oracle replays.
+    *
+    * Incremental cost profile: only the BATCH is tokenized and signed
+    * (one scan of the arrivals — corpus text is never read, not even
+    * for verification, because block rows carry the full signature);
+    * the candidate join is (b, key) equality with a batch-sized probe
+    * side against the block-partitioned store; verification is one
+    * codegen'd bit_count(xor) per candidate row. At warehouse scale
+    * the probe side is |batch|·blocks rows and the store side prunes
+    * by key statistics — no stage touches corpus cardinality except
+    * the pruned index scan itself. */
+  def newVsCorpusSimhash(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, idCol: String,
+      textCol: String, tokenHash: Column => Column = md5TokenHash60,
+      bits: Int = 60, blocks: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < blocks,
+      s"lossless candidates need maxDist < blocks, got maxDist=$maxDist blocks=$blocks")
+    val store = spark.read.parquet(s"$indexPath/blocks")
+    val probe = simhashBlocks(
+      simhashSignatures(newDocs, idCol, textCol, tokenHash, bits),
+      bits, blocks)
+    probe.as("n")
+      .join(store.as("c"),
+        col("n.b") === col("c.b") && col("n.key") === col("c.key"))
+      .select(col("n.id").as("id1"), col("c.id").as("id2"),
+        hamming(col("n.sig"), col("c.sig")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
 }

@@ -649,9 +649,13 @@ object QueryCatalog {
       .toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
   }
-  val dedupSimhashSql: String = {
-    // value of the first 15 hex digits of md5(tok) — 16^k factors are
-    // exact longs (16^14 = 2^56)
+  /** The 60-bit md5 simhash signature chain as a reusable CTE body:
+    * `${p}sigs(doc_id, sig)` over `documents$where` — shared by
+    * [[dedupSimhashSql]] (whole corpus) and the `dedup_simhash_inc`
+    * oracle (one chain per split). 16^k factors are exact longs
+    * (16^14 = 2^56), so the hex-digit recombination never leaves
+    * integer arithmetic. */
+  private[queries] def simhashSigsCtes(p: String, where: String): String = {
     val hexVal = (0 until 15).map(i =>
       s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
       .mkString(" + ")
@@ -659,16 +663,19 @@ object QueryCatalog {
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
     val recomb = (0 until 60).map(j =>
       s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (
+    s"""${p}toks AS (
        |  SELECT DISTINCT doc_id, tok FROM (
-       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)),
-       |hashed AS (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents$where)),
+       |${p}hashed AS (
        |  SELECT doc_id, ($hexVal) AS h
-       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM toks)),
-       |counts AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
-       |SELECT doc_id, CAST($recomb AS BIGINT) AS simhash
-       |FROM counts ORDER BY doc_id""".stripMargin
+       |  FROM (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM ${p}toks)),
+       |${p}counts AS (SELECT doc_id, $sums FROM ${p}hashed GROUP BY doc_id),
+       |${p}sigs AS (SELECT doc_id, CAST($recomb AS BIGINT) AS sig FROM ${p}counts)""".stripMargin
   }
+
+  val dedupSimhashSql: String =
+    s"""WITH ${simhashSigsCtes("", "")}
+       |SELECT doc_id, sig AS simhash FROM sigs ORDER BY doc_id""".stripMargin
 
   /** Embedding near-dup pairs: blocked cosine ≥ 0.35 (the synthetic
     * embeddings carry no true dups; the threshold sits inside the
@@ -797,22 +804,33 @@ object QueryCatalog {
       .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
-  val annTopKSql: String =
-    """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
-      |           FROM embeddings WHERE vec_id < 5),
+  /** Shared oracle CTEs: the standing queries (vec_id < 5) and corpus
+    * (vec_id ≥ 5) split — used by [[annTopKSql]], [[annLshSql]], and
+    * the retrieval-eval oracle, which composes both rankings. */
+  private[queries] val annQcCtes: String =
+    """q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      |      FROM embeddings WHERE vec_id < 5),
       |c AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-      |      FROM embeddings WHERE vec_id >= 5),
-      |scored AS (
+      |      FROM embeddings WHERE vec_id >= 5)""".stripMargin
+
+  /** Exact brute-force ranking chain over [[annQcCtes]], ending in
+    * `gtscored(qid, id, raw, rank)`. */
+  private[queries] val annGtScoredCte: String =
+    """gtscored AS (
       |  SELECT qid, id,
       |    list_dot_product(qvec, vec) /
       |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS raw,
       |    row_number() OVER (PARTITION BY qid ORDER BY
       |      list_dot_product(qvec, vec) /
       |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) DESC, id) AS rank
-      |  FROM c CROSS JOIN q)
-      |SELECT qid, id, round(raw, 4) AS score, rank
-      |FROM scored WHERE rank <= 10
-      |ORDER BY qid, rank""".stripMargin
+      |  FROM c CROSS JOIN q)""".stripMargin
+
+  val annTopKSql: String =
+    s"""WITH $annQcCtes,
+       |$annGtScoredCte
+       |SELECT qid, id, round(raw, 4) AS score, rank
+       |FROM gtscored WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
 
   /** DuckDB oracle for [[annLsh]]: the sign-random-projection planes are
     * deterministic constants (seed 42), so the oracle SQL embeds the
@@ -821,18 +839,17 @@ object QueryCatalog {
     * disagreement would need |v·p| inside double rounding error —
     * checked green at both gate scales.
     */
-  val annLshSql: String = {
+  /** The seed-42 LSH bucketing → candidate join → exact cosine re-rank
+    * chain over [[annQcCtes]], ending in `lshscored(qid, id, raw,
+    * rank)` — shared by [[annLshSql]] and the retrieval-eval oracle. */
+  private[queries] val annLshScoredCtes: String = {
     val planes = Similarity.hyperplanes(dim = 64, numBits = 64, seed = 42L)
     val planesLit = planes.map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val buckets = (0 until 16).map { t =>
       val bitExprs = (t * 4 until (t + 1) * 4).map(i => s"bits[${i + 1}]").mkString(" || ")
       s"'${t}_' || $bitExprs"
     }.mkString(",\n      |    ")
-    s"""WITH planes AS (SELECT $planesLit AS pl),
-       |q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
-       |      FROM embeddings WHERE vec_id < 5),
-       |c AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-       |      FROM embeddings WHERE vec_id >= 5),
+    s"""planes AS (SELECT $planesLit AS pl),
        |qbits AS (
        |  SELECT qid, list_transform(pl, p ->
        |    CASE WHEN list_dot_product(qvec, p) > 0 THEN '1' ELSE '0' END) AS bits
@@ -846,7 +863,7 @@ object QueryCatalog {
        |cb AS (SELECT id, unnest([
        |    $buckets]) AS bucket FROM cbits),
        |cands AS (SELECT DISTINCT qid, id FROM qb JOIN cb USING (bucket)),
-       |scored AS (
+       |lshscored AS (
        |  SELECT cands.qid, cands.id,
        |    list_dot_product(qvec, vec) /
        |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS raw,
@@ -854,11 +871,15 @@ object QueryCatalog {
        |      list_dot_product(qvec, vec) /
        |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) DESC,
        |      cands.id) AS rank
-       |  FROM cands JOIN q ON q.qid = cands.qid JOIN c ON c.id = cands.id)
-       |SELECT qid, id, round(raw, 4) AS score, rank
-       |FROM scored WHERE rank <= 10
-       |ORDER BY qid, rank""".stripMargin
+       |  FROM cands JOIN q ON q.qid = cands.qid JOIN c ON c.id = cands.id)""".stripMargin
   }
+
+  val annLshSql: String =
+    s"""WITH $annQcCtes,
+       |$annLshScoredCtes
+       |SELECT qid, id, round(raw, 4) AS score, rank
+       |FROM lshscored WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
 
   /** LSH-bucketed ANN, oracle-gated (see [[annLshSql]]); recall vs the
     * exact baseline across parameters is asserted in SimilaritySpec. */

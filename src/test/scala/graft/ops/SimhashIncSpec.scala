@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Incremental simhash probe ([[Dedup.writeSimhashIndex]] +
+  * [[Dedup.newVsCorpusSimhash]], the Manku-blocked scheme): losslessness
+  * against the brute-force cross-split Hamming join at every permitted
+  * radius, the planted exact-dup catch, block-key recombination, the
+  * pigeonhole guard, and the on-disk block partitioning. */
+class SimhashIncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForce(dir: String, maxDist: Int) = {
+    val corpus = Dedup.simhashSignatures(
+      Tables.documents(spark, dir).filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", Dedup.md5TokenHash60, bits = 60)
+      .select($"id".as("id2"), $"sig".as("sig2"))
+    val batch = Dedup.simhashSignatures(
+      Tables.documents(spark, dir).filter($"doc_id" % 5 === 0),
+      "doc_id", "text", Dedup.md5TokenHash60, bits = 60)
+      .select($"id".as("id1"), $"sig".as("sig1"))
+    batch.crossJoin(corpus)
+      .select($"id1", $"id2",
+        Dedup.hamming($"sig1", $"sig2").cast("long").as("dist"))
+      .filter($"dist" <= maxDist)
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("probe ≡ brute-force cross-split Hamming join at radii 0, 1, 3 (losslessness)") {
+    val idx = graft.Staging.dirFor("simhash-inc-spec")
+    Dedup.writeSimhashIndex(
+      Tables.documents(spark, sf001).filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", idx)
+    for (d <- Seq(0, 1, 3)) {
+      val probed = Dedup.newVsCorpusSimhash(spark, idx,
+          Tables.documents(spark, sf001).filter($"doc_id" % 5 === 0),
+          "doc_id", "text", maxDist = d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(probed == bruteForce(sf001, d),
+        s"blocked candidates must be lossless at maxDist=$d")
+    }
+  }
+
+  test("planted pair: an arriving exact copy of stored content is caught at distance 0; unrelated text is not") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different material about distributed query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "unrelated arrival text mentioning neither foxes nor rivers at all today"))
+      .toDF("doc_id", "text")
+    val idx = graft.Staging.dirFor("simhash-inc-planted")
+    Dedup.writeSimhashIndex(corpus, "doc_id", "text", idx)
+    val hits = Dedup.newVsCorpusSimhash(spark, idx, batch, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits.contains((100L, 1L, 0L)), "exact copy must surface at distance 0")
+    assert(!hits.exists(_._1 == 101L), "unrelated arrival must not match")
+  }
+
+  test("block keys recombine to the signature (shift/mask partition is exact)") {
+    val sigs = Seq((1L, 0x0ABCDEF123456789L), (2L, -1L), (3L, 0L))
+      .toDF("id", "sig")
+    val w = 60 / 4
+    val rows = Dedup.simhashBlocks(sigs.select($"id",
+        $"sig".bitwiseAND(lit((1L << 60) - 1)).as("sig")), bits = 60, blocks = 4)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(rows.length == 12, "blocks rows = docs x blocks")
+    rows.groupBy(_._3).foreach { case (_, blks) =>
+      val sig = blks.head._4
+      val rebuilt = blks.map { case (key, b, _, _) => key << (b * w) }
+        .reduce(_ | _)
+      assert(rebuilt == sig, "OR of shifted block keys must equal the signature")
+    }
+  }
+
+  test("pigeonhole guard: maxDist >= blocks is rejected (losslessness would be silently lost)") {
+    val idx = graft.Staging.dirFor("simhash-inc-guard")
+    Dedup.writeSimhashIndex(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", idx)
+    val batch = Seq((2L, "a b d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.newVsCorpusSimhash(spark, idx, batch, "doc_id", "text",
+        blocks = 4, maxDist = 4)
+    }
+  }
+
+  test("store layout: blocks are partitioned by block ordinal on disk") {
+    val idx = graft.Staging.dirFor("simhash-inc-layout")
+    Dedup.writeSimhashIndex(
+      Tables.documents(spark, sf001).filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", idx)
+    val dirs = new java.io.File(s"$idx/blocks").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("b=0", "b=1", "b=2", "b=3"))
+    assert(new java.io.File(s"$idx/sigs").exists())
+  }
+}
