@@ -325,7 +325,9 @@ object Bench {
     // one salted top-m + a 20x20 sim matrix + the driver greedy fold
     "q_retrieval_mmr" -> 4.0,
     // batch-only signing + block-equality probe of the persisted store
-    "dedup_simhash_inc" -> 6.0)
+    "dedup_simhash_inc" -> 6.0,
+    // the q_hybrid_rrf plan + one 15-row re-score + the greedy fold
+    "q_retrieval_pipeline" -> 6.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -1198,29 +1198,44 @@ object Dedup {
     * banding-recall caveat (verification only FILTERS, recomputing the
     * distance from signatures the candidate rows already carry).
     *
-    * Store under `path`:
-    *   - `sigs` (id, sig) — one row per corpus doc (compaction /
-    *     retraction sweeps and full rebuilds read this relation);
-    *   - `blocks` (key, id, sig, b) — `blocks` rows per doc,
-    *     PARTITIONED BY block ordinal `b` and sorted by `key` within
-    *     each partition, so a probe's equality join prunes to its block
-    *     directories and parquet row-group min/max statistics skip
-    *     non-colliding key ranges — the Spark-relational form of
-    *     Manku's sorted permuted tables.
-    * One corpus pass; epoch layouts are the caller's convention (the
-    * [[bandIndex]] stance). */
+    * Store under `path`: ONE relation, `blocks` (key, id, sig, b) —
+    * `blocks` rows per doc, PARTITIONED BY block ordinal `b` and sorted
+    * by `key` within each partition, so a probe's equality join prunes
+    * to its block directories and parquet row-group min/max statistics
+    * skip non-colliding key ranges — the Spark-relational form of
+    * Manku's sorted permuted tables. Each row carries the FULL
+    * signature, so verification is index-local AND the per-doc
+    * signature relation is recoverable as the `b = 0` slice (one row
+    * per doc) — no second relation to keep transactionally in step,
+    * which keeps the right-to-be-forgotten sweep a single
+    * [[Retraction.retract]] pass. One corpus pass; epoch layouts are
+    * the caller's convention (the [[bandIndex]] stance). */
   def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, tokenHash: Column => Column = md5TokenHash60,
-      bits: Int = 60, blocks: Int = 4): Unit = {
-    val sigs = simhashSignatures(corpus, idCol, textCol, tokenHash, bits)
-      .persist()
-    try {
-      sigs.write.mode("overwrite").parquet(s"$path/sigs")
-      simhashBlocks(sigs, bits, blocks)
-        .repartition(col("b"))
-        .sortWithinPartitions(col("key"))
-        .write.mode("overwrite").partitionBy("b").parquet(s"$path/blocks")
-    } finally { sigs.unpersist(false); () }
+      bits: Int = 60, blocks: Int = 4): Unit =
+    simhashBlocks(
+        simhashSignatures(corpus, idCol, textCol, tokenHash, bits),
+        bits, blocks)
+      .repartition(col("b"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/blocks")
+
+  /** The probe core shared by [[newVsCorpusSimhash]] (serving store)
+    * and [[graft.streaming.SimhashGate]] (accumulated epoch rows):
+    * block-equality candidates between a signed batch and a block-row
+    * relation, verified by one codegen'd bit_count(xor). Emits
+    * (id1 = probe doc, id2 = store doc, dist), distinct. */
+  def probeSimhash(storeBlocks: DataFrame, newSigs: DataFrame,
+      bits: Int, blocks: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < blocks,
+      s"lossless candidates need maxDist < blocks, got maxDist=$maxDist blocks=$blocks")
+    simhashBlocks(newSigs, bits, blocks).as("n")
+      .join(storeBlocks.as("c"),
+        col("n.b") === col("c.b") && col("n.key") === col("c.key"))
+      .select(col("n.id").as("id1"), col("c.id").as("id2"),
+        hamming(col("n.sig"), col("c.sig")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Probe a NEW batch against a [[writeSimhashIndex]] store: every
@@ -1244,19 +1259,8 @@ object Dedup {
   def newVsCorpusSimhash(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newDocs: DataFrame, idCol: String,
       textCol: String, tokenHash: Column => Column = md5TokenHash60,
-      bits: Int = 60, blocks: Int = 4, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < blocks,
-      s"lossless candidates need maxDist < blocks, got maxDist=$maxDist blocks=$blocks")
-    val store = spark.read.parquet(s"$indexPath/blocks")
-    val probe = simhashBlocks(
+      bits: Int = 60, blocks: Int = 4, maxDist: Int = 3): DataFrame =
+    probeSimhash(spark.read.parquet(s"$indexPath/blocks"),
       simhashSignatures(newDocs, idCol, textCol, tokenHash, bits),
-      bits, blocks)
-    probe.as("n")
-      .join(store.as("c"),
-        col("n.b") === col("c.b") && col("n.key") === col("c.key"))
-      .select(col("n.id").as("id1"), col("c.id").as("id2"),
-        hamming(col("n.sig"), col("c.sig")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
-      .distinct()
-  }
+      bits, blocks, maxDist)
 }

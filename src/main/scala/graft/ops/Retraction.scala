@@ -227,7 +227,8 @@ object Retraction {
       postingsDir: Option[String] = None,
       lshDir: Option[String] = None,
       graphDir: Option[String] = None,
-      containmentDir: Option[String] = None): Unit = {
+      containmentDir: Option[String] = None,
+      simhashDir: Option[String] = None): Unit = {
     retract(spark, acceptedDir, idCol, ids)
     retract(spark, indexDir, "id", ids)
     annDir.foreach(d => retract(spark, d, "id", ids, nestedPartCols = Seq("cell")))
@@ -239,6 +240,12 @@ object Retraction {
       ()
     }
     containmentDir.foreach(d => retract(spark, d, "id", ids))
+    // the simhash SERVING store ([[Dedup.writeSimhashIndex]]) is one
+    // block-partitioned relation, so the victim's signature (and every
+    // block key derived from it) disappears in a single pass; a
+    // SimhashGate epoch store retracts through the generic `indexDir`
+    // sweep (batch-partitioned block rows, id-keyed)
+    simhashDir.foreach(d => retract(spark, s"$d/blocks", "id", ids, partCol = "b"))
     ()
   }
 }

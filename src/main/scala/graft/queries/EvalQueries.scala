@@ -95,14 +95,22 @@ object EvalQueries {
       .orderBy(col("rank"))
   }
 
-  val qRetrievalMmrSql: String = {
-    // λ and (1−λ) as the EXACT doubles the Scala fold uses: the SQL
-    // recomputes 1−λ in double, never parses a 17-digit literal.
-    val L = s"CAST($MmrLambda AS DOUBLE)"
-    val OM = s"(CAST(1 AS DOUBLE) - CAST($MmrLambda AS DOUBLE))"
-    val cos = (a: String, b: String) =>
-      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-    val stages = (2 to MmrK).map { i =>
+  // λ and (1−λ) as the EXACT doubles the Scala fold uses: the SQL
+  // recomputes 1−λ in double, never parses a 17-digit literal.
+  private val L = s"CAST($MmrLambda AS DOUBLE)"
+  private val OM = s"(CAST(1 AS DOUBLE) - CAST($MmrLambda AS DOUBLE))"
+
+  private def cosSql(a: String, b: String) =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** The pairwise-similarity + greedy-stage replay shared by the MMR
+    * oracles: requires a CTE `cand(id, vec, rel)` upstream, emits
+    * `sims/sims2/sel1..sel$k` (every stage MATERIALIZED — each stage is
+    * referenced three times by the next, so inlining would re-derive
+    * the candidate chain exponentially). Ends in `sel$k(id, rel, mmr,
+    * rank)`. */
+  private[queries] def mmrStagesSql(k: Int): String = {
+    val stages = (2 to k).map { i =>
       s"""s$i AS MATERIALIZED (
          |  SELECT id, rel, mmr, $i AS rank FROM (
          |    SELECT c.id, c.rel, round($L * c.rel - $OM * ms.m, 6) AS mmr,
@@ -114,19 +122,8 @@ object EvalQueries {
          |    WHERE c.id NOT IN (SELECT id FROM sel${i - 1})) WHERE rn = 1),
          |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH qv AS (
-       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
-       |  FROM embeddings WHERE vec_id = 0),
-       |corp AS (
-       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-       |  FROM embeddings WHERE vec_id >= 5),
-       |cand AS MATERIALIZED (
-       |  SELECT id, vec, rel FROM (
-       |    SELECT id, vec, round(${cos("qvec", "vec")}, 4) AS rel,
-       |      row_number() OVER (ORDER BY round(${cos("qvec", "vec")}, 4) DESC, id) AS rn
-       |    FROM corp CROSS JOIN qv) WHERE rn <= $MmrM),
-       |sims AS MATERIALIZED (
-       |  SELECT a.id AS id1, b.id AS id2, round(${cos("a.vec", "b.vec")}, 4) AS sim
+    s"""sims AS MATERIALIZED (
+       |  SELECT a.id AS id1, b.id AS id2, round(${cosSql("a.vec", "b.vec")}, 4) AS sim
        |  FROM cand a JOIN cand b ON a.id < b.id),
        |sims2 AS MATERIALIZED (
        |  SELECT id1, id2, sim FROM sims
@@ -135,9 +132,74 @@ object EvalQueries {
        |  SELECT id, rel, round($L * rel, 6) AS mmr, 1 AS rank FROM (
        |    SELECT id, rel, row_number() OVER (ORDER BY round($L * rel, 6) DESC, id) AS rn
        |    FROM cand) WHERE rn = 1),
-       |$stages
-       |SELECT rank, id, rel, mmr FROM sel$MmrK ORDER BY rank""".stripMargin
+       |$stages""".stripMargin
   }
+
+  val qRetrievalMmrSql: String =
+    s"""WITH qv AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+       |  FROM embeddings WHERE vec_id = 0),
+       |corp AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings WHERE vec_id >= 5),
+       |cand AS MATERIALIZED (
+       |  SELECT id, vec, rel FROM (
+       |    SELECT id, vec, round(${cosSql("qvec", "vec")}, 4) AS rel,
+       |      row_number() OVER (ORDER BY round(${cosSql("qvec", "vec")}, 4) DESC, id) AS rn
+       |    FROM corp CROSS JOIN qv) WHERE rn <= $MmrM),
+       |${mmrStagesSql(MmrK)}
+       |SELECT rank, id, rel, mmr FROM sel$MmrK ORDER BY rank""".stripMargin
+
+  private val PipeCand = 15
+  private val PipeK = 8
+
+  /** The composed SERVING flagship — the full production retrieval
+    * path in one hash-gated relation (the serving-side analogue of
+    * `corpus_pipeline_v5`): hybrid BM25 + vector fusion
+    * ([[graft.ops.Hybrid.hybridTopK]], RRF) produces the top-15
+    * candidate shortlist; the shortlist is re-scored by 4-dp cosine to
+    * the query (rank fusion finds the candidates, semantic relevance
+    * drives diversification — RRF scores are rank reciprocals on a
+    * scale MMR's λ-mix cannot meaningfully trade against a cosine);
+    * MMR then picks the final 8 diverse answers. Every stage is
+    * model-sized after the rankers: the oracle replays the whole
+    * composition — both rankers, the fusion, the re-score, the
+    * pairwise matrix, and every greedy pick — in ONE DuckDB query. */
+  val qRetrievalPipeline: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = Tables.documents(s, dir)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .filter(col("doc_id") >= 5)
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").as("qvec"))
+    val fusedIds = graft.ops.Hybrid.hybridTopK(corpus, "doc_id", "text",
+        "embedding", Seq("spark", "window", "merge"), qv,
+        k = PipeCand, m = MmrM)
+      .select("id")
+    val candVecs = corpus
+      .select(col("doc_id").as("id"), col("embedding").as("vec"))
+      .join(fusedIds, Seq("id"), "left_semi")
+    val cands = candVecs.crossJoin(broadcast(qv))
+      .select(col("id"),
+        round(Similarity.cosine(col("vec"), col("qvec")), 4).as("rel"))
+    val cv = candVecs.select(col("id"), col("vec"))
+    val sims = cv.toDF("id1", "v1")
+      .join(cv.toDF("id2", "v2"), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(Similarity.cosine(col("v1"), col("v2")), 4).as("sim"))
+    Retrieval.mmr(cands, sims, k = PipeK, lambda = MmrLambda)
+      .orderBy(col("rank"))
+  }
+
+  val qRetrievalPipelineSql: String =
+    s"""WITH ${LifecycleQueries.hybridFusedCtes(PipeCand, MmrM)},
+       |cand AS MATERIALIZED (
+       |  SELECT c.doc_id AS id, c.vec AS vec,
+       |    round(${cosSql("qv.qvec", "c.vec")}, 4) AS rel
+       |  FROM hyb h JOIN corpus c ON c.doc_id = h.id CROSS JOIN qv),
+       |${mmrStagesSql(PipeK)}
+       |SELECT rank, id, rel, mmr FROM sel$PipeK ORDER BY rank""".stripMargin
 
   /** Incremental SIMHASH near-dup probe
     * ([[graft.ops.Dedup.writeSimhashIndex]] +
@@ -169,10 +231,12 @@ object EvalQueries {
   val all: Map[String, Q] = Map(
     "q_retrieval_eval" -> qRetrievalEval,
     "q_retrieval_mmr" -> qRetrievalMmr,
+    "q_retrieval_pipeline" -> qRetrievalPipeline,
     "dedup_simhash_inc" -> dedupSimhashInc)
 
   val oracles: Map[String, String] = Map(
     "q_retrieval_eval" -> qRetrievalEvalSql,
     "q_retrieval_mmr" -> qRetrievalMmrSql,
+    "q_retrieval_pipeline" -> qRetrievalPipelineSql,
     "dedup_simhash_inc" -> dedupSimhashIncSql)
 }

@@ -424,51 +424,61 @@ object LifecycleQueries {
       .orderBy(col("rk"))
   }
 
+  /** The hybrid-fusion oracle chain, parameterized on (answer k, fusion
+    * depth m) and ending in `hyb(id, rrf, rk)` — shared by
+    * [[qHybridRrfSql]] and the retrieval-pipeline oracle, which feeds
+    * the fused list into the MMR stage replay. Defines `corpus` and
+    * `qv` CTEs downstream consumers may reuse. */
+  private[queries] def hybridFusedCtes(k: Int, m: Int): String =
+    s"""corpus AS (
+       |  SELECT d.doc_id AS doc_id, d.text AS text,
+       |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       |  WHERE d.doc_id >= 5),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+       |  FROM corpus WHERE text IS NOT NULL),
+       |dl_t AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_t),
+       |post AS (
+       |  SELECT token, doc_id, count(*) AS tf FROM toks
+       |  WHERE token IN ('spark', 'window', 'merge') GROUP BY token, doc_id),
+       |df_t AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+       |lexscored AS (
+       |  SELECT doc_id AS id,
+       |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+       |  FROM post JOIN df_t USING (token) JOIN dl_t USING (doc_id) CROSS JOIN stats
+       |  GROUP BY doc_id),
+       |lexranked AS (
+       |  SELECT id, rk FROM (
+       |    SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rk
+       |    FROM lexscored) WHERE rk <= $m),
+       |qv AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+       |  FROM embeddings WHERE vec_id = 3),
+       |vecranked AS (
+       |  SELECT id, rk FROM (
+       |    SELECT doc_id AS id,
+       |      row_number() OVER (ORDER BY
+       |        round(list_dot_product(qvec, vec) /
+       |          (sqrt(list_dot_product(qvec, qvec)) *
+       |           sqrt(list_dot_product(vec, vec))), 4) DESC, doc_id) AS rk
+       |    FROM corpus CROSS JOIN qv) WHERE rk <= $m),
+       |fused AS (
+       |  SELECT coalesce(l.id, v.id) AS id,
+       |    round(coalesce(1.0 / (60 + l.rk), 0.0) +
+       |          coalesce(1.0 / (60 + v.rk), 0.0), 6) AS rrf
+       |  FROM lexranked l FULL OUTER JOIN vecranked v ON l.id = v.id),
+       |hyb AS (
+       |  SELECT id, rrf, rk FROM (
+       |    SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rk
+       |    FROM fused) WHERE rk <= $k)""".stripMargin
+
   val qHybridRrfSql: String =
-    """WITH corpus AS (
-      |  SELECT d.doc_id AS doc_id, d.text AS text,
-      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
-      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-      |  WHERE d.doc_id >= 5),
-      |toks AS (
-      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
-      |  FROM corpus WHERE text IS NOT NULL),
-      |dl_t AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_t),
-      |post AS (
-      |  SELECT token, doc_id, count(*) AS tf FROM toks
-      |  WHERE token IN ('spark', 'window', 'merge') GROUP BY token, doc_id),
-      |df_t AS (SELECT token, count(*) AS df FROM post GROUP BY token),
-      |lexscored AS (
-      |  SELECT doc_id AS id,
-      |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      |  FROM post JOIN df_t USING (token) JOIN dl_t USING (doc_id) CROSS JOIN stats
-      |  GROUP BY doc_id),
-      |lexranked AS (
-      |  SELECT id, rk FROM (
-      |    SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rk
-      |    FROM lexscored) WHERE rk <= 20),
-      |qv AS (
-      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
-      |  FROM embeddings WHERE vec_id = 3),
-      |vecranked AS (
-      |  SELECT id, rk FROM (
-      |    SELECT doc_id AS id,
-      |      row_number() OVER (ORDER BY
-      |        round(list_dot_product(qvec, vec) /
-      |          (sqrt(list_dot_product(qvec, qvec)) *
-      |           sqrt(list_dot_product(vec, vec))), 4) DESC, doc_id) AS rk
-      |    FROM corpus CROSS JOIN qv) WHERE rk <= 20),
-      |fused AS (
-      |  SELECT coalesce(l.id, v.id) AS id,
-      |    round(coalesce(1.0 / (60 + l.rk), 0.0) +
-      |          coalesce(1.0 / (60 + v.rk), 0.0), 6) AS rrf
-      |  FROM lexranked l FULL OUTER JOIN vecranked v ON l.id = v.id)
-      |SELECT id, rrf, rk FROM (
-      |  SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rk
-      |  FROM fused) WHERE rk <= 10
-      |ORDER BY rk""".stripMargin
+    s"""WITH ${hybridFusedCtes(10, 20)}
+       |SELECT id, rrf, rk FROM hyb
+       |ORDER BY rk""".stripMargin
 
   /** [[qHybridRrf]] served from the two ON-DISK indexes
     * ([[graft.ops.Hybrid.hybridTopKIndexed]]): BM25 through the

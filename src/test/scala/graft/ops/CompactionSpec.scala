@@ -232,4 +232,34 @@ class CompactionSpec extends SparkSpec {
     assert(!new java.io.File(d3).listFiles()
       .exists(_.getName.startsWith(".compact-aside-")))
   }
+
+  test("compaction over a simhash-gate store: gating decisions identical, appends continue") {
+    val idx = graft.Staging.dirFor("compact-sh-idx")
+    val acc = graft.Staging.dirFor("compact-sh-acc")
+    def doc(id: Long) = (id, mkText(id.toInt))
+    // three epochs of distinct content
+    assert(graft.streaming.SimhashGate.gateBatch(
+      Seq(doc(1L), doc(2L)).toDF("doc_id", "text"), 0L, idx, acc,
+      "doc_id", "text") == 2L)
+    assert(graft.streaming.SimhashGate.gateBatch(
+      Seq(doc(10L)).toDF("doc_id", "text"), 1L, idx, acc,
+      "doc_id", "text") == 1L)
+    assert(graft.streaming.SimhashGate.gateBatch(
+      Seq(doc(20L)).toDF("doc_id", "text"), 2L, idx, acc,
+      "doc_id", "text") == 1L)
+    val storeBefore = spark.read.parquet(idx).drop("batch")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    Compaction.compactAll(spark, acc, idx, maxEpochId = 2L)
+    assert(epochDirs(idx) == 1 && epochDirs(acc) == 1)
+    assert(spark.read.parquet(idx).drop("batch")
+      .as[(Long, Int, Long, Long)].collect().toSet == storeBefore,
+      "compaction must not change a single block row")
+    // the gate continues over the compacted store: a copy of epoch-0
+    // content is still rejected, fresh content still passes
+    assert(graft.streaming.SimhashGate.gateBatch(
+      Seq((30L, mkText(1)), doc(40L)).toDF("doc_id", "text"), 3L, idx, acc,
+      "doc_id", "text") == 1L)
+    assert(spark.read.parquet(s"$acc/batch=3")
+      .select("doc_id").as[Long].collect().toSeq == Seq(40L))
+  }
 }

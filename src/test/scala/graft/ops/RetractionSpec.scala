@@ -461,4 +461,36 @@ class RetractionSpec extends SparkSpec {
     assert(stats(dD) == stats(rebuilt),
       "post-crash retraction ends with stats ≡ rebuilt index")
   }
+
+  test("retractAll sweeps the simhash serving store (eighth): probe ≡ rebuilt-without-victim; idempotent") {
+    val acc = graft.Staging.dirFor("retract-sh-acc")
+    val idx = graft.Staging.dirFor("retract-sh-idx")
+    val sdir = graft.Staging.dirFor("retract-sh-store")
+    val corpus = Tables.documents(spark, sf001).filter($"doc_id" % 5 =!= 0)
+    val batch = Tables.documents(spark, sf001).filter($"doc_id" % 5 === 0)
+    // the gate sinks must exist for the sweep's positional args
+    assert(IngestGate.gateBatch(
+      Seq((900001L, mkText(1))).toDF("doc_id", "text"),
+      0L, idx, acc, "doc_id", "text") == 1L)
+    Dedup.writeSimhashIndex(corpus, "doc_id", "text", sdir)
+    def probe() = Dedup.newVsCorpusSimhash(spark, sdir, batch,
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val before = probe()
+    assert(before.nonEmpty, "the committed corpus must yield cross-split hits")
+    val victim = before.head._2 // a corpus doc some arrival matches
+    Retraction.retractAll(spark, Seq(victim), "doc_id", acc, idx,
+      simhashDir = Some(sdir))
+    // the forgotten doc left EVERY block slice, so no arrival can match it
+    assert(spark.read.parquet(s"$sdir/blocks")
+      .filter($"id" === victim).isEmpty)
+    val after = probe()
+    assert(after == before.filterNot(_._2 == victim),
+      "post-sweep probe ≡ the probe against a store without the victim")
+    // idempotent: a second sweep rewrites nothing
+    val files = fileSet(s"$sdir/blocks")
+    Retraction.retractAll(spark, Seq(victim), "doc_id", acc, idx,
+      simhashDir = Some(sdir))
+    assert(fileSet(s"$sdir/blocks") == files, "re-retracting must be a no-op")
+  }
 }

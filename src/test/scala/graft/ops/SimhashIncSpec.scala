@@ -94,6 +94,10 @@ class SimhashIncSpec extends SparkSpec {
     val dirs = new java.io.File(s"$idx/blocks").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set("b=0", "b=1", "b=2", "b=3"))
-    assert(new java.io.File(s"$idx/sigs").exists())
+    // the store is ONE relation: the per-doc signature slice is b = 0
+    val sigSlice = spark.read.parquet(s"$idx/blocks")
+      .filter($"b" === 0).select("id").as[Long].collect()
+    assert(sigSlice.length == sigSlice.distinct.length,
+      "b=0 slice must hold exactly one row per doc")
   }
 }
