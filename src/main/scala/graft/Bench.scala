@@ -327,7 +327,11 @@ object Bench {
     // batch-only signing + block-equality probe of the persisted store
     "dedup_simhash_inc" -> 6.0,
     // the q_hybrid_rrf plan + one 15-row re-score + the greedy fold
-    "q_retrieval_pipeline" -> 6.0)
+    "q_retrieval_pipeline" -> 6.0,
+    // the ann_graph_search build + walk plus the bounded metric fold
+    "q_retrieval_eval_graph" -> 12.0,
+    // one cell assignment + a cell-restricted rank + the exact pass
+    "q_retrieval_eval_ivf" -> 5.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -120,13 +120,16 @@ object Compaction {
     * store never holds duplicate rows for compaction to collapse). */
   def compactAll(spark: SparkSession, acceptedDir: String, indexDir: String,
       maxEpochId: Long, annDir: Option[String] = None,
-      graphDir: Option[String] = None): Unit = {
+      graphDir: Option[String] = None,
+      simhashDir: Option[String] = None): Unit = {
     compactEpochs(spark, acceptedDir, maxEpochId)
     compactEpochs(spark, indexDir, maxEpochId)
     annDir.foreach(d => compactEpochs(spark, d, maxEpochId,
       nestedPartCols = Seq("cell")))
     graphDir.foreach(d => compactEpochs(spark, d, maxEpochId,
       nestedPartCols = Seq("nb")))
+    simhashDir.foreach(d => compactEpochs(spark, s"$d/blocks", maxEpochId,
+      nestedPartCols = Seq("b")))
     ()
   }
 }

@@ -1198,27 +1198,43 @@ object Dedup {
     * banding-recall caveat (verification only FILTERS, recomputing the
     * distance from signatures the candidate rows already carry).
     *
-    * Store under `path`: ONE relation, `blocks` (key, id, sig, b) —
-    * `blocks` rows per doc, PARTITIONED BY block ordinal `b` and sorted
-    * by `key` within each partition, so a probe's equality join prunes
-    * to its block directories and parquet row-group min/max statistics
-    * skip non-colliding key ranges — the Spark-relational form of
-    * Manku's sorted permuted tables. Each row carries the FULL
-    * signature, so verification is index-local AND the per-doc
-    * signature relation is recoverable as the `b = 0` slice (one row
-    * per doc) — no second relation to keep transactionally in step,
-    * which keeps the right-to-be-forgotten sweep a single
-    * [[Retraction.retract]] pass. One corpus pass; epoch layouts are
-    * the caller's convention (the [[bandIndex]] stance). */
+    * Store under `path`: ONE relation, `blocks` (key, id, sig, batch,
+    * b) — `blocks` rows per doc under `batch=<epoch>/b=<ordinal>`
+    * (the graph index's `batch=epoch/nb=bucket` convention), each
+    * epoch's rows sorted by `key` within its block partition, so a
+    * probe's equality join prunes to block directories and parquet
+    * row-group min/max statistics skip non-colliding key ranges — the
+    * Spark-relational form of Manku's sorted permuted tables. Each row
+    * carries the FULL signature, so verification is index-local AND
+    * the per-doc signature relation is recoverable as the `b = 0`
+    * slice (one row per doc) — no second relation to keep
+    * transactionally in step: the right-to-be-forgotten sweep is a
+    * single epoch-granular [[Retraction.retract]] pass and
+    * [[Compaction.compactEpochs]] collapses epochs generically. One
+    * corpus pass; [[appendSimhashIndexEpoch]] adds nightly arrivals. */
   def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, tokenHash: Column => Column = md5TokenHash60,
+      bits: Int = 60, blocks: Int = 4, epoch: Long = 0L): Unit =
+    appendSimhashIndexEpoch(corpus, idCol, textCol, path, epoch,
+      tokenHash, bits, blocks)
+
+  /** Append one epoch of arrivals to a [[writeSimhashIndex]] store:
+    * sign the delta, write its block rows under `batch=<epoch>` —
+    * overwrite-by-epoch, so a replayed append is idempotent, and a
+    * probe over the whole store sees old ∪ new without rewriting a
+    * byte of prior epochs (the appendIndexEpoch discipline every other
+    * serving index follows). */
+  def appendSimhashIndexEpoch(delta: DataFrame, idCol: String,
+      textCol: String, path: String, epoch: Long,
+      tokenHash: Column => Column = md5TokenHash60,
       bits: Int = 60, blocks: Int = 4): Unit =
     simhashBlocks(
-        simhashSignatures(corpus, idCol, textCol, tokenHash, bits),
+        simhashSignatures(delta, idCol, textCol, tokenHash, bits),
         bits, blocks)
       .repartition(col("b"))
       .sortWithinPartitions(col("key"))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$path/blocks")
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(s"$path/blocks/batch=$epoch")
 
   /** The probe core shared by [[newVsCorpusSimhash]] (serving store)
     * and [[graft.streaming.SimhashGate]] (accumulated epoch rows):

@@ -241,11 +241,13 @@ object Retraction {
     }
     containmentDir.foreach(d => retract(spark, d, "id", ids))
     // the simhash SERVING store ([[Dedup.writeSimhashIndex]]) is one
-    // block-partitioned relation, so the victim's signature (and every
-    // block key derived from it) disappears in a single pass; a
-    // SimhashGate epoch store retracts through the generic `indexDir`
-    // sweep (batch-partitioned block rows, id-keyed)
-    simhashDir.foreach(d => retract(spark, s"$d/blocks", "id", ids, partCol = "b"))
+    // epoch-partitioned relation (batch=epoch/b=ordinal), so the
+    // victim's signature (and every block key derived from it)
+    // disappears in a single epoch-granular pass — epochs without
+    // victim rows keep their files byte-identical; a SimhashGate store
+    // retracts through the generic id-keyed `indexDir` sweep
+    simhashDir.foreach(d => retract(spark, s"$d/blocks", "id", ids,
+      nestedPartCols = Seq("b")))
     ()
   }
 }

@@ -39,15 +39,14 @@ object EvalQueries {
     Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
   }
 
-  val qRetrievalEvalSql: String = {
+  /** The metric fold shared by every eval oracle: given an upstream
+    * `sysk(qid, id, rank)` CTE and the ground-truth chain's `gtscored`,
+    * replay hits/recall/rr/ndcg from the embedded integer gain table. */
+  private def metricsTailSql: String = {
     val gains = Retrieval.dcgGainsMicro(EvalK)
     val gainsLit = gains.mkString("[", ", ", "]")
     val idcg = gains.sum
-    s"""WITH ${QueryCatalog.annQcCtes},
-       |${QueryCatalog.annGtScoredCte},
-       |${QueryCatalog.annLshScoredCtes},
-       |sysk AS (SELECT qid, id, rank FROM lshscored WHERE rank <= $EvalK),
-       |gtk AS (SELECT qid, id, rank FROM gtscored WHERE rank <= $EvalK),
+    s"""gtk AS (SELECT qid, id, rank FROM gtscored WHERE rank <= $EvalK),
        |m AS (
        |  SELECT s.qid AS qid, count(*) AS hits0,
        |    sum(list_extract($gainsLit, s.rank)) AS dcg,
@@ -60,6 +59,104 @@ object EvalQueries {
        |  CAST(coalesce(dcg, 0) AS DOUBLE) / $idcg AS ndcg
        |FROM (SELECT DISTINCT qid FROM gtk) qids LEFT JOIN m USING (qid)
        |ORDER BY qid""".stripMargin
+  }
+
+  val qRetrievalEvalSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |${QueryCatalog.annLshScoredCtes},
+       |sysk AS (SELECT qid, id, rank FROM lshscored WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
+
+  /** [[qRetrievalEval]] pointed at the GRAPH-ANN family: the same
+    * metric relation over [[graft.ops.NnDescent.searchGraph]]'s beam
+    * walk (the `ann_graph_search` configuration) instead of the LSH
+    * list — every serving family's spec-quoted recall now has an
+    * oracle-checked audit. The oracle composes the FULL graph replay
+    * (NN-Descent build + every search hop) with the brute-force chain
+    * and the shared metric fold. */
+  val qRetrievalEvalGraph: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = graft.ops.NnDescent.knnGraph(corpus, k = 5, iters = 2,
+      sample = 10, seed = "nnd")
+    val sys = graft.ops.NnDescent.searchGraph(g, corpus, queries,
+      k = EvalK, entries = ServeQueries.SearchEntries,
+      beam = ServeQueries.SearchBeam, hops = ServeQueries.SearchHops,
+      seed = "nnd")
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalGraphSql: String =
+    s"""WITH ${CorpusMlQueries.knnGraphCtesBody(" WHERE vec_id >= 5")},
+       |${ServeQueries.graphSearchCtes},
+       |${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |sysk AS (
+       |  SELECT qid, id, rank FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |    FROM v${ServeQueries.SearchHops}) WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
+
+  /** [[qRetrievalEval]] pointed at the IVF family — the third audited
+    * ranker (LSH, graph, IVF): the seeded 16-cell quantizer (the
+    * SemDeDup oracle's replay idiom — argmax with ties to the larger
+    * index, the exact [[graft.ops.IvfIndex.bestCell]] rule) serves the
+    * standing queries from ONE probed cell each, the production
+    * nProbe = 1 configuration whose recall loss is precisely what this
+    * audit exists to see. The oracle replays cell assignment from the
+    * embedded unit-centroid literals, the cell-restricted raw-cosine
+    * ranking, the exact chain, and the shared metric fold. */
+  val qRetrievalEvalIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = QueryCatalog.semanticCentroids
+    val cc = graft.ops.IvfIndex.assignCells(corpus, "id", "vec", cents)
+    val qc = queries.withColumn("cell",
+      graft.ops.IvfIndex.bestCell(col("qvec"), cents))
+    val scored = cc.join(qc, Seq("cell"))
+      .select(col("qid"), col("id"),
+        Similarity.cosine(col("qvec"), col("vec")).as("score"))
+    val sys = Skew.saltedTopK(scored, Seq("qid"),
+      Seq(col("score").desc, col("id").asc), EvalK, saltBy = col("id"))
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalIvfSql: String = {
+    val cs = graft.ops.IvfIndex.unitRows(QueryCatalog.semanticCentroids)
+    val csLit = cs.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n      ", "]")
+    s"""WITH cents AS (SELECT $csLit AS cs),
+       |${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |cc AS (
+       |  SELECT id, vec,
+       |    len(s) - list_position(list_reverse(s), list_max(s)) AS cell
+       |  FROM (SELECT id, vec, list_transform(cs, x -> list_dot_product(vec, x)) AS s
+       |        FROM c CROSS JOIN cents)),
+       |qc AS (
+       |  SELECT qid, qvec,
+       |    len(s) - list_position(list_reverse(s), list_max(s)) AS cell
+       |  FROM (SELECT qid, qvec, list_transform(cs, x -> list_dot_product(qvec, x)) AS s
+       |        FROM q CROSS JOIN cents)),
+       |ivfscored AS (
+       |  SELECT qc.qid AS qid, cc.id AS id,
+       |    row_number() OVER (PARTITION BY qc.qid ORDER BY
+       |      list_dot_product(qc.qvec, cc.vec) /
+       |        (sqrt(list_dot_product(qc.qvec, qc.qvec)) *
+       |         sqrt(list_dot_product(cc.vec, cc.vec))) DESC, cc.id) AS rank
+       |  FROM cc JOIN qc ON cc.cell = qc.cell),
+       |sysk AS (SELECT qid, id, rank FROM ivfscored WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
   }
 
   private val MmrK = 10
@@ -230,12 +327,16 @@ object EvalQueries {
 
   val all: Map[String, Q] = Map(
     "q_retrieval_eval" -> qRetrievalEval,
+    "q_retrieval_eval_graph" -> qRetrievalEvalGraph,
+    "q_retrieval_eval_ivf" -> qRetrievalEvalIvf,
     "q_retrieval_mmr" -> qRetrievalMmr,
     "q_retrieval_pipeline" -> qRetrievalPipeline,
     "dedup_simhash_inc" -> dedupSimhashInc)
 
   val oracles: Map[String, String] = Map(
     "q_retrieval_eval" -> qRetrievalEvalSql,
+    "q_retrieval_eval_graph" -> qRetrievalEvalGraphSql,
+    "q_retrieval_eval_ivf" -> qRetrievalEvalIvfSql,
     "q_retrieval_mmr" -> qRetrievalMmrSql,
     "q_retrieval_pipeline" -> qRetrievalPipelineSql,
     "dedup_simhash_inc" -> dedupSimhashIncSql)

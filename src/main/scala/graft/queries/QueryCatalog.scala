@@ -705,7 +705,7 @@ object QueryCatalog {
     * literals — production trains centroids with [[IvfIndex.train]],
     * which an independent oracle cannot replay. Same seeding pattern
     * as [[annLshSql]]'s hyperplanes. */
-  private val semanticCentroids: Array[Array[Double]] =
+  private[queries] val semanticCentroids: Array[Array[Double]] =
     Similarity.hyperplanes(dim = 64, numBits = 16, seed = 7L)
 
   /** SemDeDup drop list: cell-scoped cosine near-dup collapse (the

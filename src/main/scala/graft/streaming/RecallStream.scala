@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.ops.{IvfIndex, Retrieval, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming SERVING-QUALITY monitor — the production question behind
+  * every frozen-quantizer index: the IVF cells were trained once, the
+  * corpus keeps growing, and nothing re-checks that the pruned probe
+  * still finds what an exact scan would. This stream answers it
+  * continuously: per micro-batch of arriving vectors,
+  *
+  *   1. the arrivals append to the cell-partitioned serving layout
+  *      under `batch=<epoch>` ([[IvfIndex.writeIndexed]] — the same
+  *      store the production probe reads, so the monitor measures the
+  *      REAL serving path, not a shadow copy);
+  *   2. the standing query set is answered twice over the data-so-far:
+  *      the pruned probe ([[IvfIndex.topKIndexed]], `nProbe` cells,
+  *      partition-pruned scan) and the exact brute-force ranking;
+  *   3. [[Retrieval.rankingMetrics]] of pruned-vs-exact lands in the
+  *      metrics sink under `batch=<epoch>` — a time series of
+  *      recall@k / RR / nDCG per query, the alert feed for "the
+  *      quantizer went stale".
+  *
+  * The twin structure is [[ClusterEvalStream]]'s: every stage is the
+  * BATCH operator over the accumulated store, so stream ≡ batch at
+  * every epoch by construction (RecallStreamSpec pins it, plus the
+  * exhaustive-probe identity and a planted drift case where a frozen
+  * quantizer demonstrably loses a new arrival's neighborhood).
+  * Replay idempotence: both sinks overwrite by epoch, and reading the
+  * accumulated store INCLUDING the replayed epoch is correct here —
+  * the monitor measures data-so-far, it gates nothing.
+  *
+  * Scale shape: the append is batch-sized; the pruned probe scans only
+  * the probed cells' directories; the exact ranking is the one
+  * corpus-sized pass — the price of a TRUE recall number, bounded by
+  * the standing query count (small by contract), and the reason this
+  * runs as a monitor on a schedule rather than inside the serving
+  * path. */
+object RecallStream {
+
+  /** Monitor ONE epoch. Returns the per-query metrics also written to
+    * `metricsDir/batch=<batchId>`. */
+  def monitorBatch(batch: DataFrame, batchId: Long, annDir: String,
+      metricsDir: String, queries: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    val spark = batch.sparkSession
+    IvfIndex.writeIndexed(batch.select(col("id"), col("vec")), centroids,
+      s"$annDir/batch=$batchId")
+    val sys = IvfIndex.topKIndexed(spark, annDir, queries, centroids,
+      k, nProbe)
+    val corpus = spark.read.parquet(annDir).select(col("id"), col("vec"))
+    val gt = Similarity.bruteForceTopK(queries, corpus, k)
+    val metrics = Retrieval.rankingMetrics(sys, gt, k)
+    metrics.write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
+    metrics
+  }
+
+  /** Run the monitor over a streaming (id, vec) feed. */
+  def start(vectors: DataFrame, annDir: String, metricsDir: String,
+      checkpointDir: String, queries: DataFrame,
+      centroids: Array[Array[Double]], k: Int = 10,
+      nProbe: Int = 2): StreamingQuery = {
+    require(vectors.isStreaming, "RecallStream.start needs a streaming " +
+      "input; call monitorBatch for a one-shot epoch")
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        monitorBatch(b, id, annDir, metricsDir, queries, centroids,
+          k, nProbe)
+        ()
+      }
+      .start()
+  }
+}

@@ -262,4 +262,35 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$acc/batch=3")
       .select("doc_id").as[Long].collect().toSeq == Seq(40L))
   }
+
+  test("compaction over the simhash SERVING store: probe identical, nested blocks preserved, appends continue") {
+    val acc = graft.Staging.dirFor("compact-shs-acc")
+    val idx = graft.Staging.dirFor("compact-shs-idx")
+    val sdir = graft.Staging.dirFor("compact-shs-store")
+    // compactAll's positional gate sinks
+    assert(IngestGate.gateBatch(
+      Seq((800001L, mkText(2))).toDF("doc_id", "text"),
+      0L, idx, acc, "doc_id", "text") == 1L)
+    val corpus = Tables.documents(spark, sf001).filter($"doc_id" % 5 =!= 0)
+    val batch = Tables.documents(spark, sf001).filter($"doc_id" % 5 === 0)
+    Dedup.writeSimhashIndex(corpus.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", sdir)
+    Dedup.appendSimhashIndexEpoch(corpus.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", sdir, epoch = 1L)
+    def probe() = Dedup.newVsCorpusSimhash(spark, sdir, batch,
+      "doc_id", "text").as[(Long, Long, Long)].collect().toSet
+    val before = probe()
+    Compaction.compactAll(spark, acc, idx, maxEpochId = 1L,
+      simhashDir = Some(sdir))
+    assert(epochDirs(s"$sdir/blocks") == 1)
+    assert(new java.io.File(s"$sdir/blocks/batch=-1").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("b=")) == 4,
+      "nested block partitions must survive compaction")
+    assert(probe() == before, "compaction must not change a single answer")
+    // appends continue above the compaction horizon
+    Dedup.appendSimhashIndexEpoch(
+      Seq((800002L, mkText(3))).toDF("doc_id", "text"),
+      "doc_id", "text", sdir, epoch = 2L)
+    assert(probe() == before, "an unrelated append changes no probe answer")
+  }
 }

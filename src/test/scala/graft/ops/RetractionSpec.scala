@@ -462,7 +462,7 @@ class RetractionSpec extends SparkSpec {
       "post-crash retraction ends with stats ≡ rebuilt index")
   }
 
-  test("retractAll sweeps the simhash serving store (eighth): probe ≡ rebuilt-without-victim; idempotent") {
+  test("retractAll sweeps the simhash serving store (eighth): probe ≡ rebuilt-without-victim; untouched epoch byte-identical; idempotent") {
     val acc = graft.Staging.dirFor("retract-sh-acc")
     val idx = graft.Staging.dirFor("retract-sh-idx")
     val sdir = graft.Staging.dirFor("retract-sh-store")
@@ -472,13 +472,19 @@ class RetractionSpec extends SparkSpec {
     assert(IngestGate.gateBatch(
       Seq((900001L, mkText(1))).toDF("doc_id", "text"),
       0L, idx, acc, "doc_id", "text") == 1L)
-    Dedup.writeSimhashIndex(corpus, "doc_id", "text", sdir)
+    // two epochs: the base store, then an appended delta — the victim
+    // is chosen from the DELTA so the base epoch must stay untouched
+    Dedup.writeSimhashIndex(corpus.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", sdir)
+    Dedup.appendSimhashIndexEpoch(corpus.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", sdir, epoch = 1L)
     def probe() = Dedup.newVsCorpusSimhash(spark, sdir, batch,
         "doc_id", "text")
       .as[(Long, Long, Long)].collect().toSet
     val before = probe()
-    assert(before.nonEmpty, "the committed corpus must yield cross-split hits")
-    val victim = before.head._2 // a corpus doc some arrival matches
+    val victim = before.collectFirst { case (_, id2, _) if id2 % 2 != 0 => id2 }
+      .getOrElse(fail("need a matched corpus doc in the delta epoch"))
+    val epoch0Files = fileSet(s"$sdir/blocks/batch=0")
     Retraction.retractAll(spark, Seq(victim), "doc_id", acc, idx,
       simhashDir = Some(sdir))
     // the forgotten doc left EVERY block slice, so no arrival can match it
@@ -487,6 +493,8 @@ class RetractionSpec extends SparkSpec {
     val after = probe()
     assert(after == before.filterNot(_._2 == victim),
       "post-sweep probe ≡ the probe against a store without the victim")
+    assert(fileSet(s"$sdir/blocks/batch=0") == epoch0Files,
+      "the epoch without victim rows must keep its exact files")
     // idempotent: a second sweep rewrites nothing
     val files = fileSet(s"$sdir/blocks")
     Retraction.retractAll(spark, Seq(victim), "doc_id", acc, idx,

@@ -75,4 +75,26 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(out.map(_._3).sum / out.length > 0.2,
       "mean recall@10 of the ann_lsh config should clear a weak floor")
   }
+
+  test("graph-ANN audit: the same metric relation over the beam walk, one row per query") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 5)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val g = NnDescent.knnGraph(corpus, k = 5, iters = 2, sample = 10,
+      seed = "nnd")
+    val sys = NnDescent.searchGraph(g, corpus, queries, k = 10,
+      entries = 3, beam = 5, hops = 3, seed = "nnd")
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = 10)
+    val out = Retrieval.rankingMetrics(sys, gt, k = 10)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    out.foreach { case (_, hits, recall, rr, ndcg) =>
+      assert(hits >= 0 && hits <= 10 && recall == hits / 10.0)
+      assert(rr >= 0.0 && rr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0)
+    }
+    assert(out.map(_._3).sum > 0.0,
+      "the walk must retrieve SOME true neighbors on this corpus")
+  }
 }

@@ -86,12 +86,15 @@ class SimhashIncSpec extends SparkSpec {
     }
   }
 
-  test("store layout: blocks are partitioned by block ordinal on disk") {
+  test("store layout: epoch directories with nested block partitions") {
     val idx = graft.Staging.dirFor("simhash-inc-layout")
     Dedup.writeSimhashIndex(
       Tables.documents(spark, sf001).filter($"doc_id" % 5 =!= 0),
       "doc_id", "text", idx)
-    val dirs = new java.io.File(s"$idx/blocks").listFiles()
+    val epochs = new java.io.File(s"$idx/blocks").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(epochs == Set("batch=0"))
+    val dirs = new java.io.File(s"$idx/blocks/batch=0").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set("b=0", "b=1", "b=2", "b=3"))
     // the store is ONE relation: the per-doc signature slice is b = 0
@@ -99,5 +102,25 @@ class SimhashIncSpec extends SparkSpec {
       .filter($"b" === 0).select("id").as[Long].collect()
     assert(sigSlice.length == sigSlice.distinct.length,
       "b=0 slice must hold exactly one row per doc")
+  }
+
+  test("epoch append: probe over base ∪ appended epoch ≡ probe over a rebuilt single store; replay idempotent") {
+    val docs = Tables.documents(spark, sf001).filter($"doc_id" % 5 =!= 0)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 =!= 0)
+    val batch = Tables.documents(spark, sf001).filter($"doc_id" % 5 === 0)
+    val inc = graft.Staging.dirFor("simhash-epoch-inc")
+    val full = graft.Staging.dirFor("simhash-epoch-full")
+    Dedup.writeSimhashIndex(base, "doc_id", "text", inc)
+    Dedup.appendSimhashIndexEpoch(delta, "doc_id", "text", inc, epoch = 1L)
+    Dedup.writeSimhashIndex(docs, "doc_id", "text", full)
+    def probe(p: String) = Dedup.newVsCorpusSimhash(spark, p, batch,
+      "doc_id", "text").as[(Long, Long, Long)].collect().toSet
+    val appended = probe(inc)
+    assert(appended == probe(full),
+      "epoch-appended store must answer exactly like a rebuilt one")
+    // a replayed append overwrites its own epoch, changing nothing
+    Dedup.appendSimhashIndexEpoch(delta, "doc_id", "text", inc, epoch = 1L)
+    assert(probe(inc) == appended, "replayed append must be idempotent")
   }
 }

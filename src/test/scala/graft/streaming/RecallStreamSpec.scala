@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.{IvfIndex, Retrieval, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Streaming serving-quality monitor ([[RecallStream]]): stream ≡
+  * batch over data-so-far, the exhaustive-probe identity, the planted
+  * frozen-quantizer drift case, replay idempotence, and the live
+  * foreachBatch wiring. */
+class RecallStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-D geometry keeps cell membership hand-checkable: two unit
+  // centroids on the axes, vectors placed by angle
+  private val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+  private def v(id: Long, x: Double, y: Double) = (id, Seq(x.toFloat, y.toFloat))
+
+  private def queries1 =
+    Seq((0L, Seq(1.0f, 0.1f))).toDF("qid", "qvec") // probes cell 0 first
+
+  test("planted drift: a frozen nProbe=1 quantizer loses a cross-cell arrival; the exhaustive probe never does") {
+    val ann = graft.Staging.dirFor("recall-ann")
+    val met = graft.Staging.dirFor("recall-met")
+    // epoch 0: everything lives in the query's own cell (x > y ⇒
+    // cell 0), pointing AWAY from the query (negative y) so a later
+    // cross-cell arrival can beat them on cosine — recall 1.0 for now
+    val b0 = Seq(v(10L, 0.8, -0.8), v(11L, 0.9, -0.5)).toDF("id", "vec")
+    val m0 = RecallStream.monitorBatch(b0, 0L, ann, met, queries1,
+        cents, k = 2, nProbe = 1)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(m0.length == 1 && m0.head._3 == 1.0 && m0.head._5 == 1.0,
+      s"in-cell epoch must audit clean: ${m0.toSeq}")
+    // epoch 1: a TRUE top-2 neighbor of the query arrives at an angle
+    // that assigns to cell 1 (0.71 > 0.69) — the frozen single-probe
+    // serving path scans cell 0 only and cannot see it
+    val b1 = Seq(v(20L, 0.69, 0.71)).toDF("id", "vec")
+    val m1 = RecallStream.monitorBatch(b1, 1L, ann, met, queries1,
+        cents, k = 2, nProbe = 1)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(m1.head._3 < 1.0,
+      s"the monitor must SEE the frozen-quantizer miss: ${m1.toSeq}")
+    // the same epoch audited exhaustively is clean — the miss is the
+    // probe's, not the store's
+    val mAll = RecallStream.monitorBatch(
+        Seq(v(21L, 0.05, 0.9)).toDF("id", "vec"), 2L, ann, met, queries1,
+        cents, k = 2, nProbe = 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(mAll.head._3 == 1.0 && mAll.head._4 == 1.0 && mAll.head._5 == 1.0,
+      s"exhaustive probe must be exact: ${mAll.toSeq}")
+  }
+
+  test("stream ≡ batch: the epoch metrics equal the batch operators over the accumulated store") {
+    val ann = graft.Staging.dirFor("recall-twin-ann")
+    val met = graft.Staging.dirFor("recall-twin-met")
+    val b0 = Seq(v(10L, 0.9, 0.2), v(11L, 0.1, 0.95)).toDF("id", "vec")
+    val b1 = Seq(v(20L, 0.69, 0.71), v(21L, 0.95, 0.05)).toDF("id", "vec")
+    RecallStream.monitorBatch(b0, 0L, ann, met, queries1, cents, k = 2, nProbe = 1)
+    val streamed = RecallStream.monitorBatch(b1, 1L, ann, met, queries1,
+        cents, k = 2, nProbe = 1)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val sys = IvfIndex.topKIndexed(spark, ann, queries1, cents, k = 2, nProbe = 1)
+    val gt = Similarity.bruteForceTopK(queries1,
+      spark.read.parquet(ann).select($"id", $"vec"), k = 2)
+    val batchSide = Retrieval.rankingMetrics(sys, gt, k = 2)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(streamed == batchSide, "the monitor IS the batch audit over data-so-far")
+    // and the metrics sink holds one epoch directory per batch
+    assert(spark.read.parquet(met).select("batch").distinct().count() == 2)
+  }
+
+  test("replay idempotence: re-monitoring a committed epoch reproduces its metrics row for row") {
+    val ann = graft.Staging.dirFor("recall-replay-ann")
+    val met = graft.Staging.dirFor("recall-replay-met")
+    val b0 = Seq(v(10L, 0.9, 0.2)).toDF("id", "vec")
+    val b1 = Seq(v(20L, 0.2, 0.9)).toDF("id", "vec")
+    RecallStream.monitorBatch(b0, 0L, ann, met, queries1, cents, k = 2, nProbe = 2)
+    RecallStream.monitorBatch(b1, 1L, ann, met, queries1, cents, k = 2, nProbe = 2)
+    val before = spark.read.parquet(met)
+      .as[(Long, Long, Double, Double, Double, Int)].collect().toSet
+    RecallStream.monitorBatch(b1, 1L, ann, met, queries1, cents, k = 2, nProbe = 2)
+    val after = spark.read.parquet(met)
+      .as[(Long, Long, Double, Double, Double, Int)].collect().toSet
+    assert(after == before, "a replayed epoch must overwrite itself exactly")
+  }
+
+  test("live foreachBatch: the monitor runs end-to-end on a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val ann = graft.Staging.dirFor("recall-e2e-ann")
+    val met = graft.Staging.dirFor("recall-e2e-met")
+    val ckpt = graft.Staging.dirFor("recall-e2e-ckpt")
+    val q = RecallStream.start(mem.toDF().toDF("id", "vec"), ann, met,
+      ckpt, queries1, cents, k = 2, nProbe = 2)
+    try {
+      mem.addData((10L, Seq(0.9f, 0.2f)), (11L, Seq(0.1f, 0.9f)))
+      q.processAllAvailable()
+      mem.addData((20L, Seq(0.7f, 0.7f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(met)
+      .select("batch", "qid", "recall").as[(Int, Long, Double)].collect()
+    assert(rows.length == 2, s"one audit row per epoch: ${rows.toSeq}")
+    assert(rows.forall(_._3 == 1.0), "exhaustive probe stays exact on the live path")
+  }
+}
