@@ -331,7 +331,15 @@ object Bench {
     // the ann_graph_search build + walk plus the bounded metric fold
     "q_retrieval_eval_graph" -> 12.0,
     // one cell assignment + a cell-restricted rank + the exact pass
-    "q_retrieval_eval_ivf" -> 5.0)
+    "q_retrieval_eval_ivf" -> 5.0,
+    // the ann_sq8 integer estimator + the exact pass + metric fold
+    "q_retrieval_eval_sq" -> 6.0,
+    // two brute-force cosine passes (32- and 64-dim) + metric fold
+    "q_retrieval_eval_trunc" -> 5.0,
+    // the lossless prefix join + one portable-signature pass
+    "dedup_est_error" -> 8.0,
+    // the text_bpe_encode plan with a lang-level group-by tail
+    "text_bpe_fertility" -> 6.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -190,4 +190,30 @@ object Bpe {
         sum("ntok").as("n_bpe_tokens"),
         round(sum(col("nch")).cast("double") / sum(col("ntok")), 4).as("bpe_ratio"))
   }
+
+  /** Tokenizer FERTILITY audit by group — the number a tokenizer is
+    * actually judged by, per language/domain: tokens-per-word
+    * (fertility — a tokenizer trained on English typically fragments
+    * other scripts into more pieces per word, which silently inflates
+    * their effective token cost in a mixed corpus) and chars-per-token
+    * (compression), aggregated over `groupCol` instead of per doc.
+    * Same plan shape as [[encodeStats]]: one corpus word scan joined to
+    * the broadcast vocabulary map, one group-by over the (small)
+    * group domain. Output: (grp, n_words, n_bpe_tokens, fertility,
+    * chars_per_token), 4-dp rounded ratios. */
+  def fertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val nTok = model.vocabSeg
+      .select(col("word"), size(split(trim(col("seg")), "  ")).as("ntok"),
+        length(col("word")).as("nch"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .join(broadcast(nTok), Seq("word"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_words"),
+        sum("ntok").as("n_bpe_tokens"),
+        round(sum(col("ntok")).cast("double") / count(lit(1)), 4).as("fertility"),
+        round(sum(col("nch")).cast("double") / sum(col("ntok")), 4).as("chars_per_token"))
+  }
 }

@@ -111,6 +111,13 @@ object Dedup {
     (a, b)
   }
 
+  /** The seed-42 permutation coefficients and modulus, exposed so an
+    * independent oracle can embed them as literals and replay the
+    * portable signature path ([[minhashSignaturesPortable]]). */
+  private[graft] def minhashCoefs(numHashes: Int): (Seq[Long], Seq[Long]) =
+    hashCoefs(numHashes)
+  private[graft] val minhashPrime: Long = MinhashPrime
+
   /** MinHash signatures: for each doc, sig[i] = min over shingles of
     * (a_i·h(shingle)+b_i mod p).
     *
@@ -147,6 +154,45 @@ object Dedup {
     withH.groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Engine-portable MinHash signatures: the [[md5TokenHash60]] trade
+    * applied to the whole signature pipeline (md5-60 of the shingle
+    * STRING as the base hash instead of xxhash64), so an independent
+    * engine can recompute sig[i] exactly from the embedded seed-42
+    * coefficients. Same aggregation shape as [[minhashSignatures]] —
+    * the two differ only in the base hash. */
+  def minhashSignaturesPortable(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 64, n: Int = 3): DataFrame =
+    signaturesFromBaseHash(
+      shingles(df, idCol, textCol, n)
+        .select(col("id"), md5TokenHash60(col("shingle")).as("h64")),
+      numHashes)
+
+  /** The MinHash ESTIMATOR-error relation — "measure, don't guess"
+    * pointed at the dedup family's own approximation: for every exact
+    * near-dup pair (J ≥ `threshold`, lossless prefix-filtered join),
+    * the signature-agreement estimate ĵ = |{i : sig1[i] = sig2[i]}| /
+    * numHashes next to the exact Jaccard. E[ĵ] = J (each permutation's
+    * min agrees with probability J), Var = J(1−J)/numHashes — the
+    * audit says how far THIS corpus sits from that bound, per pair,
+    * before anyone trusts banded candidates downstream. Pair-bounded:
+    * signatures join only onto the verified pair relation, so the HOF
+    * agreement fold runs on |pairs| rows, never the corpus. */
+  def minhashEstimates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, n: Int = 3): DataFrame = {
+    val pairs = prefixJaccardJoin(df, idCol, textCol, threshold, n)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val sigs = minhashSignaturesPortable(df, idCol, textCol, numHashes, n)
+    val agree = aggregate(
+      zip_with(col("sig1"), col("sig2"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    pairs
+      .join(sigs.toDF("id1", "sig1"), Seq("id1"))
+      .join(sigs.toDF("id2", "sig2"), Seq("id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        (agree.cast("double") / numHashes).as("est"))
   }
 
   /** MinHash + LSH banding: signatures are cut into `bands` bands of

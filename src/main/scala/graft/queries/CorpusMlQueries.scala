@@ -37,32 +37,40 @@ object CorpusMlQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val annSq8Sql: String =
-    """WITH q AS (SELECT vec_id AS qid, embedding AS vec FROM embeddings WHERE vec_id < 5),
-      |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 5),
-      |dims AS (SELECT unnest(range(1, (SELECT min(len(vec)) FROM c) + 1)) AS dim),
-      |cx AS (SELECT id, dim, CAST(vec[dim] AS DOUBLE) AS x FROM c CROSS JOIN dims),
+  /** The SQ8 symmetric-estimator replay chain, ending in
+    * `sqranked(qid, id, d_code, rank)` — shared by [[annSq8Sql]] and
+    * the quantization-audit oracle (`q_retrieval_eval_sq`). CTE names
+    * are sq-prefixed so the chain composes next to the DOUBLE-vec
+    * `q`/`c` ground-truth chain without collision. */
+  private[queries] val sq8RankedCtes: String =
+    """sqq AS (SELECT vec_id AS qid, embedding AS vec FROM embeddings WHERE vec_id < 5),
+      |sqc AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 5),
+      |dims AS (SELECT unnest(range(1, (SELECT min(len(vec)) FROM sqc) + 1)) AS dim),
+      |cx AS (SELECT id, dim, CAST(vec[dim] AS DOUBLE) AS x FROM sqc CROSS JOIN dims),
       |stats AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM cx GROUP BY dim),
-      |cc AS (
+      |scodes AS (
       |  SELECT id, dim,
       |    CASE WHEN hi <= lo THEN 0
       |         ELSE CAST(least(greatest(floor((x - lo) * 255.0 / (hi - lo)), 0.0), 255.0) AS BIGINT)
       |    END AS code
       |  FROM cx JOIN stats USING (dim)),
-      |qx AS (SELECT qid, dim, CAST(vec[dim] AS DOUBLE) AS x FROM q CROSS JOIN dims),
-      |qc AS (
+      |qx AS (SELECT qid, dim, CAST(vec[dim] AS DOUBLE) AS x FROM sqq CROSS JOIN dims),
+      |qcodes AS (
       |  SELECT qid, dim,
       |    CASE WHEN hi <= lo THEN 0
       |         ELSE CAST(least(greatest(floor((x - lo) * 255.0 / (hi - lo)), 0.0), 255.0) AS BIGINT)
       |    END AS code
       |  FROM qx JOIN stats USING (dim)),
       |d AS (
-      |  SELECT qid, id, CAST(sum((qc.code - cc.code) * (qc.code - cc.code)) AS BIGINT) AS d_code
-      |  FROM qc JOIN cc USING (dim) GROUP BY qid, id),
-      |ranked AS (
-      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d_code, id) AS rank FROM d)
-      |SELECT qid, id, d_code, rank FROM ranked WHERE rank <= 10
-      |ORDER BY qid, rank""".stripMargin
+      |  SELECT qid, id, CAST(sum((qcodes.code - scodes.code) * (qcodes.code - scodes.code)) AS BIGINT) AS d_code
+      |  FROM qcodes JOIN scodes USING (dim) GROUP BY qid, id),
+      |sqranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d_code, id) AS rank FROM d)""".stripMargin
+
+  val annSq8Sql: String =
+    s"""WITH $sq8RankedCtes
+       |SELECT qid, id, d_code, rank FROM sqranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
 
   /** The COMPOSED IVF-SQ8 index ([[graft.ops.IvfSq]] — FAISS "IVF,SQ8"),
     * oracle-gated the exhaustive way: build the cell-partitioned
@@ -276,6 +284,36 @@ object CorpusMlQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
   }
+
+  /** Tokenizer FERTILITY by language ([[graft.ops.Bpe.fertilityByGroup]]):
+    * tokens-per-word and chars-per-token of the trained merges per
+    * `lang` — the audit that shows an en-trained tokenizer fragmenting
+    * other scripts (higher fertility = higher effective token cost in
+    * a mixed corpus). The oracle re-trains the tokenizer (the 10
+    * unrolled merge stages) and replays the lang-level aggregation. */
+  val textBpeFertility: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ops.Bpe.train(docs, "text", BpeMerges)
+    graft.ops.Bpe.fertilityByGroup(docs, "lang", "text", model)
+      .withColumnRenamed("grp", "lang")
+      .orderBy(col("lang"))
+  }
+
+  val textBpeFertilitySql: String =
+    s"""${bpeCtes(BpeMerges)},
+       |nt AS (
+       |  SELECT word, len(string_split(trim(seg), '  ')) AS ntok,
+       |    length(word) AS nch
+       |  FROM s$BpeMerges),
+       |dw AS (
+       |  SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(ntok) AS DOUBLE) / count(*), 4) AS fertility,
+       |  round(CAST(sum(nch) AS DOUBLE) / sum(ntok), 4) AS chars_per_token
+       |FROM dw JOIN nt USING (word) GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   val textBpeEncodeSql: String =
     s"""${bpeCtes(BpeMerges)},
@@ -685,6 +723,7 @@ object CorpusMlQueries {
     "q_sample_dsir" -> qSampleDsir,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_encode" -> textBpeEncode,
+    "text_bpe_fertility" -> textBpeFertility,
     "q_zipf_fit" -> qZipfFit)
 
   val oracles: Map[String, String] = Map(
@@ -700,5 +739,6 @@ object CorpusMlQueries {
     "q_sample_dsir" -> qSampleDsirSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_fertility" -> textBpeFertilitySql,
     "q_zipf_fit" -> qZipfFitSql)
 }

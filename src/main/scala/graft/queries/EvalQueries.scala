@@ -159,6 +159,72 @@ object EvalQueries {
        |$metricsTailSql""".stripMargin
   }
 
+  /** QUANTIZATION-error audit — the number a team wants before turning
+    * on SQ8 serving: [[qRetrievalEval]]'s metric relation with the
+    * system list ranked by the symmetric 8-bit CODE-domain distance
+    * ([[graft.ops.Sq.topKSym]], the `ann_sq8` estimator) against the
+    * exact float cosine ranking. The estimator is integer-exact and
+    * fully replayable (per-dim bounds, floor/clamp encode, integer
+    * distance — the `ann_sq8` chain), so unlike the trained-codebook PQ
+    * modes this audit is hash-gated end-to-end. */
+  val qRetrievalEvalSq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val b = graft.ops.Sq.train(corpus, "vec")
+    val sys = graft.ops.Sq.topKSym(queries, corpus, b, k = EvalK)
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalSqSql: String =
+    s"""WITH ${CorpusMlQueries.sq8RankedCtes},
+       |${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |sysk AS (SELECT qid, id, rank FROM sqranked WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
+
+  private val TruncDims = 32
+
+  /** DIMENSION-truncation audit (the Matryoshka question — Kusupati
+    * NeurIPS'22: how much ranking quality survives serving only the
+    * first d′ of d dimensions?): the system list is the exact cosine
+    * ranking over the FIRST [[TruncDims]] coordinates, audited against
+    * the full-dimension ground truth with the shared metric fold. Both
+    * rankings are plain cosine chains, so the oracle replays
+    * everything; the knob a capacity planner actually turns (halve the
+    * vector bytes → this relation says what recall it costs). */
+  val qRetrievalEvalTrunc: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val sys = Similarity.bruteForceTopK(
+      queries.select(col("qid"), slice(col("qvec"), 1, TruncDims).as("qvec")),
+      corpus.select(col("id"), slice(col("vec"), 1, TruncDims).as("vec")),
+      k = EvalK)
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalTruncSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |tq AS (SELECT qid, qvec[1:$TruncDims] AS qvec FROM q),
+       |tc AS (SELECT id, vec[1:$TruncDims] AS vec FROM c),
+       |truncscored AS (
+       |  SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      list_dot_product(qvec, vec) /
+       |        (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) DESC,
+       |      id) AS rank
+       |  FROM tc CROSS JOIN tq),
+       |sysk AS (SELECT qid, id, rank FROM truncscored WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
+
   private val MmrK = 10
   private val MmrM = 20
   private val MmrLambda = 0.7
@@ -298,6 +364,71 @@ object EvalQueries {
        |${mmrStagesSql(PipeK)}
        |SELECT rank, id, rel, mmr FROM sel$PipeK ORDER BY rank""".stripMargin
 
+  /** The MinHash ESTIMATOR-error audit
+    * ([[graft.ops.Dedup.minhashEstimates]]) — the eval layer pointed at
+    * the dedup family's own approximation: per exact near-dup pair
+    * (J ≥ 0.5), the 64-permutation signature-agreement estimate next to
+    * the exact Jaccard and their absolute error. The oracle recomputes
+    * the PORTABLE signatures from the embedded seed-42 coefficients
+    * (md5-60 shingle hash, (a·h+b) mod 2³¹−1 mins) plus the exact pair
+    * relation — estimator and truth both replayed. */
+  val dedupEstError: Q = (s, dir) => {
+    graft.ops.Dedup.minhashEstimates(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id1"), col("id2"),
+        round(col("jaccard"), 4).as("jaccard"),
+        round(col("est"), 4).as("est"),
+        round(abs(col("est") - col("jaccard")), 4).as("err"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val dedupEstErrorSql: String = {
+    val (ca, cb) = graft.ops.Dedup.minhashCoefs(64)
+    val p = graft.ops.Dedup.minhashPrime
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(t) >= 3
+       |        THEN unnest(list_transform(range(1, len(t) - 1),
+       |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |        ELSE unnest([array_to_string(t, ' ')]) END AS sh
+       |    FROM toks)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT id1, id2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jac
+       |  FROM inter JOIN sizes s1 ON s1.doc_id = id1
+       |  JOIN sizes s2 ON s2.doc_id = id2
+       |  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+       |hmod AS (
+       |  SELECT doc_id, ($hexVal) % $p AS h
+       |  FROM (SELECT doc_id, substring(md5(sh), 1, 15) AS h15 FROM sh)),
+       |coef AS (SELECT unnest([${ca.mkString(", ")}]) AS ca,
+       |                unnest([${cb.mkString(", ")}]) AS cb,
+       |                unnest(range(0, 64)) AS i),
+       |mins AS MATERIALIZED (
+       |  SELECT doc_id, i, min((ca * h + cb) % $p) AS m
+       |  FROM hmod CROSS JOIN coef GROUP BY doc_id, i),
+       |agree AS (
+       |  SELECT p.id1 AS id1, p.id2 AS id2, p.jac AS jac,
+       |    sum(CASE WHEN m1.m = m2.m THEN 1 ELSE 0 END) AS agr
+       |  FROM pairs p JOIN mins m1 ON m1.doc_id = p.id1
+       |  JOIN mins m2 ON m2.doc_id = p.id2 AND m2.i = m1.i
+       |  GROUP BY p.id1, p.id2, p.jac)
+       |SELECT id1, id2, round(jac, 4) AS jaccard,
+       |  round(CAST(agr AS DOUBLE) / 64, 4) AS est,
+       |  round(abs(CAST(agr AS DOUBLE) / 64 - jac), 4) AS err
+       |FROM agree ORDER BY id1, id2""".stripMargin
+  }
+
   /** Incremental SIMHASH near-dup probe
     * ([[graft.ops.Dedup.writeSimhashIndex]] +
     * [[graft.ops.Dedup.newVsCorpusSimhash]], Manku WWW'07): the corpus
@@ -329,15 +460,21 @@ object EvalQueries {
     "q_retrieval_eval" -> qRetrievalEval,
     "q_retrieval_eval_graph" -> qRetrievalEvalGraph,
     "q_retrieval_eval_ivf" -> qRetrievalEvalIvf,
+    "q_retrieval_eval_sq" -> qRetrievalEvalSq,
+    "q_retrieval_eval_trunc" -> qRetrievalEvalTrunc,
     "q_retrieval_mmr" -> qRetrievalMmr,
     "q_retrieval_pipeline" -> qRetrievalPipeline,
+    "dedup_est_error" -> dedupEstError,
     "dedup_simhash_inc" -> dedupSimhashInc)
 
   val oracles: Map[String, String] = Map(
     "q_retrieval_eval" -> qRetrievalEvalSql,
     "q_retrieval_eval_graph" -> qRetrievalEvalGraphSql,
     "q_retrieval_eval_ivf" -> qRetrievalEvalIvfSql,
+    "q_retrieval_eval_sq" -> qRetrievalEvalSqSql,
+    "q_retrieval_eval_trunc" -> qRetrievalEvalTruncSql,
     "q_retrieval_mmr" -> qRetrievalMmrSql,
     "q_retrieval_pipeline" -> qRetrievalPipelineSql,
+    "dedup_est_error" -> dedupEstErrorSql,
     "dedup_simhash_inc" -> dedupSimhashIncSql)
 }

