@@ -183,7 +183,15 @@ object Dedup {
       threshold: Double, numHashes: Int = 64, n: Int = 3): DataFrame = {
     val pairs = prefixJaccardJoin(df, idCol, textCol, threshold, n)
       .select(col("id1"), col("id2"), col("jaccard"))
-    val sigs = minhashSignaturesPortable(df, idCol, textCol, numHashes, n)
+      .localCheckpoint(true)
+    // signatures only for pair PARTICIPANTS (duplicate-relation-sized,
+    // the newVsCorpusPairs candIds stance) — the audit never pays a
+    // corpus-wide 64-aggregate signature pass for docs no pair needs
+    val ids = pairs.select(col("id1").as(idCol))
+      .union(pairs.select(col("id2").as(idCol))).distinct()
+    val sigs = minhashSignaturesPortable(
+      df.join(broadcast(ids), Seq(idCol), "left_semi"),
+      idCol, textCol, numHashes, n)
     val agree = aggregate(
       zip_with(col("sig1"), col("sig2"),
         (x, y) => when(x === y, 1).otherwise(0)),

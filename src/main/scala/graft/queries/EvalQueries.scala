@@ -367,14 +367,16 @@ object EvalQueries {
   /** The MinHash ESTIMATOR-error audit
     * ([[graft.ops.Dedup.minhashEstimates]]) — the eval layer pointed at
     * the dedup family's own approximation: per exact near-dup pair
-    * (J ≥ 0.5), the 64-permutation signature-agreement estimate next to
+    * (J ≥ 0.6, the `dedup_jaccard_join` threshold — prefix economy
+    * scales with 1−t, so the audit inherits the family's candidate
+    * costs), the 64-permutation signature-agreement estimate next to
     * the exact Jaccard and their absolute error. The oracle recomputes
     * the PORTABLE signatures from the embedded seed-42 coefficients
     * (md5-60 shingle hash, (a·h+b) mod 2³¹−1 mins) plus the exact pair
     * relation — estimator and truth both replayed. */
   val dedupEstError: Q = (s, dir) => {
     graft.ops.Dedup.minhashEstimates(Tables.documents(s, dir),
-        "doc_id", "text", threshold = 0.5)
+        "doc_id", "text", threshold = 0.6)
       .select(col("id1"), col("id2"),
         round(col("jaccard"), 4).as("jaccard"),
         round(col("est"), 4).as("est"),
@@ -407,7 +409,7 @@ object EvalQueries {
        |  SELECT id1, id2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jac
        |  FROM inter JOIN sizes s1 ON s1.doc_id = id1
        |  JOIN sizes s2 ON s2.doc_id = id2
-       |  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+       |  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6),
        |hmod AS (
        |  SELECT doc_id, ($hexVal) % $p AS h
        |  FROM (SELECT doc_id, substring(md5(sh), 1, 15) AS h15 FROM sh)),
