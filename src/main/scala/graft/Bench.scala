@@ -339,7 +339,9 @@ object Bench {
     // the lossless prefix join + one portable-signature pass
     "dedup_est_error" -> 8.0,
     // the text_bpe_encode plan with a lang-level group-by tail
-    "text_bpe_fertility" -> 6.0)
+    "text_bpe_fertility" -> 6.0,
+    // the multiprobe candidate join + one exact pass + metric fold
+    "q_retrieval_eval_lsh_mp" -> 5.0)
 
   /** JSON string escape (same contract as Verify.q): backslash, quote,
     * and ALL control chars < 0x20 — a subset name or path must never be

@@ -5,9 +5,13 @@ import graft.ops.{Retrieval, Similarity, Skew}
 import org.apache.spark.sql.functions._
 
 /** Eighth wave of the query surface (round 17, second half): the
-  * retrieval-QUALITY layer — ranking metrics of a pruned index against
-  * the exact ground truth, MMR diversity re-ranking of a shortlist,
-  * and the simhash family's incremental (Manku-blocked) probe. Same
+  * EVALUATION layer — every approximation in the engine gets an
+  * oracle-checked audit relation: ranking metrics of the LSH / graph /
+  * IVF / SQ8 / truncated-dimension serving paths against the exact
+  * ground truth (one shared integer-gain metric fold), MMR diversity
+  * re-ranking and the fused serving-pipeline flagship, the MinHash
+  * estimator-error relation, and the simhash family's incremental
+  * (Manku-blocked) probe. Same
   * oracle conventions as [[QueryCatalog]]: identical aliases both
   * sides, total ORDER BY, integer outputs CAST to BIGINT in DuckDB,
   * scores rounded 4 dp before every ranking, greedy/fused scores
@@ -224,6 +228,78 @@ object EvalQueries {
        |  FROM tc CROSS JOIN tq),
        |sysk AS (SELECT qid, id, rank FROM truncscored WHERE rank <= $EvalK),
        |$metricsTailSql""".stripMargin
+
+  /** The MULTI-PROBE LSH audit — the one serving configuration that
+    * was rows-only-by-design (`ann_lsh_multiprobe`) gets its recall
+    * measured under the oracle: [[qRetrievalEval]]'s metric relation
+    * with the system list from
+    * [[graft.ops.Similarity.lshTopKMultiProbe]] (Lv VLDB'07 — base
+    * bucket plus the two flipped-lowest-|margin| buckets per table,
+    * 4 bits × 8 tables). The probe SELECTION is deterministic
+    * arithmetic on seed-42 plane dot products, so the oracle replays
+    * it relationally: per (query, table), rank the four bit-flips by
+    * (|margin|, flipped key) and keep two, union the base keys, join
+    * the corpus's base buckets, re-rank exactly, fold the metrics. */
+  val qRetrievalEvalLshMp: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val sys = Similarity.lshTopKMultiProbe(queries, corpus, k = EvalK,
+      dim = 64, bitsPerTable = 4, tables = 8, nProbes = 3)
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalLshMpSql: String = {
+    val bits = 4; val tables = 8; val keep = 2 // nProbes − 1
+    val planes = Similarity.hyperplanes(dim = 64, numBits = bits * tables,
+      seed = 42L)
+    val planesLit = planes.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    def bitSql(i: Int, v: String, flipped: Boolean) = {
+      val (a, b) = if (flipped) ("'0'", "'1'") else ("'1'", "'0'")
+      s"CASE WHEN list_dot_product($v, pl[${i + 1}]) > 0 THEN $a ELSE $b END"
+    }
+    def keySql(t: Int, v: String, flip: Int) =
+      s"'${t}_' || " + (t * bits until (t + 1) * bits)
+        .map(i => bitSql(i, v, flipped = i == flip)).mkString(" || ")
+    val cbKeys = (0 until tables).map(t => keySql(t, "vec", -1))
+      .mkString(",\n      |    ")
+    val qbKeys = (0 until tables).map(t => keySql(t, "qvec", -1))
+      .mkString(",\n      |    ")
+    val flipRows = (for (t <- 0 until tables; j <- t * bits until (t + 1) * bits)
+      yield s"SELECT qid, $t AS t, abs(list_dot_product(qvec, pl[${j + 1}])) AS m, " +
+        s"${keySql(t, "qvec", j)} AS k FROM q CROSS JOIN planes")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH planes AS (SELECT $planesLit AS pl),
+       |${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |qflips AS MATERIALIZED (
+       |  $flipRows),
+       |sel AS (
+       |  SELECT qid, k FROM (
+       |    SELECT qid, k, row_number() OVER (PARTITION BY qid, t ORDER BY m, k) AS rn
+       |    FROM qflips) WHERE rn <= $keep),
+       |qb AS (
+       |  SELECT qid, unnest([
+       |    $qbKeys]) AS bucket FROM q CROSS JOIN planes
+       |  UNION ALL SELECT qid, k AS bucket FROM sel),
+       |cb AS (
+       |  SELECT id, unnest([
+       |    $cbKeys]) AS bucket FROM c CROSS JOIN planes),
+       |cands AS (SELECT DISTINCT qid, id FROM qb JOIN cb USING (bucket)),
+       |mpscored AS (
+       |  SELECT cands.qid, cands.id,
+       |    row_number() OVER (PARTITION BY cands.qid ORDER BY
+       |      list_dot_product(qvec, vec) /
+       |        (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) DESC,
+       |      cands.id) AS rank
+       |  FROM cands JOIN q ON q.qid = cands.qid JOIN c ON c.id = cands.id),
+       |sysk AS (SELECT qid, id, rank FROM mpscored WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
+  }
 
   private val MmrK = 10
   private val MmrM = 20
@@ -464,6 +540,7 @@ object EvalQueries {
     "q_retrieval_eval_ivf" -> qRetrievalEvalIvf,
     "q_retrieval_eval_sq" -> qRetrievalEvalSq,
     "q_retrieval_eval_trunc" -> qRetrievalEvalTrunc,
+    "q_retrieval_eval_lsh_mp" -> qRetrievalEvalLshMp,
     "q_retrieval_mmr" -> qRetrievalMmr,
     "q_retrieval_pipeline" -> qRetrievalPipeline,
     "dedup_est_error" -> dedupEstError,
@@ -475,6 +552,7 @@ object EvalQueries {
     "q_retrieval_eval_ivf" -> qRetrievalEvalIvfSql,
     "q_retrieval_eval_sq" -> qRetrievalEvalSqSql,
     "q_retrieval_eval_trunc" -> qRetrievalEvalTruncSql,
+    "q_retrieval_eval_lsh_mp" -> qRetrievalEvalLshMpSql,
     "q_retrieval_mmr" -> qRetrievalMmrSql,
     "q_retrieval_pipeline" -> qRetrievalPipelineSql,
     "dedup_est_error" -> dedupEstErrorSql,

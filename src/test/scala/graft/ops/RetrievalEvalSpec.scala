@@ -76,6 +76,25 @@ class RetrievalEvalSpec extends SparkSpec {
       "mean recall@10 of the ann_lsh config should clear a weak floor")
   }
 
+  test("multi-probe audit: probing strictly widens candidates, so audited recall dominates the single-probe base") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.filter($"vec_id" >= 5)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = 10)
+    def meanRecall(sys: org.apache.spark.sql.DataFrame) =
+      Retrieval.rankingMetrics(sys, gt, k = 10)
+        .agg(avg($"recall")).as[Double].head()
+    val base = meanRecall(Similarity.lshTopK(queries, corpus, k = 10,
+      dim = 64, bitsPerTable = 4, tables = 8))
+    val mp = meanRecall(Similarity.lshTopKMultiProbe(queries, corpus,
+      k = 10, dim = 64, bitsPerTable = 4, tables = 8, nProbes = 3))
+    assert(mp >= base - 1e-9,
+      s"multi-probe candidates are a superset of base candidates: $mp vs $base")
+    assert(mp > 0.0)
+  }
+
   test("graph-ANN audit: the same metric relation over the beam walk, one row per query") {
     val emb = Tables.embeddings(spark, sf001)
     val queries = emb.filter($"vec_id" < 5)
