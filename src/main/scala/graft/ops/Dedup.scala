@@ -1228,7 +1228,9 @@ object Dedup {
     require(blocks >= 1 && bits % blocks == 0,
       s"blocks must divide bits, got bits=$bits blocks=$blocks")
     val w = bits / blocks
-    val mask = (1L << w) - 1
+    // w = 64 (bits=64, blocks=1): `1L << 64` wraps to 1 on the JVM and
+    // would zero every key — the full-width block keeps the whole sig
+    val mask = if (w == 64) -1L else (1L << w) - 1
     sigs.select(col("id"), col("sig"),
         explode(array((0 until blocks).map(b =>
           struct(lit(b).as("b"),
@@ -1296,10 +1298,18 @@ object Dedup {
     * relation, verified by one codegen'd bit_count(xor). Emits
     * (id1 = probe doc, id2 = store doc, dist), distinct. */
   def probeSimhash(storeBlocks: DataFrame, newSigs: DataFrame,
-      bits: Int, blocks: Int, maxDist: Int): DataFrame = {
+      bits: Int, blocks: Int, maxDist: Int): DataFrame =
+    probeSimhashBlocks(storeBlocks, simhashBlocks(newSigs, bits, blocks),
+      blocks, maxDist)
+
+  /** [[probeSimhash]] over PRE-DERIVED probe block rows — lets a caller
+    * that already materialized `simhashBlocks` (the gate's per-batch
+    * persist) probe without re-deriving the explode/shift projection. */
+  private[graft] def probeSimhashBlocks(storeBlocks: DataFrame,
+      probeBlocks: DataFrame, blocks: Int, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < blocks,
       s"lossless candidates need maxDist < blocks, got maxDist=$maxDist blocks=$blocks")
-    simhashBlocks(newSigs, bits, blocks).as("n")
+    probeBlocks.as("n")
       .join(storeBlocks.as("c"),
         col("n.b") === col("c.b") && col("n.key") === col("c.key"))
       .select(col("n.id").as("id1"), col("c.id").as("id2"),

@@ -32,14 +32,18 @@ object Retrieval {
   /** Per-query ranking-quality metrics of a SYSTEM top-k list against
     * the exact ground-truth top-k: for each qid,
     *   - hits      = |sys@k ∩ gt@k| (integer),
-    *   - recall    = hits / k,
+    *   - recall    = hits / |gt@k| (the ground truth can hold fewer
+    *                 than k entries on a small corpus — normalizing by
+    *                 k would report false drift for a provably exact
+    *                 probe, the [[graft.streaming.RecallStream]]
+    *                 cold-start case),
     *   - rr        = 1 / rank_sys(gt's rank-1 id), 0 if the true
     *                 nearest neighbor is absent from sys@k (per-query
     *                 reciprocal rank — averaging these IS MRR),
-    *   - ndcg      = DCG@k / IDCG@k with binary relevance over gt@k
-    *                 membership, gains from [[dcgGainsMicro]] (IDCG is
-    *                 the full-table sum: gt always has k entries when
-    *                 the corpus holds ≥ k docs).
+    *   - ndcg      = DCG@k / IDCG@|gt@k| with binary relevance over
+    *                 gt@k membership, gains from [[dcgGainsMicro]]
+    *                 (the ideal list holds exactly the |gt@k| relevant
+    *                 docs, so IDCG is the gain prefix-sum at |gt@k|).
     * Both inputs are (qid, id, rank) relations with rank ∈ [1, k'];
     * rows beyond k are ignored. A query with zero overlap still emits
     * its row (metrics 0) — silence is not a score. All aggregation is
@@ -52,9 +56,11 @@ object Retrieval {
   def rankingMetrics(sys: DataFrame, gt: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val gains = dcgGainsMicro(k)
-    val idcg = gains.sum
+    val idcgPrefix = gains.scanLeft(0L)(_ + _).tail // idcg at |gt| = 1..k
     val gainAt: Column = element_at(
       array(gains.map(lit(_)): _*), col("srk").cast("int"))
+    val idcgAt: Column = element_at(
+      array(idcgPrefix.map(lit(_)): _*), col("gtn").cast("int"))
     val sysK = sys.filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("rank").as("srk"))
     val gtK = gt.filter(col("rank") <= k)
@@ -64,13 +70,28 @@ object Retrieval {
       .agg(count(lit(1)).as("hits0"),
         sum(gainAt).as("dcg"),
         max(when(col("grk") === 1, lit(1.0) / col("srk"))).as("rr0"))
-    gtK.select("qid").distinct()
+    gtK.groupBy("qid").agg(count(lit(1)).as("gtn"))
       .join(per, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("hits0"), lit(0L)).as("hits"),
-        (coalesce(col("hits0"), lit(0L)).cast("double") / k).as("recall"),
+        (coalesce(col("hits0"), lit(0L)).cast("double") / col("gtn"))
+          .as("recall"),
         coalesce(col("rr0"), lit(0.0)).as("rr"),
-        (coalesce(col("dcg"), lit(0L)).cast("double") / idcg).as("ndcg"))
+        (coalesce(col("dcg"), lit(0L)).cast("double") / idcgAt).as("ndcg"))
+  }
+
+  /** The 4-dp pairwise cosine matrix over a candidate-vector shortlist
+    * (id, vec) — the `sims` input [[mmr]] consumes, kept in ONE place
+    * so the rounding/orientation contract cannot drift between the
+    * MMR query, the pipeline flagship, and their specs. Emits each
+    * unordered pair once (id1 < id2); [[mmr]] looks up both
+    * orientations. m² rows for an m-row shortlist — model-sized. */
+  def pairwiseSims(candVecs: DataFrame): DataFrame = {
+    val cv = candVecs.select(col("id"), col("vec"))
+    cv.toDF("id1", "v1")
+      .join(cv.toDF("id2", "v2"), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(graft.ops.Similarity.cosine(col("v1"), col("v2")), 4).as("sim"))
   }
 
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
@@ -131,6 +152,5 @@ object Retrieval {
     val spark = candidates.sparkSession
     import spark.implicits._
     picked.toSeq.toDF("rank", "id", "rel", "mmr")
-      .select(col("rank"), col("id"), col("rel"), col("mmr"))
   }
 }

@@ -49,19 +49,20 @@ object EvalQueries {
   private def metricsTailSql: String = {
     val gains = Retrieval.dcgGainsMicro(EvalK)
     val gainsLit = gains.mkString("[", ", ", "]")
-    val idcg = gains.sum
+    val idcgPrefixLit = gains.scanLeft(0L)(_ + _).tail.mkString("[", ", ", "]")
     s"""gtk AS (SELECT qid, id, rank FROM gtscored WHERE rank <= $EvalK),
+       |gtn AS (SELECT qid, count(*) AS gtn FROM gtk GROUP BY qid),
        |m AS (
        |  SELECT s.qid AS qid, count(*) AS hits0,
        |    sum(list_extract($gainsLit, s.rank)) AS dcg,
        |    max(CASE WHEN g.rank = 1 THEN CAST(1 AS DOUBLE) / s.rank END) AS rr0
        |  FROM sysk s JOIN gtk g ON s.qid = g.qid AND s.id = g.id
        |  GROUP BY s.qid)
-       |SELECT qids.qid AS qid, CAST(coalesce(hits0, 0) AS BIGINT) AS hits,
-       |  CAST(coalesce(hits0, 0) AS DOUBLE) / $EvalK AS recall,
+       |SELECT gtn.qid AS qid, CAST(coalesce(hits0, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(hits0, 0) AS DOUBLE) / gtn.gtn AS recall,
        |  CAST(coalesce(rr0, 0) AS DOUBLE) AS rr,
-       |  CAST(coalesce(dcg, 0) AS DOUBLE) / $idcg AS ndcg
-       |FROM (SELECT DISTINCT qid FROM gtk) qids LEFT JOIN m USING (qid)
+       |  CAST(coalesce(dcg, 0) AS DOUBLE) / list_extract($idcgPrefixLit, gtn.gtn) AS ndcg
+       |FROM gtn LEFT JOIN m USING (qid)
        |ORDER BY qid""".stripMargin
   }
 
@@ -322,13 +323,12 @@ object EvalQueries {
     val scored = corpus.crossJoin(broadcast(qv))
       .select(lit(0).as("qid"), col("id"), col("vec"),
         round(Similarity.cosine(col("vec"), col("qvec")), 4).as("rel"))
+    // checkpoint the shortlist: the corpus-wide salted top-m must not
+    // recompute for each of the sims/candidates/mmr actions
     val cands = Skew.saltedTopK(scored, Seq("qid"),
       Seq(col("rel").desc, col("id").asc), MmrM, saltBy = col("id"))
-    val cv = cands.select(col("id"), col("vec"))
-    val sims = cv.toDF("id1", "v1")
-      .join(cv.toDF("id2", "v2"), col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        round(Similarity.cosine(col("v1"), col("v2")), 4).as("sim"))
+      .localCheckpoint(true)
+    val sims = Retrieval.pairwiseSims(cands.select(col("id"), col("vec")))
     Retrieval.mmr(cands.select(col("id"), col("rel")), sims,
         k = MmrK, lambda = MmrLambda)
       .orderBy(col("rank"))
@@ -416,17 +416,17 @@ object EvalQueries {
         "embedding", Seq("spark", "window", "merge"), qv,
         k = PipeCand, m = MmrM)
       .select("id")
+    // checkpoint the fused shortlist's vectors: the hybrid rankers (the
+    // query's dominant cost) must not recompute for each of the
+    // re-score/sims/mmr actions
     val candVecs = corpus
       .select(col("doc_id").as("id"), col("embedding").as("vec"))
       .join(fusedIds, Seq("id"), "left_semi")
+      .localCheckpoint(true)
     val cands = candVecs.crossJoin(broadcast(qv))
       .select(col("id"),
         round(Similarity.cosine(col("vec"), col("qvec")), 4).as("rel"))
-    val cv = candVecs.select(col("id"), col("vec"))
-    val sims = cv.toDF("id1", "v1")
-      .join(cv.toDF("id2", "v2"), col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        round(Similarity.cosine(col("v1"), col("v2")), 4).as("sim"))
+    val sims = Retrieval.pairwiseSims(candVecs)
     Retrieval.mmr(cands, sims, k = PipeK, lambda = MmrLambda)
       .orderBy(col("rank"))
   }

@@ -41,13 +41,28 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object RecallStream {
 
   /** Monitor ONE epoch. Returns the per-query metrics also written to
-    * `metricsDir/batch=<batchId>`. */
+    * `metricsDir/batch=<batchId>`. Store ids stay UNIQUE across epochs
+    * by construction — an arrival whose id already exists in another
+    * epoch is dropped (first write wins; a re-crawled id is a
+    * retract-then-append lifecycle event, not the monitor's concern) —
+    * because a duplicated id would appear at two ranks in BOTH rankings
+    * and inflate the metric join past 1.0. The check excludes this
+    * epoch's own partition, so a foreachBatch replay re-accepts its
+    * own rows instead of self-rejecting the epoch (the gate family's
+    * replay discipline). */
   def monitorBatch(batch: DataFrame, batchId: Long, annDir: String,
       metricsDir: String, queries: DataFrame,
       centroids: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
     val spark = batch.sparkSession
-    IvfIndex.writeIndexed(batch.select(col("id"), col("vec")), centroids,
-      s"$annDir/batch=$batchId")
+    val fresh = IngestGate.readIfAny(spark, annDir) match {
+      case Some(store) =>
+        val existing = store.filter(col("batch") =!= batchId)
+          .select(col("id")).distinct()
+        batch.select(col("id"), col("vec"))
+          .join(existing, Seq("id"), "left_anti")
+      case None => batch.select(col("id"), col("vec"))
+    }
+    IvfIndex.writeIndexed(fresh, centroids, s"$annDir/batch=$batchId")
     val sys = IvfIndex.topKIndexed(spark, annDir, queries, centroids,
       k, nProbe)
     val corpus = spark.read.parquet(annDir).select(col("id"), col("vec"))

@@ -41,29 +41,32 @@ object SimhashGate {
       acceptedDir: String, idCol: String, textCol: String,
       bits: Int = 60, blocks: Int = 4, maxDist: Int = 3): Long = {
     val spark = batch.sparkSession
-    val sigs = Dedup.simhashSignatures(batch, idCol, textCol,
-      Dedup.md5TokenHash60, bits).persist()
+    // ONE signature pass and ONE block derivation per micro-batch: the
+    // in-batch self-probe, the store probe, and the index write all
+    // reuse this persisted relation
+    val blk = Dedup.simhashBlocks(
+      Dedup.simhashSignatures(batch, idCol, textCol,
+        Dedup.md5TokenHash60, bits),
+      bits, blocks).persist()
     try {
       // (1) in-batch collapse: a doc defers to any SMALLER-id arrival
       // within maxDist (two copies arriving together never both pass)
-      val inBatchDropped = Dedup.probeSimhash(
-          Dedup.simhashBlocks(sigs, bits, blocks), sigs,
-          bits, blocks, maxDist)
+      val inBatchDropped = Dedup.probeSimhashBlocks(blk, blk, blocks, maxDist)
         .filter(col("id2") < col("id1"))
         .select(col("id1").as("id")).distinct()
-      val inBatchSigs = sigs.join(inBatchDropped, Seq("id"), "left_anti")
+      val inBatchBlk = blk.join(inBatchDropped, Seq("id"), "left_anti")
       // (2) probe the accumulated store, excluding this epoch (replay)
       val storeDropped = IngestGate.readIfAny(spark, indexDir) match {
         case Some(storeRaw) =>
           val store = storeRaw.filter(col("batch") =!= batchId)
             .select("key", "b", "id", "sig")
-          Dedup.probeSimhash(store, inBatchSigs, bits, blocks, maxDist)
+          Dedup.probeSimhashBlocks(store, inBatchBlk, blocks, maxDist)
             .select(col("id1").as("id")).distinct()
         case None => // no prior epochs — nothing to defer to
           import spark.implicits._
           Seq.empty[Long].toDF("id")
       }
-      val acceptedSigs = inBatchSigs.join(storeDropped, Seq("id"), "left_anti")
+      val acceptedBlk = inBatchBlk.join(storeDropped, Seq("id"), "left_anti")
       // a doc with NO signature (null/empty text) can match nothing and
       // always passes — the unshingled-doc convention of the gate family
       val rejected = inBatchDropped.union(storeDropped)
@@ -74,12 +77,11 @@ object SimhashGate {
         // overwrite-by-epoch: a replayed batch replaces its own output
         accepted.write.mode("overwrite")
           .parquet(s"$acceptedDir/batch=$batchId")
-        Dedup.simhashBlocks(acceptedSigs, bits, blocks)
-          .write.mode("overwrite")
+        acceptedBlk.write.mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
         nAccepted
       } finally { accepted.unpersist(false); () }
-    } finally { sigs.unpersist(false); () }
+    } finally { blk.unpersist(false); () }
   }
 
   /** Run the gate over a streaming document feed. */

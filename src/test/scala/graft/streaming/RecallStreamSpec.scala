@@ -84,6 +84,29 @@ class RecallStreamSpec extends SparkSpec {
     assert(after == before, "a replayed epoch must overwrite itself exactly")
   }
 
+  test("a re-crawled id never duplicates in the store (first write wins), so metrics stay in range; small ground truth normalizes to 1.0") {
+    val ann = graft.Staging.dirFor("recall-dup-ann")
+    val met = graft.Staging.dirFor("recall-dup-met")
+    // ONE vector in the store: |gt| = 1 < k = 2 — an exact probe must
+    // still read 1.0, not 0.5 (the cold-start normalization)
+    val m0 = RecallStream.monitorBatch(
+        Seq(v(10L, 0.9, 0.2)).toDF("id", "vec"), 0L, ann, met, queries1,
+        cents, k = 2, nProbe = 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(m0.head._3 == 1.0 && m0.head._5 == 1.0,
+      s"an exact probe over a 1-doc store must audit 1.0: ${m0.toSeq}")
+    // id 10 re-arrives (re-crawl) with different coordinates: dropped —
+    // the store keeps one row per id and the metrics stay in range
+    val m1 = RecallStream.monitorBatch(
+        Seq(v(10L, 0.1, 0.9), v(11L, 0.8, 0.1)).toDF("id", "vec"),
+        1L, ann, met, queries1, cents, k = 2, nProbe = 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(spark.read.parquet(ann).filter($"id" === 10L).count() == 1,
+      "first write wins — no duplicate store rows")
+    assert(m1.head._2 <= 2 && m1.head._3 == 1.0 && m1.head._5 == 1.0,
+      s"exact probe over the deduped store stays exact: ${m1.toSeq}")
+  }
+
   test("live foreachBatch: the monitor runs end-to-end on a real stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
