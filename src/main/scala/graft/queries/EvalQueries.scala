@@ -463,9 +463,7 @@ object EvalQueries {
   val dedupEstErrorSql: String = {
     val (ca, cb) = graft.ops.Dedup.minhashCoefs(64)
     val p = graft.ops.Dedup.minhashPrime
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = CorpusMlQueries.hexVal // the shared md5-60 recombination
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
        |sh AS (

@@ -55,11 +55,7 @@ class MmrSpec extends SparkSpec {
           round(Similarity.cosine($"vec", $"qvec"), 4).as("rel"))
       val top = Skew.saltedTopK(scored, Seq("qid"),
         Seq($"rel".desc, $"id".asc), 20, saltBy = $"id")
-      val cv = top.select($"id", $"vec")
-      val pw = cv.toDF("id1", "v1")
-        .join(cv.toDF("id2", "v2"), $"id1" < $"id2")
-        .select($"id1", $"id2",
-          round(Similarity.cosine($"v1", $"v2"), 4).as("sim"))
+      val pw = Retrieval.pairwiseSims(top.select($"id", $"vec"))
       Retrieval.mmr(top.select($"id", $"rel"), pw, k = 10, lambda = 0.7)
         .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
     }
