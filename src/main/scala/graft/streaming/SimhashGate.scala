@@ -77,7 +77,9 @@ object SimhashGate {
         // overwrite-by-epoch: a replayed batch replaces its own output
         accepted.write.mode("overwrite")
           .parquet(s"$acceptedDir/batch=$batchId")
-        acceptedBlk.write.mode("overwrite")
+        // canonical store order (the anti-join moved its key first)
+        acceptedBlk.select(col("key"), col("b"), col("id"), col("sig"))
+          .write.mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
         nAccepted
       } finally { accepted.unpersist(false); () }
