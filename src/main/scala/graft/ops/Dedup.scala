@@ -1267,12 +1267,23 @@ object Dedup {
     * transactionally in step: the right-to-be-forgotten sweep is a
     * single epoch-granular [[Retraction.retract]] pass and
     * [[Compaction.compactEpochs]] collapses epochs generically. One
-    * corpus pass; [[appendSimhashIndexEpoch]] adds nightly arrivals. */
+    * corpus pass; [[appendSimhashIndexEpoch]] adds nightly arrivals.
+    *
+    * This CREATES the store: any prior epochs under `path/blocks` are
+    * cleared first. The per-epoch overwrite below replaces only its own
+    * `batch=` partition, so without the sweep a rebuild into a
+    * directory holding epochs > `epoch` would silently retain them and
+    * probes would keep answering from the old corpus. */
   def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, tokenHash: Column => Column = md5TokenHash60,
-      bits: Int = 60, blocks: Int = 4, epoch: Long = 0L): Unit =
+      bits: Int = 60, blocks: Int = 4, epoch: Long = 0L): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/blocks")
+    val fs = root.getFileSystem(
+      corpus.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.delete(root, true)
     appendSimhashIndexEpoch(corpus, idCol, textCol, path, epoch,
       tokenHash, bits, blocks)
+  }
 
   /** Append one epoch of arrivals to a [[writeSimhashIndex]] store:
     * sign the delta, write its block rows under `batch=<epoch>` —
@@ -1343,4 +1354,55 @@ object Dedup {
     probeSimhash(spark.read.parquet(s"$indexPath/blocks"),
       simhashSignatures(newDocs, idCol, textCol, tokenHash, bits),
       bits, blocks, maxDist)
+
+  /** CAP-AND-FLAG escape hatch for the incremental probe — mega-cluster
+    * protection. The probe's TRUE pair relation is quadratic inside
+    * duplicate clusters (near-identical texts collide on whole blocks;
+    * a crawl with a million copies of one boilerplate page makes the
+    * lossless pair set itself the explosion), so a production gate
+    * wants the option to NOT materialize it: per candidate bucket
+    * (block ordinal, block key), the projected pair count — probe-side
+    * occupancy × store-side occupancy, computed from two bucket
+    * aggregations BEFORE any join, so the overflowing join never runs —
+    * is compared against `maxPairsPerBucket`; buckets over the cap emit
+    * ONE `(b, key, n_pairs)` overflow row each instead of their pairs,
+    * and only the surviving buckets join and verify.
+    *
+    * Polarity: LOSSLESS IS THE DEFAULT — [[newVsCorpusSimhash]] has no
+    * cap and is the oracle-gated `dedup_simhash_inc` path; this variant
+    * is opt-in for operators who would rather see "bucket X projects
+    * 10⁹ pairs" as an alarm row than as an execution. A pair colliding
+    * in both a flagged and an unflagged bucket still surfaces through
+    * the unflagged one (pairs, not buckets, are what distinct() dedups)
+    * — only pairs ALL of whose shared blocks overflow are withheld,
+    * and every withheld bucket is named in the overflow relation.
+    * Store-side occupancy is counted only for buckets the probe
+    * touches (left-semi prune — the same key pruning the probe join
+    * itself rides). Returns (pairs, overflow). */
+  def newVsCorpusSimhashCapped(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, idCol: String,
+      textCol: String, maxPairsPerBucket: Long,
+      tokenHash: Column => Column = md5TokenHash60,
+      bits: Int = 60, blocks: Int = 4,
+      maxDist: Int = 3): (DataFrame, DataFrame) = {
+    require(maxPairsPerBucket >= 1,
+      s"maxPairsPerBucket must be positive, got $maxPairsPerBucket")
+    val storeBlocks = spark.read.parquet(s"$indexPath/blocks")
+    val probeBlocks = simhashBlocks(
+      simhashSignatures(newDocs, idCol, textCol, tokenHash, bits),
+      bits, blocks)
+    val probeOcc = probeBlocks.groupBy(col("b"), col("key"))
+      .agg(count(lit(1)).as("np"))
+    val storeOcc = storeBlocks
+      .join(probeOcc.select(col("b"), col("key")), Seq("b", "key"),
+        "left_semi")
+      .groupBy(col("b"), col("key")).agg(count(lit(1)).as("ns"))
+    val overflow = probeOcc.join(storeOcc, Seq("b", "key"))
+      .withColumn("n_pairs", col("np") * col("ns"))
+      .filter(col("n_pairs") > maxPairsPerBucket)
+      .select(col("b"), col("key"), col("n_pairs"))
+    val okProbe = probeBlocks.join(
+      overflow.select(col("b"), col("key")), Seq("b", "key"), "left_anti")
+    (probeSimhashBlocks(storeBlocks, okProbe, blocks, maxDist), overflow)
+  }
 }

@@ -46,7 +46,12 @@ object Retrieval {
     *                 docs, so IDCG is the gain prefix-sum at |gt@k|).
     * Both inputs are (qid, id, rank) relations with rank ∈ [1, k'];
     * rows beyond k are ignored. A query with zero overlap still emits
-    * its row (metrics 0) — silence is not a score. All aggregation is
+    * its row (metrics 0) — silence is not a score. The row DOMAIN is
+    * gt-side-driven: a qid appears iff it has at least one ground-truth
+    * row (the left join runs from the gt side), so a sys-only qid —
+    * reachable only when the caller's ground truth is empty for a
+    * standing query, i.e. an empty corpus slice — emits nothing rather
+    * than a zero row; its metrics would be 0/0. All aggregation is
     * integer; each metric is one IEEE division of exact integers, so
     * the relation replays bit-identically in DuckDB from the same gain
     * literals (the `q_retrieval_eval` oracle). Scale shape: inputs are
@@ -85,7 +90,7 @@ object Retrieval {
     * so the rounding/orientation contract cannot drift between the
     * MMR query, the pipeline flagship, and their specs. Emits each
     * unordered pair once (id1 < id2); [[mmr]] looks up both
-    * orientations. m² rows for an m-row shortlist — model-sized. */
+    * orientations. m(m−1)/2 rows for an m-row shortlist — model-sized. */
   def pairwiseSims(candVecs: DataFrame): DataFrame = {
     val cv = candVecs.select(col("id"), col("vec"))
     cv.toDF("id1", "v1")

@@ -41,26 +41,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object RecallStream {
 
   /** Monitor ONE epoch. Returns the per-query metrics also written to
-    * `metricsDir/batch=<batchId>`. Store ids stay UNIQUE across epochs
-    * by construction — an arrival whose id already exists in another
-    * epoch is dropped (first write wins; a re-crawled id is a
-    * retract-then-append lifecycle event, not the monitor's concern) —
-    * because a duplicated id would appear at two ranks in BOTH rankings
-    * and inflate the metric join past 1.0. The check excludes this
-    * epoch's own partition, so a foreachBatch replay re-accepts its
-    * own rows instead of self-rejecting the epoch (the gate family's
-    * replay discipline). */
+    * `metricsDir/batch=<batchId>`. Store ids stay UNIQUE by
+    * construction, against BOTH duplication paths: within the
+    * micro-batch, duplicate ids collapse to one deterministic row
+    * first (min row by vec order — the gate family's in-batch-collapse
+    * discipline); across epochs, an arrival whose id already exists in
+    * another epoch is dropped (first write wins; a re-crawled id is a
+    * retract-then-append lifecycle event, not the monitor's concern).
+    * Either duplicate would appear at two ranks in BOTH rankings and
+    * the (qid, id) metric join would cross-multiply, inflating
+    * hits/recall past 1.0 and masking exactly the drift this monitor
+    * exists to see. The cross-epoch check excludes this epoch's own
+    * partition, so a foreachBatch replay re-accepts its own rows
+    * instead of self-rejecting the epoch (the gate family's replay
+    * discipline). */
   def monitorBatch(batch: DataFrame, batchId: Long, annDir: String,
       metricsDir: String, queries: DataFrame,
       centroids: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
     val spark = batch.sparkSession
+    // in-batch collapse: one deterministic row per id (batch-sized
+    // window; arrays order lexicographically, so the pick is stable
+    // under partitioning and replay)
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("vec"))
+    val collapsed = batch.select(col("id"), col("vec"))
+      .withColumn("rn", row_number().over(wId))
+      .filter(col("rn") === 1).drop("rn")
     val fresh = IngestGate.readIfAny(spark, annDir) match {
       case Some(store) =>
         val existing = store.filter(col("batch") =!= batchId)
           .select(col("id")).distinct()
-        batch.select(col("id"), col("vec"))
-          .join(existing, Seq("id"), "left_anti")
-      case None => batch.select(col("id"), col("vec"))
+        collapsed.join(existing, Seq("id"), "left_anti")
+      case None => collapsed
     }
     IvfIndex.writeIndexed(fresh, centroids, s"$annDir/batch=$batchId")
     val sys = IvfIndex.topKIndexed(spark, annDir, queries, centroids,

@@ -104,6 +104,64 @@ class SimhashIncSpec extends SparkSpec {
       "b=0 slice must hold exactly one row per doc")
   }
 
+  test("rebuild clears stale epochs: writeSimhashIndex into a store holding epochs > 0 answers from the NEW corpus only") {
+    val idx = graft.Staging.dirFor("simhash-inc-rebuild")
+    val old1 = Seq((1L, "stale boilerplate page about foxes and rivers today")).toDF("doc_id", "text")
+    val old2 = Seq((2L, "another stale epoch about query engines and shuffles")).toDF("doc_id", "text")
+    Dedup.writeSimhashIndex(old1, "doc_id", "text", idx)
+    Dedup.appendSimhashIndexEpoch(old2, "doc_id", "text", idx, epoch = 1L)
+    // rebuild with a fresh corpus that shares nothing with the old one
+    val fresh = Seq((10L, "entirely new corpus content concerning parquet row group statistics"))
+      .toDF("doc_id", "text")
+    Dedup.writeSimhashIndex(fresh, "doc_id", "text", idx)
+    val stored = spark.read.parquet(s"$idx/blocks")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(stored == Set(10L),
+      s"rebuild must clear epochs from the prior store, found ids $stored")
+    // an arriving copy of OLD content must no longer match anything
+    val probe = Dedup.newVsCorpusSimhash(spark, idx,
+        Seq((100L, "stale boilerplate page about foxes and rivers today"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(probe.isEmpty, "stale epoch rows must not answer probes after a rebuild")
+  }
+
+  test("cap-and-flag: the capped probe names exactly the planted mega-cluster's buckets and withholds its pairs; a loose cap changes nothing") {
+    // mega-cluster: many exact copies in the store collide on EVERY
+    // block; one normal near-pair elsewhere must be unaffected
+    val boiler = "identical boilerplate footer text repeated across every mirror of the site"
+    val store = (1L to 20L).map(i => (i, boiler)) :+
+      (50L, "a singular document about distributed joins and skew salting")
+    val batch = Seq(
+      (100L, boiler),
+      (101L, "a singular document about distributed joins and skew salting"))
+    val idx = graft.Staging.dirFor("simhash-inc-capped")
+    Dedup.writeSimhashIndex(store.toDF("doc_id", "text"), "doc_id", "text", idx)
+    val uncapped = Dedup.newVsCorpusSimhash(spark, idx,
+        batch.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    // tight cap: each boilerplate block bucket projects 1 x 20 pairs
+    val (pairsDf, overflowDf) = Dedup.newVsCorpusSimhashCapped(spark, idx,
+      batch.toDF("doc_id", "text"), "doc_id", "text", maxPairsPerBucket = 5L)
+    val pairs = pairsDf.as[(Long, Long, Long)].collect().toSet
+    val overflow = overflowDf.as[(Int, Long, Long)].collect()
+    assert(overflow.nonEmpty, "the planted mega-cluster must be flagged")
+    assert(overflow.forall(_._3 == 20L),
+      "overflow rows must carry the projected pair count")
+    assert(!pairs.exists(_._1 == 100L),
+      "pairs whose every shared block overflows are withheld")
+    assert(pairs.contains((101L, 50L, 0L)),
+      "the normal near-pair must survive the cap untouched")
+    // loose cap: lossless — identical to the uncapped probe, no flags
+    val (loosePairs, looseOver) = Dedup.newVsCorpusSimhashCapped(spark, idx,
+      batch.toDF("doc_id", "text"), "doc_id", "text",
+      maxPairsPerBucket = 1000L)
+    assert(loosePairs.as[(Long, Long, Long)].collect().toSet == uncapped,
+      "a cap nothing exceeds must change nothing")
+    assert(looseOver.collect().isEmpty)
+  }
+
   test("epoch append: probe over base ∪ appended epoch ≡ probe over a rebuilt single store; replay idempotent") {
     val docs = Tables.documents(spark, sf001).filter($"doc_id" % 5 =!= 0)
     val base = docs.filter($"doc_id" % 2 === 0)

@@ -50,6 +50,33 @@ class RecallStreamSpec extends SparkSpec {
       s"exhaustive probe must be exact: ${mAll.toSeq}")
   }
 
+  test("in-batch collapse: duplicate ids WITHIN one micro-batch land as one store row and cannot inflate the metrics") {
+    val ann = graft.Staging.dirFor("recall-dup-ann")
+    val met = graft.Staging.dirFor("recall-dup-met")
+    // the same id arrives twice in ONE trigger (a re-delivered message,
+    // the case the cross-epoch anti-join cannot see); id 10 is the
+    // query's true nearest neighbor, so a duplicated row would occupy
+    // two ranks in both rankings and cross-multiply the metric join
+    val b0 = Seq(v(10L, 0.9, 0.1), v(10L, 0.9, 0.1), v(11L, 0.1, 0.9))
+      .toDF("id", "vec")
+    val m0 = RecallStream.monitorBatch(b0, 0L, ann, met, queries1,
+        cents, k = 2, nProbe = 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val stored = spark.read.parquet(ann).select("id").as[Long].collect().toSeq
+    assert(stored.sorted == Seq(10L, 11L),
+      s"store ids must stay unique under in-batch duplication: $stored")
+    assert(m0.length == 1 && m0.head._2 == 2 && m0.head._3 == 1.0,
+      s"exhaustive probe over the collapsed store must audit exactly 1.0: ${m0.toSeq}")
+    // conflicting payloads for one id collapse to ONE deterministic row
+    val b1 = Seq(v(20L, 0.1, 0.95), v(20L, 0.95, 0.1)).toDF("id", "vec")
+    RecallStream.monitorBatch(b1, 1L, ann, met, queries1, cents,
+      k = 2, nProbe = 2)
+    val kept = spark.read.parquet(ann).filter($"id" === 20L)
+      .select("vec").as[Seq[Float]].collect()
+    assert(kept.length == 1 && kept.head == Seq(0.1f, 0.95f),
+      s"the min-by-vec-order row must win deterministically: $kept")
+  }
+
   test("stream ≡ batch: the epoch metrics equal the batch operators over the accumulated store") {
     val ann = graft.Staging.dirFor("recall-twin-ann")
     val met = graft.Staging.dirFor("recall-twin-met")
