@@ -24,23 +24,43 @@ import org.apache.spark.sql.functions._
   */
 object Hybrid {
 
-  /** Fuse two (id, rk) rankings. A doc absent from one list
-    * contributes nothing for that ranker (the paper's convention).
-    * Output: (id, rrf, rk), rk ∈ [1, k]. */
-  def rrfTopK(lex: DataFrame, vec: DataFrame, k: Int,
+  /** Fuse N named (id, rk) rankings — the paper's general form:
+    * `rrf(d) = Σ over rankers of 1/(k0 + rank_r(d))`, a doc absent from
+    * a list contributing nothing for that ranker. Production hybrid
+    * stacks routinely fuse ≥ 3 lists (BM25 + dense cosine + a cheap
+    * code-domain ranker as a third opinion); the sum is already
+    * per-ranker-absent-safe, so N is just the fold. Names label the
+    * rankers for error messages; ORDER is semantic — reciprocal terms
+    * add left to right, so the same list order replays the same IEEE
+    * sum in any engine (the 2-ranker (lexical, vector) convention,
+    * generalized). Output: (id, rrf, rk), rk ∈ [1, k]; the fused
+    * relation is ≤ N·m rows by construction, so the global window is
+    * bounded by the rankers' list sizes, never the corpus. */
+  def rrfTopKN(rankers: Seq[(String, DataFrame)], k: Int,
       k0: Int = 60): DataFrame = {
+    require(rankers.nonEmpty, "rrfTopKN needs at least one ranker")
+    require(rankers.map(_._1).distinct.length == rankers.length,
+      s"ranker names must be distinct, got ${rankers.map(_._1)}")
     require(k >= 1 && k0 >= 0)
-    lex.select(col("id"), col("rk").as("lrk"))
-      .join(vec.select(col("id"), col("rk").as("vrk")), Seq("id"), "full_outer")
-      .select(col("id"), round(
-        coalesce(lit(1.0) / (lit(k0) + col("lrk")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(k0) + col("vrk")), lit(0.0)), 6).as("rrf"))
-      // ≤ 2m fused rows by construction — the global window is bounded
-      // by the rankers' list sizes, never the corpus
+    val named = rankers.zipWithIndex.map { case ((_, r), i) =>
+      r.select(col("id"), col("rk").as(s"rk_$i"))
+    }
+    val joined = named.reduce(_.join(_, Seq("id"), "full_outer"))
+    val rrf = named.indices
+      .map(i => coalesce(lit(1.0) / (lit(k0) + col(s"rk_$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col("id"), round(rrf, 6).as("rrf"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rrf").desc, col("id"))))
       .filter(col("rk") <= k)
   }
+
+  /** Fuse two (id, rk) rankings — [[rrfTopKN]] at the classic
+    * (lexical, vector) arity; row-identical to the general form
+    * (HybridSpec pins the identity). Output: (id, rrf, rk). */
+  def rrfTopK(lex: DataFrame, vec: DataFrame, k: Int,
+      k0: Int = 60): DataFrame =
+    rrfTopKN(Seq("lex" -> lex, "vec" -> vec), k, k0)
 
   /** Single-query hybrid top-k over a corpus carrying BOTH a text and
     * an embedding column: BM25 over `queryTerms` fused with cosine

@@ -404,36 +404,121 @@ object NnDescent {
       .parquet(s"$path/batch=$epoch")
   }
 
+  /** Frontier-size cutover for the indexed walk's per-hop pruning
+    * form: at or below it, the frontier's distinct node ids become
+    * literal `c IN (...)` filters (static row-group pruning, zero extra
+    * exchange — right while the plan stays small); above it — a large
+    * standing-query batch, 10⁴ queries × beam 10 would put 10⁵ literals
+    * in the plan per hop — the id list switches to a broadcast
+    * semi-join on `c`, while directory pruning keeps a LITERAL `nb`
+    * filter either way (distinct buckets are ≤ `numBuckets` values no
+    * matter how large the frontier, so that list never grows). The
+    * same polarity as [[QuantizerRelation.CutoverCells]]: literals in
+    * the plan below, data on the broadcast bus above. */
+  val DefaultFrontierCutover: Int = 1024
+
+  /** The indexed walk's per-hop expansion against a
+    * [[writeGraphIndex]] layout, with the [[DefaultFrontierCutover]]
+    * dispatch. One bounded action per hop on either side: below the
+    * cutover the distinct frontier ids themselves (≤ cutover values);
+    * above it only the distinct BUCKET list (≤ `numBuckets` values) —
+    * never a frontier-sized collect. Both sides prune only, so results
+    * are row-identical (GraphSearchSpec pins plan shape and equality
+    * across the cutover). */
+  private[ops] def indexedExpand(adjAll: DataFrame, numBuckets: Int,
+      frontierCutover: Int): DataFrame => DataFrame = { frontier =>
+    val idsRel = frontier.select("id").distinct()
+    // LIMIT cutover+1: a bounded probe — when it fits, we already hold
+    // the complete id set for the literal form; when it spills over,
+    // the values are discarded and only the bucket list is collected
+    val probe = idsRel.limit(frontierCutover + 1).collect().map(_.get(0))
+    val adj =
+      if (probe.length <= frontierCutover) {
+        val buckets = probe
+          .map(v => java.lang.Long.valueOf(
+            Math.floorMod(v.asInstanceOf[Number].longValue(), numBuckets.toLong)))
+          .distinct
+        adjAll
+          .filter(col("nb").isin(buckets.toIndexedSeq: _*) &&
+            col("c").isin(probe.toIndexedSeq: _*))
+          .select(col("c"), col("v")).distinct()
+      } else {
+        val buckets = idsRel
+          .select(bucketOf(col("id"), numBuckets).as("nb")).distinct()
+          .collect().map(r => java.lang.Long.valueOf(r.getLong(0)))
+        adjAll
+          .filter(col("nb").isin(buckets.toIndexedSeq: _*))
+          .join(broadcast(idsRel.select(col("id").as("c"))), Seq("c"),
+            "left_semi")
+          .select(col("c"), col("v")).distinct()
+      }
+    broadcast(frontier.select(col("qid"), col("id").as("c")))
+      .join(adj, Seq("c"))
+      .select(col("qid"), col("v").as("id")).distinct()
+  }
+
   /** [[searchGraphFrom]] served from a [[writeGraphIndex]] layout —
     * the graph family's probe path. Per hop, the frontier (queries ×
-    * beam rows, model-sized by construction) collects its distinct
-    * node ids; the adjacency scan is pruned to the frontier's buckets
-    * (literal `nb` partition filters) AND its exact source ids (pushed
-    * `c IN (...)` row-group filter) — the only data-sized relation any
-    * hop touches is the handful of bucket files the frontier lands in,
+    * beam rows, model-sized by construction) prunes the adjacency scan
+    * to its buckets (literal `nb` partition filters) AND its exact
+    * source ids — pushed `c IN (...)` row-group filters below
+    * [[DefaultFrontierCutover]], a broadcast semi-join on `c` above it
+    * ([[indexedExpand]]) — so the only data-sized relation any hop
+    * touches is the handful of bucket files the frontier lands in,
     * the [[IvfIndex.topKIndexed]] probed-cells discipline. Identical
     * results to the inline walk (the store holds the same undirected
     * relation; GraphSearchSpec pins indexed ≡ inline). */
   def searchGraphIndexedFrom(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, nodes: DataFrame, queries: DataFrame, k: Int,
       entryIds: DataFrame, beam: Int, hops: Int,
-      numBuckets: Int = DefaultGraphBuckets): DataFrame = {
+      numBuckets: Int = DefaultGraphBuckets,
+      frontierCutover: Int = DefaultFrontierCutover): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0)
     val adjAll = spark.read.parquet(indexPath)
-    beamWalk(nodes, queries, k, entryIds, beam, hops, { frontier =>
-      val cVals = frontier.select("id").distinct().collect().map(_.get(0))
-      val buckets = cVals
-        .map(v => java.lang.Long.valueOf(
-          Math.floorMod(v.asInstanceOf[Number].longValue(), numBuckets.toLong)))
-        .distinct
-      val adj = adjAll
-        .filter(col("nb").isin(buckets.toIndexedSeq: _*) &&
-          col("c").isin(cVals.toIndexedSeq: _*))
-        .select(col("c"), col("v")).distinct()
-      broadcast(frontier.select(col("qid"), col("id").as("c")))
-        .join(adj, Seq("c"))
-        .select(col("qid"), col("v").as("id")).distinct()
-    })
+    beamWalk(nodes, queries, k, entryIds, beam, hops,
+      indexedExpand(adjAll, numBuckets, frontierCutover))
+  }
+
+  /** METADATA-FILTERED serving from the INDEXED graph —
+    * [[searchGraphFilteredFrom]]'s answer-side predicate semi-join
+    * composed with [[searchGraphIndexedFrom]]'s bucket-pruned walk.
+    * The two concerns are independent by design: routing expands over
+    * the FULL stored adjacency (filtered routing fragments the graph —
+    * the Filtered-DiskANN stance documented on
+    * [[searchGraphFiltered]]), while only predicate-matching nodes may
+    * RANK; the semi-join touches the walk's visited relation
+    * (queries × beam × hops rows, model-sized), never the store.
+    * Result ≡ [[searchGraphFilteredFrom]] row for row when the store
+    * holds the same graph (the family's indexed-≡-inline contract;
+    * GraphSearchSpec pins it plus both prunings in the plan). */
+  def searchGraphIndexedFilteredFrom(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      nodes: DataFrame, queries: DataFrame, k: Int, entryIds: DataFrame,
+      beam: Int, hops: Int, predicate: Column,
+      numBuckets: Int = DefaultGraphBuckets,
+      frontierCutover: Int = DefaultFrontierCutover): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0)
+    val adjAll = spark.read.parquet(indexPath)
+    val visited = beamWalkVisited(nodes, queries, entryIds, beam, hops,
+      indexedExpand(adjAll, numBuckets, frontierCutover))
+    val admissible = nodes.filter(predicate).select(col("id"))
+    topPerQ(visited.join(admissible, Seq("id"), "left_semi"), k)
+      .select("qid", "id", "score", "rank")
+  }
+
+  /** [[searchGraphFiltered]]'s indexed twin: md5-rank-head entry
+    * points, then [[searchGraphIndexedFilteredFrom]]. */
+  def searchGraphIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nodes: DataFrame, queries: DataFrame, k: Int,
+      entries: Int, beam: Int, hops: Int, predicate: Column,
+      numBuckets: Int = DefaultGraphBuckets,
+      frontierCutover: Int = DefaultFrontierCutover,
+      seed: String = "nnd"): DataFrame = {
+    require(entries >= 1)
+    val (ranked, _) = rankByHash(nodes, seed)
+    searchGraphIndexedFilteredFrom(spark, indexPath, nodes, queries, k,
+      ranked.filter(col("r") <= entries).select("id"), beam, hops,
+      predicate, numBuckets, frontierCutover)
   }
 
   /** [[searchGraph]]'s indexed twin: md5-rank-head entry points over
@@ -442,11 +527,13 @@ object NnDescent {
       indexPath: String, nodes: DataFrame, queries: DataFrame, k: Int,
       entries: Int, beam: Int, hops: Int,
       numBuckets: Int = DefaultGraphBuckets,
+      frontierCutover: Int = DefaultFrontierCutover,
       seed: String = "nnd"): DataFrame = {
     require(entries >= 1)
     val (ranked, _) = rankByHash(nodes, seed)
     searchGraphIndexedFrom(spark, indexPath, nodes, queries, k,
-      ranked.filter(col("r") <= entries).select("id"), beam, hops, numBuckets)
+      ranked.filter(col("r") <= entries).select("id"), beam, hops,
+      numBuckets, frontierCutover)
   }
 
   /** Build the k-NN graph: ring init, `iters` local-join sweeps.

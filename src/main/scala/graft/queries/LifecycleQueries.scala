@@ -41,6 +41,32 @@ object LifecycleQueries {
 
   val annGraphSearchIndexedSql: String = ServeQueries.annGraphSearchSql
 
+  /** Metadata-filtered serving from the INDEXED graph
+    * ([[graft.ops.NnDescent.searchGraphIndexedFilteredFrom]]):
+    * `ann_graph_search_filtered`'s predicate (id % 3 = 0, answer-side
+    * only) composed with the on-disk bucket-pruned walk. Indexed ≡
+    * inline is the family contract — the store holds the same
+    * undirected relation the inline walk checkpoints — so the oracle
+    * is [[annGraphSearchFilteredSql]] byte for byte; GraphSearchSpec
+    * additionally pins both prunings in the probe plan. */
+  val annGraphSearchFilteredIndexed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = graft.ops.NnDescent.knnGraph(corpus, k = 5, iters = 2,
+      sample = 10, seed = "nnd")
+    val path = graft.Staging.dirFor("graph-filtered-index")
+    graft.ops.NnDescent.writeGraphIndex(g, path)
+    graft.ops.NnDescent.searchGraphIndexedFiltered(s, path, corpus,
+        queries, k = ServeQueries.SearchK,
+        entries = ServeQueries.SearchEntries,
+        beam = ServeQueries.SearchBeam, hops = ServeQueries.SearchHops,
+        predicate = col("id") % 3 === 0, seed = "nnd")
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** The re-audited reliability table under the fitted PLATT (A, B)
     * ([[graft.ops.TextAnalysis.classifierCalibrationPlattFitted]]) —
     * `text_calibration_fitted`'s two-parameter twin, closing the
@@ -428,8 +454,26 @@ object LifecycleQueries {
     * depth m) and ending in `hyb(id, rrf, rk)` — shared by
     * [[qHybridRrfSql]] and the retrieval-pipeline oracle, which feeds
     * the fused list into the MMR stage replay. Defines `corpus` and
-    * `qv` CTEs downstream consumers may reuse. */
+    * `qv` CTEs downstream consumers may reuse. Split as
+    * [[hybridRankersCtes]] (through `lexranked`/`vecranked`) plus the
+    * two-way fusion tail, so the three-ranker oracle can reuse the
+    * ranker replays without re-deriving them. */
   private[queries] def hybridFusedCtes(k: Int, m: Int): String =
+    s"""${hybridRankersCtes(m)},
+       |fused AS (
+       |  SELECT coalesce(l.id, v.id) AS id,
+       |    round(coalesce(1.0 / (60 + l.rk), 0.0) +
+       |          coalesce(1.0 / (60 + v.rk), 0.0), 6) AS rrf
+       |  FROM lexranked l FULL OUTER JOIN vecranked v ON l.id = v.id),
+       |hyb AS (
+       |  SELECT id, rrf, rk FROM (
+       |    SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rk
+       |    FROM fused) WHERE rk <= $k)""".stripMargin
+
+  /** The two ranker replays alone — `corpus`, the BM25 chain ending in
+    * `lexranked(id, rk)`, `qv`, and the 4-dp cosine chain ending in
+    * `vecranked(id, rk)`, each cut at `m`. */
+  private[queries] def hybridRankersCtes(m: Int): String =
     s"""corpus AS (
        |  SELECT d.doc_id AS doc_id, d.text AS text,
        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -464,16 +508,7 @@ object LifecycleQueries {
        |        round(list_dot_product(qvec, vec) /
        |          (sqrt(list_dot_product(qvec, qvec)) *
        |           sqrt(list_dot_product(vec, vec))), 4) DESC, doc_id) AS rk
-       |    FROM corpus CROSS JOIN qv) WHERE rk <= $m),
-       |fused AS (
-       |  SELECT coalesce(l.id, v.id) AS id,
-       |    round(coalesce(1.0 / (60 + l.rk), 0.0) +
-       |          coalesce(1.0 / (60 + v.rk), 0.0), 6) AS rrf
-       |  FROM lexranked l FULL OUTER JOIN vecranked v ON l.id = v.id),
-       |hyb AS (
-       |  SELECT id, rrf, rk FROM (
-       |    SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rk
-       |    FROM fused) WHERE rk <= $k)""".stripMargin
+       |    FROM corpus CROSS JOIN qv) WHERE rk <= $m)""".stripMargin
 
   val qHybridRrfSql: String =
     s"""WITH ${hybridFusedCtes(10, 20)}
@@ -507,6 +542,84 @@ object LifecycleQueries {
       .orderBy(col("rk"))
   }
 
+  /** THREE-ranker hybrid ([[graft.ops.Hybrid.rrfTopKN]]) — the
+    * production fusion stack: [[qHybridRrf]]'s BM25 and dense-cosine
+    * rankers plus the SQ8 symmetric code-domain ranking
+    * ([[graft.ops.Sq.topKSym]], the cheap third opinion — integer-exact
+    * and corpus-scannable at 1 byte/dim) as a third list, each cut at
+    * m = 20 and fused by Σ 1/(60 + rank) in (lexical, vector, sq8)
+    * term order. The oracle replays all three rankers — the two
+    * [[hybridRankersCtes]] chains plus the SQ8 estimator (per-dim
+    * bounds, floor/clamp encode, integer distance — the `ann_sq8`
+    * replay over the hybrid corpus slice) — and the three-term fusion
+    * sum left to right. */
+  val qHybridRrf3: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = Tables.documents(s, dir)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .filter(col("doc_id") >= 5)
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").as("qvec"))
+    val m = 20
+    val lex = graft.ops.TextIndex.bm25TopK(corpus, "doc_id", "text",
+        Seq("spark", "window", "merge"), m)
+      .select(col("id"), col("rk"))
+    val scored = corpus.crossJoin(broadcast(qv))
+      .select(lit(0).as("qid"), col("doc_id").as("id"),
+        round(graft.ops.Similarity.cosine(col("embedding"), col("qvec")), 4)
+          .as("score"))
+    val vec = graft.ops.Skew.saltedTopK(scored, Seq("qid"),
+        Seq(col("score").desc, col("id").asc), m, saltBy = col("id"))
+      .select(col("id"), col("rank").as("rk"))
+    val vecCorpus = corpus.select(col("doc_id").as("id"),
+      col("embedding").as("vec"))
+    val b = graft.ops.Sq.train(vecCorpus, "vec")
+    val sq = graft.ops.Sq.topKSym(
+        qv.select(lit(0).as("qid"), col("qvec")), vecCorpus, b, k = m)
+      .select(col("id"), col("rank").as("rk"))
+    graft.ops.Hybrid.rrfTopKN(
+        Seq("lex" -> lex, "vec" -> vec, "sq8" -> sq), k = 10)
+      .orderBy(col("rk"))
+  }
+
+  val qHybridRrf3Sql: String =
+    s"""WITH ${hybridRankersCtes(20)},
+       |sqdims AS (SELECT unnest(range(1, (SELECT min(len(vec)) FROM corpus) + 1)) AS dim),
+       |sqcx AS (SELECT doc_id AS id, dim, vec[dim] AS x FROM corpus CROSS JOIN sqdims),
+       |sqstats AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM sqcx GROUP BY dim),
+       |sqscodes AS (
+       |  SELECT id, dim,
+       |    CASE WHEN hi <= lo THEN 0
+       |         ELSE CAST(least(greatest(floor((x - lo) * 255.0 / (hi - lo)), 0.0), 255.0) AS BIGINT)
+       |    END AS code
+       |  FROM sqcx JOIN sqstats USING (dim)),
+       |sqqx AS (SELECT dim, qvec[dim] AS x FROM qv CROSS JOIN sqdims),
+       |sqqcodes AS (
+       |  SELECT dim,
+       |    CASE WHEN hi <= lo THEN 0
+       |         ELSE CAST(least(greatest(floor((x - lo) * 255.0 / (hi - lo)), 0.0), 255.0) AS BIGINT)
+       |    END AS code
+       |  FROM sqqx JOIN sqstats USING (dim)),
+       |sqd AS (
+       |  SELECT id, CAST(sum((q.code - s.code) * (q.code - s.code)) AS BIGINT) AS d_code
+       |  FROM sqqcodes q JOIN sqscodes s USING (dim) GROUP BY id),
+       |sqranked3 AS (
+       |  SELECT id, rk FROM (
+       |    SELECT id, row_number() OVER (ORDER BY d_code, id) AS rk FROM sqd)
+       |  WHERE rk <= 20),
+       |fused3 AS (
+       |  SELECT coalesce(l.id, v.id, s.id) AS id,
+       |    round(coalesce(1.0 / (60 + l.rk), 0.0) +
+       |          coalesce(1.0 / (60 + v.rk), 0.0) +
+       |          coalesce(1.0 / (60 + s.rk), 0.0), 6) AS rrf
+       |  FROM lexranked l FULL OUTER JOIN vecranked v ON l.id = v.id
+       |  FULL OUTER JOIN sqranked3 s ON coalesce(l.id, v.id) = s.id)
+       |SELECT id, rrf, rk FROM (
+       |  SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rk
+       |  FROM fused3) WHERE rk <= 10
+       |ORDER BY rk""".stripMargin
+
   /** EXACT incremental Jaccard ([[graft.ops.Dedup.writeJaccardIndex]] +
     * [[graft.ops.Dedup.newVsCorpusJaccard]]): the corpus (doc_id % 5 ≠
     * 0) persists its prefix index once; the "day's batch" (doc_id % 5
@@ -538,8 +651,10 @@ object LifecycleQueries {
     "text_calibration_isotonic" -> textCalibrationIsotonic,
     "dedup_jaccard_inc" -> dedupJaccardInc,
     "ann_graph_search_filtered" -> annGraphSearchFiltered,
+    "ann_graph_search_filtered_indexed" -> annGraphSearchFilteredIndexed,
     "q_hybrid_rrf" -> qHybridRrf,
-    "q_hybrid_rrf_indexed" -> qHybridRrfIndexed)
+    "q_hybrid_rrf_indexed" -> qHybridRrfIndexed,
+    "q_hybrid_rrf3" -> qHybridRrf3)
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search_indexed" -> annGraphSearchIndexedSql,
@@ -550,6 +665,8 @@ object LifecycleQueries {
     "text_calibration_isotonic" -> textCalibrationIsotonicSql,
     "dedup_jaccard_inc" -> dedupJaccardIncSql,
     "ann_graph_search_filtered" -> annGraphSearchFilteredSql,
+    "ann_graph_search_filtered_indexed" -> annGraphSearchFilteredSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
-    "q_hybrid_rrf_indexed" -> qHybridRrfSql)
+    "q_hybrid_rrf_indexed" -> qHybridRrfSql,
+    "q_hybrid_rrf3" -> qHybridRrf3Sql)
 }

@@ -199,6 +199,58 @@ class GraphSearchSpec extends SparkSpec {
       s"routing through non-matching nodes must keep filtered recall high: $clRecall")
   }
 
+  test("indexed + filtered compose: the bucket-pruned walk with the answer-side semi-join ≡ the inline filtered walk") {
+    val path = graft.Staging.dirFor("graph-index-filtered-spec")
+    NnDescent.writeGraphIndex(clGraph, path, numBuckets = 8)
+    val pred = $"id" % 3 === 0
+    val inline = NnDescent.searchGraphFiltered(clGraph, cl, clQs, k = 10,
+        entries = 16, beam = 8, hops = 4, predicate = pred)
+      .orderBy("qid", "rank").collect().toSeq
+    val indexed = NnDescent.searchGraphIndexedFiltered(spark, path, cl,
+        clQs, k = 10, entries = 16, beam = 8, hops = 4, predicate = pred,
+        numBuckets = 8)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(indexed == inline,
+      "filtered serving from the store must replay the inline filtered walk exactly")
+    assert(indexed.forall(_.getLong(1) % 3 == 0),
+      "only predicate-passing nodes may rank")
+  }
+
+  test("frontier-size cutover: literal c IN below, broadcast semi-join above — identical results, both plans prune") {
+    val path = graft.Staging.dirFor("graph-index-cutover-spec")
+    NnDescent.writeGraphIndex(clGraph, path, numBuckets = 8)
+    // end-to-end: the same walk on both sides of the cutover
+    val below = NnDescent.searchGraphIndexed(spark, path, cl, clQs,
+        k = 10, entries = 16, beam = 5, hops = 3, numBuckets = 8)
+      .orderBy("qid", "rank").collect().toSeq
+    val above = NnDescent.searchGraphIndexed(spark, path, cl, clQs,
+        k = 10, entries = 16, beam = 5, hops = 3, numBuckets = 8,
+        frontierCutover = 0)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(above == below,
+      "the semi-join form must be row-identical to the literal form")
+    // plan shape, probed directly through the expand hook on a
+    // frontier-shaped relation
+    val adjAll = spark.read.parquet(path)
+    val frontier = Seq((0L, 1L), (0L, 2L), (1L, 10L)).toDF("qid", "id")
+    val litForm = NnDescent.indexedExpand(adjAll, 8, 1024)(frontier)
+    litForm.collect()
+    val litPlan = litForm.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*c".r.findFirstIn(litPlan).isDefined,
+      s"below the cutover the source ids must be pushed literals:\n$litPlan")
+    val joinForm = NnDescent.indexedExpand(adjAll, 8, 0)(frontier)
+    joinForm.collect()
+    val joinPlan = joinForm.queryExecution.executedPlan.toString
+    assert(!"In\\(c, ".r.findFirstIn(joinPlan).isDefined,
+      s"above the cutover no frontier-sized literal IN list may reach the scan:\n$joinPlan")
+    assert(joinPlan.contains("BroadcastHashJoin") &&
+      joinPlan.toLowerCase.contains("leftsemi"),
+      s"above the cutover the id pruning must be a broadcast semi-join:\n$joinPlan")
+    assert(joinPlan.contains("PartitionFilters") && joinPlan.contains("nb"),
+      s"bucket directory pruning must survive the cutover (literal nb list):\n$joinPlan")
+    assert(litForm.collect().toSet == joinForm.collect().toSet)
+  }
+
   test("epoch append: the store grows to a SUPERSET of the refreshed graph; replay is idempotent") {
     val path = graft.Staging.dirFor("graph-index-epochs")
     val half = cl.filter($"id" < 200)

@@ -27,6 +27,32 @@ class HybridSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
   }
 
+  test("N-ranker fusion: the 2-ranker call is row-identical to the general form; a third list reorders by consensus; names must be distinct") {
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rk")
+    val vec = Seq((11L, 1L), (13L, 2L)).toDF("id", "rk")
+    val two = Hybrid.rrfTopK(lex, vec, k = 10)
+      .select("id", "rrf", "rk").as[(Long, Double, Long)].collect().toSet
+    val twoN = Hybrid.rrfTopKN(Seq("lex" -> lex, "vec" -> vec), k = 10)
+      .select("id", "rrf", "rk").as[(Long, Double, Long)].collect().toSet
+    assert(two == twoN, "rrfTopK must be exactly rrfTopKN at arity 2")
+    // a third ranker that loves doc 12 lifts it over the single-listers
+    val third = Seq((12L, 1L), (10L, 5L)).toDF("id", "rk")
+    val three = Hybrid.rrfTopKN(
+        Seq("lex" -> lex, "vec" -> vec, "x" -> third), k = 10)
+      .select("id", "rrf", "rk").as[(Long, Double, Long)]
+      .collect().sortBy(_._3)
+    def r(x: Double) = math.rint(x * 1e6) / 1e6
+    val m3 = three.map(o => o._1 -> o._2).toMap
+    assert(m3(12L) == r(1.0 / 63 + 1.0 / 61),
+      "terms sum across all three rankers")
+    assert(m3(13L) == r(1.0 / 62), "absent lists still contribute zero")
+    assert(three.map(_._1).indexOf(12L) < three.map(_._1).indexOf(13L),
+      "two-list consensus must outrank the single-lister it trailed at arity 2")
+    intercept[IllegalArgumentException] {
+      Hybrid.rrfTopKN(Seq("a" -> lex, "a" -> vec), k = 10)
+    }
+  }
+
   test("hybrid over the real corpus: k well-formed rows, both modalities represented at fusion depth") {
     val emb = Tables.embeddings(spark, sf001)
     val corpus = Tables.documents(spark, sf001)
