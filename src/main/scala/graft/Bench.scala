@@ -316,6 +316,13 @@ object Bench {
     "dedup_jaccard_inc" -> 6.0,
     // same build + walk as ann_graph_search plus one answer semi-join
     "ann_graph_search_filtered" -> 12.0,
+    // the ann_graph_search_indexed gate (build + index write + indexed
+    // walk) plus the answer-side semi-join
+    "ann_graph_search_filtered_indexed" -> 12.0,
+    // q_hybrid_rrf's two rankers plus one SQ8 code scan + 3-way fusion
+    "q_hybrid_rrf3" -> 6.0,
+    // two epoch appends (the corpus split once each) + the pruned probe
+    "text_bm25_epochs" -> 6.0,
     // BM25 term-pruned pass + one salted cosine top-m + bounded fusion
     "q_hybrid_rrf" -> 5.0,
     // builds BOTH on-disk indexes in-query, then the pruned probes

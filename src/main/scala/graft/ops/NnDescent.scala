@@ -506,6 +506,64 @@ object NnDescent {
       .select("qid", "id", "score", "rank")
   }
 
+  /** ONE epoch of serving-index MAINTENANCE from an arrival delta —
+    * the routine a streaming gate or monitor calls per micro-batch
+    * (the graph analogue of [[IvfPq.appendIndexEpoch]], which freezes
+    * its quantizers; a graph has no codebook, so maintenance REFRESHES
+    * instead): [[appendNodes]] folds the delta into the latest graph
+    * snapshot (cold start: [[knnGraph]] over everything), the refreshed
+    * graph's NEW undirected edges land in the serving index under
+    * `dir/index/batch=<id>` ([[appendGraphIndexEpoch]] — so the served
+    * adjacency is a superset of the refreshed graph and walk recall is
+    * monotone under append-only maintenance), and the refreshed graph
+    * itself is snapshotted under `dir/state/batch=<id>` as the next
+    * epoch's input.
+    *
+    * Replay idempotence: the state read takes the latest snapshot
+    * BELOW `batchId` (a replayed epoch re-reads its original input,
+    * never its own committed output) and both writes are
+    * overwrite-by-epoch. State retention: snapshots are full-graph
+    * sized, so only the last `retainStates` are kept (default 2 — the
+    * current epoch plus the one a Structured Streaming retry of the
+    * in-flight epoch would need; older snapshots can never be read
+    * again). `allNodes` must be the accumulated corpus INCLUDING the
+    * delta. Returns the refreshed graph. */
+  def maintainGraphEpoch(delta: DataFrame, allNodes: DataFrame,
+      dir: String, batchId: Long, k: Int, iters: Int,
+      numBuckets: Int = DefaultGraphBuckets,
+      retainStates: Int = 2): DataFrame = {
+    require(retainStates >= 2, s"need current+prior snapshots, got $retainStates")
+    val spark = delta.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val fs = stateRoot.getFileSystem(conf)
+    val priorEpochs: Seq[Long] =
+      if (fs.exists(stateRoot))
+        fs.listStatus(stateRoot).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong)
+          .filter(_ < batchId).toSeq.sorted
+      else Nil
+    val refreshed = priorEpochs.lastOption match {
+      case Some(pe) =>
+        appendNodes(spark.read.parquet(s"$dir/state/batch=$pe"),
+          allNodes, delta, k, iters)
+      case None => knnGraph(allNodes, k, iters)
+    }
+    // one materialization feeds the snapshot AND the index delta
+    val out = refreshed.localCheckpoint()
+    out.write.mode("overwrite").parquet(s"$dir/state/batch=$batchId")
+    val indexRoot = new org.apache.hadoop.fs.Path(s"$dir/index")
+    if (fs.exists(indexRoot))
+      appendGraphIndexEpoch(out, s"$dir/index", batchId, numBuckets)
+    else
+      writeGraphIndex(out, s"$dir/index", numBuckets, epoch = batchId)
+    priorEpochs.dropRight(retainStates - 1).foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/state/batch=$e"), true)
+    }
+    out
+  }
+
   /** [[searchGraphFiltered]]'s indexed twin: md5-rank-head entry
     * points, then [[searchGraphIndexedFilteredFrom]]. */
   def searchGraphIndexedFiltered(spark: org.apache.spark.sql.SparkSession,

@@ -151,18 +151,8 @@ object Retraction {
     * NO stats relation until the same retraction was re-run — the one
     * window that broke the "every crash leaves a readable layout"
     * contract. */
-  def recoverStats(spark: SparkSession, indexPath: String): Unit = {
-    val statsPath = path(s"$indexPath/stats")
-    val tmp = path(s"$indexPath/.stats-tmp")
-    val aside = path(s"$indexPath/.stats-aside")
-    val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(aside)) {
-      if (fs.exists(statsPath)) fs.delete(aside, true)
-      else if (fs.exists(tmp)) { fs.rename(tmp, statsPath); fs.delete(aside, true) }
-      else fs.rename(aside, statsPath)
-    }
-    if (fs.exists(tmp) && fs.exists(statsPath)) fs.delete(tmp, true)
-  }
+  def recoverStats(spark: SparkSession, indexPath: String): Unit =
+    recoverStatsAt(spark, indexPath, "stats")
 
   def retractPostings(spark: SparkSession, indexPath: String, ids: Seq[Long]): Unit = {
     recoverStats(spark, indexPath) // repair any interrupted prior stats swap
@@ -181,6 +171,59 @@ object Retraction {
     fs.rename(tmp, path(statsPath))
     fs.delete(aside, true)
     ()
+  }
+
+  /** [[retractPostings]] for the EPOCH-partitioned lexical store
+    * ([[TextIndex.appendPostingsEpoch]]'s `postings/batch=/tb=` +
+    * `estats/batch=` layout): the generic sweep scrubs the victims'
+    * posting rows (a victim's rows span ≤ |its distinct tokens|
+    * buckets inside only the epochs that hold it — every other
+    * partition keeps its exact files), then the per-epoch additive
+    * statistics are recomputed EXACTLY from the post-sweep postings —
+    * one column-pruned pass grouped by epoch, replacing the whole
+    * (epoch-count-sized) `estats` tree under the same
+    * write-tmp → aside → rename swap discipline as the flat store's
+    * stats, so every crash point leaves a readable layout and a re-run
+    * converges (the full recompute is what makes the sweep idempotent:
+    * a crash between postings rewrite and stats rewrite cannot strand
+    * stale counts, because the re-run rebuilds stats from whatever the
+    * postings now say). */
+  def retractPostingsEpochs(spark: SparkSession, indexPath: String,
+      ids: Seq[Long]): Unit = {
+    recoverStatsAt(spark, indexPath, "estats")
+    retract(spark, s"$indexPath/postings", "id", ids,
+      nestedPartCols = Seq("tb"))
+    val fresh = spark.read.parquet(s"$indexPath/postings")
+      .select(col("batch"), col("id"), col("dl")).distinct()
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .repartition(col("batch"))
+    val tmp = path(s"$indexPath/.estats-tmp")
+    val aside = path(s"$indexPath/.estats-aside")
+    val live = path(s"$indexPath/estats")
+    fresh.write.mode("overwrite").partitionBy("batch").parquet(tmp.toString)
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(live)) fs.rename(live, aside)
+    fs.rename(tmp, live)
+    fs.delete(aside, true)
+    ()
+  }
+
+  /** [[recoverStats]] generalized to a named stats tree (`stats` for
+    * the flat store, `estats` for the epoch store) — same three crash
+    * windows, same resolution. */
+  private def recoverStatsAt(spark: SparkSession, indexPath: String,
+      name: String): Unit = {
+    val statsPath = path(s"$indexPath/$name")
+    val tmp = path(s"$indexPath/.$name-tmp")
+    val aside = path(s"$indexPath/.$name-aside")
+    val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(aside)) {
+      if (fs.exists(statsPath)) fs.delete(aside, true)
+      else if (fs.exists(tmp)) { fs.rename(tmp, statsPath); fs.delete(aside, true) }
+      else fs.rename(aside, statsPath)
+    }
+    if (fs.exists(tmp) && fs.exists(statsPath)) fs.delete(tmp, true)
   }
 
   /** Propagate one delete list through every sink the ingest gate

@@ -93,6 +93,83 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** EPOCH-append for the lexical index — the
+    * [[IvfPq.appendIndexEpoch]] discipline applied to postings: the
+    * delta's postings land under `path/postings/batch=<epoch>/tb=<b>`
+    * (frozen bucket hash — `tb` stays `pmod(xxhash64(token), nBuckets)`
+    * forever, so one term's postings collect in ONE bucket across every
+    * epoch and the probe's pruning argument survives appends), in
+    * OVERWRITE mode so a foreachBatch retry replaces its own prior
+    * output. Nightly arrivals no longer force the full-index rebuild
+    * [[writePostings]] is.
+    *
+    * Stats stance — and why NOTHING here needs the frozen-quantizer
+    * staleness rule: unlike a codebook, BM25's corpus statistics are
+    * ADDITIVE. Each epoch stores its own sufficient statistics
+    * (`n_docs`, `sum_dl` — exact longs) under `path/estats/batch=`;
+    * the probe sums them and derives `avgdl = Σsum_dl / Σn_docs`,
+    * which is bit-for-bit the rebuilt store's `avg(dl)` (integer sums
+    * are order-free; one IEEE division each way). Per-term `df` was
+    * always derived from the pruned postings at probe time, and a
+    * term's postings live entirely in its bucket across epochs — so
+    * append ≡ rebuild EXACTLY, row for row (TextIndexSpec pins it),
+    * with no staleness window and no refresh trigger to schedule.
+    * The one real freshness rule is the family's id contract: doc ids
+    * must be unique across epochs (a re-crawled doc is a
+    * retract-then-append lifecycle event — [[graft.streaming.IngestGate]]
+    * discipline), or its dl/df would double-count.
+    *
+    * An epoch-maintained index is batch-partitioned from birth (first
+    * generation written through this method too; a full rewrite is
+    * `epoch = -1`, the [[Compaction]] base-generation id); the flat
+    * [[writePostings]] layout and this one are alternative roots,
+    * never mixed under one path. Lifecycle:
+    * `Compaction.compactEpochs(_, "$path/postings", h, nestedPartCols
+    * = Seq("tb"))` plus the same over `estats`;
+    * [[Retraction.retractPostingsEpochs]] scrubs ids and rewrites the
+    * stats exactly. */
+  def appendPostingsEpoch(delta: DataFrame, idCol: String,
+      textCol: String, path: String, epoch: Long,
+      nBuckets: Int = 64): Unit = {
+    val post = postings(delta, idCol, textCol)
+      .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)))
+    post.write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings/batch=$epoch")
+    epochStats(post)
+      .write.mode("overwrite").parquet(s"$path/estats/batch=$epoch")
+  }
+
+  /** The additive per-epoch statistics relation from a postings slice:
+    * one row of exact longs — document count and summed document
+    * length over the distinct docs in the slice. */
+  private[ops] def epochStats(post: DataFrame): DataFrame =
+    post.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** [[bm25TopKIndexed]] against an [[appendPostingsEpoch]] store:
+    * identical probe mechanics (`batch` is one more partition level —
+    * the `tb` literal filter prunes directories one level down), with
+    * the corpus stats summed from the per-epoch sufficient statistics.
+    * Result ≡ the flat store's ≡ the inline [[bm25TopK]] over the
+    * epochs' union. */
+  def bm25TopKEpochs(spark: SparkSession, path: String,
+      queryTerms: Seq[String], k: Int, nBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qt = queryTerms.distinct
+    val buckets = qt.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets)).as("tb"))
+      .distinct().as[Long].collect()
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets.toIndexedSeq: _*) &&
+        col("token").isin(qt: _*))
+    val stats = spark.read.parquet(s"$path/estats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .select(col("n").as("n_docs"),
+        (col("s").cast("double") / col("n").cast("double")).as("avgdl"))
+    score(post, stats, k, k1, b)
+  }
+
   /** BM25 top-k against a [[writePostings]] index: the query terms'
     * bucket ids become a literal partition filter (TextIndexSpec gates
     * `PartitionFilters`), so the scan opens ≤ |terms| of the

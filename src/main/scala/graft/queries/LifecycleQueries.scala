@@ -620,6 +620,31 @@ object LifecycleQueries {
        |  FROM fused3) WHERE rk <= 10
        |ORDER BY rk""".stripMargin
 
+  /** The lexical index's EPOCH lifecycle
+    * ([[graft.ops.TextIndex.appendPostingsEpoch]] +
+    * [[graft.ops.TextIndex.bm25TopKEpochs]]): the corpus arrives as two
+    * epoch appends (doc_id parity split — "base build" plus "nightly
+    * delta"), and the probe over the epoch store must reproduce the
+    * `text_bm25` ranking byte for byte. The stats make that exact, not
+    * approximate: each epoch stores additive sufficient statistics
+    * (n_docs, sum_dl — exact longs), summed at probe time into exactly
+    * the rebuilt corpus's avgdl; df was always derived from the pruned
+    * postings. Oracle: `text_bm25`'s SQL UNCHANGED — append ≡ rebuild
+    * is the whole claim. */
+  val textBm25Epochs: Q = (s, dir) => {
+    val idx = graft.Staging.dirFor("bm25-epochs")
+    val docs = Tables.documents(s, dir)
+    graft.ops.TextIndex.appendPostingsEpoch(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx,
+      epoch = 0L)
+    graft.ops.TextIndex.appendPostingsEpoch(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", idx,
+      epoch = 1L)
+    graft.ops.TextIndex.bm25TopKEpochs(s, idx,
+        Seq("spark", "window", "merge"), k = 50)
+      .orderBy(col("rk"))
+  }
+
   /** EXACT incremental Jaccard ([[graft.ops.Dedup.writeJaccardIndex]] +
     * [[graft.ops.Dedup.newVsCorpusJaccard]]): the corpus (doc_id % 5 ≠
     * 0) persists its prefix index once; the "day's batch" (doc_id % 5
@@ -654,7 +679,8 @@ object LifecycleQueries {
     "ann_graph_search_filtered_indexed" -> annGraphSearchFilteredIndexed,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_hybrid_rrf_indexed" -> qHybridRrfIndexed,
-    "q_hybrid_rrf3" -> qHybridRrf3)
+    "q_hybrid_rrf3" -> qHybridRrf3,
+    "text_bm25_epochs" -> textBm25Epochs)
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search_indexed" -> annGraphSearchIndexedSql,
@@ -668,5 +694,6 @@ object LifecycleQueries {
     "ann_graph_search_filtered_indexed" -> annGraphSearchFilteredSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_hybrid_rrf_indexed" -> qHybridRrfSql,
-    "q_hybrid_rrf3" -> qHybridRrf3Sql)
+    "q_hybrid_rrf3" -> qHybridRrf3Sql,
+    "text_bm25_epochs" -> CorpusOpsQueries.textBm25Sql)
 }

@@ -48,6 +48,23 @@ object IngestGate {
     centroids: Array[Array[Double]], codebooks: graft.ops.PqIndex.Codebooks,
     residual: Boolean = false)
 
+  /** Optional GRAPH-ANN sink for gated epochs — the serving family the
+    * r17 gate left unmaintained: survivors' vectors also refresh the
+    * on-disk graph index through
+    * [[graft.ops.NnDescent.maintainGraphEpoch]] (delta fold-in via
+    * appendNodes, new undirected edges appended under
+    * `dir/index/batch=<id>`, graph snapshot under `dir/state/` for the
+    * next epoch — replay-idempotent by the same overwrite-by-epoch +
+    * self-exclusion discipline as every other sink). Unlike [[AnnSink]]
+    * there is nothing to freeze: the graph IS the model, and
+    * append-only index maintenance keeps walk recall monotone
+    * (the [[graft.ops.NnDescent.appendGraphIndexEpoch]] superset
+    * argument; IngestGateSpec pins gate-maintained ≡ full-rebuild
+    * serving). */
+  final case class GraphSink(dir: String, vecCol: String, k: Int = 5,
+    iters: Int = 1,
+    numBuckets: Int = graft.ops.NnDescent.DefaultGraphBuckets)
+
   /** Gate ONE batch. Returns the number of accepted documents.
     * Extracted from the foreachBatch closure so the idempotence and
     * gating semantics are directly testable. Input columns: `idCol`
@@ -57,7 +74,8 @@ object IngestGate {
   def gateBatch(batch: DataFrame, batchId: Long, indexDir: String,
       acceptedDir: String, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 32, n: Int = 3,
-      threshold: Double = 0.5, ann: Option[AnnSink] = None): Long = {
+      threshold: Double = 0.5, ann: Option[AnnSink] = None,
+      graph: Option[GraphSink] = None): Long = {
     val spark = batch.sparkSession
     // (1) in-batch cluster dedup: one representative per near-dup
     // cluster inside the batch (size-dispatched components — a batch's
@@ -104,6 +122,18 @@ object IngestGate {
           graft.ops.IvfPq.appendIndexEpoch(accepted, a.centroids, a.codebooks,
             a.dir, batchId, idCol = idCol, vecCol = a.vecCol)
       }
+      graph.foreach { g =>
+        // the accepted sink committed above, so the accumulated corpus
+        // (including this epoch's survivors, each id once) is readable
+        if (nAccepted > 0) {
+          val allNodes = spark.read.parquet(acceptedDir)
+            .select(col(idCol).as("id"), col(g.vecCol).as("vec"))
+          graft.ops.NnDescent.maintainGraphEpoch(
+            accepted.select(col(idCol).as("id"), col(g.vecCol).as("vec")),
+            allNodes, g.dir, batchId, g.k, g.iters, g.numBuckets)
+          ()
+        }
+      }
       nAccepted
     } finally { accepted.unpersist(false); () }
   }
@@ -113,14 +143,15 @@ object IngestGate {
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 64, bands: Int = 32,
       n: Int = 3, threshold: Double = 0.5,
-      ann: Option[AnnSink] = None): StreamingQuery = {
+      ann: Option[AnnSink] = None,
+      graph: Option[GraphSink] = None): StreamingQuery = {
     require(docs.isStreaming, "IngestGate.start needs a streaming input; " +
       "use Dedup.newVsCorpusPairs for a one-shot batch")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         gateBatch(b, id, indexDir, acceptedDir, idCol, textCol,
-          numHashes, bands, n, threshold, ann)
+          numHashes, bands, n, threshold, ann, graph)
         ()
       }
       .start()

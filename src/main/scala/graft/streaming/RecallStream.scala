@@ -55,6 +55,25 @@ object RecallStream {
     * partition, so a foreachBatch replay re-accepts its own rows
     * instead of self-rejecting the epoch (the gate family's replay
     * discipline). */
+  /** In-batch collapse + cross-epoch first-write-wins against an
+    * accumulated `batch=`-partitioned store — the arrival-uniqueness
+    * discipline both monitors share. */
+  private def uniqueArrivals(batch: DataFrame, batchId: Long,
+      storeDir: String): DataFrame = {
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("vec"))
+    val collapsed = batch.select(col("id"), col("vec"))
+      .withColumn("rn", row_number().over(wId))
+      .filter(col("rn") === 1).drop("rn")
+    IngestGate.readIfAny(batch.sparkSession, storeDir) match {
+      case Some(store) =>
+        val existing = store.filter(col("batch") =!= batchId)
+          .select(col("id")).distinct()
+        collapsed.join(existing, Seq("id"), "left_anti")
+      case None => collapsed
+    }
+  }
+
   def monitorBatch(batch: DataFrame, batchId: Long, annDir: String,
       metricsDir: String, queries: DataFrame,
       centroids: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
@@ -62,18 +81,7 @@ object RecallStream {
     // in-batch collapse: one deterministic row per id (batch-sized
     // window; arrays order lexicographically, so the pick is stable
     // under partitioning and replay)
-    val wId = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("vec"))
-    val collapsed = batch.select(col("id"), col("vec"))
-      .withColumn("rn", row_number().over(wId))
-      .filter(col("rn") === 1).drop("rn")
-    val fresh = IngestGate.readIfAny(spark, annDir) match {
-      case Some(store) =>
-        val existing = store.filter(col("batch") =!= batchId)
-          .select(col("id")).distinct()
-        collapsed.join(existing, Seq("id"), "left_anti")
-      case None => collapsed
-    }
+    val fresh = uniqueArrivals(batch, batchId, annDir)
     IvfIndex.writeIndexed(fresh, centroids, s"$annDir/batch=$batchId")
     val sys = IvfIndex.topKIndexed(spark, annDir, queries, centroids,
       k, nProbe)
@@ -82,6 +90,67 @@ object RecallStream {
     val metrics = Retrieval.rankingMetrics(sys, gt, k)
     metrics.write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
     metrics
+  }
+
+  /** [[monitorBatch]] for the GRAPH-ANN serving family — the recall
+    * monitor the r17 verdict flagged as missing: the graph walk's
+    * recall is the one MOST sensitive to staleness (an appended node is
+    * reachable only through new edges; a quantizer probe at least scans
+    * its cell), and until now only the IVF layout was watched. Per
+    * epoch: arrivals (collapsed and first-write-wins, as above) land in
+    * the accumulated node store under `nodesDir/batch=<id>`; the graph
+    * index under `graphDir` is refreshed through
+    * [[graft.ops.NnDescent.maintainGraphEpoch]] (the same routine the
+    * [[IngestGate.GraphSink]] runs — the monitor measures the REAL
+    * maintenance path); the standing queries are answered by the
+    * INDEXED walk ([[graft.ops.NnDescent.searchGraphIndexed]] over
+    * `graphDir/index`) and by the exact 4-dp flat ranking (the graph
+    * family's rounding convention — an exact walk must audit 1.0, not
+    * 0.999-from-tie-order); [[graft.ops.Retrieval.rankingMetrics]] of
+    * indexed-vs-exact lands under `metricsDir/batch=<id>`. A recall
+    * drop in this series is the walk failing to REACH a true neighbor
+    * — entry coverage or hop budget falling behind the corpus's growth
+    * (RecallStreamSpec plants exactly that and watches the row drop). */
+  def monitorGraphBatch(batch: DataFrame, batchId: Long, graphDir: String,
+      nodesDir: String, metricsDir: String, queries: DataFrame, k: Int,
+      entries: Int, beam: Int, hops: Int, buildK: Int = 5,
+      buildIters: Int = 1,
+      numBuckets: Int = graft.ops.NnDescent.DefaultGraphBuckets): DataFrame = {
+    val spark = batch.sparkSession
+    val fresh = uniqueArrivals(batch, batchId, nodesDir)
+    fresh.write.mode("overwrite").parquet(s"$nodesDir/batch=$batchId")
+    val all = spark.read.parquet(nodesDir).select(col("id"), col("vec"))
+    if (!fresh.isEmpty)
+      graft.ops.NnDescent.maintainGraphEpoch(fresh, all, graphDir,
+        batchId, buildK, buildIters, numBuckets)
+    val sys = graft.ops.NnDescent.searchGraphIndexed(spark,
+      s"$graphDir/index", all, queries, k, entries, beam, hops, numBuckets)
+    // exact ground truth under the family's 4-dp convention
+    val scored = all.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        round(Similarity.cosine(col("qvec"), col("vec")), 4).as("score"))
+    val gt = graft.ops.Skew.saltedTopK(scored, Seq("qid"),
+      Seq(col("score").desc, col("id").asc), k, saltBy = col("id"))
+    val metrics = Retrieval.rankingMetrics(sys, gt, k)
+    metrics.write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
+    metrics
+  }
+
+  /** Run the GRAPH monitor over a streaming (id, vec) feed. */
+  def startGraph(vectors: DataFrame, graphDir: String, nodesDir: String,
+      metricsDir: String, checkpointDir: String, queries: DataFrame,
+      k: Int = 10, entries: Int = 8, beam: Int = 5, hops: Int = 3,
+      buildK: Int = 5, buildIters: Int = 1): StreamingQuery = {
+    require(vectors.isStreaming, "RecallStream.startGraph needs a " +
+      "streaming input; call monitorGraphBatch for a one-shot epoch")
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        monitorGraphBatch(b, id, graphDir, nodesDir, metricsDir, queries,
+          k, entries, beam, hops, buildK, buildIters)
+        ()
+      }
+      .start()
   }
 
   /** Run the monitor over a streaming (id, vec) feed. */

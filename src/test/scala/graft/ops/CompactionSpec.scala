@@ -173,6 +173,38 @@ class CompactionSpec extends SparkSpec {
       "re-appending the same refreshed graph adds no edges (anti-joined) and changes nothing")
   }
 
+  test("compaction over the epoch postings store: probe identical, nested tb preserved, appends continue") {
+    val pidx = graft.Staging.dirFor("compact-postings-epochs")
+    val docs = (1L to 30L).map(id => (id, mkText(id.toInt))).toDF("doc_id", "text")
+    (0 until 3).foreach { e =>
+      TextIndex.appendPostingsEpoch(
+        docs.filter($"doc_id" % 3 === e), "doc_id", "text", pidx, e.toLong)
+    }
+    val terms = mkText(5).split("\\s+").distinct.take(5).toSeq
+    val before = TextIndex.bm25TopKEpochs(spark, pidx, terms, k = 30)
+      .collect().toSeq
+    assert(epochDirs(s"$pidx/postings") == 3 && epochDirs(s"$pidx/estats") == 3)
+
+    Compaction.compactEpochs(spark, s"$pidx/postings", maxEpochId = 2L,
+      nestedPartCols = Seq("tb"))
+    Compaction.compactEpochs(spark, s"$pidx/estats", maxEpochId = 2L)
+
+    assert(epochDirs(s"$pidx/postings") == 1 && epochDirs(s"$pidx/estats") == 1)
+    assert(new java.io.File(s"$pidx/postings/batch=-1").listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("tb=")),
+      "the nested tb layout must survive compaction")
+    assert(TextIndex.bm25TopKEpochs(spark, pidx, terms, k = 30)
+      .collect().toSeq == before,
+      "a compacted store must answer byte-identically")
+    // appends continue after compaction and stay exact
+    TextIndex.appendPostingsEpoch(
+      Seq((100L, mkText(5))).toDF("doc_id", "text"), "doc_id", "text",
+      pidx, epoch = 9L)
+    val withNew = TextIndex.bm25TopKEpochs(spark, pidx, terms, k = 31)
+      .select("id").as[Long].collect().toSet
+    assert(withNew.contains(100L), "post-compaction appends must rank")
+  }
+
   test("checkpoint horizon: epochs above maxEpochId are never touched") {
     val acc = graft.Staging.dirFor("compact-horizon")
     (0 until 5).foreach { e =>

@@ -301,6 +301,58 @@ class RetractionSpec extends SparkSpec {
     assert(fileSet(s"$pidx/postings") == files, "re-retracting must be a no-op")
   }
 
+  test("retractPostingsEpochs: victim unretrievable, probe ≡ rebuilt epoch store, stats exact, untouched partitions byte-identical, idempotent") {
+    val pidx = graft.Staging.dirFor("retract-postings-epochs")
+    val docs = (1L to 30L).map(id => (id, mkText(id.toInt))).toDF("doc_id", "text")
+    TextIndex.appendPostingsEpoch(docs.filter($"doc_id" <= 15L),
+      "doc_id", "text", pidx, epoch = 0L)
+    TextIndex.appendPostingsEpoch(docs.filter($"doc_id" > 15L),
+      "doc_id", "text", pidx, epoch = 1L)
+    val before = fileSet(s"$pidx/postings")
+    val victimBuckets = spark.read.parquet(s"$pidx/postings")
+      .filter($"id" === 7L).select("tb").distinct().as[Long].collect().toSet
+
+    Retraction.retractPostingsEpochs(spark, pidx, Seq(7L))
+
+    assert(spark.read.parquet(s"$pidx/postings").filter($"id" === 7L).isEmpty)
+    val victimTerms = mkText(7).split("\\s+").distinct.take(5).toSeq
+    val hits = TextIndex.bm25TopKEpochs(spark, pidx, victimTerms, k = 30)
+      .select("id").as[Long].collect().toSet
+    assert(hits.nonEmpty && !hits.contains(7L),
+      s"victim must be unretrievable, got $hits")
+    // probe ≡ an epoch store rebuilt without the victim (same split)
+    val rebuilt = graft.Staging.dirFor("retract-postings-epochs-rebuilt")
+    TextIndex.appendPostingsEpoch(
+      docs.filter($"doc_id" <= 15L && $"doc_id" =!= 7L),
+      "doc_id", "text", rebuilt, epoch = 0L)
+    TextIndex.appendPostingsEpoch(docs.filter($"doc_id" > 15L),
+      "doc_id", "text", rebuilt, epoch = 1L)
+    assert(TextIndex.bm25TopKEpochs(spark, pidx, victimTerms, k = 30)
+        .collect().toSeq ==
+      TextIndex.bm25TopKEpochs(spark, rebuilt, victimTerms, k = 30)
+        .collect().toSeq)
+    // the victim lives in epoch 0 only: the sweep's granularity is the
+    // epoch, so epoch 1 keeps its exact files (and the rewritten
+    // epoch 0 keeps the nested tb layout)
+    val after = fileSet(s"$pidx/postings")
+    def untouched(fs: Set[(String, Long)]) =
+      fs.filter { case (p, _) => p.contains("batch=1/") }
+    assert(untouched(before) == untouched(after),
+      "epochs without victim rows must keep their exact files")
+    assert(victimBuckets.forall(b =>
+      new java.io.File(s"$pidx/postings/batch=0/tb=$b").isDirectory),
+      "the rewritten epoch must keep its nested tb layout")
+    // the rewritten per-epoch stats match the rebuilt store's exactly
+    assert(spark.read.parquet(s"$pidx/estats")
+        .select("batch", "n_docs", "sum_dl").collect().toSet ==
+      spark.read.parquet(s"$rebuilt/estats")
+        .select("batch", "n_docs", "sum_dl").collect().toSet)
+    // idempotent
+    val files = fileSet(s"$pidx/postings")
+    Retraction.retractPostingsEpochs(spark, pidx, Seq(7L))
+    assert(fileSet(s"$pidx/postings") == files, "re-retracting must be a no-op on postings")
+  }
+
   test("recovery repairs every interrupted-swap window; nothing silently vanishes") {
     import org.apache.hadoop.fs.Path
     val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())

@@ -111,6 +111,47 @@ class TextIndexSpec extends SparkSpec {
       s"expected one selected bucket partition, got ${selected.length}")
   }
 
+  test("epoch lifecycle: append ≡ rebuild row for row; stats sum exactly; replay idempotent") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val terms = Seq("spark", "window", "merge")
+    // epoch store: base + delta by doc parity
+    val epochIdx = graft.Staging.dirFor("bm25-epoch-spec")
+    TextIndex.appendPostingsEpoch(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", epochIdx, epoch = 0L)
+    TextIndex.appendPostingsEpoch(docs.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", epochIdx, epoch = 1L)
+    val appended = TextIndex.bm25TopKEpochs(spark, epochIdx, terms, k = 50)
+      .as[(Long, Double, Int)].collect().toSeq
+    // rebuilt flat store over the SAME corpus
+    val flatIdx = graft.Staging.dirFor("bm25-flat-spec")
+    TextIndex.writePostings(docs, "doc_id", "text", flatIdx)
+    val rebuilt = TextIndex.bm25TopKIndexed(spark, flatIdx, terms, k = 50)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(appended == rebuilt,
+      "the epoch-appended store must answer exactly like a rebuilt one")
+    // the additive statistics reproduce the rebuilt avgdl EXACTLY
+    val eStats = spark.read.parquet(s"$epochIdx/estats")
+      .agg(sum($"n_docs").as("n"), sum($"sum_dl").as("s"))
+      .select($"n", $"s".cast("double") / $"n".cast("double"))
+      .as[(Long, Double)].head()
+    val fStats = spark.read.parquet(s"$flatIdx/stats")
+      .as[(Long, Double)].head()
+    assert(eStats == fStats, s"summed epoch stats $eStats != rebuilt $fStats")
+    // replaying an epoch overwrites its own output — nothing changes
+    TextIndex.appendPostingsEpoch(docs.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", epochIdx, epoch = 1L)
+    val replayed = TextIndex.bm25TopKEpochs(spark, epochIdx, terms, k = 50)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(replayed == appended, "epoch replay must be idempotent")
+    // layout: the tb bucket level is nested under batch, so the probe's
+    // literal tb filter still prunes directories
+    val dirs = new java.io.File(s"$epochIdx/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=0", "batch=1"))
+    assert(new java.io.File(s"$epochIdx/postings/batch=0").listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("tb=")))
+  }
+
   test("absent terms and empty queries degrade to empty results, not errors") {
     assert(TextIndex.bm25TopK(corpus, "doc_id", "text",
       Seq("zebra"), k = 5).count() == 0L)

@@ -124,6 +124,89 @@ class IngestGateSpec extends SparkSpec {
     assert(probe(annDir) == streamed, "replayed epoch must leave probes unchanged")
   }
 
+  test("GraphSink: gate maintains the graph serving index; superset edges lose no recall; exhaustive serving exact; replay idempotent") {
+    import graft.Tables
+    import graft.ops.NnDescent
+    import org.apache.spark.sql.functions.{broadcast, col, round, row_number}
+    val idx = graft.Staging.dirFor("ingate-graph-idx")
+    val acc = graft.Staging.dirFor("ingate-graph-acc")
+    val gdir = graft.Staging.dirFor("ingate-graph-g")
+    val vecs = Tables.embeddings(spark, sf001).filter(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def doc(id: Long): (Long, String, Seq[Float]) = (id, mkText(id.toInt), vecs(id))
+    val sink = Some(IngestGate.GraphSink(gdir, "vec", k = 3, iters = 2,
+      numBuckets = 8))
+    val e0 = (1L to 8L).map(doc).toDF("doc_id", "text", "vec")
+    val e1 = (20L to 25L).map(doc).toDF("doc_id", "text", "vec")
+    assert(IngestGate.gateBatch(e0, 0L, idx, acc, "doc_id", "text",
+      graph = sink) == 8L)
+    assert(IngestGate.gateBatch(e1, 1L, idx, acc, "doc_id", "text",
+      graph = sink) == 6L)
+    val nodes = spark.read.parquet(acc)
+      .select(col("doc_id").as("id"), col("vec"))
+    // (1) the served adjacency is a superset of the latest refreshed graph
+    val stored = spark.read.parquet(s"$gdir/index")
+      .select("c", "v").as[(Long, Long)].collect().toSet
+    val refreshed = spark.read.parquet(s"$gdir/state/batch=1")
+    val refreshedUnd = refreshed
+      .select(col("id").as("c"), col("nbr").as("v"))
+      .union(refreshed.select(col("nbr").as("c"), col("id").as("v")))
+      .as[(Long, Long)].collect().toSet
+    assert(refreshedUnd.subsetOf(stored),
+      "every refreshed undirected edge must be servable from the sink's index")
+    // (2) exhaustive-expansion serving over the maintained store is the
+    // exact 4-dp flat scan of the accepted corpus — answer correctness
+    val n = nodes.count().toInt
+    val queries = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 103)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val served = NnDescent.searchGraphIndexed(spark, s"$gdir/index", nodes,
+        queries, k = 3, entries = n, beam = 5, hops = 1, numBuckets = 8)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val flat = nodes.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        round(graft.ops.Similarity.cosine(col("qvec"), col("vec")), 4).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= 3)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(served == flat,
+      "exhaustive serving from the gate-maintained store must be exact")
+    // (3) the superset does not LOSE recall vs the refreshed graph alone
+    def recallVsFlat(rows: Seq[(Long, Long, Int)]): Double = {
+      val want = flat.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val per = want.map { case (q, w) =>
+        got.getOrElse(q, Set.empty).count(w).toDouble / w.size }
+      per.sum / per.size
+    }
+    val prunedServed = NnDescent.searchGraphIndexed(spark, s"$gdir/index",
+        nodes, queries, k = 3, entries = 3, beam = 3, hops = 2, numBuckets = 8)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val prunedInline = NnDescent.searchGraph(refreshed, nodes, queries,
+        k = 3, entries = 3, beam = 3, hops = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(recallVsFlat(prunedServed) >= recallVsFlat(prunedInline),
+      s"superset serving must not lose recall: served ${recallVsFlat(prunedServed)} " +
+        s"vs inline ${recallVsFlat(prunedInline)}")
+    // (4) replay idempotence: re-gating epoch 1 leaves the served
+    // relation and the probe unchanged
+    assert(IngestGate.gateBatch(e1, 1L, idx, acc, "doc_id", "text",
+      graph = sink) == 6L)
+    assert(spark.read.parquet(s"$gdir/index")
+      .select("c", "v").as[(Long, Long)].collect().toSet == stored,
+      "epoch replay must leave the served edge set unchanged")
+    // re-list the accepted corpus: the replay rewrote batch=1's files
+    val nodesAfter = spark.read.parquet(acc)
+      .select(col("doc_id").as("id"), col("vec"))
+    assert(NnDescent.searchGraphIndexed(spark, s"$gdir/index", nodesAfter,
+        queries, k = 3, entries = n, beam = 5, hops = 1, numBuckets = 8)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+      == served)
+  }
+
   test("AnnSink: streamed epoch appends probe identically to a full rewrite; replay idempotent") {
     import graft.Tables
     import graft.ops.{IvfIndex, IvfPq, PqIndex}

@@ -96,6 +96,64 @@ class RecallStreamSpec extends SparkSpec {
     assert(spark.read.parquet(met).select("batch").distinct().count() == 2)
   }
 
+  test("graph monitor: clean while coverage holds; a planted unreachable cluster drops the recall row; exhaustive remedy recovers; replay idempotent") {
+    val gdir = graft.Staging.dirFor("recall-graph-g")
+    val ndir = graft.Staging.dirFor("recall-graph-n")
+    val met = graft.Staging.dirFor("recall-graph-met")
+    // old cluster near +x; the standing query points into it
+    val old = Seq(v(10L, 0.9, -0.1), v(11L, 0.85, 0.05),
+      v(12L, 0.95, -0.2), v(13L, 0.8, 0.15))
+    // NEW ids chosen so their md5 entry-rank falls AFTER every old id:
+    // with entries = 4, the walk's entry points stay in the old cluster
+    // across both epochs — deterministic, derived from the same hash
+    // the ranking uses
+    val oldMaxH = Seq(10L, 11L, 12L, 13L).map(id =>
+      Seq(("nnd" + id)).toDF("t")
+        .select(graft.ops.Dedup.md5TokenHash60($"t")).as[Long].head()).max
+    val newIds = (100L to 160L).filter { id =>
+      Seq(("nnd" + id)).toDF("t")
+        .select(graft.ops.Dedup.md5TokenHash60($"t")).as[Long].head() > oldMaxH
+    }.take(3)
+    assert(newIds.size == 3, s"fixture needs 3 late-ranked ids, got $newIds")
+    // the new cluster sits at ~+y: far from the old cluster (its k-NN
+    // edges stay internal) but CLOSER to a second standing query
+    val q2 = Seq((0L, Seq(1.0f, 0.1f)), (1L, Seq(0.5f, 0.86f)))
+      .toDF("qid", "qvec")
+    val b0 = old.toDF("id", "vec")
+    val m0 = RecallStream.monitorGraphBatch(b0, 0L, gdir, ndir, met, q2,
+        k = 2, entries = 4, beam = 2, hops = 1, buildK = 2)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(m0.forall(_._3 == 1.0),
+      s"entry coverage = corpus at epoch 0 must audit 1.0: ${m0.toSeq}")
+    val b1 = newIds.map(id => v(id, 0.1, 0.95)).toDF("id", "vec")
+    val m1 = RecallStream.monitorGraphBatch(b1, 1L, gdir, ndir, met, q2,
+        k = 2, entries = 4, beam = 2, hops = 1, buildK = 2)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val q1Row = m1.find(_._1 == 1L).get
+    assert(q1Row._3 < 1.0,
+      s"the monitor must SEE the uncovered new component: ${m1.toSeq}")
+    // the remedy the alert calls for: entry coverage ≥ corpus recovers
+    val n = spark.read.parquet(ndir).count().toInt
+    val mFix = RecallStream.monitorGraphBatch(
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], b1.schema),
+        2L, gdir, ndir, met, q2, k = 2, entries = n, beam = 2, hops = 1,
+        buildK = 2)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(mFix.forall(_._3 == 1.0),
+      s"exhaustive entry coverage must audit 1.0: ${mFix.toSeq}")
+    // replay: re-monitoring epoch 1 reproduces its metrics and leaves
+    // the store/index unchanged
+    val edgesBefore = spark.read.parquet(s"$gdir/index")
+      .select("c", "v").as[(Long, Long)].collect().toSet
+    val m1Again = RecallStream.monitorGraphBatch(b1, 1L, gdir, ndir, met,
+        q2, k = 2, entries = 4, beam = 2, hops = 1, buildK = 2)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(m1Again.toSeq == m1.toSeq, "graph-monitor replay must be idempotent")
+    assert(spark.read.parquet(s"$gdir/index")
+      .select("c", "v").as[(Long, Long)].collect().toSet == edgesBefore)
+  }
+
   test("replay idempotence: re-monitoring a committed epoch reproduces its metrics row for row") {
     val ann = graft.Staging.dirFor("recall-replay-ann")
     val met = graft.Staging.dirFor("recall-replay-met")
