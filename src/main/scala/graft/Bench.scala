@@ -329,6 +329,11 @@ object Bench {
     "q_hybrid_rrf_indexed" -> 8.0,
     // two model-sized top-k lists joined + integer metric folds
     "q_retrieval_eval" -> 5.0,
+    // each: the family's pruned train+probe chain + the metric fold
+    "q_retrieval_eval_pq" -> 6.0,
+    "q_retrieval_eval_ivfpq" -> 8.0,
+    "q_retrieval_eval_res" -> 8.0,
+    "q_retrieval_eval_opq" -> 10.0,
     // one salted top-m + a 20x20 sim matrix + the driver greedy fold
     "q_retrieval_mmr" -> 4.0,
     // batch-only signing + block-equality probe of the persisted store

@@ -99,7 +99,7 @@ object IvfIndex {
     // corpus was divisible by the step), killing training while the
     // bench misread the instant failure as a fast run.
     var centroids: Array[Array[Double]] = corpus
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(QuantizerRelation.seedHash(col(idCol)), col(idCol))
       .limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -109,7 +109,9 @@ object IvfIndex {
         bestCell(col(vecCol), centroids).as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("x").cast("double")),
+          QuantizerRelation.MeanScale).as("m"))
         .groupBy("cell").agg(map_from_arrays(
           collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
         .collect()

@@ -119,7 +119,8 @@ object PqIndex {
     // Deterministic pseudo-random seed sample by id hash — same
     // id-layout-independence fix as IvfIndex.train (modulo sampling
     // returns zero seeds on sparse shifted id layouts).
-    val seeds = base.orderBy(xxhash64(col("id")), col("id")).limit(k)
+    val seeds = base
+      .orderBy(QuantizerRelation.seedHash(col("id")), col("id")).limit(k)
       .select(col("v")).collect()
       .map { r =>
         val v = r.getSeq[Float](0).map(_.toDouble).toArray
@@ -138,8 +139,9 @@ object PqIndex {
         .withColumn("sub", (col("pos") / dsub).cast("int"))
         .withColumn("cell", element_at(col("cells"), col("sub") + 1))
         .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double") /
-          when(col("nrm") > 0, col("nrm")).otherwise(lit(1.0))).as("mean"))
+        .agg(round(avg(col("x").cast("double") /
+            when(col("nrm") > 0, col("nrm")).otherwise(lit(1.0))),
+          QuantizerRelation.MeanScale).as("mean"))
         .collect()
       val next = cb.books.map(_.map(_.clone()))
       means.foreach { r =>
@@ -179,7 +181,8 @@ object PqIndex {
       iters: Int): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val seeds = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k)
+    val seeds = vecs
+      .orderBy(QuantizerRelation.seedHash(col("id")), col("id")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(seeds.nonEmpty, "empty corpus")
@@ -193,7 +196,8 @@ object PqIndex {
         .withColumn("sub", (col("pos") / dsub).cast("int"))
         .withColumn("cell", element_at(col("cells"), col("sub") + 1))
         .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("mean"))
+        .agg(round(avg(col("x").cast("double")),
+          QuantizerRelation.MeanScale).as("mean"))
         .collect()
       val next = cb.books.map(_.map(_.clone()))
       means.foreach { r =>

@@ -179,8 +179,9 @@ object PqRelation {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(graft.functions.functions.dot_product(col(vecCol), col(vecCol)))
         .as("nrm"))
-    val w = Window.orderBy(xxhash64(col("id")), col("id"))
-    var cb = base.orderBy(xxhash64(col("id")), col("id")).limit(k)
+    val w = Window.orderBy(QuantizerRelation.seedHash(col("id")), col("id"))
+    var cb = base.orderBy(QuantizerRelation.seedHash(col("id")), col("id"))
+      .limit(k)
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .select(col("cell"),
         when(col("nrm") > 0,
@@ -200,8 +201,9 @@ object PqRelation {
         .withColumn("cell", element_at(col("codes"), col("sub") + 1))
         .withColumn("p", col("pos") - col("sub") * dsub)
         .groupBy("sub", "cell", "p")
-        .agg(avg(col("x").cast("double") /
-          when(col("nrm") > 0, col("nrm")).otherwise(lit(1.0))).as("mean"))
+        .agg(round(avg(col("x").cast("double") /
+            when(col("nrm") > 0, col("nrm")).otherwise(lit(1.0))),
+          QuantizerRelation.MeanScale).as("mean"))
         .groupBy("sub", "cell").agg(map_from_arrays(
           collect_list(col("p")), collect_list(col("mean"))).as("byPos"))
       cb = cb.join(means, Seq("sub", "cell"), "left")

@@ -46,6 +46,31 @@ object QuantizerRelation {
     * visibly loses to one torrent broadcast. */
   val CutoverCells: Int = 10000
 
+  /** ENGINE-PORTABLE seed ordering for every quantizer train (IVF
+    * coarse, PQ, residual-PQ, and both relational forms): rows rank by
+    * the md5-60 hash of `"km" ‖ id` with an id tiebreak — the
+    * [[Dedup.md5TokenHash60]] portability stance applied to k-means
+    * seeding. The previous `xxhash64(id)` order was equally
+    * deterministic but reproducible only inside Spark, which is the
+    * one reason the trained-codebook families' PRUNED production
+    * configurations could never be replayed by the DuckDB oracle;
+    * with this order (plus the 6-dp Lloyd-mean round below) the whole
+    * train→encode→probe chain is a pure function any engine can
+    * recompute (`q_retrieval_eval_pq` and friends replay it end to
+    * end). Seeding quality is unchanged: both are uniform hashes of
+    * the id, and seeding cost is a top-k over ids either way. */
+  private[graft] def seedHash(id: Column): Column =
+    Dedup.md5TokenHash60(concat(lit("km"), id.cast("string")))
+
+  /** Cross-engine float discipline for the ONE order-ambiguous step in
+    * Lloyd training: the per-(cell, position) mean aggregates rows in
+    * partition order, so its low bits differ between engines (and
+    * runs); rounding each updated coordinate to 6 dp absorbs that ULP
+    * drift — the 4-dp-scores-before-ranking convention applied to
+    * model parameters. Dot products, norms and seed vectors stay
+    * exact: element-order sums are bit-identical everywhere. */
+  private[graft] val MeanScale: Int = 6
+
   /** A driver-side matrix as the (cell, cvec) relation (rows NOT
     * normalized here — [[normalizeRows]] is the assignment-time step,
     * mirroring [[IvfIndex.unitRows]]). */
@@ -131,9 +156,9 @@ object QuantizerRelation {
     * ever materialized, and none of it on the driver. */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 2): DataFrame = {
-    val w = Window.orderBy(xxhash64(col(idCol)), col(idCol))
+    val w = Window.orderBy(seedHash(col(idCol)), col(idCol))
     var cents = corpus
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+      .orderBy(seedHash(col(idCol)), col(idCol)).limit(k)
       .select(col(idCol), col(vecCol))
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .select(col("cell"), col(vecCol).cast("array<double>").as("cvec"))
@@ -144,7 +169,8 @@ object QuantizerRelation {
         normalizeRows(cents))
       val means = asg
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("x").cast("double")), MeanScale).as("m"))
         .groupBy("cell").agg(map_from_arrays(
           collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
       cents = cents.join(means, Seq("cell"), "left")

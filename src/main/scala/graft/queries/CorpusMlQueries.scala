@@ -726,10 +726,25 @@ object CorpusMlQueries {
     "text_bpe_fertility" -> textBpeFertility,
     "q_zipf_fit" -> qZipfFit)
 
+  /** [[annIvfSqPruned]]'s replay (round 18 — the pruned modes went
+    * hash-green): coarse chain, float-quantized residuals, SQ8 bounds/
+    * codes/midpoint-decode, `qc + q·decoded` ADC, shortlist, exact
+    * re-rank. */
+  val annIvfSqPrunedSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |${QuantizerReplay.ivfTrainCtes("c")},
+       |${QuantizerReplay.ivfCcCte("c")},
+       |${QuantizerReplay.residCte("c")},
+       |${QuantizerReplay.sqProbeCtes()}
+       |SELECT qid, id, round(score, 4) AS score, rank
+       |FROM sqrank WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_sq8" -> annSq8Sql,
     // exhaustive mode ≡ brute force — the shared exact-top-k oracle
     "ann_ivfsq" -> QueryCatalog.annTopKSql,
+    "ann_ivfsq_pruned" -> annIvfSqPrunedSql,
     "ann_knn_graph" -> annKnnGraphSql,
     "q_cluster_eval" -> qClusterEvalSql,
     "q_graph_clusters" -> qGraphClustersSql,

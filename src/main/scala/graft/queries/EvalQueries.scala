@@ -253,7 +253,11 @@ object EvalQueries {
     Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
   }
 
-  val qRetrievalEvalLshMpSql: String = {
+  /** The multi-probe selection → candidate join → exact re-rank chain
+    * (requires `q`/`c` upstream), ending in `mpscored(qid, id, raw,
+    * rank)` — shared by the eval oracle and the (round-18 promoted)
+    * `ann_lsh_multiprobe` query oracle. */
+  private[queries] val lshMpChainCtes: String = {
     val bits = 4; val tables = 8; val keep = 2 // nProbes − 1
     val planes = Similarity.hyperplanes(dim = 64, numBits = bits * tables,
       seed = 42L)
@@ -274,9 +278,7 @@ object EvalQueries {
       yield s"SELECT qid, $t AS t, abs(list_dot_product(qvec, pl[${j + 1}])) AS m, " +
         s"${keySql(t, "qvec", j)} AS k FROM q CROSS JOIN planes")
       .mkString("\n      |  UNION ALL ")
-    s"""WITH planes AS (SELECT $planesLit AS pl),
-       |${QueryCatalog.annQcCtes},
-       |${QueryCatalog.annGtScoredCte},
+    s"""planes AS (SELECT $planesLit AS pl),
        |qflips AS MATERIALIZED (
        |  $flipRows),
        |sel AS (
@@ -293,14 +295,150 @@ object EvalQueries {
        |cands AS (SELECT DISTINCT qid, id FROM qb JOIN cb USING (bucket)),
        |mpscored AS (
        |  SELECT cands.qid, cands.id,
+       |    list_dot_product(qvec, vec) /
+       |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS raw,
        |    row_number() OVER (PARTITION BY cands.qid ORDER BY
        |      list_dot_product(qvec, vec) /
        |        (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) DESC,
        |      cands.id) AS rank
-       |  FROM cands JOIN q ON q.qid = cands.qid JOIN c ON c.id = cands.id),
+       |  FROM cands JOIN q ON q.qid = cands.qid JOIN c ON c.id = cands.id)""".stripMargin
+  }
+
+  val qRetrievalEvalLshMpSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |$lshMpChainCtes,
        |sysk AS (SELECT qid, id, rank FROM mpscored WHERE rank <= $EvalK),
        |$metricsTailSql""".stripMargin
+
+  /** The `ann_lsh_multiprobe` QUERY oracle — the last rows-only ANN
+    * mode promoted to hash-green: the same probe-selection replay the
+    * eval audit already validated, cut at the query's top-10. */
+  val annLshMultiprobeSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |$lshMpChainCtes
+       |SELECT qid, id, round(raw, 4) AS score, rank
+       |FROM mpscored WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** The PQ-code-domain audits (round-18 directive #1) — the LOWEST-
+    * recall production modes were the only serving rankers without an
+    * oracle-checked audit relation; the portable quantizer seeding +
+    * 6-dp Lloyd means made their trainings replayable
+    * ([[QuantizerReplay]]), so each family's PRUNED production
+    * configuration now composes with the shared [[metricsTailSql]]
+    * fold exactly as `q_retrieval_eval_sq` did. The spec-quoted
+    * recall numbers (SCALING addendum) become continuously checked
+    * relations. */
+  val qRetrievalEvalPqQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = graft.ops.PqIndex.train(corpus, "id", "vec",
+      m = 8, k = 16, iters = 2)
+    val sys = graft.ops.PqIndex.topK(queries, corpus, cb,
+      k = EvalK, shortlist = 100)
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
   }
+
+  val qRetrievalEvalPqSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |${QuantizerReplay.pqTrainCtes("c")},
+       |${QuantizerReplay.pqProbeCtes("pqcent2", shortlist = 100)},
+       |sysk AS (SELECT qid, id, rank FROM pqrank WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
+
+  /** The IVF-PQ audit at the `ann_ivfpq_pruned` production
+    * configuration (nProbe = 2, shortlist = 50). */
+  val qRetrievalEvalIvfPqQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = graft.ops.IvfIndex.train(corpus, "id", "vec",
+      k = 8, iters = 2)
+    val cb = graft.ops.PqIndex.train(corpus, "id", "vec",
+      m = 8, k = 16, iters = 2)
+    val path = graft.Staging.dirFor("eval-ivfpq-q")
+    graft.ops.IvfPq.writeIndex(corpus, centroids, cb, path)
+    val sys = graft.ops.IvfPq.topK(s, path, queries, centroids, cb,
+      k = EvalK, nProbe = 2, shortlist = 50)
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalIvfPqSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |${PipelineQueries.ivfPqPrunedChain},
+       |sysk AS (SELECT qid, id, rank FROM pqrank WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
+
+  /** The residual-IVF-PQ audit at the `ann_ivfpq_res_pruned`
+    * production configuration. */
+  val qRetrievalEvalResQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = graft.ops.IvfIndex.train(corpus, "id", "vec",
+      k = 8, iters = 2)
+    val cb = graft.ops.ResidualPq.trainCodebooks(corpus, centroids,
+      m = 8, k = 16, iters = 2)
+    val path = graft.Staging.dirFor("eval-res-q")
+    graft.ops.ResidualPq.writeIndex(corpus, centroids, cb, path)
+    val sys = graft.ops.ResidualPq.topK(s, path, queries, centroids, cb,
+      k = EvalK, nProbe = 2, shortlist = 50)
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalResSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |${PipelineQueries.resPrunedChain},
+       |sysk AS (SELECT qid, id, rank FROM rqrank WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
+
+  /** The rotated-residual ("OPQ,IVF,PQ") audit at the
+    * `ann_ivfpq_opq_pruned` production configuration. */
+  val qRetrievalEvalOpqQ: Q = (s, dir) => {
+    val basis = graft.ops.Pca.loadBasis(s,
+      s"${graft.Tables.fixturesDir}/pca_basis.parquet")
+    val order = graft.ops.Opq.allocate(
+      basis.sortBy(_.component).map(_.eigenvalue), 8)
+    val rot = graft.ops.Opq.rotation(basis, order)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val rotated = corpus.select(col("id"),
+      graft.functions.functions.rotate_project(col("vec"), rot).as("vec"))
+    val centroids = graft.ops.IvfIndex.train(rotated, "id", "vec",
+      k = 8, iters = 2)
+    val cb = graft.ops.ResidualPq.trainCodebooksRotated(corpus, rot,
+      centroids, m = 8, k = 16, iters = 2)
+    val path = graft.Staging.dirFor("eval-opq-q")
+    graft.ops.ResidualPq.writeIndexRotated(corpus, rot, centroids, cb, path)
+    val sys = graft.ops.ResidualPq.topKRotated(s, path, queries, rot,
+      centroids, cb, k = EvalK, nProbe = 2, shortlist = 50)
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalOpqSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |${PipelineQueries.opqPrunedChain},
+       |sysk AS (SELECT qid, id, rank FROM rqrank WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
 
   private val MmrK = 10
   private val MmrM = 20
@@ -539,6 +677,10 @@ object EvalQueries {
     "q_retrieval_eval_sq" -> qRetrievalEvalSq,
     "q_retrieval_eval_trunc" -> qRetrievalEvalTrunc,
     "q_retrieval_eval_lsh_mp" -> qRetrievalEvalLshMp,
+    "q_retrieval_eval_pq" -> qRetrievalEvalPqQ,
+    "q_retrieval_eval_ivfpq" -> qRetrievalEvalIvfPqQ,
+    "q_retrieval_eval_res" -> qRetrievalEvalResQ,
+    "q_retrieval_eval_opq" -> qRetrievalEvalOpqQ,
     "q_retrieval_mmr" -> qRetrievalMmr,
     "q_retrieval_pipeline" -> qRetrievalPipeline,
     "dedup_est_error" -> dedupEstError,
@@ -551,6 +693,14 @@ object EvalQueries {
     "q_retrieval_eval_sq" -> qRetrievalEvalSqSql,
     "q_retrieval_eval_trunc" -> qRetrievalEvalTruncSql,
     "q_retrieval_eval_lsh_mp" -> qRetrievalEvalLshMpSql,
+    "q_retrieval_eval_pq" -> qRetrievalEvalPqSql,
+    "q_retrieval_eval_ivfpq" -> qRetrievalEvalIvfPqSql,
+    "q_retrieval_eval_res" -> qRetrievalEvalResSql,
+    "q_retrieval_eval_opq" -> qRetrievalEvalOpqSql,
+    // the multi-probe QUERY's oracle lives here next to the chain it
+    // shares with its eval audit (the query itself is declared in
+    // PipelineQueries)
+    "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "q_retrieval_mmr" -> qRetrievalMmrSql,
     "q_retrieval_pipeline" -> qRetrievalPipelineSql,
     "dedup_est_error" -> dedupEstErrorSql,

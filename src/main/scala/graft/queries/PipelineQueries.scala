@@ -238,14 +238,16 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** PRODUCTION-pruned ANN configurations in the timed surface, WITHOUT
-    * oracles (approximate by design → the driver records the weaker
-    * rows-only check; recall floors are asserted in IvfIndexSpec /
-    * IvfPqSpec). The hash-gated `ann_ivf`/`ann_pq`/`ann_ivfpq` run
-    * deliberately brute-force-shaped exhaustive configurations so
-    * DuckDB can replay them exactly — without these pruned rows the
-    * TIMING story would be brute-force-shaped too, and the artifact
-    * would show the oracle tax as if it were the operator's cost. */
+  /** PRODUCTION-pruned ANN configurations in the timed surface — and,
+    * since round 18, HASH-GATED like everything else: the portable
+    * quantizer seeding + 6-dp Lloyd means
+    * ([[graft.ops.QuantizerRelation.seedHash]]) make the full
+    * train→assign→probe chain a pure function DuckDB recomputes
+    * ([[QuantizerReplay]]), so the pruned modes' approximation is now
+    * oracle-CHECKED rather than merely rows-counted. The exhaustive
+    * `ann_ivf`/`ann_pq`/`ann_ivfpq` gates keep their brute-force
+    * oracles (they prove the shortlist plumbing); these rows carry the
+    * operator's real probe cost in the timing artifact. */
   val annIvfPruned: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -273,6 +275,79 @@ object PipelineQueries {
       .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** [[annIvfPruned]]'s replay: coarse k-means + nProbe=2 cell probe +
+    * exact cosine within the probed cells. */
+  val annIvfPrunedSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |${QuantizerReplay.ivfTrainCtes("c")},
+       |${QuantizerReplay.ivfCcCte("c")},
+       |${QuantizerReplay.ivfQcellCte("q", nProbe = 2)}
+       |SELECT qid, id, score, rank FROM (
+       |  SELECT s.qid, s.id, round(s.raw, 4) AS score,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.raw DESC, s.id) AS rank
+       |  FROM (
+       |    SELECT qc.qid, cc.id,
+       |      list_dot_product(q.qvec, c.vec) /
+       |        (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec))) AS raw
+       |    FROM ivcc cc JOIN ivqcell qc ON qc.cell = cc.cell
+       |    JOIN q ON q.qid = qc.qid JOIN c ON c.id = cc.id) s)
+       |WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** [[annIvfPqPruned]]'s replay: the coarse chain, the PQ Lloyd
+    * chain, the probed-cells candidate join, ADC shortlist=50, exact
+    * re-rank. Shared (as CTE builders) with `q_retrieval_eval_ivfpq`. */
+  private[queries] def ivfPqPrunedChain: String =
+    s"""${QuantizerReplay.ivfTrainCtes("c")},
+       |${QuantizerReplay.ivfCcCte("c")},
+       |${QuantizerReplay.ivfQcellCte("q", nProbe = 2)},
+       |${QuantizerReplay.pqTrainCtes("c")},
+       |ivcand AS (
+       |  SELECT qc.qid, cc.id FROM ivcc cc JOIN ivqcell qc ON qc.cell = cc.cell),
+       |${QuantizerReplay.pqProbeCtes("pqcent2", shortlist = 50,
+            cand = Some("ivcand"))}""".stripMargin
+
+  val annIvfPqPrunedSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |$ivfPqPrunedChain
+       |SELECT qid, id, round(score, 4) AS score, rank
+       |FROM pqrank WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** [[annIvfPqResPruned]]'s replay: coarse chain, float-quantized
+    * residuals, the L2 Lloyd chain, qc-term ADC probe. */
+  private[queries] def resPrunedChain: String =
+    s"""${QuantizerReplay.ivfTrainCtes("c")},
+       |${QuantizerReplay.ivfCcCte("c")},
+       |${QuantizerReplay.residCte("c")},
+       |${QuantizerReplay.lloydL2Ctes()},
+       |${QuantizerReplay.resProbeCtes("q", "rqcent2")}""".stripMargin
+
+  val annIvfPqResPrunedSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |$resPrunedChain
+       |SELECT qid, id, round(score, 4) AS score, rank
+       |FROM rqrank WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** [[annIvfPqOpqPruned]]'s replay: the residual chain in the
+    * fixture-rotated space (coarse cells, residuals and LUT read the
+    * rotated relations; the re-rank reads originals). */
+  private[queries] def opqPrunedChain: String =
+    s"""${QuantizerReplay.rotationCtes()},
+       |${QuantizerReplay.ivfTrainCtes("rc")},
+       |${QuantizerReplay.ivfCcCte("rc")},
+       |${QuantizerReplay.residCte("rc")},
+       |${QuantizerReplay.lloydL2Ctes()},
+       |${QuantizerReplay.resProbeCtes("rqv", "rqcent2")}""".stripMargin
+
+  val annIvfPqOpqPrunedSql: String =
+    s"""WITH ${QueryCatalog.annQcCtes},
+       |$opqPrunedChain
+       |SELECT qid, id, round(score, 4) AS score, rank
+       |FROM rqrank WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
 
   /** Deterministic stratified mix sampling ([[graft.ops.Sampling]]):
     * per-language keep rates over the documents table, membership a
@@ -1020,6 +1095,10 @@ object PipelineQueries {
     "q_sample_quota" -> qSampleQuotaSql,
     "ann_pq" -> QueryCatalog.annTopKSql,
     "ann_ivfpq" -> QueryCatalog.annTopKSql,
+    "ann_ivf_pruned" -> annIvfPrunedSql,
+    "ann_ivfpq_pruned" -> annIvfPqPrunedSql,
+    "ann_ivfpq_res_pruned" -> annIvfPqResPrunedSql,
+    "ann_ivfpq_opq_pruned" -> annIvfPqOpqPrunedSql,
     "ann_pca" -> annPcaSql,
     "ann_opq" -> QueryCatalog.annTopKSql,
     "ann_opq_iter" -> QueryCatalog.annTopKSql,
