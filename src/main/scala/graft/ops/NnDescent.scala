@@ -414,7 +414,22 @@ object NnDescent {
     * filter either way (distinct buckets are ≤ `numBuckets` values no
     * matter how large the frontier, so that list never grows). The
     * same polarity as [[QuantizerRelation.CutoverCells]]: literals in
-    * the plan below, data on the broadcast bus above. */
+    * the plan below, data on the broadcast bus above.
+    *
+    * Where the default sits, and why (tools/ProfileFrontier, sf0.1,
+    * 1,995-node index, batches 50/500/1,995 queries): the literal form
+    * measured FASTER throughout gate scale — 3.2/3.8/6.0 s vs the
+    * semi-join's 5.3/5.9/10.1 s — because the semi-join adds two
+    * exchanges per hop while every relation is still small; no
+    * wall-clock crossover is reachable on the gate corpus. The cutover
+    * exists for the asymmetric risk past it: the literal path also
+    * COLLECTS the frontier ids (a driver round-trip growing linearly)
+    * and inflates the plan per hop, which at 10⁶-query batches becomes
+    * driver memory pressure and analyzer cost with a hard-failure mode,
+    * while the semi-join's overhead stays the same bounded 2–4 s of
+    * per-hop job latency that real batch sizes amortize. 1024 keeps
+    * every interactive workload on the measured-faster literal path and
+    * caps the plan at ~10³ literals before the failure-mode regime. */
   val DefaultFrontierCutover: Int = 1024
 
   /** The indexed walk's per-hop expansion against a
@@ -431,7 +446,11 @@ object NnDescent {
     // LIMIT cutover+1: a bounded probe — when it fits, we already hold
     // the complete id set for the literal form; when it spills over,
     // the values are discarded and only the bucket list is collected
-    val probe = idsRel.limit(frontierCutover + 1).collect().map(_.get(0))
+    // (saturating +1: a cutover of Int.MaxValue means "always literal")
+    val probeLimit =
+      if (frontierCutover >= Int.MaxValue) Int.MaxValue
+      else frontierCutover + 1
+    val probe = idsRel.limit(probeLimit).collect().map(_.get(0))
     val adj =
       if (probe.length <= frontierCutover) {
         val buckets = probe

@@ -95,9 +95,9 @@ object CorpusMlQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** PRODUCTION-pruned IVF-SQ8 in the timed surface, WITHOUT an oracle
-    * (approximate by design → rows-only check; the recall floor is
-    * asserted in IvfSqSpec) — the `ann_ivfpq_pruned` convention. */
+  /** PRODUCTION-pruned IVF-SQ8 in the timed surface — hash-gated
+    * since round 18 ([[annIvfSqPrunedSql]] replays the whole chain;
+    * the recall floor stays asserted in IvfSqSpec). */
   val annIvfSqPruned: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)

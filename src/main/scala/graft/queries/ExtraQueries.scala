@@ -298,8 +298,6 @@ object ExtraQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
-  /** IVF approximate top-k — recall vs the brute-force baseline asserted
-    * in SimilaritySpec; quantizer is engine-specific so rows-only. */
   /** IVF ANN, oracle-gated in exhaustive-probe mode: with nProbe = k
     * every cell is probed, so the full train→assign→probe-join→re-rank
     * pipeline must reproduce the brute-force top-k exactly (the same

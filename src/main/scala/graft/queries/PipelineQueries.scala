@@ -956,9 +956,9 @@ object PipelineQueries {
   /** The PRODUCTION-pruned residual configuration (nProbe=2,
     * shortlist=50 — the `ann_ivfpq_pruned` convention), timed so the
     * artifact carries the operator's real probe cost rather than the
-    * exhaustive oracle tax. Approximate by design → rows-only check;
-    * ResidualPqSpec pins residual ≥ raw recall at this same pruned
-    * probe/code budget. */
+    * exhaustive oracle tax. Hash-gated since round 18
+    * ([[annIvfPqResPrunedSql]]); ResidualPqSpec pins residual ≥ raw
+    * recall at this same pruned probe/code budget. */
   val annIvfPqResPruned: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -1008,10 +1008,10 @@ object PipelineQueries {
   }
 
   /** The rotated stack's PRODUCTION configuration (nProbe=2,
-    * shortlist=50 — the pruned-mode convention): approximate by
-    * design → rows-only; the recall advantage over the unrotated
-    * residual stack at this budget is ResidualPqSpec's measured
-    * table (0.84 vs 0.66 on anisotropic clusters). */
+    * shortlist=50 — the pruned-mode convention), hash-gated since
+    * round 18 ([[annIvfPqOpqPrunedSql]]); the recall advantage over
+    * the unrotated residual stack at this budget is ResidualPqSpec's
+    * measured table (0.84 vs 0.66 on anisotropic clusters). */
   val annIvfPqOpqPruned: Q = (s, dir) => {
     val basis = graft.ops.Pca.loadBasis(s,
       s"${graft.Tables.fixturesDir}/pca_basis.parquet")
@@ -1041,8 +1041,10 @@ object PipelineQueries {
     * flipped-lowest-margin buckets per table — the recall of ~2× the
     * tables at HALF the ingest-time index (SimilaritySpec measures
     * 0.92 at 8 tables × 3 probes vs 0.96 at 16 tables, 0.77 at 8).
-    * Approximate by design → rows-only check, the pruned-ANN-mode
-    * convention. */
+    * Hash-gated since round 18: the probe SELECTION is deterministic
+    * seed-42 arithmetic, and [[EvalQueries.annLshMultiprobeSql]]
+    * replays it relationally (the eval audit's chain, cut at the
+    * query's top-10). */
   val annLshMultiprobe: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
