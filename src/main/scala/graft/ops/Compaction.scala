@@ -121,7 +121,8 @@ object Compaction {
   def compactAll(spark: SparkSession, acceptedDir: String, indexDir: String,
       maxEpochId: Long, annDir: Option[String] = None,
       graphDir: Option[String] = None,
-      simhashDir: Option[String] = None): Unit = {
+      simhashDir: Option[String] = None,
+      postingsEpochsDir: Option[String] = None): Unit = {
     compactEpochs(spark, acceptedDir, maxEpochId)
     compactEpochs(spark, indexDir, maxEpochId)
     annDir.foreach(d => compactEpochs(spark, d, maxEpochId,
@@ -130,6 +131,17 @@ object Compaction {
       nestedPartCols = Seq("nb")))
     simhashDir.foreach(d => compactEpochs(spark, s"$d/blocks", maxEpochId,
       nestedPartCols = Seq("b")))
+    // the lexical epoch store ([[TextIndex.appendPostingsEpoch]]) is
+    // TWO relations kept in step: the bucketed postings and the
+    // additive per-epoch statistics — compacting one without the other
+    // would leave estats rows naming epochs that no longer exist
+    // (harmless to the SUM the probe takes, but a lifecycle smell);
+    // both collapse to the same base generation
+    postingsEpochsDir.foreach { d =>
+      compactEpochs(spark, s"$d/postings", maxEpochId,
+        nestedPartCols = Seq("tb"))
+      compactEpochs(spark, s"$d/estats", maxEpochId)
+    }
     ()
   }
 }

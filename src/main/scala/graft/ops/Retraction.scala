@@ -271,11 +271,15 @@ object Retraction {
       lshDir: Option[String] = None,
       graphDir: Option[String] = None,
       containmentDir: Option[String] = None,
-      simhashDir: Option[String] = None): Unit = {
+      simhashDir: Option[String] = None,
+      postingsEpochsDir: Option[String] = None): Unit = {
     retract(spark, acceptedDir, idCol, ids)
     retract(spark, indexDir, "id", ids)
     annDir.foreach(d => retract(spark, d, "id", ids, nestedPartCols = Seq("cell")))
     postingsDir.foreach(d => retractPostings(spark, d, ids))
+    // the EPOCH-partitioned lexical store is the ninth store: postings
+    // scrub + exact per-epoch stats rewrite in one sweep
+    postingsEpochsDir.foreach(d => retractPostingsEpochs(spark, d, ids))
     lshDir.foreach(d => retract(spark, d, "id", ids, partCol = "bucket"))
     graphDir.foreach { d =>
       retract(spark, d, "c", ids, nestedPartCols = Seq("nb"))

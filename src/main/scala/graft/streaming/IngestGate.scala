@@ -65,6 +65,18 @@ object IngestGate {
     iters: Int = 1,
     numBuckets: Int = graft.ops.NnDescent.DefaultGraphBuckets)
 
+  /** Optional LEXICAL-index sink for gated epochs: survivors' text is
+    * also appended to a BM25 postings epoch store
+    * ([[graft.ops.TextIndex.appendPostingsEpoch]] — frozen bucket
+    * hash, additive per-epoch statistics, overwrite-by-epoch so
+    * replays stay idempotent). With this, the gate keeps every serving
+    * family in lockstep with the accepted corpus: near-dup band index,
+    * vector ANN ([[AnnSink]]), graph ANN ([[GraphSink]]), and the
+    * lexical ranker — batch N+1 can retrieve batch N's acceptances by
+    * keyword exactly as a rebuilt index would (append ≡ rebuild is the
+    * store's contract, TextIndexSpec). */
+  final case class PostingsSink(dir: String, nBuckets: Int = 64)
+
   /** Gate ONE batch. Returns the number of accepted documents.
     * Extracted from the foreachBatch closure so the idempotence and
     * gating semantics are directly testable. Input columns: `idCol`
@@ -75,7 +87,8 @@ object IngestGate {
       acceptedDir: String, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 32, n: Int = 3,
       threshold: Double = 0.5, ann: Option[AnnSink] = None,
-      graph: Option[GraphSink] = None): Long = {
+      graph: Option[GraphSink] = None,
+      postings: Option[PostingsSink] = None): Long = {
     val spark = batch.sparkSession
     // (1) in-batch cluster dedup: one representative per near-dup
     // cluster inside the batch (size-dispatched components — a batch's
@@ -122,6 +135,10 @@ object IngestGate {
           graft.ops.IvfPq.appendIndexEpoch(accepted, a.centroids, a.codebooks,
             a.dir, batchId, idCol = idCol, vecCol = a.vecCol)
       }
+      postings.foreach { p =>
+        graft.ops.TextIndex.appendPostingsEpoch(accepted, idCol, textCol,
+          p.dir, batchId, p.nBuckets)
+      }
       graph.foreach { g =>
         // the accepted sink committed above, so the accumulated corpus
         // (including this epoch's survivors, each id once) is readable
@@ -144,14 +161,15 @@ object IngestGate {
       textCol: String = "text", numHashes: Int = 64, bands: Int = 32,
       n: Int = 3, threshold: Double = 0.5,
       ann: Option[AnnSink] = None,
-      graph: Option[GraphSink] = None): StreamingQuery = {
+      graph: Option[GraphSink] = None,
+      postings: Option[PostingsSink] = None): StreamingQuery = {
     require(docs.isStreaming, "IngestGate.start needs a streaming input; " +
       "use Dedup.newVsCorpusPairs for a one-shot batch")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         gateBatch(b, id, indexDir, acceptedDir, idCol, textCol,
-          numHashes, bands, n, threshold, ann, graph)
+          numHashes, bands, n, threshold, ann, graph, postings)
         ()
       }
       .start()

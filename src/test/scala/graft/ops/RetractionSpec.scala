@@ -312,7 +312,15 @@ class RetractionSpec extends SparkSpec {
     val victimBuckets = spark.read.parquet(s"$pidx/postings")
       .filter($"id" === 7L).select("tb").distinct().as[Long].collect().toSet
 
-    Retraction.retractPostingsEpochs(spark, pidx, Seq(7L))
+    // through the full sweep: the epoch store is the ninth store
+    val acc = graft.Staging.dirFor("retract-pe-acc")
+    val bnd = graft.Staging.dirFor("retract-pe-bnd")
+    Seq((7L, "t"), (8L, "t")).toDF("doc_id", "text")
+      .write.parquet(s"$acc/batch=0")
+    Seq((7L, 0L), (8L, 1L)).toDF("id", "bucket")
+      .write.parquet(s"$bnd/batch=0")
+    Retraction.retractAll(spark, Seq(7L), "doc_id", acc, bnd,
+      postingsEpochsDir = Some(pidx))
 
     assert(spark.read.parquet(s"$pidx/postings").filter($"id" === 7L).isEmpty)
     val victimTerms = mkText(7).split("\\s+").distinct.take(5).toSeq

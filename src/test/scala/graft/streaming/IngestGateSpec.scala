@@ -207,6 +207,43 @@ class IngestGateSpec extends SparkSpec {
       == served)
   }
 
+  test("PostingsSink: gate maintains the lexical epoch store; probe ≡ flat rebuild over accepted; replay idempotent") {
+    import graft.ops.TextIndex
+    import org.apache.spark.sql.functions.col
+    val idx = graft.Staging.dirFor("ingate-post-idx")
+    val acc = graft.Staging.dirFor("ingate-post-acc")
+    val pdir = graft.Staging.dirFor("ingate-post-lex")
+    val sink = Some(IngestGate.PostingsSink(pdir))
+    val e0 = Seq((1L, mkText(1)), (2L, mkText(2))).toDF("doc_id", "text")
+    val e1 = Seq((10L, nearCopy(1)), (11L, mkText(7))).toDF("doc_id", "text")
+    assert(IngestGate.gateBatch(e0, 0L, idx, acc, "doc_id", "text",
+      postings = sink) == 2L)
+    // 10 is a near-dup of 1 → rejected; ONLY survivors reach the store
+    assert(IngestGate.gateBatch(e1, 1L, idx, acc, "doc_id", "text",
+      postings = sink) == 1L)
+    val terms = mkText(7).split("\\s+").distinct.take(5).toSeq
+    val epochHits = TextIndex.bm25TopKEpochs(spark, pdir, terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(epochHits.map(_._1).contains(11L),
+      "batch-1 survivors must be lexically retrievable")
+    assert(!spark.read.parquet(s"$pdir/postings")
+      .select("id").as[Long].collect().contains(10L),
+      "a gate-rejected near-dup must never enter the lexical store")
+    // probe ≡ a flat rebuild over exactly the accepted corpus
+    val flat = graft.Staging.dirFor("ingate-post-flat")
+    TextIndex.writePostings(
+      spark.read.parquet(acc).select(col("doc_id"), col("text")),
+      "doc_id", "text", flat)
+    assert(epochHits == TextIndex.bm25TopKIndexed(spark, flat, terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq,
+      "gate-maintained lexical store must answer like a rebuilt one")
+    // replay idempotence
+    assert(IngestGate.gateBatch(e1, 1L, idx, acc, "doc_id", "text",
+      postings = sink) == 1L)
+    assert(TextIndex.bm25TopKEpochs(spark, pdir, terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq == epochHits)
+  }
+
   test("AnnSink: streamed epoch appends probe identically to a full rewrite; replay idempotent") {
     import graft.Tables
     import graft.ops.{IvfIndex, IvfPq, PqIndex}
