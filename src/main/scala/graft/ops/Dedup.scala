@@ -1388,9 +1388,15 @@ object Dedup {
     require(maxPairsPerBucket >= 1,
       s"maxPairsPerBucket must be positive, got $maxPairsPerBucket")
     val storeBlocks = spark.read.parquet(s"$indexPath/blocks")
+    // ONE signature pass per batch (the SimhashGate discipline): the
+    // block relation feeds the occupancy count, the overflow join and
+    // the surviving-bucket probe, and the RETURNED DataFrames re-derive
+    // their subtrees per action — checkpoint so tokenize+md5+sign runs
+    // once, not once per consumer
     val probeBlocks = simhashBlocks(
-      simhashSignatures(newDocs, idCol, textCol, tokenHash, bits),
-      bits, blocks)
+        simhashSignatures(newDocs, idCol, textCol, tokenHash, bits),
+        bits, blocks)
+      .localCheckpoint()
     val probeOcc = probeBlocks.groupBy(col("b"), col("key"))
       .agg(count(lit(1)).as("np"))
     val storeOcc = storeBlocks

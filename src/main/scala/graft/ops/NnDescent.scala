@@ -556,13 +556,24 @@ object NnDescent {
     val conf = spark.sessionState.newHadoopConf()
     val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
     val fs = stateRoot.getFileSystem(conf)
-    val priorEpochs: Seq[Long] =
+    val allStates: Seq[Long] =
       if (fs.exists(stateRoot))
         fs.listStatus(stateRoot).filter(_.isDirectory)
           .map(_.getPath.getName).filter(_.startsWith("batch="))
-          .map(_.stripPrefix("batch=").toLong)
-          .filter(_ < batchId).toSeq.sorted
+          .map(_.stripPrefix("batch=").toLong).toSeq.sorted
       else Nil
+    val priorEpochs = allStates.filter(_ < batchId)
+    // Replay-window guard: a cold start is legitimate ONLY on a fresh
+    // store (or a replay of the very first epoch, whose "prior input"
+    // IS the cold start). If LATER snapshots exist but this epoch's
+    // prior was retention-deleted, silently rebuilding from allNodes
+    // would fold FUTURE epochs' nodes into this epoch's output —
+    // contradicting the replay contract — so fail loudly instead.
+    require(priorEpochs.nonEmpty || allStates.forall(_ <= batchId),
+      s"maintainGraphEpoch($batchId): the prior state snapshot was " +
+        s"retention-deleted (state holds epochs $allStates) — an epoch " +
+        "outside the retention window cannot be replayed faithfully; " +
+        "rebuild the store or raise retainStates")
     val refreshed = priorEpochs.lastOption match {
       case Some(pe) =>
         appendNodes(spark.read.parquet(s"$dir/state/batch=$pe"),

@@ -136,8 +136,13 @@ object IngestGate {
             a.dir, batchId, idCol = idCol, vecCol = a.vecCol)
       }
       postings.foreach { p =>
-        graft.ops.TextIndex.appendPostingsEpoch(accepted, idCol, textCol,
-          p.dir, batchId, p.nBuckets)
+        // same empty-epoch policy as the graph sink: a fully-rejected
+        // batch writes nothing (an empty epoch would be a zero-file
+        // postings dir plus a (0, NULL) stats row — junk the probe
+        // would have to read around)
+        if (nAccepted > 0)
+          graft.ops.TextIndex.appendPostingsEpoch(accepted, idCol, textCol,
+            p.dir, batchId, p.nBuckets)
       }
       graph.foreach { g =>
         // the accepted sink committed above, so the accumulated corpus

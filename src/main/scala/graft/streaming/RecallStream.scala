@@ -40,21 +40,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * path. */
 object RecallStream {
 
-  /** Monitor ONE epoch. Returns the per-query metrics also written to
-    * `metricsDir/batch=<batchId>`. Store ids stay UNIQUE by
-    * construction, against BOTH duplication paths: within the
-    * micro-batch, duplicate ids collapse to one deterministic row
-    * first (min row by vec order — the gate family's in-batch-collapse
-    * discipline); across epochs, an arrival whose id already exists in
-    * another epoch is dropped (first write wins; a re-crawled id is a
-    * retract-then-append lifecycle event, not the monitor's concern).
-    * Either duplicate would appear at two ranks in BOTH rankings and
-    * the (qid, id) metric join would cross-multiply, inflating
-    * hits/recall past 1.0 and masking exactly the drift this monitor
-    * exists to see. The cross-epoch check excludes this epoch's own
-    * partition, so a foreachBatch replay re-accepts its own rows
-    * instead of self-rejecting the epoch (the gate family's replay
-    * discipline). */
   /** In-batch collapse + cross-epoch first-write-wins against an
     * accumulated `batch=`-partitioned store — the arrival-uniqueness
     * discipline both monitors share. */
@@ -74,6 +59,21 @@ object RecallStream {
     }
   }
 
+  /** Monitor ONE epoch. Returns the per-query metrics also written to
+    * `metricsDir/batch=<batchId>`. Store ids stay UNIQUE by
+    * construction, against BOTH duplication paths: within the
+    * micro-batch, duplicate ids collapse to one deterministic row
+    * first (min row by vec order — the gate family's in-batch-collapse
+    * discipline); across epochs, an arrival whose id already exists in
+    * another epoch is dropped (first write wins; a re-crawled id is a
+    * retract-then-append lifecycle event, not the monitor's concern).
+    * Either duplicate would appear at two ranks in BOTH rankings and
+    * the (qid, id) metric join would cross-multiply, inflating
+    * hits/recall past 1.0 and masking exactly the drift this monitor
+    * exists to see. The cross-epoch check excludes this epoch's own
+    * partition, so a foreachBatch replay re-accepts its own rows
+    * instead of self-rejecting the epoch (the gate family's replay
+    * discipline). */
   def monitorBatch(batch: DataFrame, batchId: Long, annDir: String,
       metricsDir: String, queries: DataFrame,
       centroids: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
@@ -123,6 +123,21 @@ object RecallStream {
     if (!fresh.isEmpty)
       graft.ops.NnDescent.maintainGraphEpoch(fresh, all, graphDir,
         batchId, buildK, buildIters, numBuckets)
+    // COLD START with nothing to serve: if no non-empty epoch has ever
+    // maintained the index (an empty or fully-duplicate first batch —
+    // the replayed-empty-trigger case), there is no graph to probe and
+    // no meaningful ground truth either; emit this epoch's metrics as
+    // the EMPTY relation instead of dying on a missing index path, and
+    // let the first real arrivals start the series.
+    if (IngestGate.readIfAny(spark, s"$graphDir/index").isEmpty) {
+      val empty = Retrieval.rankingMetrics(
+        queries.select(col("qid"), col("qid").as("id"), lit(1).as("rank"))
+          .limit(0),
+        queries.select(col("qid"), col("qid").as("id"), lit(1).as("rank"))
+          .limit(0), k)
+      empty.write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
+      return empty
+    }
     val sys = graft.ops.NnDescent.searchGraphIndexed(spark,
       s"$graphDir/index", all, queries, k, entries, beam, hops, numBuckets)
     // exact ground truth under the family's 4-dp convention

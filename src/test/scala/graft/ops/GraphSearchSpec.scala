@@ -251,6 +251,31 @@ class GraphSearchSpec extends SparkSpec {
     assert(litForm.collect().toSet == joinForm.collect().toSet)
   }
 
+  test("maintainGraphEpoch refuses an out-of-retention-window replay instead of silently folding future epochs in") {
+    val dir = graft.Staging.dirFor("graph-maintain-window")
+    val n0 = cl.filter($"id" < 100)
+    val n1 = cl.filter($"id" >= 100 && $"id" < 200)
+    val n2 = cl.filter($"id" >= 200 && $"id" < 300)
+    NnDescent.maintainGraphEpoch(n0, n0, dir, 0L, k = 3, iters = 1)
+    NnDescent.maintainGraphEpoch(n1, n0.union(n1), dir, 1L, k = 3, iters = 1)
+    // epoch 2's retention (retainStates = 2) deletes state/batch=0
+    NnDescent.maintainGraphEpoch(n2, n0.union(n1).union(n2), dir, 2L,
+      k = 3, iters = 1)
+    assert(!new java.io.File(s"$dir/state/batch=0").exists(),
+      "retention must have dropped the oldest snapshot")
+    // replaying the IN-window epoch still works (prior = batch=1)
+    NnDescent.maintainGraphEpoch(n2, n0.union(n1).union(n2), dir, 2L,
+      k = 3, iters = 1)
+    // replaying the OUT-of-window epoch must fail loudly, not rebuild
+    // a future-contaminated graph under an old epoch id
+    val e = intercept[IllegalArgumentException] {
+      NnDescent.maintainGraphEpoch(n0, n0.union(n1).union(n2), dir, 0L,
+        k = 3, iters = 1)
+    }
+    assert(e.getMessage.contains("retention"),
+      s"the failure must name the retention window: ${e.getMessage}")
+  }
+
   test("epoch append: the store grows to a SUPERSET of the refreshed graph; replay is idempotent") {
     val path = graft.Staging.dirFor("graph-index-epochs")
     val half = cl.filter($"id" < 200)

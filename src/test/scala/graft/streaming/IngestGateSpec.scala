@@ -242,6 +242,18 @@ class IngestGateSpec extends SparkSpec {
       postings = sink) == 1L)
     assert(TextIndex.bm25TopKEpochs(spark, pdir, terms, k = 10)
       .as[(Long, Double, Int)].collect().toSeq == epochHits)
+    // a fully-rejected batch (all near-dups) writes NO epoch — the
+    // graph sink's empty-epoch policy
+    val allDup = Seq((20L, nearCopy(1)), (21L, nearCopy(2)))
+      .toDF("doc_id", "text")
+    assert(IngestGate.gateBatch(allDup, 2L, idx, acc, "doc_id", "text",
+      postings = sink) == 0L)
+    val epochDirs2 = new java.io.File(s"$pdir/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(epochDirs2 == Set("batch=0", "batch=1"),
+      s"a fully-rejected batch must not write a junk epoch: $epochDirs2")
+    assert(TextIndex.bm25TopKEpochs(spark, pdir, terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq == epochHits)
   }
 
   test("AnnSink: streamed epoch appends probe identically to a full rewrite; replay idempotent") {

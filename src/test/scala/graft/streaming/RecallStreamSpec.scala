@@ -154,6 +154,27 @@ class RecallStreamSpec extends SparkSpec {
       .select("c", "v").as[(Long, Long)].collect().toSet == edgesBefore)
   }
 
+  test("graph monitor cold start: an empty (or fully-duplicate) first batch emits the empty metrics relation instead of dying on the missing index") {
+    val gdir = graft.Staging.dirFor("recall-graph-cold-g")
+    val ndir = graft.Staging.dirFor("recall-graph-cold-n")
+    val met = graft.Staging.dirFor("recall-graph-cold-met")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq(v(0L, 0.0, 0.0)).toDF("id", "vec").schema)
+    val m0 = RecallStream.monitorGraphBatch(empty, 0L, gdir, ndir, met,
+      queries1, k = 2, entries = 2, beam = 2, hops = 1, buildK = 2)
+    assert(m0.isEmpty, "no index yet ⇒ the epoch's metrics are the empty relation")
+    assert(spark.read.parquet(s"$met/batch=0").isEmpty,
+      "the empty epoch still commits its metrics partition")
+    // the first REAL arrivals start the series normally
+    val b1 = Seq(v(10L, 0.9, 0.1), v(11L, 0.1, 0.9)).toDF("id", "vec")
+    val m1 = RecallStream.monitorGraphBatch(b1, 1L, gdir, ndir, met,
+        queries1, k = 2, entries = 2, beam = 2, hops = 1, buildK = 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(m1.length == 1 && m1.head._3 == 1.0,
+      s"the first real epoch must audit normally: ${m1.toSeq}")
+  }
+
   test("replay idempotence: re-monitoring a committed epoch reproduces its metrics row for row") {
     val ann = graft.Staging.dirFor("recall-replay-ann")
     val met = graft.Staging.dirFor("recall-replay-met")
