@@ -334,6 +334,8 @@ object Bench {
     "q_retrieval_eval_ivfpq" -> 8.0,
     "q_retrieval_eval_res" -> 8.0,
     "q_retrieval_eval_opq" -> 10.0,
+    // the q_hybrid_rrf plan + one exact dense pass + the metric fold
+    "q_retrieval_eval_hybrid" -> 6.0,
     // one salted top-m + a 20x20 sim matrix + the driver greedy fold
     "q_retrieval_mmr" -> 4.0,
     // batch-only signing + block-equality probe of the persisted store

@@ -440,6 +440,47 @@ object EvalQueries {
        |sysk AS (SELECT qid, id, rank FROM rqrank WHERE rank <= $EvalK),
        |$metricsTailSql""".stripMargin
 
+  /** The HYBRID stack's audit — the one serving path the eval layer
+    * still skipped: the RRF-fused BM25 + dense list (the
+    * `q_retrieval_pipeline` flagship's candidate generator) measured
+    * against the dense exact ground truth with the shared metric fold.
+    * Fused recall vs the dense truth is the standard hybrid health
+    * number: it quantifies what the lexical ranker's votes COST in
+    * dense recall at the fusion depth (HybridSpec floors it for the
+    * pruned indexed probe; this makes the inline configuration's value
+    * an oracle-checked relation). Single standing query (vector 3, the
+    * hybrid family's convention) — one metrics row. */
+  val qRetrievalEvalHybridQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = Tables.documents(s, dir)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .filter(col("doc_id") >= 5)
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").as("qvec"))
+    val sys = graft.ops.Hybrid.hybridTopK(corpus, "doc_id", "text",
+        "embedding", Seq("spark", "window", "merge"), qv,
+        k = EvalK, m = 20)
+      .select(lit(0L).as("qid"), col("id"), col("rk").as("rank"))
+    val gt = Similarity.bruteForceTopK(
+      qv.select(lit(0L).as("qid"), col("qvec")),
+      corpus.select(col("doc_id").as("id"), col("embedding").as("vec")),
+      k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalHybridSql: String =
+    s"""WITH ${LifecycleQueries.hybridFusedCtes(EvalK, 20)},
+       |gtscored AS (
+       |  SELECT 0 AS qid, doc_id AS id,
+       |    row_number() OVER (ORDER BY
+       |      list_dot_product(qvec, vec) /
+       |        (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) DESC,
+       |      doc_id) AS rank
+       |  FROM corpus CROSS JOIN qv),
+       |sysk AS (SELECT 0 AS qid, id, rk AS rank FROM hyb WHERE rk <= $EvalK),
+       |$metricsTailSql""".stripMargin
+
   private val MmrK = 10
   private val MmrM = 20
   private val MmrLambda = 0.7
@@ -681,6 +722,7 @@ object EvalQueries {
     "q_retrieval_eval_ivfpq" -> qRetrievalEvalIvfPqQ,
     "q_retrieval_eval_res" -> qRetrievalEvalResQ,
     "q_retrieval_eval_opq" -> qRetrievalEvalOpqQ,
+    "q_retrieval_eval_hybrid" -> qRetrievalEvalHybridQ,
     "q_retrieval_mmr" -> qRetrievalMmr,
     "q_retrieval_pipeline" -> qRetrievalPipeline,
     "dedup_est_error" -> dedupEstError,
@@ -697,6 +739,7 @@ object EvalQueries {
     "q_retrieval_eval_ivfpq" -> qRetrievalEvalIvfPqSql,
     "q_retrieval_eval_res" -> qRetrievalEvalResSql,
     "q_retrieval_eval_opq" -> qRetrievalEvalOpqSql,
+    "q_retrieval_eval_hybrid" -> qRetrievalEvalHybridSql,
     // the multi-probe QUERY's oracle lives here next to the chain it
     // shares with its eval audit (the query itself is declared in
     // PipelineQueries)
