@@ -342,6 +342,8 @@ object Bench {
     "dedup_simhash_inc" -> 6.0,
     // the q_hybrid_rrf plan + one 15-row re-score + the greedy fold
     "q_retrieval_pipeline" -> 6.0,
+    // builds both stores in-query + the pruned probes + the same tail
+    "q_retrieval_pipeline_indexed" -> 10.0,
     // the ann_graph_search build + walk plus the bounded metric fold
     "q_retrieval_eval_graph" -> 12.0,
     // one cell assignment + a cell-restricted rank + the exact pass

@@ -610,6 +610,46 @@ object EvalQueries {
       .orderBy(col("rank"))
   }
 
+  /** [[qRetrievalPipeline]] SERVED from the two ON-DISK indexes —
+    * the production deployment shape of the flagship: the candidate
+    * generator is [[graft.ops.Hybrid.hybridTopKIndexed]] (BM25 through
+    * the token-bucket postings, the vector side through an IVF cell
+    * layout with an exhaustive probe, so indexed fusion ≡ inline
+    * fusion row for row — the family contract `q_hybrid_rrf_indexed`
+    * hash-gates), and the re-score/MMR tail is identical. Oracle:
+    * [[qRetrievalPipelineSql]] byte for byte — serving the flagship
+    * from stores must change NOTHING about its answers. */
+  val qRetrievalPipelineIndexed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = Tables.documents(s, dir)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .filter(col("doc_id") >= 5)
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").as("qvec"))
+    val bm25Path = graft.Staging.dirFor("pipe-bm25")
+    graft.ops.TextIndex.writePostings(corpus, "doc_id", "text", bm25Path)
+    val vecCorpus = corpus.select(col("doc_id").as("id"),
+      col("embedding").as("vec"))
+    val cents = graft.ops.IvfIndex.train(vecCorpus, "id", "vec", k = 8)
+    val annPath = graft.Staging.dirFor("pipe-ann")
+    graft.ops.IvfIndex.writeIndexed(vecCorpus, cents, annPath)
+    val fusedIds = graft.ops.Hybrid.hybridTopKIndexed(s, bm25Path,
+        annPath, cents, Seq("spark", "window", "merge"), qv,
+        k = PipeCand, m = MmrM, nProbe = 8)
+      .select("id")
+    val candVecs = corpus
+      .select(col("doc_id").as("id"), col("embedding").as("vec"))
+      .join(fusedIds, Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val cands = candVecs.crossJoin(broadcast(qv))
+      .select(col("id"),
+        round(Similarity.cosine(col("vec"), col("qvec")), 4).as("rel"))
+    val sims = Retrieval.pairwiseSims(candVecs)
+    Retrieval.mmr(cands, sims, k = PipeK, lambda = MmrLambda)
+      .orderBy(col("rank"))
+  }
+
   val qRetrievalPipelineSql: String =
     s"""WITH ${LifecycleQueries.hybridFusedCtes(PipeCand, MmrM)},
        |cand AS MATERIALIZED (
@@ -725,6 +765,7 @@ object EvalQueries {
     "q_retrieval_eval_hybrid" -> qRetrievalEvalHybridQ,
     "q_retrieval_mmr" -> qRetrievalMmr,
     "q_retrieval_pipeline" -> qRetrievalPipeline,
+    "q_retrieval_pipeline_indexed" -> qRetrievalPipelineIndexed,
     "dedup_est_error" -> dedupEstError,
     "dedup_simhash_inc" -> dedupSimhashInc)
 
@@ -746,6 +787,9 @@ object EvalQueries {
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "q_retrieval_mmr" -> qRetrievalMmrSql,
     "q_retrieval_pipeline" -> qRetrievalPipelineSql,
+    // serving the flagship from stores must change nothing: the
+    // indexed variant shares the inline oracle byte for byte
+    "q_retrieval_pipeline_indexed" -> qRetrievalPipelineSql,
     "dedup_est_error" -> dedupEstErrorSql,
     "dedup_simhash_inc" -> dedupSimhashIncSql)
 }
