@@ -1270,19 +1270,30 @@ object Dedup {
     * corpus pass; [[appendSimhashIndexEpoch]] adds nightly arrivals.
     *
     * This CREATES the store: any prior epochs under `path/blocks` are
-    * cleared first. The per-epoch overwrite below replaces only its own
+    * replaced. The per-epoch overwrite below replaces only its own
     * `batch=` partition, so without the sweep a rebuild into a
     * directory holding epochs > `epoch` would silently retain them and
-    * probes would keep answering from the old corpus. */
+    * probes would keep answering from the old corpus. The replacement
+    * is the repo's crash-safe tree swap ([[Retraction.recoverTree]]
+    * discipline): the rebuild epoch is written COMPLETE to
+    * `.blocks-tmp` first, then the live tree moves aside and the tmp
+    * renames in — a crash (or a concurrent probe) at any point sees
+    * either the full old blocks tree or the full new one, never a
+    * half-deleted layout. */
   def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, tokenHash: Column => Column = md5TokenHash60,
       bits: Int = 60, blocks: Int = 4, epoch: Long = 0L): Unit = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/blocks")
-    val fs = root.getFileSystem(
-      corpus.sparkSession.sessionState.newHadoopConf())
-    if (fs.exists(root)) fs.delete(root, true)
-    appendSimhashIndexEpoch(corpus, idCol, textCol, path, epoch,
-      tokenHash, bits, blocks)
+    val spark = corpus.sparkSession
+    Retraction.recoverTree(spark, path, "blocks")
+    writeSimhashBlocksTo(corpus, idCol, textCol,
+      s"$path/.blocks-tmp/batch=$epoch", tokenHash, bits, blocks)
+    val p = (s: String) => new org.apache.hadoop.fs.Path(s)
+    val fs = p(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val live = p(s"$path/blocks")
+    if (fs.exists(live)) fs.rename(live, p(s"$path/.blocks-aside"))
+    fs.rename(p(s"$path/.blocks-tmp"), live)
+    fs.delete(p(s"$path/.blocks-aside"), true)
+    ()
   }
 
   /** Append one epoch of arrivals to a [[writeSimhashIndex]] store:
@@ -1295,13 +1306,22 @@ object Dedup {
       textCol: String, path: String, epoch: Long,
       tokenHash: Column => Column = md5TokenHash60,
       bits: Int = 60, blocks: Int = 4): Unit =
+    writeSimhashBlocksTo(delta, idCol, textCol,
+      s"$path/blocks/batch=$epoch", tokenHash, bits, blocks)
+
+  /** The shared epoch write: sign, block, land sorted block rows at
+    * `target` (a `.../batch=<epoch>` leaf — live for appends, the tmp
+    * root for [[writeSimhashIndex]]'s crash-safe rebuild swap). */
+  private def writeSimhashBlocksTo(delta: DataFrame, idCol: String,
+      textCol: String, target: String, tokenHash: Column => Column,
+      bits: Int, blocks: Int): Unit =
     simhashBlocks(
         simhashSignatures(delta, idCol, textCol, tokenHash, bits),
         bits, blocks)
       .repartition(col("b"))
       .sortWithinPartitions(col("key"))
       .write.mode("overwrite").partitionBy("b")
-      .parquet(s"$path/blocks/batch=$epoch")
+      .parquet(target)
 
   /** The probe core shared by [[newVsCorpusSimhash]] (serving store)
     * and [[graft.streaming.SimhashGate]] (accumulated epoch rows):

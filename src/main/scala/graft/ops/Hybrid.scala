@@ -30,7 +30,10 @@ object Hybrid {
     * stacks routinely fuse ≥ 3 lists (BM25 + dense cosine + a cheap
     * code-domain ranker as a third opinion); the sum is already
     * per-ranker-absent-safe, so N is just the fold. Names label the
-    * rankers for error messages; ORDER is semantic — reciprocal terms
+    * rankers in the per-ranker rank aliases (`rk_<i>_<name>` in the
+    * fused plan and any AnalysisException it throws) and the
+    * distinctness require, so a mismatched or duplicated list is
+    * attributable to its ranker; ORDER is semantic — reciprocal terms
     * add left to right, so the same list order replays the same IEEE
     * sum in any engine (the 2-ranker (lexical, vector) convention,
     * generalized). Output: (id, rrf, rk), rk ∈ [1, k]; the fused
@@ -42,12 +45,18 @@ object Hybrid {
     require(rankers.map(_._1).distinct.length == rankers.length,
       s"ranker names must be distinct, got ${rankers.map(_._1)}")
     require(k >= 1 && k0 >= 0)
-    val named = rankers.zipWithIndex.map { case ((_, r), i) =>
-      r.select(col("id"), col("rk").as(s"rk_$i"))
+    // index prefix keeps aliases distinct even if sanitization
+    // collides two names; the name suffix makes a bad list's column
+    // errors name their ranker
+    val aliases = rankers.zipWithIndex.map { case ((n, _), i) =>
+      s"rk_${i}_${n.replaceAll("[^A-Za-z0-9_]", "_")}"
+    }
+    val named = rankers.zip(aliases).map { case ((_, r), a) =>
+      r.select(col("id"), col("rk").as(a))
     }
     val joined = named.reduce(_.join(_, Seq("id"), "full_outer"))
-    val rrf = named.indices
-      .map(i => coalesce(lit(1.0) / (lit(k0) + col(s"rk_$i")), lit(0.0)))
+    val rrf = aliases
+      .map(a => coalesce(lit(1.0) / (lit(k0) + col(a)), lit(0.0)))
       .reduce(_ + _)
     joined.select(col("id"), round(rrf, 6).as("rrf"))
       .withColumn("rk", row_number().over(

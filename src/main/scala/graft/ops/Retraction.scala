@@ -152,7 +152,7 @@ object Retraction {
     * window that broke the "every crash leaves a readable layout"
     * contract. */
   def recoverStats(spark: SparkSession, indexPath: String): Unit =
-    recoverStatsAt(spark, indexPath, "stats")
+    recoverTree(spark, indexPath, "stats")
 
   def retractPostings(spark: SparkSession, indexPath: String, ids: Seq[Long]): Unit = {
     recoverStats(spark, indexPath) // repair any interrupted prior stats swap
@@ -190,7 +190,7 @@ object Retraction {
     * postings now say). */
   def retractPostingsEpochs(spark: SparkSession, indexPath: String,
       ids: Seq[Long]): Unit = {
-    recoverStatsAt(spark, indexPath, "estats")
+    recoverTree(spark, indexPath, "estats")
     retract(spark, s"$indexPath/postings", "id", ids,
       nestedPartCols = Seq("tb"))
     val fresh = spark.read.parquet(s"$indexPath/postings")
@@ -209,10 +209,13 @@ object Retraction {
     ()
   }
 
-  /** [[recoverStats]] generalized to a named stats tree (`stats` for
-    * the flat store, `estats` for the epoch store) — same three crash
-    * windows, same resolution. */
-  private def recoverStatsAt(spark: SparkSession, indexPath: String,
+  /** [[recoverStats]] generalized to a named subtree under a store
+    * root (`stats` for the flat lexical store, `estats` for the epoch
+    * store, `blocks` for [[Dedup.writeSimhashIndex]] rebuilds) — same
+    * write-tmp → aside → rename-in → drop-aside swap, same three crash
+    * windows, same resolution. Any whole-tree replacement in the repo
+    * routes through this so every crash leaves a readable layout. */
+  private[graft] def recoverTree(spark: SparkSession, indexPath: String,
       name: String): Unit = {
     val statsPath = path(s"$indexPath/$name")
     val tmp = path(s"$indexPath/.$name-tmp")

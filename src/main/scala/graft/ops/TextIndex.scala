@@ -131,8 +131,15 @@ object TextIndex {
   def appendPostingsEpoch(delta: DataFrame, idCol: String,
       textCol: String, path: String, epoch: Long,
       nBuckets: Int = 64): Unit = {
+    // Empty-epoch policy (the gate's): an empty or all-empty-text
+    // delta writes NOTHING — neither postings nor a (0, NULL) estats
+    // row whose sum_dl would null the summed avgdl in a store holding
+    // only such epochs. One bounded probe; the postings slice is
+    // delta-sized, so the localCheckpoint is batch-cost.
     val post = postings(delta, idCol, textCol)
       .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)))
+      .localCheckpoint()
+    if (post.isEmpty) return
     post.write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/postings/batch=$epoch")
     epochStats(post)
@@ -163,8 +170,14 @@ object TextIndex {
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(buckets.toIndexedSeq: _*) &&
         col("token").isin(qt: _*))
+    // The n > 0 filter is the public API's twin of the gate's
+    // empty-epoch policy: a store whose epochs sum to zero docs (all
+    // written before appendPostingsEpoch learned to skip empties)
+    // yields the EMPTY relation — score's crossJoin against empty
+    // stats — rather than NULL avgdl poisoning every contribution.
     val stats = spark.read.parquet(s"$path/estats")
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .filter(col("n").isNotNull && col("n") > 0)
       .select(col("n").as("n_docs"),
         (col("s").cast("double") / col("n").cast("double")).as("avgdl"))
     score(post, stats, k, k1, b)

@@ -117,7 +117,11 @@ object RecallStream {
       buildIters: Int = 1,
       numBuckets: Int = graft.ops.NnDescent.DefaultGraphBuckets): DataFrame = {
     val spark = batch.sparkSession
-    val fresh = uniqueArrivals(batch, batchId, nodesDir)
+    // materialize the collapsed arrivals ONCE (batch-sized): the store
+    // write, the isEmpty probe, and the maintenance delta below would
+    // otherwise each recompute the in-batch window plus the
+    // cross-epoch anti-join (including a store re-read)
+    val fresh = uniqueArrivals(batch, batchId, nodesDir).localCheckpoint()
     fresh.write.mode("overwrite").parquet(s"$nodesDir/batch=$batchId")
     val all = spark.read.parquet(nodesDir).select(col("id"), col("vec"))
     if (!fresh.isEmpty)

@@ -127,6 +127,47 @@ class SimhashIncSpec extends SparkSpec {
     assert(probe.isEmpty, "stale epoch rows must not answer probes after a rebuild")
   }
 
+  test("crash-safe rebuild swap: every interrupted-rebuild window leaves (or recovers to) a readable blocks tree") {
+    import org.apache.hadoop.fs.Path
+    val idx = graft.Staging.dirFor("simhash-inc-crash")
+    val oldC = Seq((1L, "old corpus text about foxes and rivers near the bank"))
+      .toDF("doc_id", "text")
+    val newC = Seq((10L, "replacement corpus concerning parquet row group statistics"))
+      .toDF("doc_id", "text")
+    val fs = new Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def storedIds() = spark.read.parquet(s"$idx/blocks")
+      .select("id").distinct().as[Long].collect().toSet
+
+    // window A — crash DURING the tmp write (partial tmp, live intact):
+    // the live tree stays readable and the next rebuild converges
+    Dedup.writeSimhashIndex(oldC, "doc_id", "text", idx)
+    fs.mkdirs(new Path(s"$idx/.blocks-tmp/batch=0"))
+    assert(storedIds() == Set(1L), "live tree must survive a partial tmp")
+    Dedup.writeSimhashIndex(newC, "doc_id", "text", idx)
+    assert(storedIds() == Set(10L))
+
+    // window B — crash BETWEEN the renames (old parked aside, complete
+    // tmp, NO live tree): recovery renames the complete tmp in, so a
+    // probe never sees a missing blocks tree
+    fs.rename(new Path(s"$idx/blocks"), new Path(s"$idx/.blocks-aside"))
+    val donor = graft.Staging.dirFor("simhash-inc-crash-donor")
+    Dedup.writeSimhashIndex(oldC, "doc_id", "text", donor)
+    fs.rename(new Path(s"$donor/blocks"), new Path(s"$idx/.blocks-tmp"))
+    Retraction.recoverTree(spark, idx, "blocks")
+    assert(storedIds() == Set(1L),
+      "recovery must land the complete tmp as the live tree")
+    assert(!fs.exists(new Path(s"$idx/.blocks-aside")) &&
+      !fs.exists(new Path(s"$idx/.blocks-tmp")))
+
+    // window C — crash AFTER the swap landed (aside not yet dropped):
+    // recovery keeps the new tree and drops the superseded aside
+    fs.mkdirs(new Path(s"$idx/.blocks-aside/batch=0"))
+    Retraction.recoverTree(spark, idx, "blocks")
+    assert(storedIds() == Set(1L))
+    assert(!fs.exists(new Path(s"$idx/.blocks-aside")))
+  }
+
   test("cap-and-flag: the capped probe names exactly the planted mega-cluster's buckets and withholds its pairs; a loose cap changes nothing") {
     // mega-cluster: many exact copies in the store collide on EVERY
     // block; one normal near-pair elsewhere must be unaffected

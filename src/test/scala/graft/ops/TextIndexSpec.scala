@@ -152,6 +152,35 @@ class TextIndexSpec extends SparkSpec {
       .filter(_.isDirectory).forall(_.getName.startsWith("tb=")))
   }
 
+  test("empty-epoch policy: an all-empty-text delta writes no epoch; a legacy (0, NULL) estats row never poisons avgdl") {
+    val docs = corpus
+    val terms = Seq("spark", "window")
+    val idx = graft.Staging.dirFor("bm25-empty-epoch-spec")
+    TextIndex.appendPostingsEpoch(docs, "doc_id", "text", idx, epoch = 0L)
+    val before = TextIndex.bm25TopKEpochs(spark, idx, terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    // a delta whose every doc tokenizes to nothing must write NEITHER
+    // postings nor a (0, NULL) estats row
+    TextIndex.appendPostingsEpoch(
+      Seq((100L, ""), (101L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, epoch = 1L)
+    val batches = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batches == Set("batch=0"), s"empty epoch must not land: $batches")
+    assert(new java.io.File(s"$idx/estats").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet == Set("batch=0"))
+    assert(TextIndex.bm25TopKEpochs(spark, idx, terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq == before)
+    // a store written before the skip policy may hold the (0, NULL)
+    // row — the probe's n > 0 stance must keep the summed avgdl exact
+    // (NULL-tolerant sums) and answer identically
+    Seq((0L, Option.empty[Long])).toDF("n_docs", "sum_dl")
+      .write.parquet(s"$idx/estats/batch=1")
+    assert(TextIndex.bm25TopKEpochs(spark, idx, terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq == before,
+      "legacy zero-doc estats row must not change any score")
+  }
+
   test("absent terms and empty queries degrade to empty results, not errors") {
     assert(TextIndex.bm25TopK(corpus, "doc_id", "text",
       Seq("zebra"), k = 5).count() == 0L)
