@@ -209,6 +209,9 @@ object Bench {
     "multimodal_real" -> 3.0,
     // sf-independent fixture scan (14 files) + O(header) container walk
     "multimodal_audio" -> 3.0,
+    // sf-independent fixture scan (15 files) + per-blob decode; banding,
+    // Hamming verify, and components run over 15 64-bit signatures
+    "multimodal_phash_dedup" -> 4.0,
     // v1 + chunk-level span scrub over survivors (narrow hash exchanges)
     "corpus_pipeline_v2" -> 12.0,
     // v2 + the classifier gate fused into the scan predicate: less

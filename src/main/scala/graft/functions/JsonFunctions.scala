@@ -255,6 +255,10 @@ object functions {
     * struct(format, duration_ms, channels, sample_rate, width, height). */
   def media_meta(c: Column): Column = col(MediaMetaExpr(expr(c)))
 
+  /** Perceptual image signatures for near-dup dedup over image bytes:
+    * binary → struct(ahash, dhash), NULL for undecodable blobs. */
+  def image_phash(c: Column): Column = col(ImagePhashExpr(expr(c)))
+
   /** Argmax centroid index over a matrix-as-data quantizer (rows must be
     * pre-normalized for cosine ordering). O(1) codegen size in k. */
   def best_cell(vec: Column, unitCentroids: Array[Array[Double]]): Column =

@@ -1180,6 +1180,89 @@ object QueryCatalog {
        |FROM '${graft.Tables.fixturesDir}/media_manifest.parquet'
        |ORDER BY file""".stripMargin
 
+  /** IMAGE-NATIVE perceptual near-dup dedup — the dedup family's image
+    * member, operating on PIXELS, not captions or embeddings (a fresh
+    * crawl has neither): `binaryFile` over the committed near-dup
+    * fixture set ([[graft.tools.GenPhashFixtures]] — planted
+    * byte-copy / JPEG-re-encode / one-pixel-edit clusters), the
+    * codegen'd perceptual signature ([[graft.functions.ImagePhash]]:
+    * decode → exact integer 8×8 luminance grid → aHash bits), then the
+    * EXISTING Manku block machinery over the 64-bit signature — 4×16-bit
+    * band keys, star edges, exact Hamming ≤ 3 verification, connected
+    * components ([[Dedup.componentsFromStar]]) — and one exemplar file
+    * per cluster. Doc ids are the portable md5-60 of the file name, so
+    * the whole chain replays in DuckDB from the write-time manifest
+    * (which pins ahash/dhash per committed byte stream: a drift in the
+    * decode or the grid math breaks the hash compare, not just a spec).
+    * Scale shape: image bytes never shuffle — the decode happens in the
+    * scan, and everything past the first select moves 64-bit keys; the
+    * banding join is the simhash serving path's, so the 100 TB story
+    * (block-pruned candidates, component graph bounded by duplicate
+    * structure) is inherited, not new. */
+  val multimodalPhashDedup: Q = (s, dir) => {
+    val bf = s.read.format("binaryFile")
+      .load(s"${graft.Tables.fixturesDir}/images_dup")
+    val sigs = bf.select(
+        element_at(split(col("path"), "/"), -1).as("file"), col("content"))
+      .withColumn("ph", graft.functions.functions.image_phash(col("content")))
+      .select(col("file"), Dedup.md5TokenHash60(col("file")).as("id"),
+        col("ph.ahash").as("ahash"), col("ph.dhash").as("dhash"))
+      .localCheckpoint()
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .toDF("id", "band", "bucket")
+    val verified = Dedup.starEdges(banded)
+      .join(sigs.select(col("id"), col("ahash").as("sigA")), Seq("id"))
+      .join(sigs.select(col("id").as("root"), col("ahash").as("sigB")), Seq("root"))
+      .filter(Dedup.hamming(col("sigA"), col("sigB")) <= 3)
+      .select(col("id"), col("root"))
+    val comps = Dedup.componentsFromStar(sigs.select(col("id")), verified)
+    sigs.join(comps, Seq("id"))
+      .join(sigs.select(col("id").as("component"), col("file").as("exemplar")),
+        Seq("component"))
+      .select(col("file"), col("ahash"), col("dhash"), col("exemplar"))
+      .orderBy(col("file"))
+  }
+  /** Path-portable like [[multimodalRealSql]]; the banding, Hamming
+    * verify, and label-fixpoint components replay the `dedup_cluster`
+    * oracle structure over the manifest's pinned signatures. */
+  def multimodalPhashDedupSql: String = {
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val bandExprs = (0 until 4).map(b => s"(ahash >> ${b * 16}) & 65535").mkString(", ")
+    s"""WITH RECURSIVE m AS (
+       |  SELECT file, ahash, dhash
+       |  FROM '${graft.Tables.fixturesDir}/images_dup_manifest.parquet'),
+       |ids AS (
+       |  SELECT file, ahash, dhash, CAST($hexVal AS BIGINT) AS id
+       |  FROM (SELECT file, ahash, dhash, substring(md5(file), 1, 15) AS h15 FROM m)),
+       |banded AS (
+       |  SELECT id, unnest([$bandExprs]) AS bucket, unnest([0, 1, 2, 3]) AS band
+       |  FROM ids),
+       |mins AS (SELECT band, bucket, min(id) AS root FROM banded GROUP BY band, bucket),
+       |star AS (
+       |  SELECT DISTINCT b.id, m.root FROM banded b JOIN mins m USING (band, bucket)
+       |  WHERE b.id <> m.root),
+       |verified AS (
+       |  SELECT s.id, s.root FROM star s
+       |  JOIN ids a ON a.id = s.id JOIN ids r ON r.id = s.root
+       |  WHERE bit_count(xor(a.ahash, r.ahash)) <= 3),
+       |edges AS (
+       |  SELECT id AS src, root AS dst FROM verified
+       |  UNION SELECT root AS src, id AS dst FROM verified),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM ids
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+       |SELECT i.file, i.ahash, i.dhash, x.file AS exemplar
+       |FROM ids i JOIN comp c ON c.id = i.id
+       |JOIN ids x ON x.id = c.component
+       |ORDER BY i.file""".stripMargin
+  }
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -1222,7 +1305,8 @@ object QueryCatalog {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_real" -> multimodalReal,
-    "multimodal_audio" -> multimodalAudio)
+    "multimodal_audio" -> multimodalAudio,
+    "multimodal_phash_dedup" -> multimodalPhashDedup)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1262,5 +1346,6 @@ object QueryCatalog {
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_real" -> multimodalRealSql,
-    "multimodal_audio" -> multimodalAudioSql)
+    "multimodal_audio" -> multimodalAudioSql,
+    "multimodal_phash_dedup" -> multimodalPhashDedupSql)
 }
