@@ -212,6 +212,9 @@ object Bench {
     // sf-independent fixture scan (15 files) + per-blob decode; banding,
     // Hamming verify, and components run over 15 64-bit signatures
     "multimodal_phash_dedup" -> 4.0,
+    // scan-speed caption gates + fixture-sized image component chain +
+    // one pair window + the pack window — no corpus-wide text shuffles
+    "corpus_pipeline_mm" -> 10.0,
     // v1 + chunk-level span scrub over survivors (narrow hash exchanges)
     "corpus_pipeline_v2" -> 12.0,
     // v2 + the classifier gate fused into the scan predicate: less

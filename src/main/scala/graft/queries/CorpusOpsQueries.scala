@@ -383,6 +383,186 @@ object CorpusOpsQueries {
 
   val corpusPipelineV2: Q = (s, dir) => packScrubbed(pipelineClean(s, dir))
 
+  /** The CROSS-MODAL pair-curation flagship — the LAION-style build:
+    * (image, caption) pairs flow caption gates → image perceptual
+    * near-dup collapse → pair-level exact dedup → shard packing, each
+    * stage removing rows at sf0.01, the whole composition ONE DuckDB
+    * replay (the `corpus_pipeline` recursive discipline extended
+    * across modalities).
+    *
+    * Stage order is the 100 TB argument: caption gates run at SCAN
+    * speed on the text side (lang-ID + quality are codegen'd byte
+    * scans — the billions-of-pairs reduction happens before anything
+    * wide); the image side never shuffles a byte of pixels — the
+    * perceptual signature ([[graft.functions.ImagePhash]]) is computed
+    * in the image scan and only 64-bit hashes, band keys, and file
+    * names move through the dedup exchanges; the pair join brings the
+    * two modalities together by broadcast (the image exemplar relation
+    * is duplicate-structure-sized, nothing like corpus-sized); pair
+    * dedup is one window on (exemplar, caption md5); packing runs last
+    * over the smallest relation. Pairing here is the deterministic
+    * round-robin (doc_id + k) % |images| over the committed fixture
+    * set — the harness stand-in for a crawl's (url, caption) keys —
+    * and deliberately pairs each caption with TWO adjacent files so
+    * the exemplar collapse provably creates the duplicate pairs the
+    * pair-dedup stage must remove. */
+  val corpusPipelineMm: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val D = graft.ops.Dedup
+    // caption side: scan-speed gates (known language, quality floor)
+    val gated = Curation.score(Tables.documents(s, dir))
+      .filter(col("lang_pred") =!= "und" && col("quality") >= 0.55)
+      .select(col("doc_id"), col("text"), col("n_tokens"))
+    // image side: perceptual signatures from BYTES, then the Manku
+    // banding → Hamming verify → components chain → exemplar per file
+    val bf = s.read.format("binaryFile")
+      .load(s"${graft.Tables.fixturesDir}/images_dup")
+    val sigs = bf.select(
+        element_at(split(col("path"), "/"), -1).as("file"), col("content"))
+      .withColumn("ph", graft.functions.functions.image_phash(col("content")))
+      .select(col("file"), D.md5TokenHash60(col("file")).as("id"),
+        col("ph.ahash").as("ahash"))
+      .localCheckpoint()
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .toDF("id", "band", "bucket")
+    val verified = D.starEdges(banded)
+      .join(sigs.select(col("id"), col("ahash").as("sigA")), Seq("id"))
+      .join(sigs.select(col("id").as("root"), col("ahash").as("sigB")), Seq("root"))
+      .filter(D.hamming(col("sigA"), col("sigB")) <= 3)
+      .select(col("id"), col("root"))
+    val comps = D.componentsFromStar(sigs.select(col("id")), verified)
+    val ranked = sigs.join(comps, Seq("id"))
+      .join(sigs.select(col("id").as("component"), col("file").as("exemplar")),
+        Seq("component"))
+      .select(col("file"), col("exemplar"))
+      .withColumn("idx", row_number().over(Window.orderBy(col("file"))) - 1)
+    val nImg = ranked.count().toInt
+    // pairs: each surviving caption with files idx and idx+1 — adjacent
+    // ranks share a perceptual cluster for the planted scenes, so the
+    // exemplar collapse manufactures exactly the duplicates pair-dedup
+    // must catch
+    val pairs = gated.select(col("doc_id"), col("text"), col("n_tokens"),
+        posexplode(array(
+          pmod(col("doc_id"), lit(nImg)).cast("int"),
+          pmod(col("doc_id") + 1, lit(nImg)).cast("int"))))
+      .toDF("doc_id", "text", "n_tokens", "k", "idx")
+      .withColumn("pair_id", col("doc_id") * 2 + col("k"))
+      .join(broadcast(ranked.select(col("idx"), col("exemplar"))), Seq("idx"))
+    // pair-level exact dedup: one caption per exemplar image
+    val deduped = pairs.withColumn("_fp", md5(col("text")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("exemplar"), col("_fp")).orderBy(col("pair_id"))))
+      .filter(col("_rn") === 1)
+    // pack pairs into ~1000-caption-token shards per exemplar image
+    Sampling.packShards(
+        deduped.select(col("pair_id"), col("exemplar"),
+          col("n_tokens").cast("long").as("n_tokens")),
+        "pair_id", "exemplar", "n_tokens", budgetTokens = 1000L)
+      .groupBy(col("exemplar"), col("shard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy(col("exemplar"), col("shard"))
+  }
+
+  /** One DuckDB query: caption gate CTEs (the `corpus_curation`
+    * lang/quality fragments) × image component CTEs (the
+    * `multimodal_phash_dedup` manifest replay) × pairing × pair dedup
+    * × the pack window. */
+  val corpusPipelineMmSql: String = {
+    val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    val hexVal = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val bandExprs = (0 until 4).map(b => s"(ahash >> ${b * 16}) & 65535").mkString(", ")
+    s"""WITH RECURSIVE lt AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(text, '\\s+'), x -> lower(x)) AS t
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id,
+       |    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS h_de,
+       |    len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS h_en,
+       |    len(list_filter(t, x -> list_contains(['el','la','los','las','es','y','que','de'], x))) AS h_es,
+       |    len(list_filter(t, x -> list_contains(['le','la','les','est','et','que','dans','une'], x))) AS h_fr,
+       |    len(list_filter(t, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS h_zh
+       |  FROM lt),
+       |lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |         WHEN h_zh >= h_fr AND h_zh >= h_es AND h_zh >= h_en AND h_zh >= h_de THEN 'zh'
+       |         WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       |         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       |         WHEN h_en >= h_de THEN 'en'
+       |         ELSE 'de' END AS lang_pred
+       |  FROM hits),
+       |gated AS (
+       |  SELECT d.doc_id, d.text,
+       |    len(string_split_regex(d.text, '\\s+')) AS n_tokens
+       |  FROM documents d JOIN lang ON lang.doc_id = d.doc_id
+       |  WHERE lang.lang_pred <> 'und' AND
+       |    round(
+       |      least(length(d.text) / 500.0, 1.0) * 0.4
+       |      + greatest(0.0, 1.0 - (CASE WHEN length(d.text) > 0
+       |          THEN CAST(length(regexp_replace(d.text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(d.text)
+       |          ELSE 0.0 END) * 5.0) * 0.3
+       |      + least((CASE WHEN len(string_split_regex(d.text, '\\s+')) > 0
+       |          THEN CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+       |                 t -> list_contains([$stops], t))) AS DOUBLE)
+       |               / len(string_split_regex(d.text, '\\s+'))
+       |          ELSE 0.0 END) * 4.0, 1.0) * 0.3, 4) >= 0.55),
+       |m AS (
+       |  SELECT file, ahash
+       |  FROM '${graft.Tables.fixturesDir}/images_dup_manifest.parquet'),
+       |ids AS (
+       |  SELECT file, ahash, CAST($hexVal AS BIGINT) AS id
+       |  FROM (SELECT file, ahash, substring(md5(file), 1, 15) AS h15 FROM m)),
+       |banded AS (
+       |  SELECT id, unnest([$bandExprs]) AS bucket, unnest([0, 1, 2, 3]) AS band
+       |  FROM ids),
+       |mins AS (SELECT band, bucket, min(id) AS root FROM banded GROUP BY band, bucket),
+       |star AS (
+       |  SELECT DISTINCT b.id, m2.root FROM banded b JOIN mins m2 USING (band, bucket)
+       |  WHERE b.id <> m2.root),
+       |pverified AS (
+       |  SELECT s.id, s.root FROM star s
+       |  JOIN ids a ON a.id = s.id JOIN ids r ON r.id = s.root
+       |  WHERE bit_count(xor(a.ahash, r.ahash)) <= 3),
+       |edges AS (
+       |  SELECT id AS src, root AS dst FROM pverified
+       |  UNION SELECT root AS src, id AS dst FROM pverified),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM ids
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT i.file, x.file AS exemplar,
+       |    row_number() OVER (ORDER BY i.file) - 1 AS idx
+       |  FROM ids i JOIN comp c ON c.id = i.id
+       |  JOIN ids x ON x.id = c.component),
+       |pairs AS (
+       |  SELECT g.doc_id, g.text, g.n_tokens,
+       |    CAST((g.doc_id + kk.k) % (SELECT count(*) FROM m) AS INT) AS idx,
+       |    g.doc_id * 2 + kk.k AS pair_id
+       |  FROM gated g CROSS JOIN (SELECT unnest([0, 1]) AS k) kk),
+       |dd AS (
+       |  SELECT p.pair_id, r.exemplar, p.n_tokens,
+       |    row_number() OVER (PARTITION BY r.exemplar, md5(p.text)
+       |      ORDER BY p.pair_id) AS rn
+       |  FROM pairs p JOIN ranked r USING (idx)),
+       |pk AS (
+       |  SELECT exemplar, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY exemplar ORDER BY pair_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM dd WHERE rn = 1)
+       |SELECT exemplar, CAST(floor(prior / 1000.0) AS BIGINT) AS shard,
+       |  count(*) AS n_pairs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM pk GROUP BY exemplar, shard
+       |ORDER BY exemplar, shard""".stripMargin
+  }
+
   /** Pipeline v3 — v2 plus the hashed linear classifier as a second
     * scan-speed gate, FUSED into the repetition gate's predicate (one
     * byte pass decides both; the weight table rides the expression as
@@ -1417,6 +1597,7 @@ object CorpusOpsQueries {
     "q_hll_distinct" -> qHllDistinct,
     "text_bm25" -> textBm25,
     "text_bm25_indexed" -> textBm25Indexed,
+    "corpus_pipeline_mm" -> corpusPipelineMm,
     "text_gopher_quality" -> textGopherQuality,
     "text_decontaminate" -> textDecontaminate,
     "text_decontaminate_bloom" -> textDecontaminateBloom,
@@ -1449,6 +1630,7 @@ object CorpusOpsQueries {
     "q_hll_distinct" -> qHllDistinctSql,
     "text_bm25" -> textBm25Sql,
     "text_bm25_indexed" -> textBm25Sql,
+    "corpus_pipeline_mm" -> corpusPipelineMmSql,
     "text_gopher_quality" -> textGopherQualitySql,
     "text_decontaminate" -> textDecontaminateSql,
     "text_decontaminate_bloom" -> textDecontaminateSql,
