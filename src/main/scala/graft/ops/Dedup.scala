@@ -212,8 +212,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, n: Int = 3,
       threshold: Double = 0.7): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+    // bands <= 0 → the lshParamsFor S-curve auto-solve at (threshold,
+    // numHashes); explicit configs are untouched
+    val bandsN = if (bands > 0) bands else lshParamsFor(threshold, numHashes)._1
+    require(numHashes % bandsN == 0, "bands must divide numHashes")
+    val rows = numHashes / bandsN
     // Stage-count is the cost driver here (the signature math itself is
     // ~1s warm at sf0.1): the whole LSH DAG is three jobs —
     //   1. shingle hashes (persisted; reused by signatures + both verify
@@ -241,7 +244,7 @@ object Dedup {
     // before returning — at warehouse scale these would be written
     // shingle/signature tables.
     val sh = shingleHashes(df, idCol, textCol, n).persist()
-    val banded = bandedBuckets(sh, numHashes, bands).persist() // both self-join sides
+    val banded = bandedBuckets(sh, numHashes, bandsN).persist() // both self-join sides
     try {
       val cands = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -415,12 +418,56 @@ object Dedup {
     * Returns (id, component) with component = the min id reachable
     * through verified shared-bucket edges.
     */
+  /** S-curve banding solve — the knob a user reaches for first when
+    * the corpus's duplicate profile shifts: given a target similarity
+    * threshold `t` and a signature budget of `nHashes`, pick the
+    * (bands, rowsPerBand) factorization whose detection curve
+    * `P(candidate | sim = s) = 1 − (1 − s^r)^b` best separates at `t`,
+    * by minimizing the weighted sum of the two error masses
+    * (`fpWeight · ∫₀ᵗ P(cand|s) ds + fnWeight · ∫ᵗ¹ (1 − P(cand|s)) ds`
+    * — midpoint rule, 1000 steps; the standard LSH-forest/datasketch
+    * tuning objective). Only divisor pairs are considered (the banding
+    * requires bands × rows = nHashes exactly); ties break to fewer
+    * bands (cheaper candidate stage). The solve is generic in what
+    * "one hash agrees" means: s is Jaccard for MinHash rows and
+    * 1 − θ/π per hyperplane bit for the cosine family, so the same
+    * function tunes (tables, bitsPerTable) there.
+    *
+    * Deterministic, driver-side, O(d(nHashes) · steps) — a config
+    * computation, not a job. */
+  def lshParamsFor(threshold: Double, nHashes: Int,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(nHashes >= 1, s"nHashes must be positive, got $nHashes")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "error-mass weights must be non-negative and not both zero")
+    val steps = 1000
+    def detect(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def cost(b: Int, r: Int): Double = {
+      val dxF = threshold / steps
+      val fp = (0 until steps).foldLeft(0.0)((a, i) =>
+        a + detect((i + 0.5) * dxF, b, r) * dxF)
+      val dxN = (1.0 - threshold) / steps
+      val fn = (0 until steps).foldLeft(0.0)((a, i) =>
+        a + (1.0 - detect(threshold + (i + 0.5) * dxN, b, r)) * dxN)
+      fpWeight * fp + fnWeight * fn
+    }
+    (1 to nHashes).filter(nHashes % _ == 0).map(b => (b, nHashes / b))
+      .minBy { case (b, r) => (cost(b, r), b) }
+  }
+
+  /** `bands <= 0` requests the [[lshParamsFor]] auto-solve at
+    * (`threshold`, `numHashes`) — explicit configs (every existing
+    * oracle) are byte-unchanged. */
   def minhashLshComponents(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, n: Int = 3,
       threshold: Double = 0.5, maxIters: Int = 10): DataFrame = {
+    val b = if (bands > 0) bands else lshParamsFor(threshold, numHashes)._1
     val sh = shingleHashes(df, idCol, textCol, n).persist()
     try {
-      val banded = bandedBuckets(sh, numHashes, bands)
+      val banded = bandedBuckets(sh, numHashes, b)
       val verified = verifyPairs(sh,
           starEdges(banded).toDF("id1", "id2"), threshold)
         .select(col("id1").as("id"), col("id2").as("root"))

@@ -113,6 +113,42 @@ object Hybrid {
     val lex = TextIndex.bm25TopKIndexed(spark, bm25Path, queryTerms, m,
         nBuckets)
       .select(col("id"), col("rk"))
+    rrfTopK(lex, prunedVecRanking(spark, annPath, centroids, qvec,
+      m, nProbe), k, k0)
+  }
+
+  /** [[hybridTopKIndexed]] over the EPOCH-maintained stores — the
+    * composition a continuously-ingesting serving stack actually runs:
+    * the lexical side through [[TextIndex.bm25TopKEpochs]] (per-term
+    * bucket pruning across `batch=` epochs, additive corpus stats) and
+    * the vector side through an [[IvfIndex.writeIndexed]]-per-epoch
+    * layout (`batch=<e>/cell=<c>` — the probed-cell literal filter
+    * prunes cell directories one level down, exactly the
+    * `text_bm25_epochs` argument on the other modality). Append ≡
+    * rebuild on both sides, so this is row-identical to
+    * [[hybridTopKIndexed]] over flat stores of the same corpus
+    * (HybridSpec pins it); its FUSED freshness over a growing corpus
+    * is what [[graft.streaming.RecallStream.monitorHybridBatch]]
+    * watches per epoch. */
+  def hybridTopKEpochs(spark: org.apache.spark.sql.SparkSession,
+      bm25Path: String, annPath: String,
+      centroids: Array[Array[Double]], queryTerms: Seq[String],
+      qvec: DataFrame, k: Int, m: Int, nProbe: Int,
+      k0: Int = 60, nBuckets: Int = 64): DataFrame = {
+    require(m >= k, s"fusion depth m=$m must cover the answer k=$k")
+    val lex = TextIndex.bm25TopKEpochs(spark, bm25Path, queryTerms, m,
+        nBuckets)
+      .select(col("id"), col("rk"))
+    rrfTopK(lex, prunedVecRanking(spark, annPath, centroids, qvec,
+      m, nProbe), k, k0)
+  }
+
+  /** The shared pruned dense ranking: probed-cell literal scan of a
+    * cell-partitioned layout (flat or epoch-nested — `cell` is a
+    * partition column either way), 4-dp cosine, salted top-m. */
+  private def prunedVecRanking(spark: org.apache.spark.sql.SparkSession,
+      annPath: String, centroids: Array[Array[Double]], qvec: DataFrame,
+      m: Int, nProbe: Int): DataFrame = {
     val probed = qvec
       .select(explode(IvfIndex.probeCells(col("qvec"), centroids,
         math.min(nProbe, centroids.length))).as("cell"))
@@ -122,9 +158,8 @@ object Hybrid {
     val scored = cb.crossJoin(broadcast(qvec))
       .select(lit(0).as("qid"), col("id"),
         round(Similarity.cosine(col("vec"), col("qvec")), 4).as("score"))
-    val vec = Skew.saltedTopK(scored, Seq("qid"),
+    Skew.saltedTopK(scored, Seq("qid"),
         Seq(col("score").desc, col("id").asc), m, saltBy = col("id"))
       .select(col("id"), col("rank").as("rk"))
-    rrfTopK(lex, vec, k, k0)
   }
 }

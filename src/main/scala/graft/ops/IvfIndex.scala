@@ -87,10 +87,11 @@ object IvfIndex {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 2,
-      cutoverCells: Int = QuantizerRelation.CutoverCells): Array[Array[Double]] = {
+      cutoverCells: Int = QuantizerRelation.CutoverCells,
+      seed: String = "km"): Array[Array[Double]] = {
     if (k >= cutoverCells)
       return QuantizerRelation.collectCentroids(
-        QuantizerRelation.train(corpus, idCol, vecCol, k, iters))
+        QuantizerRelation.train(corpus, idCol, vecCol, k, iters, seed))
     // Deterministic pseudo-random seed sample: order by a hash of the id
     // (id tiebreak) and take k — a top-k, not a global sort. Seeding
     // MUST NOT assume anything about id layout: the previous
@@ -99,7 +100,7 @@ object IvfIndex {
     // corpus was divisible by the step), killing training while the
     // bench misread the instant failure as a fast run.
     var centroids: Array[Array[Double]] = corpus
-      .orderBy(QuantizerRelation.seedHash(col(idCol)), col(idCol))
+      .orderBy(QuantizerRelation.seedHash(col(idCol), seed), col(idCol))
       .limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)

@@ -101,10 +101,11 @@ object PqIndex {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, iters: Int = 2,
-      cutoverCells: Int = QuantizerRelation.CutoverCells): Codebooks = {
+      cutoverCells: Int = QuantizerRelation.CutoverCells,
+      seed: String = "km"): Codebooks = {
     if (m * k >= cutoverCells)
       return PqRelation.collectCodebooks(
-        PqRelation.train(corpus, idCol, vecCol, m, k, iters))
+        PqRelation.train(corpus, idCol, vecCol, m, k, iters, seed))
     val probe = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
     require(probe.nonEmpty, "empty corpus")
     val dim = probe(0).getInt(0)
@@ -120,7 +121,7 @@ object PqIndex {
     // id-layout-independence fix as IvfIndex.train (modulo sampling
     // returns zero seeds on sparse shifted id layouts).
     val seeds = base
-      .orderBy(QuantizerRelation.seedHash(col("id")), col("id")).limit(k)
+      .orderBy(QuantizerRelation.seedHash(col("id"), seed), col("id")).limit(k)
       .select(col("v")).collect()
       .map { r =>
         val v = r.getSeq[Float](0).map(_.toDouble).toArray
@@ -178,11 +179,11 @@ object PqIndex {
     * @param vecs (id, v: array<float>) with exactly `dim` elements
     */
   private[ops] def lloydL2(vecs: DataFrame, dim: Int, m: Int, k: Int,
-      iters: Int): Codebooks = {
+      iters: Int, seed: String = "km"): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val seeds = vecs
-      .orderBy(QuantizerRelation.seedHash(col("id")), col("id")).limit(k)
+      .orderBy(QuantizerRelation.seedHash(col("id"), seed), col("id")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(seeds.nonEmpty, "empty corpus")

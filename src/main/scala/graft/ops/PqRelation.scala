@@ -170,7 +170,7 @@ object PqRelation {
     * Returns the (sub, cell, cvec) relation; nothing reaches the
     * driver (PqRelationSpec pins equality to the driver loop). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, iters: Int = 2): DataFrame = {
+      m: Int, k: Int, iters: Int = 2, seed: String = "km"): DataFrame = {
     val probe = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
     require(probe.nonEmpty, "empty corpus")
     val dim = probe(0).getInt(0)
@@ -179,8 +179,8 @@ object PqRelation {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(graft.functions.functions.dot_product(col(vecCol), col(vecCol)))
         .as("nrm"))
-    val w = Window.orderBy(QuantizerRelation.seedHash(col("id")), col("id"))
-    var cb = base.orderBy(QuantizerRelation.seedHash(col("id")), col("id"))
+    val w = Window.orderBy(QuantizerRelation.seedHash(col("id"), seed), col("id"))
+    var cb = base.orderBy(QuantizerRelation.seedHash(col("id"), seed), col("id"))
       .limit(k)
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .select(col("cell"),

@@ -58,9 +58,17 @@ object QuantizerRelation {
     * train→encode→probe chain is a pure function any engine can
     * recompute (`q_retrieval_eval_pq` and friends replay it end to
     * end). Seeding quality is unchanged: both are uniform hashes of
-    * the id, and seeding cost is a top-k over ids either way. */
-  private[graft] def seedHash(id: Column): Column =
-    Dedup.md5TokenHash60(concat(lit("km"), id.cast("string")))
+    * the id, and seeding cost is a top-k over ids either way.
+    *
+    * `seed` is the hash PREFIX — the k-means "random seed" made data.
+    * Because the whole chain is replayable, a seed is AUDITABLE: the
+    * production families sweep a seed set through their own recall
+    * audit and commit the argmax ([[graft.ops.SelectedSeeds]], the
+    * round-18 "audited number is seed luck" fix) instead of
+    * defaulting; "km" remains the diagnostic default every
+    * exhaustive-mode gate uses. */
+  private[graft] def seedHash(id: Column, seed: String = "km"): Column =
+    Dedup.md5TokenHash60(concat(lit(seed), id.cast("string")))
 
   /** Cross-engine float discipline for the ONE order-ambiguous step in
     * Lloyd training: the per-(cell, position) mean aggregates rows in
@@ -155,10 +163,10 @@ object QuantizerRelation {
     * (cell, cvec) relation; nothing larger than the k×dim relation is
     * ever materialized, and none of it on the driver. */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2): DataFrame = {
-    val w = Window.orderBy(seedHash(col(idCol)), col(idCol))
+      iters: Int = 2, seed: String = "km"): DataFrame = {
+    val w = Window.orderBy(seedHash(col(idCol), seed), col(idCol))
     var cents = corpus
-      .orderBy(seedHash(col(idCol)), col(idCol)).limit(k)
+      .orderBy(seedHash(col(idCol), seed), col(idCol)).limit(k)
       .select(col(idCol), col(vecCol))
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .select(col("cell"), col(vecCol).cast("array<double>").as("cvec"))

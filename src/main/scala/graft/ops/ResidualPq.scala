@@ -42,7 +42,8 @@ object ResidualPq {
     * as one reference object), Lloyd with L2 assignment on the
     * residuals. Deterministic end to end. */
   def trainCodebooks(corpus: DataFrame, centroids: Array[Array[Double]],
-      m: Int = 8, k: Int = 16, iters: Int = 2): PqIndex.Codebooks = {
+      m: Int = 8, k: Int = 16, iters: Int = 2,
+      seed: String = "km"): PqIndex.Codebooks = {
     val dim = centroids(0).length
     val resid = IvfIndex.assignCells(
         corpus.select(col("id"), col("vec")), "id", "vec", centroids)
@@ -50,7 +51,7 @@ object ResidualPq {
         graft.functions.functions.cell_residual(col("vec"), col("cell"),
           IvfIndex.unitRows(centroids), normalize = true).as("v"))
       .filter(col("v").isNotNull)
-    PqIndex.lloydL2(resid, dim, m, k, iters)
+    PqIndex.lloydL2(resid, dim, m, k, iters, seed)
   }
 
   /** (cell, id, codes, vec): cells via the coarse quantizer, codes via
@@ -95,11 +96,11 @@ object ResidualPq {
     * [[trainCodebooks]] against rotated-space centroids. */
   def trainCodebooksRotated(corpus: DataFrame, rot: Array[Array[Double]],
       centroids: Array[Array[Double]], m: Int = 8, k: Int = 16,
-      iters: Int = 2): PqIndex.Codebooks =
+      iters: Int = 2, seed: String = "km"): PqIndex.Codebooks =
     trainCodebooks(
       corpus.select(col("id"),
         graft.functions.functions.rotate_project(col("vec"), rot).as("vec")),
-      centroids, m, k, iters)
+      centroids, m, k, iters, seed)
 
   /** (cell, id, codes, vec): cells and codes from the ROTATED vector,
     * the ORIGINAL vector carried for the exact re-rank. */

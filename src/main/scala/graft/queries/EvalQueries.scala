@@ -361,9 +361,9 @@ object EvalQueries {
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = graft.ops.IvfIndex.train(corpus, "id", "vec",
-      k = 8, iters = 2)
+      k = 8, iters = 2, seed = graft.ops.SelectedSeeds.ivfpq)
     val cb = graft.ops.PqIndex.train(corpus, "id", "vec",
-      m = 8, k = 16, iters = 2)
+      m = 8, k = 16, iters = 2, seed = graft.ops.SelectedSeeds.ivfpq)
     val path = graft.Staging.dirFor("eval-ivfpq-q")
     graft.ops.IvfPq.writeIndex(corpus, centroids, cb, path)
     val sys = graft.ops.IvfPq.topK(s, path, queries, centroids, cb,
@@ -388,9 +388,9 @@ object EvalQueries {
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = graft.ops.IvfIndex.train(corpus, "id", "vec",
-      k = 8, iters = 2)
+      k = 8, iters = 2, seed = graft.ops.SelectedSeeds.res)
     val cb = graft.ops.ResidualPq.trainCodebooks(corpus, centroids,
-      m = 8, k = 16, iters = 2)
+      m = 8, k = 16, iters = 2, seed = graft.ops.SelectedSeeds.res)
     val path = graft.Staging.dirFor("eval-res-q")
     graft.ops.ResidualPq.writeIndex(corpus, centroids, cb, path)
     val sys = graft.ops.ResidualPq.topK(s, path, queries, centroids, cb,
@@ -422,9 +422,9 @@ object EvalQueries {
     val rotated = corpus.select(col("id"),
       graft.functions.functions.rotate_project(col("vec"), rot).as("vec"))
     val centroids = graft.ops.IvfIndex.train(rotated, "id", "vec",
-      k = 8, iters = 2)
+      k = 8, iters = 2, seed = graft.ops.SelectedSeeds.opq)
     val cb = graft.ops.ResidualPq.trainCodebooksRotated(corpus, rot,
-      centroids, m = 8, k = 16, iters = 2)
+      centroids, m = 8, k = 16, iters = 2, seed = graft.ops.SelectedSeeds.opq)
     val path = graft.Staging.dirFor("eval-opq-q")
     graft.ops.ResidualPq.writeIndexRotated(corpus, rot, centroids, cb, path)
     val sys = graft.ops.ResidualPq.topKRotated(s, path, queries, rot,

@@ -254,7 +254,8 @@ object PipelineQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2,
+      seed = graft.ops.SelectedSeeds.ivf)
     IvfIndex.topK(queries, corpus, centroids, k = 10, nProbe = 2)
       .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
       .orderBy(col("qid"), col("rank"))
@@ -266,8 +267,10 @@ object PipelineQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
-    val cb = PqIndex.train(corpus, "id", "vec", m = 8, k = 16, iters = 2)
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2,
+      seed = graft.ops.SelectedSeeds.ivfpq)
+    val cb = PqIndex.train(corpus, "id", "vec", m = 8, k = 16, iters = 2,
+      seed = graft.ops.SelectedSeeds.ivfpq)
     val path = graft.Staging.dirFor("ivfpq-pruned-q")
     IvfPq.writeIndex(corpus, centroids, cb, path)
     IvfPq.topK(s, path, queries, centroids, cb,
@@ -280,7 +283,7 @@ object PipelineQueries {
     * exact cosine within the probed cells. */
   val annIvfPrunedSql: String =
     s"""WITH ${QueryCatalog.annQcCtes},
-       |${QuantizerReplay.ivfTrainCtes("c")},
+       |${QuantizerReplay.ivfTrainCtes("c", seed = graft.ops.SelectedSeeds.ivf)},
        |${QuantizerReplay.ivfCcCte("c")},
        |${QuantizerReplay.ivfQcellCte("q", nProbe = 2)}
        |SELECT qid, id, score, rank FROM (
@@ -299,10 +302,10 @@ object PipelineQueries {
     * chain, the probed-cells candidate join, ADC shortlist=50, exact
     * re-rank. Shared (as CTE builders) with `q_retrieval_eval_ivfpq`. */
   private[queries] def ivfPqPrunedChain: String =
-    s"""${QuantizerReplay.ivfTrainCtes("c")},
+    s"""${QuantizerReplay.ivfTrainCtes("c", seed = graft.ops.SelectedSeeds.ivfpq)},
        |${QuantizerReplay.ivfCcCte("c")},
        |${QuantizerReplay.ivfQcellCte("q", nProbe = 2)},
-       |${QuantizerReplay.pqTrainCtes("c")},
+       |${QuantizerReplay.pqTrainCtes("c", seed = graft.ops.SelectedSeeds.ivfpq)},
        |ivcand AS (
        |  SELECT qc.qid, cc.id FROM ivcc cc JOIN ivqcell qc ON qc.cell = cc.cell),
        |${QuantizerReplay.pqProbeCtes("pqcent2", shortlist = 50,
@@ -318,10 +321,10 @@ object PipelineQueries {
   /** [[annIvfPqResPruned]]'s replay: coarse chain, float-quantized
     * residuals, the L2 Lloyd chain, qc-term ADC probe. */
   private[queries] def resPrunedChain: String =
-    s"""${QuantizerReplay.ivfTrainCtes("c")},
+    s"""${QuantizerReplay.ivfTrainCtes("c", seed = graft.ops.SelectedSeeds.res)},
        |${QuantizerReplay.ivfCcCte("c")},
        |${QuantizerReplay.residCte("c")},
-       |${QuantizerReplay.lloydL2Ctes()},
+       |${QuantizerReplay.lloydL2Ctes(seed = graft.ops.SelectedSeeds.res)},
        |${QuantizerReplay.resProbeCtes("q", "rqcent2")}""".stripMargin
 
   val annIvfPqResPrunedSql: String =
@@ -336,10 +339,10 @@ object PipelineQueries {
     * rotated relations; the re-rank reads originals). */
   private[queries] def opqPrunedChain: String =
     s"""${QuantizerReplay.rotationCtes()},
-       |${QuantizerReplay.ivfTrainCtes("rc")},
+       |${QuantizerReplay.ivfTrainCtes("rc", seed = graft.ops.SelectedSeeds.opq)},
        |${QuantizerReplay.ivfCcCte("rc")},
        |${QuantizerReplay.residCte("rc")},
-       |${QuantizerReplay.lloydL2Ctes()},
+       |${QuantizerReplay.lloydL2Ctes(seed = graft.ops.SelectedSeeds.opq)},
        |${QuantizerReplay.resProbeCtes("rqv", "rqcent2")}""".stripMargin
 
   val annIvfPqOpqPrunedSql: String =
@@ -965,9 +968,10 @@ object PipelineQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2,
+      seed = graft.ops.SelectedSeeds.res)
     val cb = graft.ops.ResidualPq.trainCodebooks(corpus, centroids,
-      m = 8, k = 16, iters = 2)
+      m = 8, k = 16, iters = 2, seed = graft.ops.SelectedSeeds.res)
     val path = graft.Staging.dirFor("ivfpqres-pruned-q")
     graft.ops.ResidualPq.writeIndex(corpus, centroids, cb, path)
     graft.ops.ResidualPq.topK(s, path, queries, centroids, cb,
@@ -1025,9 +1029,10 @@ object PipelineQueries {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val rotated = corpus.select(col("id"),
       graft.functions.functions.rotate_project(col("vec"), rot).as("vec"))
-    val centroids = IvfIndex.train(rotated, "id", "vec", k = 8, iters = 2)
+    val centroids = IvfIndex.train(rotated, "id", "vec", k = 8, iters = 2,
+      seed = graft.ops.SelectedSeeds.opq)
     val cb = graft.ops.ResidualPq.trainCodebooksRotated(corpus, rot,
-      centroids, m = 8, k = 16, iters = 2)
+      centroids, m = 8, k = 16, iters = 2, seed = graft.ops.SelectedSeeds.opq)
     val path = graft.Staging.dirFor("ivfpqopq-pruned-q")
     graft.ops.ResidualPq.writeIndexRotated(corpus, rot, centroids, cb, path)
     graft.ops.ResidualPq.topKRotated(s, path, queries, rot, centroids, cb,

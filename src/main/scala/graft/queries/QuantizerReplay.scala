@@ -35,7 +35,7 @@ object QuantizerReplay {
     * previous coordinates). Ends in `{pfx}cent{iters}(cell, cvec)` and
     * the unit rows `{pfx}u{iters}(cell, ucvec)`. */
   def ivfTrainCtes(corpus: String, pfx: String = "iv", k: Int = 8,
-      iters: Int = 2, dim: Int = 64): String = {
+      iters: Int = 2, dim: Int = 64, seed: String = "km"): String = {
     def unitRows(it: Int) =
       s"""${pfx}u$it AS MATERIALIZED (
          |  SELECT cell,
@@ -45,7 +45,7 @@ object QuantizerReplay {
     val head =
       s"""${pfx}seed AS (
          |  SELECT row_number() OVER (ORDER BY ($hexVal), id) - 1 AS cell, vec AS cvec
-         |  FROM (SELECT id, vec, substring(md5('km' || CAST(id AS VARCHAR)), 1, 15) AS h15
+         |  FROM (SELECT id, vec, substring(md5('$seed' || CAST(id AS VARCHAR)), 1, 15) AS h15
          |        FROM $corpus)
          |  ORDER BY ($hexVal), id LIMIT $k),
          |${pfx}pos AS (SELECT unnest(range(0, $dim)) AS pos),
@@ -116,14 +116,15 @@ object QuantizerReplay {
     * `{pfx}cent{iters}(sub, cell, cvec)` plus `{pfx}base(id, vec,
     * nrm)`. */
   def pqTrainCtes(corpus: String, pfx: String = "pq", m: Int = 8,
-      k: Int = 16, dsub: Int = 8, iters: Int = 2): String = {
+      k: Int = 16, dsub: Int = 8, iters: Int = 2,
+      seed: String = "km"): String = {
     val head =
       s"""${pfx}base AS MATERIALIZED (
          |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM $corpus),
          |${pfx}seed AS (
          |  SELECT row_number() OVER (ORDER BY ($hexVal), id) - 1 AS cell,
          |    CASE WHEN nrm > 0 THEN list_transform(vec, x -> x / nrm) ELSE vec END AS nv
-         |  FROM (SELECT id, vec, nrm, substring(md5('km' || CAST(id AS VARCHAR)), 1, 15) AS h15
+         |  FROM (SELECT id, vec, nrm, substring(md5('$seed' || CAST(id AS VARCHAR)), 1, 15) AS h15
          |        FROM ${pfx}base)
          |  ORDER BY ($hexVal), id LIMIT $k),
          |${pfx}subs AS (SELECT unnest(range(0, $m)) AS sub),
@@ -223,11 +224,11 @@ object QuantizerReplay {
     * `{pfx}cent{iters}(sub, cell, cvec)`. */
   def lloydL2Ctes(vecs: String = "resid", vcol: String = "rv",
       pfx: String = "rq", m: Int = 8, k: Int = 16, dsub: Int = 8,
-      iters: Int = 2): String = {
+      iters: Int = 2, seed: String = "km"): String = {
     val head =
       s"""${pfx}seed AS (
          |  SELECT row_number() OVER (ORDER BY ($hexVal), id) - 1 AS cell, $vcol AS nv
-         |  FROM (SELECT id, $vcol, substring(md5('km' || CAST(id AS VARCHAR)), 1, 15) AS h15
+         |  FROM (SELECT id, $vcol, substring(md5('$seed' || CAST(id AS VARCHAR)), 1, 15) AS h15
          |        FROM $vecs)
          |  ORDER BY ($hexVal), id LIMIT $k),
          |${pfx}subs AS (SELECT unnest(range(0, $m)) AS sub),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{IvfIndex, Retrieval, Similarity}
+import graft.ops.{IvfIndex, Retrieval, Similarity, TextIndex}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -153,6 +153,107 @@ object RecallStream {
     val metrics = Retrieval.rankingMetrics(sys, gt, k)
     metrics.write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
     metrics
+  }
+
+  /** A standing query for the FUSED hybrid monitor: lexical terms and
+    * a dense query vector, evaluated together through RRF. */
+  case class HybridQuery(qid: Long, terms: Seq[String], qvec: Seq[Float])
+
+  /** [[monitorBatch]] for the FUSED hybrid serving stack — the monitor
+    * the per-index pair cannot replace: [[monitorBatch]] watches the
+    * IVF layout and a BM25 store is exact by construction (append ≡
+    * rebuild), yet the PRODUCTION answer is their RRF fusion
+    * ([[graft.ops.Hybrid.hybridTopKEpochs]]), and fusion drift is not
+    * the union of per-index drifts. A document can sit OUTSIDE the
+    * dense exact top-k (so the ANN monitor never counts its absence)
+    * while its mid-list votes in BOTH modalities put it in the fused
+    * top-k — prune away its dense vote (an unprobed cell) and only the
+    * FUSED metric sees the loss (HybridMonitorSpec plants exactly
+    * that).
+    *
+    * Per epoch: arrivals (collapsed, first-write-wins — the family
+    * discipline, here keyed over (text, vec)) land in the raw
+    * data-so-far store AND both REAL serving sinks
+    * ([[graft.ops.TextIndex.appendPostingsEpoch]],
+    * [[graft.ops.IvfIndex.writeIndexed]] under `batch=<e>` — the same
+    * stores [[graft.streaming.IngestGate]] maintains); each standing
+    * query is answered via the fused INDEXED path over the two epoch
+    * stores and via the exact fused ranking over data-so-far (same k,
+    * m, k0 — pruning is the ONLY difference, so the metric isolates
+    * what nProbe costs the fused list); per-query
+    * [[graft.ops.Retrieval.rankingMetrics]] land under
+    * `metricsDir/batch=<e>`. Replay idempotence: every sink overwrites
+    * by epoch, and the cross-epoch check excludes this epoch's own
+    * partition. Scale shape: the append is batch-sized, the fused
+    * probe is the bucket/cell-pruned serving path, and the exact fused
+    * ranking is the one corpus pass — bounded by the standing-query
+    * count, the monitor-not-serving price as ever. */
+  def monitorHybridBatch(batch: DataFrame, batchId: Long, lexDir: String,
+      annDir: String, rawDir: String, metricsDir: String,
+      standing: Seq[HybridQuery], centroids: Array[Array[Double]],
+      k: Int, m: Int, nProbe: Int, nBuckets: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(standing.nonEmpty, "monitorHybridBatch needs standing queries")
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("text"), col("vec"))
+    val collapsed = batch.select(col("id"), col("text"), col("vec"))
+      .withColumn("rn", row_number().over(wId))
+      .filter(col("rn") === 1).drop("rn")
+    val fresh = (IngestGate.readIfAny(spark, rawDir) match {
+      case Some(store) =>
+        val existing = store.filter(col("batch") =!= batchId)
+          .select(col("id")).distinct()
+        collapsed.join(existing, Seq("id"), "left_anti")
+      case None => collapsed
+    }).localCheckpoint()
+    fresh.write.mode("overwrite").parquet(s"$rawDir/batch=$batchId")
+    // maintain BOTH real serving sinks
+    TextIndex.appendPostingsEpoch(fresh, "id", "text", lexDir, batchId,
+      nBuckets)
+    IvfIndex.writeIndexed(fresh.select(col("id"), col("vec")), centroids,
+      s"$annDir/batch=$batchId")
+    // cold start: nothing servable yet (empty/duplicate-only epochs) —
+    // the graph monitor's empty-metrics convention
+    if (IngestGate.readIfAny(spark, s"$lexDir/postings").isEmpty ||
+        IngestGate.readIfAny(spark, annDir).isEmpty) {
+      val none = Seq.empty[(Long, Long, Int)].toDF("qid", "id", "rank")
+      val empty = Retrieval.rankingMetrics(none, none, k)
+      empty.write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
+      return empty
+    }
+    val corpus = spark.read.parquet(rawDir)
+      .select(col("id"), col("text"), col("vec"))
+    val metrics = standing.map { q =>
+      val qv = Seq(Tuple1(q.qvec)).toDF("qvec")
+      val sys = graft.ops.Hybrid.hybridTopKEpochs(spark, lexDir, annDir,
+          centroids, q.terms, qv, k, m, nProbe, nBuckets = nBuckets)
+        .select(lit(q.qid).as("qid"), col("id"), col("rk").as("rank"))
+      val gt = graft.ops.Hybrid.hybridTopK(corpus, "id", "text", "vec",
+          q.terms, qv, k, m)
+        .select(lit(q.qid).as("qid"), col("id"), col("rk").as("rank"))
+      Retrieval.rankingMetrics(sys, gt, k)
+    }.reduce(_.unionByName(_))
+    metrics.write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
+    metrics
+  }
+
+  /** Run the FUSED monitor over a streaming (id, text, vec) feed. */
+  def startHybrid(rows: DataFrame, lexDir: String, annDir: String,
+      rawDir: String, metricsDir: String, checkpointDir: String,
+      standing: Seq[HybridQuery], centroids: Array[Array[Double]],
+      k: Int = 10, m: Int = 20, nProbe: Int = 2,
+      nBuckets: Int = 64): StreamingQuery = {
+    require(rows.isStreaming, "RecallStream.startHybrid needs a " +
+      "streaming input; call monitorHybridBatch for a one-shot epoch")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        monitorHybridBatch(b, id, lexDir, annDir, rawDir, metricsDir,
+          standing, centroids, k, m, nProbe, nBuckets)
+        ()
+      }
+      .start()
   }
 
   /** Run the GRAPH monitor over a streaming (id, vec) feed. */

@@ -38,17 +38,39 @@ object ProfileAnnFamilies {
     val n = corpus.count()
     val dim = 64
 
-    // shared trained components (training cost is NOT in the probe wall
-    // — at production all of these are ingest-time artifacts)
-    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
-    val pqCb = PqIndex.train(corpus, "id", "vec", m = 8, k = 16, iters = 2)
-    val resCb = ResidualPq.trainCodebooks(corpus, centroids, m = 8, k = 16, iters = 2)
+    // trained components (training cost is NOT in the probe wall — at
+    // production all of these are ingest-time artifacts). Each k-means
+    // family trains at ITS committed selected seed (SelectedSeeds, the
+    // round-19 sweep protocol); IVF-SQ keeps the historical default.
+    val centroids = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2,
+      seed = SelectedSeeds.ivf)
+    val pqCb = PqIndex.train(corpus, "id", "vec", m = 8, k = 16, iters = 2,
+      seed = SelectedSeeds.pq)
+    val centsIvfPq = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2,
+      seed = SelectedSeeds.ivfpq)
+    val pqCbIvfPq = PqIndex.train(corpus, "id", "vec", m = 8, k = 16,
+      iters = 2, seed = SelectedSeeds.ivfpq)
+    val centsRes = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2,
+      seed = SelectedSeeds.res)
+    val resCb = ResidualPq.trainCodebooks(corpus, centsRes, m = 8, k = 16,
+      iters = 2, seed = SelectedSeeds.res)
+    val basis = Pca.loadBasis(spark, s"${graft.Tables.fixturesDir}/pca_basis.parquet")
+    val rot = Opq.rotation(basis,
+      Opq.allocate(basis.sortBy(_.component).map(_.eigenvalue), 8))
+    val rotated = corpus.select(col("id"),
+      graft.functions.functions.rotate_project(col("vec"), rot).as("vec"))
+    val centsOpq = IvfIndex.train(rotated, "id", "vec", k = 8, iters = 2,
+      seed = SelectedSeeds.opq)
+    val opqCb = ResidualPq.trainCodebooksRotated(corpus, rot, centsOpq,
+      m = 8, k = 16, iters = 2, seed = SelectedSeeds.opq)
+    val centsKm = IvfIndex.train(corpus, "id", "vec", k = 8, iters = 2)
     val sqB = Sq.train(corpus, "vec")
-    val ivfSqB = IvfSq.trainBounds(corpus, centroids)
+    val ivfSqB = IvfSq.trainBounds(corpus, centsKm)
     val tmp = java.nio.file.Files.createTempDirectory("annfam").toFile.getAbsolutePath
-    IvfPq.writeIndex(corpus, centroids, pqCb, s"$tmp/ivfpq")
-    ResidualPq.writeIndex(corpus, centroids, resCb, s"$tmp/res")
-    IvfSq.writeIndex(corpus, centroids, ivfSqB, s"$tmp/ivfsq")
+    IvfPq.writeIndex(corpus, centsIvfPq, pqCbIvfPq, s"$tmp/ivfpq")
+    ResidualPq.writeIndex(corpus, centsRes, resCb, s"$tmp/res")
+    ResidualPq.writeIndexRotated(corpus, rot, centsOpq, opqCb, s"$tmp/opq")
+    IvfSq.writeIndex(corpus, centsKm, ivfSqB, s"$tmp/ivfsq")
 
     val exact = Similarity.bruteForceTopK(queries, corpus, 10)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -76,18 +98,20 @@ object ProfileAnnFamilies {
       () => Similarity.lshTopK(queries, corpus, 10, dim, 4, 16))
     measure("LSH 8x4-bit, 3 probes (the gated multiprobe config)",
       () => Similarity.lshTopKMultiProbe(queries, corpus, 10, dim, 4, 8, 3))
-    measure("IVF k=8, nProbe=2",
+    measure(s"IVF k=8, nProbe=2 (seed ${SelectedSeeds.ivf})",
       () => IvfIndex.topK(queries, corpus, centroids, 10, nProbe = 2))
-    measure("PQ 8×16, shortlist=100",
+    measure(s"PQ 8×16, shortlist=100 (seed ${SelectedSeeds.pq})",
       () => PqIndex.topK(queries, corpus, pqCb, 10, shortlist = 100))
-    measure("IVF-PQ nProbe=2, shortlist=50",
-      () => IvfPq.topK(spark, s"$tmp/ivfpq", queries, centroids, pqCb, 10, 2, 50))
-    measure("IVF-PQ residual nProbe=2, shortlist=50",
-      () => ResidualPq.topK(spark, s"$tmp/res", queries, centroids, resCb, 10, 2, 50))
+    measure(s"IVF-PQ nProbe=2, shortlist=50 (seed ${SelectedSeeds.ivfpq})",
+      () => IvfPq.topK(spark, s"$tmp/ivfpq", queries, centsIvfPq, pqCbIvfPq, 10, 2, 50))
+    measure(s"IVF-PQ residual nProbe=2, shortlist=50 (seed ${SelectedSeeds.res})",
+      () => ResidualPq.topK(spark, s"$tmp/res", queries, centsRes, resCb, 10, 2, 50))
+    measure(s"OPQ,IVF,PQ nProbe=2, shortlist=50 (seed ${SelectedSeeds.opq})",
+      () => ResidualPq.topKRotated(spark, s"$tmp/opq", queries, rot, centsOpq, opqCb, 10, 2, 50))
     measure("SQ8 ADC (full codes scan)",
       () => Sq.topKAdc(queries, corpus, sqB, 10))
-    measure("IVF-SQ8 nProbe=2, shortlist=50",
-      () => IvfSq.topK(spark, s"$tmp/ivfsq", queries, centroids, ivfSqB, 10, 2, 50))
+    measure("IVF-SQ8 nProbe=2, shortlist=50 (seed km)",
+      () => IvfSq.topK(spark, s"$tmp/ivfsq", queries, centsKm, ivfSqB, 10, 2, 50))
     // graph family: the k-NN graph is the ingest-time artifact (like
     // every codebook above); the probe is the beam walk. Build wide
     // (the ProfileNnDescent overbuild lesson — a build-k=5 graph on
