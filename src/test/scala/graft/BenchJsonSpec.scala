@@ -46,4 +46,23 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(sec > 0.01 && sec < 30.0, s"implausible mem calibration wall $sec s")
     assert(Bench.ReferenceCalibrationMemSec > 0)
   }
+
+  test("all-cores kernel: per-slice work recomputes serially; plausible wall; host probes readable") {
+    val (sec, checksum) = Bench.calibrationParRun()
+    // the checksum varies with the core count, so recompute the fixed
+    // per-slice work serially instead of pinning a constant
+    val n = Runtime.getRuntime.availableProcessors
+    val expect = (0 until n)
+      .map(t => Bench.xorshiftSlice(0x9E3779B97F4A7C15L + t, 100000000L))
+      .sum
+    assert(checksum == expect,
+      f"parallel calibration work changed: checksum $checksum%016x")
+    assert(sec > 0.01 && sec < 60.0, s"implausible parallel wall $sec s")
+    assert(Bench.ReferenceCalibrationParSec > 0)
+    // the host-noise witnesses the r18 artifact lacked
+    assert(Bench.loadAvg1() >= 0.0, "loadavg must be readable on linux")
+    val (steal, total) = Bench.cpuStatTicks()
+    assert(total > 0L && steal >= 0L && steal <= total,
+      s"implausible /proc/stat ticks steal=$steal total=$total")
+  }
 }
