@@ -107,6 +107,11 @@ object Bench {
     "d1_snapshot_diff" -> 3.0,
     "sync_pipeline_filtered" -> 3.0,
     "dedup_minhash_lsh" -> 20.0,
+    // the uniform walk's budget shape: graph build dominates; the
+    // per-query-entry join adds one broadcast of a cell-count-sized rel
+    "ann_graph_search_seeded" -> 16.0,
+    // graph build + seeded walk + exact ground truth + metric fold
+    "q_retrieval_eval_graph_seeded" -> 16.0,
     // index build (4/5 corpus) + batch probe + pruned verify
     "dedup_incremental" -> 15.0,
     "dedup_simhash" -> 10.0,

@@ -266,12 +266,23 @@ object NnDescent {
     * metadata-FILTERED answer selections share one walk. */
   private def beamWalkVisited(nodes: DataFrame, queries: DataFrame,
       entryIds: DataFrame, beam: Int, hops: Int,
+      expand: DataFrame => DataFrame): DataFrame =
+    beamWalkVisitedPairs(nodes, queries,
+      queries.select("qid").crossJoin(entryIds.select("id")),
+      beam, hops, expand)
+
+  /** [[beamWalkVisited]] from PER-QUERY entry pairs (qid, id) — the
+    * hook the cell-seeded walk needs: each query starts from its OWN
+    * entry set instead of a shared one. The shared-entry form is the
+    * crossJoin special case above. */
+  private def beamWalkVisitedPairs(nodes: DataFrame, queries: DataFrame,
+      entryPairs: DataFrame, beam: Int, hops: Int,
       expand: DataFrame => DataFrame): DataFrame = {
     def score(cand: DataFrame): DataFrame =
       cand.join(nodes.select(col("id"), col("vec")), Seq("id"))
         .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
         .select(col("qid"), col("id"), cosRounded(col("qvec"), col("vec")).as("score"))
-    var visited = score(queries.select("qid").crossJoin(entryIds.select("id")))
+    var visited = score(entryPairs.select("qid", "id"))
       .localCheckpoint()
     var frontier = topPerQ(visited, beam).select("qid", "id")
     (1 to hops).foreach { _ =>
@@ -307,6 +318,76 @@ object NnDescent {
       broadcast(frontier.select(col("qid"), col("id").as("c")))
         .join(und, Seq("c"))
         .select(col("qid"), col("v").as("id")).distinct())
+  }
+
+  /** IVF-CELL-SEEDED entry pairs — the scale-adaptive entry selection
+    * the uniform draw lacks (the round-18 missing #5): as the corpus
+    * grows, `entries` md5-rank-uniform nodes start ever FARTHER from
+    * any given query and recall at a fixed hop budget decays; seeding
+    * from the query's own neighborhood keeps the first hop already
+    * near the answer — the HNSW-lite move, reusing the coarse
+    * quantizer the serving stack already commits instead of building
+    * a layer hierarchy. Per query: its `nCells` nearest coarse cells
+    * ([[IvfIndex.probeCells]] — the probe rule the IVF family
+    * serves with), and per cell the `perCell` top nodes by the
+    * portable md5-60 rank of `"gw" ‖ id` (deterministic, engine-
+    * replayable, uniform WITHIN the cell — which node in the right
+    * neighborhood matters far less than being in it). Entry budget =
+    * nCells · perCell per query, directly comparable to `entries`.
+    * The per-cell top relation is duplicate-structure-free and
+    * cell-count-sized after the rank cut — it broadcasts; the one
+    * corpus-sized step is the cell assignment scan, shared with the
+    * IVF family's own ingest. */
+  def cellSeededEntryPairs(nodes: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], nCells: Int,
+      perCell: Int): DataFrame = {
+    require(nCells >= 1 && perCell >= 1)
+    val byCell = nodes
+      .withColumn("cell", IvfIndex.bestCell(col("vec"), centroids))
+      .withColumn("h", Dedup.md5TokenHash60(
+        concat(lit("gw"), col("id").cast("string"))))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("h"), col("id"))))
+      .filter(col("r") <= perCell)
+      .select(col("cell"), col("id"))
+    queries
+      .withColumn("cell", explode(IvfIndex.probeCells(col("qvec"),
+        centroids, math.min(nCells, centroids.length))))
+      .select(col("qid"), col("cell"))
+      .join(broadcast(byCell), Seq("cell"))
+      .select(col("qid"), col("id"))
+  }
+
+  /** [[searchGraphFrom]] with [[cellSeededEntryPairs]] entries. */
+  def searchGraphCellSeeded(graph: DataFrame, nodes: DataFrame,
+      queries: DataFrame, k: Int, centroids: Array[Array[Double]],
+      nCells: Int, perCell: Int, beam: Int, hops: Int): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0)
+    val und = if (hops > 0) undirected(graph).localCheckpoint()
+      else undirected(graph)
+    topPerQ(beamWalkVisitedPairs(nodes, queries,
+        cellSeededEntryPairs(nodes, queries, centroids, nCells, perCell),
+        beam, hops, frontier =>
+          broadcast(frontier.select(col("qid"), col("id").as("c")))
+            .join(und, Seq("c"))
+            .select(col("qid"), col("v").as("id")).distinct()), k)
+      .select("qid", "id", "score", "rank")
+  }
+
+  /** [[searchGraphIndexedFrom]] with [[cellSeededEntryPairs]] entries
+    * — the serving form: same bucket-pruned hops, entry pairs from
+    * the committed quantizer. */
+  def searchGraphIndexedCellSeeded(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nodes: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nCells: Int, perCell: Int,
+      beam: Int, hops: Int, numBuckets: Int = DefaultGraphBuckets,
+      frontierCutover: Int = DefaultFrontierCutover): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0)
+    val adjAll = spark.read.parquet(indexPath)
+    topPerQ(beamWalkVisitedPairs(nodes, queries,
+        cellSeededEntryPairs(nodes, queries, centroids, nCells, perCell),
+        beam, hops, indexedExpand(adjAll, numBuckets, frontierCutover)), k)
+      .select("qid", "id", "score", "rank")
   }
 
   /** METADATA-FILTERED graph serving — the graph family's

@@ -108,6 +108,44 @@ object EvalQueries {
        |    FROM v${ServeQueries.SearchHops}) WHERE rank <= $EvalK),
        |$metricsTailSql""".stripMargin
 
+  /** [[qRetrievalEvalGraph]] at the CELL-SEEDED entry configuration
+    * ([[graft.ops.NnDescent.searchGraphCellSeeded]], same graph /
+    * beam / hops / per-query entry budget — entry PLACEMENT is the
+    * only variable): the audit relation for the scale-adaptive entry
+    * selection, so a drift in what quantizer-seeded entries buy is a
+    * CORRECTNESS failure, not a spec constant. */
+  val qRetrievalEvalGraphSeeded: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = graft.ops.NnDescent.knnGraph(corpus, k = 5, iters = 2,
+      sample = 10, seed = "nnd")
+    val cents = graft.ops.IvfIndex.train(corpus, "id", "vec",
+      k = ServeQueries.SeededK, iters = 2,
+      seed = graft.ops.SelectedSeeds.ivf)
+    val sys = graft.ops.NnDescent.searchGraphCellSeeded(g, corpus,
+      queries, k = EvalK, cents,
+      nCells = ServeQueries.SeededCells,
+      perCell = ServeQueries.SeededPerCell,
+      beam = ServeQueries.SearchBeam, hops = ServeQueries.SearchHops)
+    val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
+    Retrieval.rankingMetrics(sys, gt, EvalK).orderBy(col("qid"))
+  }
+
+  val qRetrievalEvalGraphSeededSql: String =
+    s"""WITH ${CorpusMlQueries.knnGraphCtesBody(" WHERE vec_id >= 5")},
+       |${ServeQueries.graphSearchSeededCtes},
+       |${QueryCatalog.annQcCtes},
+       |${QueryCatalog.annGtScoredCte},
+       |sysk AS (
+       |  SELECT qid, id, rank FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |    FROM v${ServeQueries.SearchHops}) WHERE rank <= $EvalK),
+       |$metricsTailSql""".stripMargin
+
   /** [[qRetrievalEval]] pointed at the IVF family — the third audited
     * ranker (LSH, graph, IVF): the seeded 16-cell quantizer (the
     * SemDeDup oracle's replay idiom — argmax with ties to the larger
@@ -760,6 +798,7 @@ object EvalQueries {
     "q_retrieval_eval_lsh_mp" -> qRetrievalEvalLshMp,
     "q_retrieval_eval_pq" -> qRetrievalEvalPqQ,
     "q_retrieval_eval_ivfpq" -> qRetrievalEvalIvfPqQ,
+    "q_retrieval_eval_graph_seeded" -> qRetrievalEvalGraphSeeded,
     "q_retrieval_eval_res" -> qRetrievalEvalResQ,
     "q_retrieval_eval_opq" -> qRetrievalEvalOpqQ,
     "q_retrieval_eval_hybrid" -> qRetrievalEvalHybridQ,
@@ -778,6 +817,7 @@ object EvalQueries {
     "q_retrieval_eval_lsh_mp" -> qRetrievalEvalLshMpSql,
     "q_retrieval_eval_pq" -> qRetrievalEvalPqSql,
     "q_retrieval_eval_ivfpq" -> qRetrievalEvalIvfPqSql,
+    "q_retrieval_eval_graph_seeded" -> qRetrievalEvalGraphSeededSql,
     "q_retrieval_eval_res" -> qRetrievalEvalResSql,
     "q_retrieval_eval_opq" -> qRetrievalEvalOpqSql,
     "q_retrieval_eval_hybrid" -> qRetrievalEvalHybridSql,

@@ -20,6 +20,13 @@ object ServeQueries {
   private[queries] val SearchEntries = 3
   private[queries] val SearchBeam = 5
   private[queries] val SearchHops = 3
+  // the cell-seeded walk's entry budget: 3 cells × 1 node = the SAME
+  // 3 entries per query the uniform configuration scores; the coarse
+  // quantizer is TRAINED (16 Voronoi cells at the IVF family's
+  // selected seed — the A/B showed random-projection cells lose)
+  private[queries] val SeededCells = 3
+  private[queries] val SeededPerCell = 1
+  private[queries] val SeededK = 16
 
   /** Graph-ANN SEARCH ([[graft.ops.NnDescent.searchGraph]]): build the
     * k-NN graph over the corpus slice, then answer the 5 standing query
@@ -50,12 +57,17 @@ object ServeQueries {
     * md5-rank entry points, then per hop — frontier-neighbor expansion
     * (DISTINCT), visited anti-join, scoring, beam cut — exactly the
     * Spark walk. */
-  private[queries] def graphSearchCtes: String = {
-    val cosQ =
-      "round(list_dot_product(qv.qvec, nv.vec) / " +
-        "(sqrt(list_dot_product(qv.qvec, qv.qvec)) * " +
-        "sqrt(list_dot_product(nv.vec, nv.vec))), 4)"
-    val hops = (1 to SearchHops).map { i =>
+  private def walkCosQ: String =
+    "round(list_dot_product(qv.qvec, nv.vec) / " +
+      "(sqrt(list_dot_product(qv.qvec, qv.qvec)) * " +
+      "sqrt(list_dot_product(nv.vec, nv.vec))), 4)"
+
+  /** The hop CTEs shared by the uniform and the cell-seeded walk
+    * replays (only the entry construction differs): frontier-neighbor
+    * expansion (DISTINCT), visited anti-join, scoring, beam cut. */
+  private def walkHopCtes: String = {
+    val cosQ = walkCosQ
+    (1 to SearchHops).map { i =>
       s"""cnd$i AS MATERIALIZED (
          |  SELECT DISTINCT f${i - 1}.qid AS qid, und.v AS id
          |  FROM f${i - 1} JOIN und ON und.c = f${i - 1}.id),
@@ -75,28 +87,111 @@ object ServeQueries {
          |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
          |    FROM s$i) WHERE rn <= $SearchBeam)""".stripMargin
     }.mkString(",\n")
+  }
+
+  private def walkPrefixCtes: String =
     s"""und AS MATERIALIZED (
        |  SELECT id AS c, nbr AS v FROM g2
        |  UNION
        |  SELECT nbr AS c, id AS v FROM g2),
        |qv AS MATERIALIZED (
        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
-       |  FROM embeddings WHERE vec_id < 5),
-       |ent AS (SELECT id FROM rk WHERE r <= $SearchEntries),
-       |v0 AS MATERIALIZED (
-       |  SELECT qv.qid AS qid, nv.id AS id, $cosQ AS score
-       |  FROM qv CROSS JOIN ent JOIN nodes nv ON nv.id = ent.id),
+       |  FROM embeddings WHERE vec_id < 5)""".stripMargin
+
+  private def walkTailCtes(v0: String): String =
+    s"""$v0,
        |f0 AS MATERIALIZED (
        |  SELECT qid, id FROM (
        |    SELECT qid, id,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
        |    FROM v0) WHERE rn <= $SearchBeam),
-       |$hops""".stripMargin
+       |$walkHopCtes""".stripMargin
+
+  private[queries] def graphSearchCtes: String =
+    s"""$walkPrefixCtes,
+       |ent AS (SELECT id FROM rk WHERE r <= $SearchEntries),
+       |${walkTailCtes(
+        s"""v0 AS MATERIALIZED (
+           |  SELECT qv.qid AS qid, nv.id AS id, $walkCosQ AS score
+           |  FROM qv CROSS JOIN ent JOIN nodes nv ON nv.id = ent.id)""".stripMargin)}""".stripMargin
+
+  /** The CELL-SEEDED walk replay ([[graft.ops.NnDescent
+    * .searchGraphCellSeeded]] at a TRAINED [[SeededK]]-cell coarse
+    * quantizer — the A/B in SCALING measured trained Voronoi cells
+    * matching uniform recall a hop earlier while the random-projection
+    * literal quantizer LOST to uniform, so the committed configuration
+    * trains): the full Lloyd replay ([[QuantizerReplay.ivfTrainCtes]]
+    * at the IVF family's selected seed), node cell assignment
+    * ([[QuantizerReplay.ivfCcCte]]), per-cell md5-60("gw" ‖ id) rank
+    * cut, the query's top [[SeededCells]] cells by the probe rule
+    * ([[QuantizerReplay.ivfQcellCte]]), per-QUERY entry pairs, then
+    * the SAME hop CTEs as the uniform walk. */
+  private[queries] def graphSearchSeededCtes: String = {
+    val hexVal = CorpusMlQueries.hexVal
+    s"""$walkPrefixCtes,
+       |${QuantizerReplay.ivfTrainCtes("nodes", pfx = "gq", k = SeededK,
+          iters = 2, dim = 64, seed = graft.ops.SelectedSeeds.ivf)},
+       |${QuantizerReplay.ivfCcCte("nodes", "gq")},
+       |gh AS (
+       |  SELECT id, CAST($hexVal AS BIGINT) AS h
+       |  FROM (SELECT id, substring(md5('gw' || CAST(id AS VARCHAR)), 1, 15) AS h15
+       |        FROM nodes)),
+       |gtop AS (
+       |  SELECT cell, id FROM (
+       |    SELECT c.cell, c.id,
+       |      row_number() OVER (PARTITION BY c.cell ORDER BY gh.h, c.id) AS r
+       |    FROM gqcc c JOIN gh ON gh.id = c.id) WHERE r <= $SeededPerCell),
+       |${QuantizerReplay.ivfQcellCte("qv", "gq", iters = 2,
+          nProbe = SeededCells)},
+       |entp AS (
+       |  SELECT DISTINCT q.qid, t.id FROM gqqcell q JOIN gtop t USING (cell)),
+       |${walkTailCtes(
+        s"""v0 AS MATERIALIZED (
+           |  SELECT e.qid AS qid, nv.id AS id, $walkCosQ AS score
+           |  FROM entp e JOIN nodes nv ON nv.id = e.id JOIN qv ON qv.qid = e.qid)""".stripMargin)}""".stripMargin
   }
 
   val annGraphSearchSql: String =
     s"""WITH ${CorpusMlQueries.knnGraphCtesBody(" WHERE vec_id >= 5")},
        |$graphSearchCtes
+       |SELECT qid, id, score, rank FROM (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM v$SearchHops) WHERE rank <= $SearchK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** CELL-SEEDED graph-ANN search
+    * ([[graft.ops.NnDescent.searchGraphCellSeeded]]) — the
+    * scale-adaptive entry selection (round-18 missing #5): instead of
+    * [[SearchEntries]] md5-rank-uniform shared entries, each query
+    * starts from the top-ranked node of each of its [[SeededCells]]
+    * nearest coarse cells (the committed literal quantizer the
+    * SemDeDup gate serves with — reuse, not a new artifact), at the
+    * SAME per-query entry budget. Same graph, same beam, same hops —
+    * entry placement is the only variable, which is exactly what the
+    * family-table A/B in SCALING measures. Hash-gated end to end: the
+    * oracle replays cell assignment, per-cell rank, the probe rule,
+    * and every hop. */
+  val annGraphSearchSeeded: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = graft.ops.NnDescent.knnGraph(corpus, k = 5, iters = 2,
+      sample = 10, seed = "nnd")
+    val cents = graft.ops.IvfIndex.train(corpus, "id", "vec",
+      k = SeededK, iters = 2, seed = graft.ops.SelectedSeeds.ivf)
+    graft.ops.NnDescent.searchGraphCellSeeded(g, corpus, queries,
+        k = SearchK, cents,
+        nCells = SeededCells, perCell = SeededPerCell,
+        beam = SearchBeam, hops = SearchHops)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annGraphSearchSeededSql: String =
+    s"""WITH ${CorpusMlQueries.knnGraphCtesBody(" WHERE vec_id >= 5")},
+       |$graphSearchSeededCtes
        |SELECT qid, id, score, rank FROM (
        |  SELECT qid, id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
@@ -548,6 +643,7 @@ object ServeQueries {
     "text_calibration_platt" -> textCalibrationPlatt,
     "q_pack_bpe" -> qPackBpe,
     "ann_graph_search" -> annGraphSearch,
+    "ann_graph_search_seeded" -> annGraphSearchSeeded,
     "text_calibration_fit" -> textCalibrationFit,
     "text_calibration_fitted" -> textCalibrationFitted,
     "text_ppl_buckets" -> textPplBuckets,
@@ -560,6 +656,7 @@ object ServeQueries {
     "text_calibration_platt" -> textCalibrationPlattSql,
     "q_pack_bpe" -> qPackBpeSql,
     "ann_graph_search" -> annGraphSearchSql,
+    "ann_graph_search_seeded" -> annGraphSearchSeededSql,
     "text_calibration_fit" -> textCalibrationFitSql,
     "text_calibration_fitted" -> textCalibrationFittedSql,
     "text_ppl_buckets" -> textPplBucketsSql,

@@ -176,6 +176,37 @@ class GraphSearchSpec extends SparkSpec {
       s"source-id predicate must reach the scan:\n$plan")
   }
 
+  test("cell-seeded walk: indexed ≡ inline; entries respect the per-query budget and come from the query's probed cells") {
+    val cents = IvfIndex.train(corpus, "id", "vec", k = 16, iters = 2,
+      seed = SelectedSeeds.ivf)
+    val inline = NnDescent.searchGraphCellSeeded(graph, corpus, queries,
+        k = 10, cents, nCells = 3, perCell = 1, beam = 5, hops = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val path = graft.Staging.dirFor("graph-seeded-spec")
+    NnDescent.writeGraphIndex(graph, path, numBuckets = 8)
+    val indexed = NnDescent.searchGraphIndexedCellSeeded(spark, path,
+        corpus, queries, k = 10, cents, nCells = 3, perCell = 1,
+        beam = 5, hops = 3, numBuckets = 8)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(indexed == inline,
+      "seeded serving from the persisted adjacency must replay the inline walk")
+    assert(inline.nonEmpty && inline.size <= 5 * 10)
+    // entry pairs: ≤ nCells × perCell per query, each from a probed cell
+    val pairs = NnDescent.cellSeededEntryPairs(corpus, queries, cents,
+      nCells = 3, perCell = 2)
+    val perQ = pairs.groupBy("qid").count().select("count")
+      .as[Long].collect()
+    assert(perQ.nonEmpty && perQ.forall(_ <= 6L),
+      s"entry budget exceeded: $perQ")
+    val withCells = pairs
+      .join(corpus.select($"id",
+        IvfIndex.bestCell($"vec", cents).as("cell")), Seq("id"))
+    val probed = queries.select($"qid",
+        explode(IvfIndex.probeCells($"qvec", cents, 3)).as("cell"))
+    assert(withCells.join(probed, Seq("qid", "cell"), "left_anti").count() == 0L,
+      "every entry must sit in one of its query's probed cells")
+  }
+
   test("filtered serving: exhaustive expansion ≡ brute force over the FILTERED corpus; routing stays unfiltered") {
     val n = corpus.count().toInt
     val pred = $"id" % 3 === 0
