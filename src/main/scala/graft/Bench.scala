@@ -217,6 +217,8 @@ object Bench {
     // sf-independent fixture scan (15 files) + per-blob decode; banding,
     // Hamming verify, and components run over 15 64-bit signatures
     "multimodal_phash_dedup" -> 4.0,
+    // fixture-sized store build (10 sigs) + batch probe (5 sigs)
+    "multimodal_phash_inc" -> 4.0,
     // scan-speed caption gates + fixture-sized image component chain +
     // one pair window + the pack window — no corpus-wide text shuffles
     "corpus_pipeline_mm" -> 10.0,

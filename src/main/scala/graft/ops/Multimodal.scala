@@ -95,6 +95,39 @@ object Multimodal {
     meta.select(col("doc_id"), col("nFrames"),
       explode(sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frame_idx"))
 
+  /** The on-disk PERCEPTUAL image near-dup index — the image member of
+    * the incremental-probe family (text simhash:
+    * [[Dedup.writeSimhashIndex]]; banded MinHash: [[Dedup.bandIndex]];
+    * …): `sigs` is an (id, sig) relation of 64-bit [[
+    * graft.functions.ImagePhash]] aHashes (computed in the image scan
+    * — bytes never reach this function), landed as Manku block rows
+    * under `path/blocks/batch=<epoch>/b=<block>`, the simhash serving
+    * store's exact layout — so [[Retraction.retract]] epoch sweeps and
+    * [[Compaction.compactEpochs]] apply unchanged, and a probe's
+    * block-equality join prunes to block directories. */
+  def appendPhashIndexEpoch(sigs: DataFrame, path: String,
+      epoch: Long, blocks: Int = 4): Unit =
+    Dedup.simhashBlocks(sigs.select(col("id"), col("sig")), bits = 64,
+        blocks = blocks)
+      .repartition(col("b"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(s"$path/blocks/batch=$epoch")
+
+  /** Probe a NEW batch of image signatures against an
+    * [[appendPhashIndexEpoch]] store: every (new, stored) pair within
+    * Hamming `maxDist` — crawl-ingest image dedup, LOSSLESS for
+    * maxDist ≤ blocks−1 by the pigeonhole argument the text store
+    * rides. Only the arrivals are decoded/signed; the store is probed
+    * by (b, key) equality with the full signature riding the block
+    * rows (verification never re-reads an image). Emits
+    * (id1 = new, id2 = stored, dist). */
+  def newVsCorpusPhash(spark: SparkSession, path: String,
+      newSigs: DataFrame, maxDist: Int = 3, blocks: Int = 4): DataFrame =
+    Dedup.probeSimhash(spark.read.parquet(s"$path/blocks"),
+      newSigs.select(col("id"), col("sig")), bits = 64, blocks = blocks,
+      maxDist = maxDist)
+
   /** Metadata-only projection used by the SQL-oracle query: everything
     * here is derivable from byte length, exercising the rule that
     * metadata queries must not decode (or even read) content. */

@@ -1263,6 +1263,64 @@ object QueryCatalog {
        |ORDER BY i.file""".stripMargin
   }
 
+  /** INCREMENTAL image near-dup — the phash family's serving-store
+    * path ([[Multimodal.appendPhashIndexEpoch]] +
+    * [[Multimodal.newVsCorpusPhash]]): the fixture set splits into the
+    * accumulated CORPUS (the scene base images) and the ARRIVALS (the
+    * byte copy, JPEG re-encodes, one-pixel edit); the corpus signs
+    * once into the block store, the batch is decoded/signed and probed
+    * by block equality, verified by one bit_count(xor) — exactly the
+    * crawl-ingest image-dedup shape, lossless at Hamming ≤ 3. Each
+    * planted arrival must surface against ITS scene's base and nothing
+    * else (the oracle replays split + banding + verify from the
+    * manifest). */
+  val multimodalPhashInc: Q = (s, dir) => {
+    val bf = s.read.format("binaryFile")
+      .load(s"${graft.Tables.fixturesDir}/images_dup")
+    val all = bf.select(
+        element_at(split(col("path"), "/"), -1).as("file"), col("content"))
+      .withColumn("ph", graft.functions.functions.image_phash(col("content")))
+      .select(col("file"), Dedup.md5TokenHash60(col("file")).as("id"),
+        col("ph.ahash").as("sig"))
+      .localCheckpoint()
+    val isArrival = col("file").rlike("copy|q90|q70|pixel")
+    val storeDir = graft.Staging.dirFor("phash-inc-q")
+    Multimodal.appendPhashIndexEpoch(all.filter(!isArrival), storeDir,
+      epoch = 0L)
+    Multimodal.newVsCorpusPhash(s, storeDir, all.filter(isArrival),
+        maxDist = 3)
+      .join(all.select(col("id").as("id1"), col("file").as("file_new")),
+        Seq("id1"))
+      .join(all.select(col("id").as("id2"), col("file").as("file_store")),
+        Seq("id2"))
+      .select(col("file_new"), col("file_store"), col("dist"))
+      .orderBy(col("file_new"), col("file_store"))
+  }
+  /** Path-portable like [[multimodalRealSql]]; split + banding +
+    * Hamming verify replayed from the manifest's pinned signatures. */
+  def multimodalPhashIncSql: String = {
+    val bands = (0 until 4).map(b => s"(ahash >> ${b * 16}) & 65535")
+      .mkString(", ")
+    s"""WITH m AS (
+       |  SELECT file, ahash
+       |  FROM '${graft.Tables.fixturesDir}/images_dup_manifest.parquet'),
+       |arr AS (SELECT * FROM m WHERE regexp_matches(file, 'copy|q90|q70|pixel')),
+       |st AS (SELECT * FROM m WHERE NOT regexp_matches(file, 'copy|q90|q70|pixel')),
+       |ab AS (
+       |  SELECT file, ahash, unnest([$bands]) AS key,
+       |    unnest([0, 1, 2, 3]) AS b
+       |  FROM arr),
+       |sb AS (
+       |  SELECT file, ahash, unnest([$bands]) AS key,
+       |    unnest([0, 1, 2, 3]) AS b
+       |  FROM st)
+       |SELECT DISTINCT ab.file AS file_new, sb.file AS file_store,
+       |  CAST(bit_count(xor(ab.ahash, sb.ahash)) AS BIGINT) AS dist
+       |FROM ab JOIN sb ON ab.b = sb.b AND ab.key = sb.key
+       |WHERE bit_count(xor(ab.ahash, sb.ahash)) <= 3
+       |ORDER BY file_new, file_store""".stripMargin
+  }
+
   // ---------------------------------------------------------------- //
   // Registry                                                          //
   // ---------------------------------------------------------------- //
@@ -1306,7 +1364,8 @@ object QueryCatalog {
     "multimodal_frames" -> multimodalFrames,
     "multimodal_real" -> multimodalReal,
     "multimodal_audio" -> multimodalAudio,
-    "multimodal_phash_dedup" -> multimodalPhashDedup)
+    "multimodal_phash_dedup" -> multimodalPhashDedup,
+    "multimodal_phash_inc" -> multimodalPhashInc)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1347,5 +1406,6 @@ object QueryCatalog {
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_real" -> multimodalRealSql,
     "multimodal_audio" -> multimodalAudioSql,
-    "multimodal_phash_dedup" -> multimodalPhashDedupSql)
+    "multimodal_phash_dedup" -> multimodalPhashDedupSql,
+    "multimodal_phash_inc" -> multimodalPhashIncSql)
 }
