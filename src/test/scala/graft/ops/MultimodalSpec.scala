@@ -47,4 +47,42 @@ class MultimodalSpec extends SparkSpec {
       assert(idx.head == 0 && idx.forall(_ % 2 == 0))
     }
   }
+
+  test("phash store lifecycle: append epochs probe like one store; retraction removes the forgotten image; compaction preserves probes") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // signatures straight from the committed manifest (pinned by the
+    // multimodal_phash_dedup gate — this test is about the STORE)
+    val sigs = spark.read
+      .parquet(s"${graft.Tables.fixturesDir}/images_dup_manifest.parquet")
+      .select(Dedup.md5TokenHash60(col("file")).as("id"),
+        col("ahash").as("sig"), col("file"))
+      .localCheckpoint()
+    val store = sigs.filter(!col("file").rlike("copy|q90|q70|pixel"))
+      .select("id", "sig")
+    val arrivals = sigs.filter(col("file").rlike("copy|q90|q70|pixel"))
+      .select("id", "sig")
+    val dir = graft.Staging.dirFor("phash-lifecycle")
+    // two epochs by id parity ≡ one store
+    Multimodal.appendPhashIndexEpoch(store.filter($"id" % 2 === 0), dir, 0L)
+    Multimodal.appendPhashIndexEpoch(store.filter($"id" % 2 =!= 0), dir, 1L)
+    def probe() = Multimodal.newVsCorpusPhash(spark, dir, arrivals)
+      .as[(Long, Long, Long)].collect().toSet
+    val before = probe()
+    assert(before.size == 5, s"all planted arrivals must match: $before")
+    // retraction: forget one matched store image — its pairs vanish,
+    // everything else byte-identical semantics
+    val victim = before.head._2
+    Retraction.retract(spark, s"$dir/blocks", "id", Seq(victim),
+      nestedPartCols = Seq("b"))
+    val after = probe()
+    assert(after == before.filterNot(_._2 == victim),
+      "retraction must remove exactly the victim's pairs")
+    // compaction collapses epochs; probes unchanged
+    val n = Compaction.compactEpochs(spark, s"$dir/blocks", maxEpochId = 1L,
+      nestedPartCols = Seq("b"))
+    assert(n > 0, "compaction must collapse the two epochs")
+    assert(probe() == after, "compaction must not change any probe")
+  }
 }
