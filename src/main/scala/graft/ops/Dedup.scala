@@ -1324,18 +1324,30 @@ object Dedup {
     * is the repo's crash-safe tree swap ([[Retraction.recoverTree]]
     * discipline): the rebuild epoch is written COMPLETE to
     * `.blocks-tmp` first, then the live tree moves aside and the tmp
-    * renames in — a crash (or a concurrent probe) at any point sees
-    * either the full old blocks tree or the full new one, never a
-    * half-deleted layout. */
+    * renames in — a CRASH at any point leaves a layout [[Retraction
+    * .recoverTree]] restores to the full old tree or the full new one,
+    * never a half-deleted one. A concurrent reader racing the
+    * two-rename instant can still observe the path briefly absent
+    * (rename pairs are not atomic together); rebuild-while-serving
+    * deployments should retry a missing-path probe or rebuild into a
+    * fresh root — what the swap buys is that no crash strands the
+    * store unreadable. */
   def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, tokenHash: Column => Column = md5TokenHash60,
       bits: Int = 60, blocks: Int = 4, epoch: Long = 0L): Unit = {
     val spark = corpus.sparkSession
     Retraction.recoverTree(spark, path, "blocks")
-    writeSimhashBlocksTo(corpus, idCol, textCol,
-      s"$path/.blocks-tmp/batch=$epoch", tokenHash, bits, blocks)
     val p = (s: String) => new org.apache.hadoop.fs.Path(s)
     val fs = p(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // a tmp surviving recovery is a crashed FIRST build's partial write
+    // (no live tree existed to anchor the repair) — it is ours to
+    // clobber, and MUST be: the per-epoch overwrite below clears only
+    // its own batch= partition, so a stale partial epoch at a different
+    // id would otherwise rename into the live store
+    if (fs.exists(p(s"$path/.blocks-tmp")))
+      fs.delete(p(s"$path/.blocks-tmp"), true)
+    writeSimhashBlocksTo(corpus, idCol, textCol,
+      s"$path/.blocks-tmp/batch=$epoch", tokenHash, bits, blocks)
     val live = p(s"$path/blocks")
     if (fs.exists(live)) fs.rename(live, p(s"$path/.blocks-aside"))
     fs.rename(p(s"$path/.blocks-tmp"), live)

@@ -135,15 +135,19 @@ object TextIndex {
     // delta writes NOTHING — neither postings nor a (0, NULL) estats
     // row whose sum_dl would null the summed avgdl in a store holding
     // only such epochs. One bounded probe; the postings slice is
-    // delta-sized, so the localCheckpoint is batch-cost.
+    // delta-sized, so the localCheckpoint is batch-cost — and released
+    // before returning, so a foreachBatch caller's epochs don't pin
+    // executor storage for the stream's lifetime.
     val post = postings(delta, idCol, textCol)
       .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)))
       .localCheckpoint()
-    if (post.isEmpty) return
-    post.write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$path/postings/batch=$epoch")
-    epochStats(post)
-      .write.mode("overwrite").parquet(s"$path/estats/batch=$epoch")
+    try {
+      if (post.isEmpty) return
+      post.write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$path/postings/batch=$epoch")
+      epochStats(post)
+        .write.mode("overwrite").parquet(s"$path/estats/batch=$epoch")
+    } finally { post.unpersist(false); () }
   }
 
   /** The additive per-epoch statistics relation from a postings slice:
@@ -163,6 +167,13 @@ object TextIndex {
       queryTerms: Seq[String], k: Int, nBuckets: Int = 64,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
+    // a store whose every append was empty never materialized the
+    // postings tree (the skip policy above) — the probe's answer is
+    // the EMPTY relation, not a missing-path error
+    val root = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root))
+      return Seq.empty[(Long, Double, Int)].toDF("id", "score", "rk")
     val qt = queryTerms.distinct
     val buckets = qt.toDF("token")
       .select(pmod(xxhash64(col("token")), lit(nBuckets)).as("tb"))

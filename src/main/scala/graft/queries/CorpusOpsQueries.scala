@@ -408,34 +408,14 @@ object CorpusOpsQueries {
     * pair-dedup stage must remove. */
   val corpusPipelineMm: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val D = graft.ops.Dedup
     // caption side: scan-speed gates (known language, quality floor)
     val gated = Curation.score(Tables.documents(s, dir))
       .filter(col("lang_pred") =!= "und" && col("quality") >= 0.55)
       .select(col("doc_id"), col("text"), col("n_tokens"))
-    // image side: perceptual signatures from BYTES, then the Manku
-    // banding → Hamming verify → components chain → exemplar per file
-    val bf = s.read.format("binaryFile")
-      .load(s"${graft.Tables.fixturesDir}/images_dup")
-    val sigs = bf.select(
-        element_at(split(col("path"), "/"), -1).as("file"), col("content"))
-      .withColumn("ph", graft.functions.functions.image_phash(col("content")))
-      .select(col("file"), D.md5TokenHash60(col("file")).as("id"),
-        col("ph.ahash").as("ahash"))
-      .localCheckpoint()
-    val banded = sigs.select(col("id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL)): _*)))
-      .toDF("id", "band", "bucket")
-    val verified = D.starEdges(banded)
-      .join(sigs.select(col("id"), col("ahash").as("sigA")), Seq("id"))
-      .join(sigs.select(col("id").as("root"), col("ahash").as("sigB")), Seq("root"))
-      .filter(D.hamming(col("sigA"), col("sigB")) <= 3)
-      .select(col("id"), col("root"))
-    val comps = D.componentsFromStar(sigs.select(col("id")), verified)
-    val ranked = sigs.join(comps, Seq("id"))
-      .join(sigs.select(col("id").as("component"), col("file").as("exemplar")),
-        Seq("component"))
+    // image side: ONE definition of the perceptual-cluster chain,
+    // shared with the `multimodal_phash_dedup` gate
+    // (QueryCatalog.phashExemplars) — the flagship cannot drift from it
+    val ranked = QueryCatalog.phashExemplars(s)
       .select(col("file"), col("exemplar"))
       .withColumn("idx", row_number().over(Window.orderBy(col("file"))) - 1)
     val nImg = ranked.count().toInt
@@ -472,10 +452,6 @@ object CorpusOpsQueries {
     * × the pack window. */
   val corpusPipelineMmSql: String = {
     val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
-    val bandExprs = (0 until 4).map(b => s"(ahash >> ${b * 16}) & 65535").mkString(", ")
     s"""WITH RECURSIVE lt AS (
        |  SELECT doc_id,
        |    list_transform(string_split_regex(text, '\\s+'), x -> lower(x)) AS t
@@ -512,39 +488,15 @@ object CorpusOpsQueries {
        |                 t -> list_contains([$stops], t))) AS DOUBLE)
        |               / len(string_split_regex(d.text, '\\s+'))
        |          ELSE 0.0 END) * 4.0, 1.0) * 0.3, 4) >= 0.55),
-       |m AS (
-       |  SELECT file, ahash
-       |  FROM '${graft.Tables.fixturesDir}/images_dup_manifest.parquet'),
-       |ids AS (
-       |  SELECT file, ahash, CAST($hexVal AS BIGINT) AS id
-       |  FROM (SELECT file, ahash, substring(md5(file), 1, 15) AS h15 FROM m)),
-       |banded AS (
-       |  SELECT id, unnest([$bandExprs]) AS bucket, unnest([0, 1, 2, 3]) AS band
-       |  FROM ids),
-       |mins AS (SELECT band, bucket, min(id) AS root FROM banded GROUP BY band, bucket),
-       |star AS (
-       |  SELECT DISTINCT b.id, m2.root FROM banded b JOIN mins m2 USING (band, bucket)
-       |  WHERE b.id <> m2.root),
-       |pverified AS (
-       |  SELECT s.id, s.root FROM star s
-       |  JOIN ids a ON a.id = s.id JOIN ids r ON r.id = s.root
-       |  WHERE bit_count(xor(a.ahash, r.ahash)) <= 3),
-       |edges AS (
-       |  SELECT id AS src, root AS dst FROM pverified
-       |  UNION SELECT root AS src, id AS dst FROM pverified),
-       |reach(id, label) AS (
-       |  SELECT id, id FROM ids
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |${QueryCatalog.phashComponentCtes},
        |ranked AS (
        |  SELECT i.file, x.file AS exemplar,
        |    row_number() OVER (ORDER BY i.file) - 1 AS idx
-       |  FROM ids i JOIN comp c ON c.id = i.id
-       |  JOIN ids x ON x.id = c.component),
+       |  FROM pids i JOIN pcomp c ON c.id = i.id
+       |  JOIN pids x ON x.id = c.component),
        |pairs AS (
        |  SELECT g.doc_id, g.text, g.n_tokens,
-       |    CAST((g.doc_id + kk.k) % (SELECT count(*) FROM m) AS INT) AS idx,
+       |    CAST((g.doc_id + kk.k) % (SELECT count(*) FROM pm) AS INT) AS idx,
        |    g.doc_id * 2 + kk.k AS pair_id
        |  FROM gated g CROSS JOIN (SELECT unnest([0, 1]) AS k) kk),
        |dd AS (

@@ -1199,7 +1199,14 @@ object QueryCatalog {
     * banding join is the simhash serving path's, so the 100 TB story
     * (block-pruned candidates, component graph bounded by duplicate
     * structure) is inherited, not new. */
-  val multimodalPhashDedup: Q = (s, dir) => {
+  /** The perceptual-cluster chain shared by [[multimodalPhashDedup]]
+    * and the cross-modal flagship (`corpus_pipeline_mm`): sign the
+    * committed fixture bytes, Manku-band the 64-bit aHash through the
+    * simhash block machinery, star-edge + exact-Hamming-verify,
+    * resolve components, name each file's exemplar. One definition so
+    * the flagship can never de-synchronize from the dedup gate.
+    * Returns (file, ahash, dhash, exemplar). */
+  private[queries] def phashExemplars(s: SparkSession): DataFrame = {
     val bf = s.read.format("binaryFile")
       .load(s"${graft.Tables.fixturesDir}/images_dup")
     val sigs = bf.select(
@@ -1208,10 +1215,9 @@ object QueryCatalog {
       .select(col("file"), Dedup.md5TokenHash60(col("file")).as("id"),
         col("ph.ahash").as("ahash"), col("ph.dhash").as("dhash"))
       .localCheckpoint()
-    val banded = sigs.select(col("id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL)): _*)))
-      .toDF("id", "band", "bucket")
+    val banded = Dedup.simhashBlocks(
+        sigs.select(col("id"), col("ahash").as("sig")), bits = 64, blocks = 4)
+      .select(col("id"), col("b").as("band"), col("key").as("bucket"))
     val verified = Dedup.starEdges(banded)
       .join(sigs.select(col("id"), col("ahash").as("sigA")), Seq("id"))
       .join(sigs.select(col("id").as("root"), col("ahash").as("sigB")), Seq("root"))
@@ -1222,46 +1228,54 @@ object QueryCatalog {
       .join(sigs.select(col("id").as("component"), col("file").as("exemplar")),
         Seq("component"))
       .select(col("file"), col("ahash"), col("dhash"), col("exemplar"))
-      .orderBy(col("file"))
   }
-  /** Path-portable like [[multimodalRealSql]]; the banding, Hamming
-    * verify, and label-fixpoint components replay the `dedup_cluster`
-    * oracle structure over the manifest's pinned signatures. */
-  def multimodalPhashDedupSql: String = {
+
+  /** The DuckDB twin of [[phashExemplars]] — the manifest replay CTEs
+    * ending in `pids(file, ahash, dhash, id)`, `pcomp(id, component)`.
+    * Shared verbatim by both phash-cluster oracles. */
+  private[queries] def phashComponentCtes: String = {
     val hexVal = (0 until 15).map(i =>
       s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
       .mkString(" + ")
     val bandExprs = (0 until 4).map(b => s"(ahash >> ${b * 16}) & 65535").mkString(", ")
-    s"""WITH RECURSIVE m AS (
+    s"""pm AS (
        |  SELECT file, ahash, dhash
        |  FROM '${graft.Tables.fixturesDir}/images_dup_manifest.parquet'),
-       |ids AS (
+       |pids AS (
        |  SELECT file, ahash, dhash, CAST($hexVal AS BIGINT) AS id
-       |  FROM (SELECT file, ahash, dhash, substring(md5(file), 1, 15) AS h15 FROM m)),
-       |banded AS (
+       |  FROM (SELECT file, ahash, dhash, substring(md5(file), 1, 15) AS h15 FROM pm)),
+       |pbanded AS (
        |  SELECT id, unnest([$bandExprs]) AS bucket, unnest([0, 1, 2, 3]) AS band
-       |  FROM ids),
-       |mins AS (SELECT band, bucket, min(id) AS root FROM banded GROUP BY band, bucket),
-       |star AS (
-       |  SELECT DISTINCT b.id, m.root FROM banded b JOIN mins m USING (band, bucket)
-       |  WHERE b.id <> m.root),
-       |verified AS (
-       |  SELECT s.id, s.root FROM star s
-       |  JOIN ids a ON a.id = s.id JOIN ids r ON r.id = s.root
+       |  FROM pids),
+       |pmins AS (SELECT band, bucket, min(id) AS root FROM pbanded GROUP BY band, bucket),
+       |pstar AS (
+       |  SELECT DISTINCT b.id, m2.root FROM pbanded b JOIN pmins m2 USING (band, bucket)
+       |  WHERE b.id <> m2.root),
+       |pverified AS (
+       |  SELECT s.id, s.root FROM pstar s
+       |  JOIN pids a ON a.id = s.id JOIN pids r ON r.id = s.root
        |  WHERE bit_count(xor(a.ahash, r.ahash)) <= 3),
-       |edges AS (
-       |  SELECT id AS src, root AS dst FROM verified
-       |  UNION SELECT root AS src, id AS dst FROM verified),
-       |reach(id, label) AS (
-       |  SELECT id, id FROM ids
+       |pedges AS (
+       |  SELECT id AS src, root AS dst FROM pverified
+       |  UNION SELECT root AS src, id AS dst FROM pverified),
+       |preach(id, label) AS (
+       |  SELECT id, id FROM pids
        |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
-       |SELECT i.file, i.ahash, i.dhash, x.file AS exemplar
-       |FROM ids i JOIN comp c ON c.id = i.id
-       |JOIN ids x ON x.id = c.component
-       |ORDER BY i.file""".stripMargin
+       |  SELECT e.dst, r.label FROM preach r JOIN pedges e ON e.src = r.id),
+       |pcomp AS (SELECT id, min(label) AS component FROM preach GROUP BY id)""".stripMargin
   }
+
+  val multimodalPhashDedup: Q = (s, dir) =>
+    phashExemplars(s).orderBy(col("file"))
+  /** Path-portable like [[multimodalRealSql]]; the banding, Hamming
+    * verify, and label-fixpoint components replay the `dedup_cluster`
+    * oracle structure over the manifest's pinned signatures. */
+  def multimodalPhashDedupSql: String =
+    s"""WITH RECURSIVE $phashComponentCtes
+       |SELECT i.file, i.ahash, i.dhash, x.file AS exemplar
+       |FROM pids i JOIN pcomp c ON c.id = i.id
+       |JOIN pids x ON x.id = c.component
+       |ORDER BY i.file""".stripMargin
 
   /** INCREMENTAL image near-dup — the phash family's serving-store
     * path ([[Multimodal.appendPhashIndexEpoch]] +

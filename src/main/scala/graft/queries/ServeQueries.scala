@@ -165,9 +165,11 @@ object ServeQueries {
     * scale-adaptive entry selection (round-18 missing #5): instead of
     * [[SearchEntries]] md5-rank-uniform shared entries, each query
     * starts from the top-ranked node of each of its [[SeededCells]]
-    * nearest coarse cells (the committed literal quantizer the
-    * SemDeDup gate serves with — reuse, not a new artifact), at the
-    * SAME per-query entry budget. Same graph, same beam, same hops —
+    * nearest coarse cells of a TRAINED [[SeededK]]-cell k-means at the
+    * IVF family's selected seed (the A/B in SCALING: random-projection
+    * literal cells LOSE to uniform entries — only real Voronoi
+    * structure pays), at the SAME per-query entry budget. Same graph,
+    * same beam, same hops —
     * entry placement is the only variable, which is exactly what the
     * family-table A/B in SCALING measures. Hash-gated end to end: the
     * oracle replays cell assignment, per-cell rank, the probe rule,

@@ -26,8 +26,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   3. survivors probe the accumulated block store (this epoch's own
   *      partition excluded — replay idempotence);
   *   4. accepted images append to the corpus sink AND their block rows
-  *      to the store ([[graft.ops.Multimodal.appendPhashIndexEpoch]]'s
-  *      layout, so retraction/compaction sweeps apply unchanged).
+  *      to the store in the GATE family's flat per-epoch layout
+  *      (`batch=<id>` with `b` as a data column — [[SimhashGate]]'s,
+  *      NOT the serving store's nested `b=` tree): the generic epoch
+  *      sweeps apply in their flat form —
+  *      `Retraction.retract(indexDir, "id", ids)` and
+  *      `Compaction.compactEpochs(indexDir, h)` with no
+  *      `nestedPartCols` (mixing forms corrupts partition discovery).
+  *      The on-disk SERVING index remains
+  *      [[graft.ops.Multimodal.appendPhashIndexEpoch]].
   */
 object PhashGate {
 

@@ -127,6 +127,9 @@ object RecallStream {
     if (!fresh.isEmpty)
       graft.ops.NnDescent.maintainGraphEpoch(fresh, all, graphDir,
         batchId, buildK, buildIters, numBuckets)
+    // release the epoch's checkpointed slice — a forever-running
+    // monitor must not accumulate one pinned RDD per micro-batch
+    fresh.unpersist(false)
     // COLD START with nothing to serve: if no non-empty epoch has ever
     // maintained the index (an empty or fully-duplicate first batch —
     // the replayed-empty-trigger case), there is no graph to probe and
@@ -213,6 +216,8 @@ object RecallStream {
       nBuckets)
     IvfIndex.writeIndexed(fresh.select(col("id"), col("vec")), centroids,
       s"$annDir/batch=$batchId")
+    // release the epoch's checkpointed slice (the graph monitor's rule)
+    fresh.unpersist(false)
     // cold start: nothing servable yet (empty/duplicate-only epochs) —
     // the graph monitor's empty-metrics convention
     if (IngestGate.readIfAny(spark, s"$lexDir/postings").isEmpty ||

@@ -166,6 +166,19 @@ class SimhashIncSpec extends SparkSpec {
     Retraction.recoverTree(spark, idx, "blocks")
     assert(storedIds() == Set(1L))
     assert(!fs.exists(new Path(s"$idx/.blocks-aside")))
+
+    // window D — a crashed FIRST-EVER build (partial tmp, NO live, NO
+    // aside) at a DIFFERENT epoch id: the rebuild must clobber the
+    // stale tmp, not rename its partial epoch into the live store
+    val idx2 = graft.Staging.dirFor("simhash-inc-crash-first")
+    fs.mkdirs(new Path(s"$idx2/.blocks-tmp/batch=5"))
+    Dedup.writeSimhashIndex(newC, "doc_id", "text", idx2, epoch = 0L)
+    val batches = fs.listStatus(new Path(s"$idx2/blocks"))
+      .map(_.getPath.getName).toSet
+    assert(batches == Set("batch=0"),
+      s"stale first-build tmp must never reach the live store: $batches")
+    assert(spark.read.parquet(s"$idx2/blocks")
+      .select("id").distinct().as[Long].collect().toSet == Set(10L))
   }
 
   test("cap-and-flag: the capped probe names exactly the planted mega-cluster's buckets and withholds its pairs; a loose cap changes nothing") {

@@ -159,6 +159,14 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.appendPostingsEpoch(docs, "doc_id", "text", idx, epoch = 0L)
     val before = TextIndex.bm25TopKEpochs(spark, idx, terms, k = 10)
       .as[(Long, Double, Int)].collect().toSeq
+    // a store whose ONLY append was empty has no postings tree — the
+    // probe answers with the empty relation, not a missing-path error
+    val neverIdx = graft.Staging.dirFor("bm25-never-epoch-spec")
+    TextIndex.appendPostingsEpoch(
+      Seq((200L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", neverIdx, epoch = 0L)
+    assert(TextIndex.bm25TopKEpochs(spark, neverIdx, terms, k = 10)
+      .count() == 0L, "an only-empty-appends store must probe empty")
     // a delta whose every doc tokenizes to nothing must write NEITHER
     // postings nor a (0, NULL) estats row
     TextIndex.appendPostingsEpoch(
