@@ -375,7 +375,7 @@ object EvalQueries {
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val cb = graft.ops.PqIndex.train(corpus, "id", "vec",
-      m = 8, k = 16, iters = 2)
+      m = 8, k = 16, iters = 2, seed = graft.ops.SelectedSeeds.pq)
     val sys = graft.ops.PqIndex.topK(queries, corpus, cb,
       k = EvalK, shortlist = 100)
     val gt = Similarity.bruteForceTopK(queries, corpus, k = EvalK)
@@ -385,7 +385,7 @@ object EvalQueries {
   val qRetrievalEvalPqSql: String =
     s"""WITH ${QueryCatalog.annQcCtes},
        |${QueryCatalog.annGtScoredCte},
-       |${QuantizerReplay.pqTrainCtes("c")},
+       |${QuantizerReplay.pqTrainCtes("c", seed = graft.ops.SelectedSeeds.pq)},
        |${QuantizerReplay.pqProbeCtes("pqcent2", shortlist = 100)},
        |sysk AS (SELECT qid, id, rank FROM pqrank WHERE rank <= $EvalK),
        |$metricsTailSql""".stripMargin
