@@ -210,6 +210,9 @@ object Bench {
     "text_rank" -> 7.0,
     // bin histogram + bounded per-group window over ≤ bins rows
     "q_quantile_sketch" -> 3.0,
+    // sf-independent fixture scan (16 pages) + O(|html|) codegen'd
+    // extraction walk per page
+    "text_html_extract" -> 3.0,
     // sf-independent fixture scan (40 files) + O(header) byte probe
     "multimodal_real" -> 3.0,
     // sf-independent fixture scan (14 files) + O(header) container walk
@@ -219,6 +222,12 @@ object Bench {
     "multimodal_phash_dedup" -> 4.0,
     // fixture-sized store build (10 sigs) + batch probe (5 sigs)
     "multimodal_phash_inc" -> 4.0,
+    // 7-clip fixture scan + per-frame decode (22 frames); banding,
+    // dual verify, evidence count, components over 22 signatures
+    "multimodal_video_dedup" -> 4.0,
+    // fixture-sized (15-pair) cross-modal IVF probe + brute-force
+    // ground truth + the shared metric fold
+    "q_retrieval_eval_mm" -> 4.0,
     // scan-speed caption gates + fixture-sized image component chain +
     // one pair window + the pack window — no corpus-wide text shuffles
     "corpus_pipeline_mm" -> 10.0,

@@ -20,20 +20,26 @@ import org.apache.spark.sql.types._
   * of like a hash" family, public algorithm):
   *   - decode the image (JDK `javax.imageio` — PNG/JPEG/GIF, no
   *     external library, the [[graft.tools.GenImageFixtures]] encoder's
-  *     own inverse);
-  *   - integer luminance per pixel (299·R + 587·G + 114·B — kept ×1000,
-  *     never divided, so the math is exact);
-  *   - exact area-average downsample to an 8×8 grid (aHash) and 9×8
-  *     grid (dHash) — integer sums over disjoint pixel blocks, no
-  *     float resampling, so the same bytes hash identically on every
-  *     JVM;
+  *     own inverse), but only after a header-only dimension probe
+  *     rejects anything over [[ImagePhash.MaxPixels]] — crawl bytes
+  *     are untrusted, and a decompression-bomb PNG/GIF (tiny payload,
+  *     huge declared W×H) must become NULL at the header, not an
+  *     executor-killing gigapixel allocation;
+  *   - integer luminance per pixel (299·R + 587·G + 114·B, a ×1000
+  *     fixed-point weighting);
+  *   - area-average downsample to an 8×8 grid (aHash) and 9×8 grid
+  *     (dHash) — integer sums over disjoint pixel blocks with ONE
+  *     deterministic truncating integer division per cell, no float
+  *     resampling, so the same bytes hash identically on every JVM;
   *   - aHash bit (r,c) = cell > grid mean (compared cross-multiplied:
   *     `cell·64 > Σcells`, no division rounding); dHash bit (r,c) =
   *     cell(r,c) < cell(r,c+1) (the horizontal gradient sign).
   *
   * A re-encode (PNG→JPEG), a quality change, or a one-pixel edit moves
   * 0–2 of the 64 bits (measured on the committed fixture scenes);
-  * distinct scenes sit ≥ 15 bits apart — which is exactly the regime
+  * distinct scenes sit ≥ 8 bits apart (the margin
+  * [[graft.tools.GenPhashFixtures]] enforces at write time) — which is
+  * exactly the regime
   * Manku-style block banding ([[graft.ops.Dedup.simhashBlocks]], 4
   * blocks × 16 bits, lossless at Hamming ≤ 3) was built for, so the
   * EXISTING simhash candidate machinery serves image near-dup unchanged.
@@ -53,6 +59,12 @@ object ImagePhash {
   // in-memory ImageIO only: the default file-backed stream cache would
   // put a temp-file write on every executor decode
   ImageIO.setUseCache(false)
+
+  /** Decode budget for untrusted bytes: a declared width×height above
+    * this (64 MP — far past any sane crawl image, far below the
+    * gigapixel allocations a bomb declares) yields NULL without ever
+    * allocating the pixel buffer. */
+  val MaxPixels: Long = 64L * 1024 * 1024
 
   /** Exact integer area-average grayscale grid: cell (i,j) averages
     * luminance×1000 over pixel block [i·h/gh,(i+1)·h/gh)×[j·w/gw,
@@ -93,13 +105,38 @@ object ImagePhash {
   }
 
   /** Called from both interpreted eval and generated Java. Null for
-    * anything javax.imageio cannot decode. */
+    * anything javax.imageio cannot decode — and, BEFORE any pixel
+    * allocation, for anything whose header declares more than
+    * [[MaxPixels]] (the decompression-bomb guard: `ImageReader
+    * .getWidth/getHeight` read the header only). */
   def parse(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length == 0) return null
     val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              if (w < 1 || h < 1 || w * h > MaxPixels) null
+              else reader.read(0)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => null }
     if (img == null || img.getWidth < 1 || img.getHeight < 1) return null
+    val sig = hashImage(img)
+    new GenericInternalRow(Array[Any](sig(0), sig(1)))
+  }
+
+  /** The raster → (aHash, dHash) core, shared with the per-frame
+    * variant ([[ImageFramePhash]]). */
+  private[functions] def hashImage(img: java.awt.image.BufferedImage): Array[Long] = {
     // aHash: 8x8 cells vs the grid mean, compared cross-multiplied
     val a = grid(img, 8, 8)
     var sum = 0L
@@ -120,7 +157,7 @@ object ImagePhash {
       }
       r += 1
     }
-    new GenericInternalRow(Array[Any](ahash, dhash))
+    Array(ahash, dhash)
   }
 
   val schema: StructType = StructType(Seq(

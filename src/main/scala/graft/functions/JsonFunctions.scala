@@ -259,6 +259,16 @@ object functions {
     * binary → struct(ahash, dhash), NULL for undecodable blobs. */
   def image_phash(c: Column): Column = col(ImagePhashExpr(expr(c)))
 
+  /** C4-style HTML → clean text extraction (tag/script/comment strip,
+    * entity decode, block-level line breaks, whitespace collapse) —
+    * the text pipeline's crawl front end. Never throws. */
+  def html_text(c: Column): Column = col(HtmlTextExpr(expr(c)))
+
+  /** Per-frame perceptual signatures for multi-frame media (animated
+    * GIF): binary → array<struct(frame_idx, ahash, dhash)>, NULL for
+    * undecodable blobs. */
+  def image_frame_phashes(c: Column): Column = col(ImageFramePhashExpr(expr(c)))
+
   /** Argmax centroid index over a matrix-as-data quantizer (rows must be
     * pre-normalized for cosine ordering). O(1) codegen size in k. */
   def best_cell(vec: Column, unitCentroids: Array[Array[Double]]): Column =

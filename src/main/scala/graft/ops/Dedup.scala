@@ -1270,21 +1270,25 @@ object Dedup {
     * w = bits/blocks; `blocks` must divide `bits` so the agreement
     * regions PARTITION the signature exactly — the pigeonhole guarantee
     * in [[newVsCorpusSimhash]] depends on it. Pure bit arithmetic
-    * (shift + mask), fully codegen'd. */
-  def simhashBlocks(sigs: DataFrame, bits: Int, blocks: Int): DataFrame = {
+    * (shift + mask), fully codegen'd. `carry` names extra input columns
+    * to ride along on every block row (the phash family carries its
+    * secondary `dsig` signature this way — a projection, never a
+    * join-back). */
+  def simhashBlocks(sigs: DataFrame, bits: Int, blocks: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(blocks >= 1 && bits % blocks == 0,
       s"blocks must divide bits, got bits=$bits blocks=$blocks")
     val w = bits / blocks
     // w = 64 (bits=64, blocks=1): `1L << 64` wraps to 1 on the JVM and
     // would zero every key — the full-width block keeps the whole sig
     val mask = if (w == 64) -1L else (1L << w) - 1
-    sigs.select(col("id"), col("sig"),
+    sigs.select(col("id") +: col("sig") +: carry.map(col) :+
         explode(array((0 until blocks).map(b =>
           struct(lit(b).as("b"),
             shiftright(col("sig"), b * w).bitwiseAND(mask).as("key"))): _*))
-          .as("blk"))
-      .select(col("blk.key").as("key"), col("blk.b").as("b"),
-        col("id"), col("sig"))
+          .as("blk"): _*)
+      .select(col("blk.key").as("key") +: col("blk.b").as("b") +:
+        col("id") +: col("sig") +: carry.map(col): _*)
   }
 
   /** The on-disk SIMHASH near-dup index — the Hamming-space member of

@@ -1,17 +1,17 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video payloads as opaque
-  * `binary` columns with a typed metadata struct, plus decode /
-  * feature-extract / resize / frame-sample operators.
-  *
-  * The Spark-side plumbing — schema, batch iteration via typed
-  * `mapPartitions`, partition sizing — is real and tested. The actual
-  * codec calls are STUBBED behind [[MediaCodec]] with a deterministic
-  * fake (the image/audio libraries are not in this container); swapping
-  * in a real decoder changes one function, not the pipeline.
+  * `binary` columns, interpreted ONLY at the scan edge by the codegen'd
+  * header/pixel probes ([[graft.functions.ImageMeta]],
+  * [[graft.functions.MediaMeta]], [[graft.functions.ImagePhash]],
+  * [[graft.functions.ImageFramePhash]]) — everything downstream of
+  * those calls treats content as bytes again. The deterministic
+  * byte-length STUB codec that carried this family rounds 8–19 was
+  * retired in round 20: every committed query now decodes real
+  * committed container bytes.
   *
   * Scale notes: media rows are wide (MBs); pipelines must set
   * `spark.sql.files.maxPartitionBytes` so a partition of binaries fits
@@ -21,94 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  case class MediaMeta(format: String, width: Int, height: Int,
-      nFrames: Int, sampleRateHz: Int, nBytes: Long)
-  case class MediaRow(doc_id: Long, content: Array[Byte], meta: MediaMeta)
-  case class MediaFeatures(doc_id: Long, width: Int, height: Int,
-      nFrames: Int, brightness: Double)
-
-  /** STUB codec: deterministic fake decode deriving metadata purely from
-    * the byte content. Replace with a real image/audio library in
-    * production — the signature (bytes → metadata/features) is the
-    * integration point. */
-  object MediaCodec {
-    /** STUB — real impl: image header parse (PNG/JPEG). Deterministic
-      * fake: dimensions derived from byte length and first bytes. */
-    def decodeMeta(bytes: Array[Byte]): MediaMeta = {
-      val n = if (bytes == null) 0L else bytes.length.toLong
-      MediaMeta(
-        format = if (n % 2 == 0) "png" else "jpeg",
-        width = (16 + n % 64).toInt,
-        height = (16 + (n * 7) % 64).toInt,
-        nFrames = (n % 8 + 1).toInt,
-        sampleRateHz = 16000,
-        nBytes = n)
-    }
-    /** STUB — real impl: pixel decode + mean luminance. Deterministic
-      * fake: mean byte value scaled to [0,1]. */
-    def extractFeatures(bytes: Array[Byte]): Double = {
-      if (bytes == null || bytes.isEmpty) 0.0
-      else {
-        var s = 0L; var i = 0
-        while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
-        math.round(s.toDouble / bytes.length / 255.0 * 10000).toDouble / 10000.0
-      }
-    }
-  }
-
-  /** Attach a deterministic fake binary payload to a text corpus (the
-    * test stand-in for real media ingestion: content bytes are the UTF-8
-    * text, which makes every downstream metadata value reproducible). */
-  def withFakeBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
-      encode(col(textCol), "UTF-8").as("content"))
-
-  /** Decode metadata for each media row via typed mapPartitions — the
-    * batch shape a real codec needs (one codec init per partition, not
-    * per row). */
-  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaRow] = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // real codecs initialize native state here, once per partition
-        it.map { case (id, bytes) => MediaRow(id, bytes, MediaCodec.decodeMeta(bytes)) }
-      }
-  }
-
-  /** Feature extraction (decode + reduce) keeping only narrow outputs —
-    * the binary never leaves the executor. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val m = MediaCodec.decodeMeta(bytes)
-          MediaFeatures(id, m.width, m.height, m.nFrames, MediaCodec.extractFeatures(bytes))
-        }
-      }
-  }
-
-  /** Frame sampling: one output row per sampled frame index (every
-    * `stride`-th frame) — pure relational explode over the metadata, no
-    * decode needed until the frame is actually read. */
-  def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
-    meta.select(col("doc_id"), col("nFrames"),
-      explode(sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frame_idx"))
-
   /** The on-disk PERCEPTUAL image near-dup index — the image member of
     * the incremental-probe family (text simhash:
     * [[Dedup.writeSimhashIndex]]; banded MinHash: [[Dedup.bandIndex]];
-    * …): `sigs` is an (id, sig) relation of 64-bit [[
-    * graft.functions.ImagePhash]] aHashes (computed in the image scan
-    * — bytes never reach this function), landed as Manku block rows
-    * under `path/blocks/batch=<epoch>/b=<block>`, the simhash serving
-    * store's exact layout — so [[Retraction.retract]] epoch sweeps and
-    * [[Compaction.compactEpochs]] apply unchanged, and a probe's
-    * block-equality join prunes to block directories. */
+    * …): `sigs` is an (id, sig, dsig) relation of the 64-bit [[
+    * graft.functions.ImagePhash]] aHash/dHash pair (computed in the
+    * image scan — bytes never reach this function), landed as Manku
+    * block rows under `path/blocks/batch=<epoch>/b=<block>`, the
+    * simhash serving store's exact layout — so [[Retraction.retract]]
+    * epoch sweeps and [[Compaction.compactEpochs]] apply unchanged,
+    * and a probe's block-equality join prunes to block directories.
+    * Banding is over the aHash only (one candidate space); the dHash
+    * rides every block row as `dsig` so [[newVsCorpusPhash]] can
+    * verify BOTH signatures index-locally. */
   def appendPhashIndexEpoch(sigs: DataFrame, path: String,
       epoch: Long, blocks: Int = 4): Unit =
-    Dedup.simhashBlocks(sigs.select(col("id"), col("sig")), bits = 64,
-        blocks = blocks)
+    Dedup.simhashBlocks(sigs.select(col("id"), col("sig"), col("dsig")),
+        bits = 64, blocks = blocks, carry = Seq("dsig"))
       .repartition(col("b"))
       .sortWithinPartitions(col("key"))
       .write.mode("overwrite").partitionBy("b")
@@ -116,26 +45,39 @@ object Multimodal {
 
   /** Probe a NEW batch of image signatures against an
     * [[appendPhashIndexEpoch]] store: every (new, stored) pair within
-    * Hamming `maxDist` — crawl-ingest image dedup, LOSSLESS for
-    * maxDist ≤ blocks−1 by the pigeonhole argument the text store
-    * rides. Only the arrivals are decoded/signed; the store is probed
-    * by (b, key) equality with the full signature riding the block
-    * rows (verification never re-reads an image). Emits
-    * (id1 = new, id2 = stored, dist). */
+    * Hamming `maxDist` on BOTH perceptual signatures — aHash
+    * candidates are LOSSLESS for maxDist ≤ blocks−1 by the pigeonhole
+    * argument the text store rides, and the dHash confirm rejects the
+    * luminance-preserving gradient edits aHash alone cannot see (one
+    * extra bit_count(xor) on already-matched candidates — free). Only
+    * the arrivals are decoded/signed; the store is probed by (b, key)
+    * equality with both signatures riding the block rows (verification
+    * never re-reads an image). Emits (id1 = new, id2 = stored, dist)
+    * with dist = the primary aHash distance. */
   def newVsCorpusPhash(spark: SparkSession, path: String,
       newSigs: DataFrame, maxDist: Int = 3, blocks: Int = 4): DataFrame =
-    Dedup.probeSimhash(spark.read.parquet(s"$path/blocks"),
-      newSigs.select(col("id"), col("sig")), bits = 64, blocks = blocks,
-      maxDist = maxDist)
+    probePhashBlocks(spark.read.parquet(s"$path/blocks"),
+      Dedup.simhashBlocks(newSigs.select(col("id"), col("sig"), col("dsig")),
+        bits = 64, blocks = blocks, carry = Seq("dsig")),
+      blocks = blocks, maxDist = maxDist)
 
-  /** Metadata-only projection used by the SQL-oracle query: everything
-    * here is derivable from byte length, exercising the rule that
-    * metadata queries must not decode (or even read) content. */
-  def metaProjection(media: DataFrame): DataFrame =
-    media.select(col("doc_id"),
-      octet_length(col("content")).cast("long").as("n_bytes"))
-      .withColumn("format", when(col("n_bytes") % 2 === 0, "png").otherwise("jpeg"))
-      .withColumn("width", (lit(16) + col("n_bytes") % 64).cast("int"))
-      .withColumn("height", (lit(16) + (col("n_bytes") * 7) % 64).cast("int"))
-      .withColumn("n_frames", (col("n_bytes") % 8 + 1).cast("int"))
+  /** The dual-signature probe core shared by [[newVsCorpusPhash]] and
+    * [[graft.streaming.PhashGate]]: aHash block-equality candidates,
+    * verified on aHash AND dHash. Both inputs are phash block rows
+    * (key, b, id, sig, dsig). */
+  private[graft] def probePhashBlocks(storeBlocks: DataFrame,
+      probeBlocks: DataFrame, blocks: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < blocks,
+      s"lossless candidates need maxDist < blocks, got maxDist=$maxDist blocks=$blocks")
+    probeBlocks.as("n")
+      .join(storeBlocks.as("c"),
+        col("n.b") === col("c.b") && col("n.key") === col("c.key"))
+      .select(col("n.id").as("id1"), col("c.id").as("id2"),
+        Dedup.hamming(col("n.sig"), col("c.sig")).cast("long").as("dist"),
+        Dedup.hamming(col("n.dsig"), col("c.dsig")).cast("long").as("ddist"))
+      .filter(col("dist") <= maxDist && col("ddist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+      .distinct()
+  }
+
 }

@@ -167,18 +167,13 @@ object IngestGate {
       n: Int = 3, threshold: Double = 0.5,
       ann: Option[AnnSink] = None,
       graph: Option[GraphSink] = None,
-      postings: Option[PostingsSink] = None): StreamingQuery = {
-    require(docs.isStreaming, "IngestGate.start needs a streaming input; " +
-      "use Dedup.newVsCorpusPairs for a one-shot batch")
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        gateBatch(b, id, indexDir, acceptedDir, idCol, textCol,
-          numHashes, bands, n, threshold, ann, graph, postings)
-        ()
-      }
-      .start()
-  }
+      postings: Option[PostingsSink] = None): StreamingQuery =
+    GateProtocol.start(docs, checkpointDir, "IngestGate",
+      "Dedup.newVsCorpusPairs") { (b, id) =>
+      gateBatch(b, id, indexDir, acceptedDir, idCol, textCol,
+        numHashes, bands, n, threshold, ann, graph, postings)
+      ()
+    }
 
   /** The accumulated parquet relation under `dir`, or None before the
     * first epoch commits. Cold start is detected by LISTING (missing

@@ -89,15 +89,10 @@ object SemanticGate {
   /** Run the gate over a streaming embedding feed. */
   def start(docs: DataFrame, acceptedDir: String, checkpointDir: String,
       idCol: String, vecCol: String, centroids: Array[Array[Double]],
-      threshold: Double): StreamingQuery = {
-    require(docs.isStreaming, "SemanticGate.start needs a streaming input; " +
-      "use Dedup.semanticProbe for a one-shot batch")
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        gateBatch(b, id, acceptedDir, idCol, vecCol, centroids, threshold)
-        ()
-      }
-      .start()
-  }
+      threshold: Double): StreamingQuery =
+    GateProtocol.start(docs, checkpointDir, "SemanticGate",
+      "Dedup.semanticProbe") { (b, id) =>
+      gateBatch(b, id, acceptedDir, idCol, vecCol, centroids, threshold)
+      ()
+    }
 }

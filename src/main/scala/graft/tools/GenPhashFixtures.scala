@@ -113,13 +113,18 @@ object GenPhashFixtures {
     write("dup_s02_q90.jpg", 2, jpgBytes(images(2), 0.9f))
     write("dup_s02_q70.jpg", 2, jpgBytes(images(2), 0.7f))
 
-    // planted geometry must actually hold, or the fixtures are lies
+    // planted geometry must actually hold, or the fixtures are lies —
+    // on BOTH signatures, since the probe family verifies both
     for (a <- entries; b <- entries if a.file < b.file) {
       val d = java.lang.Long.bitCount(a.ahash ^ b.ahash)
-      if (a.scene == b.scene)
+      val dd = java.lang.Long.bitCount(a.dhash ^ b.dhash)
+      if (a.scene == b.scene) {
         require(d <= 3, s"within-scene pair ${a.file}/${b.file} at ahash dist $d > 3")
-      else
+        require(dd <= 3, s"within-scene pair ${a.file}/${b.file} at dhash dist $dd > 3")
+      } else {
         require(d >= 8, s"cross-scene pair ${a.file}/${b.file} at ahash dist $d < 8")
+        require(dd >= 8, s"cross-scene pair ${a.file}/${b.file} at dhash dist $dd < 8")
+      }
     }
 
     val spark = SparkSession.builder().master("local[2]")

@@ -70,6 +70,14 @@ class CorpusOpsSpec extends SparkSpec {
       s"codegen'd expression must survive into the physical plan:\n$p")
   }
 
+  test("text_html_extract plan: one binaryFile scan, zero hash exchanges, expression codegen'd") {
+    val p = SparkEntryPlans.executedPlan(spark, "text_html_extract", sf001)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"extraction is per-row; only the ORDER BY range exchange may shuffle:\n$p")
+    assert(p.contains("html_text"),
+      s"codegen'd expression must survive into the physical plan:\n$p")
+  }
+
   // ---------------- scrubPii ----------------
 
   test("scrubPii: redacts email, IPv4, long digit runs; counts match; idempotent") {

@@ -1,51 +1,33 @@
 package graft.ops
 
 import graft.SparkSpec
-import graft.Tables
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val media =
-    Multimodal.withFakeBinary(Tables.documents(spark, sf001), "doc_id", "text")
-
-  test("binary schema: content is binary, metadata derivable without decode") {
-    assert(media.schema("content").dataType ==
-      org.apache.spark.sql.types.BinaryType)
-    val meta = Multimodal.metaProjection(media)
-    val row = meta.orderBy($"doc_id").head()
-    assert(row.getAs[Long]("n_bytes") > 0)
-    assert(row.getAs[Int]("width") >= 16 && row.getAs[Int]("width") < 80)
+  test("image_frame_phashes: per-frame signatures match the write-time manifest; garbage is NULL") {
+    import org.apache.spark.sql.functions._
+    val got = spark.read.format("binaryFile")
+      .load(s"${graft.Tables.fixturesDir}/video")
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        explode(graft.functions.functions.image_frame_phashes(col("content"))).as("fr"))
+      .select(col("file"), col("fr.frame_idx"), col("fr.ahash"), col("fr.dhash"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    val want = spark.read
+      .parquet(s"${graft.Tables.fixturesDir}/video_manifest.parquet")
+      .select("file", "frame_idx", "ahash", "dhash")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == want, "engine-side frame signatures must reproduce the manifest")
+    // undecodable bytes → NULL, never a throw
+    val junk = Seq(Array[Byte](1, 2, 3), Array.empty[Byte]).toDF("content")
+      .select(graft.functions.functions.image_frame_phashes($"content").as("f"))
+      .collect()
+    assert(junk.forall(_.isNullAt(0)))
   }
 
-  test("typed mapPartitions decode produces consistent metadata") {
-    val decoded = Multimodal.decodeMeta(spark, media.limit(50))
-    val metas = decoded.collect()
-    assert(metas.length == 50)
-    metas.foreach { m =>
-      assert(m.meta.nBytes == m.content.length.toLong)
-      assert(m.meta.width == (16 + m.meta.nBytes % 64).toInt)
-    }
-  }
-
-  test("feature extraction keeps narrow output and deterministic values") {
-    val feats = Multimodal.extractFeatures(spark, media.limit(20)).collect()
-    assert(feats.length == 20)
-    assert(feats.forall(f => f.brightness >= 0.0 && f.brightness <= 1.0))
-    // deterministic: same input → same features
-    val again = Multimodal.extractFeatures(spark, media.limit(20)).collect()
-    assert(feats.map(f => (f.doc_id, f.brightness)).toSet ==
-      again.map(f => (f.doc_id, f.brightness)).toSet)
-  }
-
-  test("frame sampling explodes stride-spaced frame indexes") {
-    val meta = Multimodal.metaProjection(media.limit(10))
-      .select($"doc_id", $"n_frames".as("nFrames"))
-    val frames = Multimodal.sampleFrames(meta, stride = 2).collect()
-    frames.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
-      val idx = rows.map(_.getAs[Int]("frame_idx")).sorted
-      assert(idx.head == 0 && idx.forall(_ % 2 == 0))
-    }
+  test("image_frame_phashes caps the frame budget (adversarial million-frame clip)") {
+    assert(graft.functions.ImageFramePhash.MaxFrames <= 64,
+      "the per-blob frame budget is the executor's protection — keep it bounded")
   }
 
   test("phash store lifecycle: append epochs probe like one store; retraction removes the forgotten image; compaction preserves probes") {
@@ -57,12 +39,12 @@ class MultimodalSpec extends SparkSpec {
     val sigs = spark.read
       .parquet(s"${graft.Tables.fixturesDir}/images_dup_manifest.parquet")
       .select(Dedup.md5TokenHash60(col("file")).as("id"),
-        col("ahash").as("sig"), col("file"))
+        col("ahash").as("sig"), col("dhash").as("dsig"), col("file"))
       .localCheckpoint()
     val store = sigs.filter(!col("file").rlike("copy|q90|q70|pixel"))
-      .select("id", "sig")
+      .select("id", "sig", "dsig")
     val arrivals = sigs.filter(col("file").rlike("copy|q90|q70|pixel"))
-      .select("id", "sig")
+      .select("id", "sig", "dsig")
     val dir = graft.Staging.dirFor("phash-lifecycle")
     // two epochs by id parity ≡ one store
     Multimodal.appendPhashIndexEpoch(store.filter($"id" % 2 === 0), dir, 0L)
@@ -84,5 +66,27 @@ class MultimodalSpec extends SparkSpec {
       nestedPartCols = Seq("b"))
     assert(n > 0, "compaction must collapse the two epochs")
     assert(probe() == after, "compaction must not change any probe")
+  }
+
+  test("phash probe verifies BOTH signatures: an aHash-identical arrival with a far dHash is rejected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = graft.Staging.dirFor("phash-dual-verify")
+    // stored image: (sig, dsig). Two arrivals share its aHash exactly
+    // (so every block is a candidate hit); only the one whose dHash is
+    // also near may pass — the luminance-preserving gradient edit
+    // (same cell means vs grid mean, flipped gradient signs) is the
+    // attack the aHash-only gate could not see.
+    Multimodal.appendPhashIndexEpoch(
+      Seq((1L, 0x0F0F0F0F0F0F0F0FL, 0x00FF00FF00FF00FFL))
+        .toDF("id", "sig", "dsig"), dir, epoch = 0L)
+    val arrivals = Seq(
+      (10L, 0x0F0F0F0F0F0F0F0FL, 0x00FF00FF00FF00FEL), // dHash dist 1
+      (11L, 0x0F0F0F0F0F0F0F0FL, ~0x00FF00FF00FF00FFL)) // dHash dist 64
+      .toDF("id", "sig", "dsig")
+    val hits = Multimodal.newVsCorpusPhash(spark, dir, arrivals)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits == Set((10L, 1L, 0L)),
+      s"dual verify must accept the near-dHash arrival and reject the gradient flip: $hits")
   }
 }

@@ -162,6 +162,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ngram_hashes"), "codegen'd shingle expr feeds the agg")
   }
 
+  test("corpus_pipeline_mm: pairing is relational — no global window, no corpus-sized broadcast, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, ResolvedHint}
+    val df = graft.SparkEntry.queries("corpus_pipeline_mm")(spark, sf001)
+    // broadcast hints may only cover driver-bounded relations (the
+    // connected-components map, duplicate-structure-sized) — never a
+    // subtree that scans the image relation, which is corpus-sized at
+    // crawl scale (the r19 `broadcast(ranked)` anti-pattern)
+    df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      .foreach { h =>
+        assert(h.child.collectLeaves().forall(_.isInstanceOf[LocalRelation]),
+          s"broadcast hint over a non-driver-bounded relation:\n${h.child}")
+      }
+    val p = plan("corpus_pipeline_mm")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-reducer stage anywhere — the global row_number pairing is banned:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must stay an equi-join on the bucket key:\n$p")
+  }
+
   test("aggregate pushdown: bare MIN/MAX/COUNT answer from parquet footers, no data pages") {
     // The stats-only scan path: a 100 TB table's row count or column
     // extrema should cost footer reads, not a full scan. Needs the
