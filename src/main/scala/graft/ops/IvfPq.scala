@@ -89,7 +89,13 @@ object IvfPq {
     * rewrite exceed ~20% of the rewritten corpus, or when the appended
     * deltas' mean best-cell cosine drops materially below the trained
     * corpus's (both computable from the index itself: row counts per
-    * `batch`, scores from a sampled re-assignment pass). */
+    * `batch`, scores from a sampled re-assignment pass). For the
+    * AUTOMATED form of this loop — cell-occupancy PSI trigger,
+    * epoch-folded reseed, crash-safe quantizer+data swap — see
+    * [[IvfMaintain]], which closes the trigger for the managed raw-IVF
+    * store; the codes-only PQ layout keeps the manual contract because
+    * a retrain needs the original vectors, which this store by design
+    * does not carry. */
   def appendIndexEpoch(delta: DataFrame, centroids: Array[Array[Double]],
       cb: PqIndex.Codebooks, path: String, batchId: Long,
       idCol: String = "id", vecCol: String = "vec",
