@@ -90,9 +90,14 @@ object HtmlText {
       case _ if body.length > 1 && body.charAt(0) == '#' =>
         val hex = body.length > 2 && (body.charAt(1) == 'x' || body.charAt(1) == 'X')
         val digits = if (hex) body.substring(2) else body.substring(1)
+        // digits only — Integer.parseInt would also accept a leading
+        // sign, but HTML keeps '&#+65;' literal
+        val wellFormed = digits.nonEmpty && digits.forall(c =>
+          (c >= '0' && c <= '9') ||
+            (hex && ((c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))))
         val cp =
           try {
-            if (digits.isEmpty) -1
+            if (!wellFormed) -1
             else java.lang.Integer.parseInt(digits, if (hex) 16 else 10)
           } catch { case _: NumberFormatException => -1 }
         if (cp >= 1 && cp <= 0x10ffff &&
@@ -163,8 +168,11 @@ object HtmlText {
           val close = s.indexOf("-->", i + 4)
           i = if (close < 0) n else close + 3
         } else if (i + 1 < n && {
+          // HTML opens tags on ASCII letters only — '<у' in multilingual
+          // text is literal content a browser keeps, not a tag
           val d = s.charAt(i + 1)
-          Character.isLetter(d) || d == '/' || d == '!' || d == '?'
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+            d == '/' || d == '!' || d == '?'
         }) {
           i = tag(s, i, raw)
         } else { raw.append(c); i += 1 }

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.io.ByteArrayInputStream
-
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -42,37 +40,27 @@ object ImageFramePhash {
   val MaxFrames: Int = 64
 
   def parse(bytes: Array[Byte]): ArrayData = {
-    if (bytes == null || bytes.length == 0) return null
-    try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return null
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-          var idx = 0
-          var done = false
-          while (!done && idx < MaxFrames) {
-            val row =
-              try {
-                val w = reader.getWidth(idx).toLong
-                val h = reader.getHeight(idx).toLong
-                if (w < 1 || h < 1 || w * h > ImagePhash.MaxPixels) null
-                else {
-                  val img = reader.read(idx)
-                  val sig = ImagePhash.hashImage(img)
-                  new GenericInternalRow(Array[Any](idx, sig(0), sig(1)))
-                }
-              } catch { case _: Exception => null }
-            if (row == null) done = true
-            else { out += row; idx += 1 }
-          }
-          if (out.isEmpty) null else new GenericArrayData(out.toArray[Any])
-        } finally reader.dispose()
-      } finally iis.close()
-    } catch { case _: Exception => null }
+    // stream/reader scaffolding and the per-frame decompression-bomb
+    // guard are the single-image path's, shared
+    ImagePhash.withImageReader[ArrayData](bytes) { reader =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var idx = 0
+      var done = false
+      while (!done && idx < MaxFrames) {
+        val row =
+          try {
+            val img = ImagePhash.guardedRead(reader, idx)
+            if (img == null) null
+            else {
+              val sig = ImagePhash.hashImage(img)
+              new GenericInternalRow(Array[Any](idx, sig(0), sig(1)))
+            }
+          } catch { case _: Exception => null }
+        if (row == null) done = true
+        else { out += row; idx += 1 }
+      }
+      if (out.isEmpty) null else new GenericArrayData(out.toArray[Any])
+    }
   }
 
   val elementSchema: StructType = StructType(Seq(

@@ -104,31 +104,46 @@ object ImagePhash {
     g
   }
 
+  /** The shared untrusted-bytes reader probe (this expression and
+    * [[ImageFramePhash]]): open an in-memory stream, pick the first
+    * capable reader, hand it to `f`, release everything — NULL (never
+    * a throw) for undecodable bytes. Hardening of the probe (format
+    * allowlists, further guards) lands HERE, once, for both phash
+    * paths. */
+  private[functions] def withImageReader[T >: Null](bytes: Array[Byte])(
+      f: javax.imageio.ImageReader => T): T = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try { reader.setInput(iis); f(reader) } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => null }
+  }
+
+  /** Decode frame `idx` only if its header-declared dimensions fit the
+    * [[MaxPixels]] budget — the decompression-bomb guard shared by both
+    * phash paths: a gigapixel declaration becomes NULL at the header,
+    * never an executor-killing allocation. */
+  private[functions] def guardedRead(reader: javax.imageio.ImageReader,
+      idx: Int): java.awt.image.BufferedImage = {
+    val w = reader.getWidth(idx).toLong
+    val h = reader.getHeight(idx).toLong
+    if (w < 1 || h < 1 || w * h > MaxPixels) null else reader.read(idx)
+  }
+
   /** Called from both interpreted eval and generated Java. Null for
     * anything javax.imageio cannot decode — and, BEFORE any pixel
     * allocation, for anything whose header declares more than
-    * [[MaxPixels]] (the decompression-bomb guard: `ImageReader
-    * .getWidth/getHeight` read the header only). */
+    * [[MaxPixels]]. */
   def parse(bytes: Array[Byte]): InternalRow = {
-    if (bytes == null || bytes.length == 0) return null
-    val img =
-      try {
-        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-        try {
-          val readers = ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) null
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              val w = reader.getWidth(0).toLong
-              val h = reader.getHeight(0).toLong
-              if (w < 1 || h < 1 || w * h > MaxPixels) null
-              else reader.read(0)
-            } finally reader.dispose()
-          }
-        } finally iis.close()
-      } catch { case _: Exception => null }
+    val img = withImageReader[java.awt.image.BufferedImage](bytes)(r =>
+      try guardedRead(r, 0) catch { case _: Exception => null })
     if (img == null || img.getWidth < 1 || img.getHeight < 1) return null
     val sig = hashImage(img)
     new GenericInternalRow(Array[Any](sig(0), sig(1)))

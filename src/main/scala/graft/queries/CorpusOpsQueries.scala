@@ -464,9 +464,7 @@ object CorpusOpsQueries {
     * × the pack window. */
   val corpusPipelineMmSql: String = {
     val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = CorpusMlQueries.hexVal
     s"""WITH RECURSIVE lt AS (
        |  SELECT doc_id,
        |    list_transform(string_split_regex(text, '\\s+'), x -> lower(x)) AS t

@@ -832,9 +832,7 @@ object EvalQueries {
     * the same element-order arithmetic [[graft.ops.IvfIndex.unitRows]]
     * runs. */
   def qRetrievalEvalMmSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = CorpusMlQueries.hexVal
     s"""WITH mm AS (
        |  SELECT file, img_vec, cap_vec, CAST($hexVal AS BIGINT) AS mid
        |  FROM (SELECT file, img_vec, cap_vec, substring(md5(file), 1, 15) AS h15

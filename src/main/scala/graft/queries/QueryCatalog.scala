@@ -1391,15 +1391,20 @@ object QueryCatalog {
     * the committed animated GIFs ([[graft.functions.ImageFramePhash]]
     * — decode in the scan, only (frame_idx, 128-bit) rows shuffle),
     * frame-level Manku banding + dual-hash verify through the EXISTING
-    * phash block machinery, then SCENE-level evidence: two clips merge
-    * iff ≥ 2 distinct frame pairs match (a single shared title card
-    * must not fuse unrelated clips — the `vid_s00_one` plant), and
-    * connected components + exemplar naming exactly as the still-image
-    * gate. The oracle replays banding + verify + evidence threshold +
-    * the label fixpoint from the write-time per-frame manifest. Scale
-    * shape: candidates are block-bucketed per FRAME (never clip²),
-    * evidence is one count aggregation over verified pairs, and the
-    * component graph is bounded by duplicate structure. */
+    * phash block machinery, then SCENE-level evidence: matched frames
+    * (within AND across clips) first cluster into SCENES (connected
+    * components over the verified frame graph — a title card shown for
+    * three frames is ONE scene however many frame pairs it generates),
+    * and two clips merge iff they share ≥ 2 distinct scenes (the
+    * `vid_s00_one` single-shared-frame plant AND the `vid_s04_*`
+    * repeated-title-card plant — 4 matching frame pairs, one scene —
+    * must both stay unmerged). Clip components + exemplar naming then
+    * run exactly as the still-image gate. The oracle replays banding +
+    * verify + the scene fixpoint + the evidence threshold + the clip
+    * fixpoint from the write-time per-frame manifest. Scale shape:
+    * candidates are block-bucketed per FRAME (never clip²), the scene
+    * graph is bounded by duplicate structure, evidence is one distinct
+    * aggregation over (clip, scene). */
   val multimodalVideoDedup: Q = (s, dir) => {
     val bf = s.read.format("binaryFile")
       .load(s"${graft.Tables.fixturesDir}/video")
@@ -1414,18 +1419,23 @@ object QueryCatalog {
       .localCheckpoint()
     val blk = Dedup.simhashBlocks(frames.select("id", "sig", "dsig"),
       bits = 64, blocks = 4, carry = Seq("dsig"))
+    // verified frame matches INCLUDING within-clip pairs — scene
+    // identity is a cluster property, not a pair property
     val framePairs = Multimodal.probePhashBlocks(blk, blk, blocks = 4,
         maxDist = 3)
       .filter(col("id1") < col("id2"))
-    val cross = framePairs
-      .join(frames.select(col("id").as("id1"), col("file").as("fa0")), Seq("id1"))
-      .join(frames.select(col("id").as("id2"), col("file").as("fb0")), Seq("id2"))
-      .filter(col("fa0") =!= col("fb0"))
-    val evidence = cross
-      .groupBy(least(col("fa0"), col("fb0")).as("fa"),
-        greatest(col("fa0"), col("fb0")).as("fb"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2)
+    val scenes = Dedup.componentsFromStar(frames.select(col("id")),
+        framePairs.select(col("id1").as("id"), col("id2").as("root")))
+      .withColumnRenamed("component", "scene")
+    val clipScenes = frames.select(col("file"), col("id"))
+      .join(scenes, Seq("id"))
+      .select(col("file"), col("scene")).distinct()
+    val evidence = clipScenes.select(col("file").as("fa"), col("scene"))
+      .join(clipScenes.select(col("file").as("fb"), col("scene")), Seq("scene"))
+      .filter(col("fa") < col("fb"))
+      .groupBy(col("fa"), col("fb"))
+      .agg(count(lit(1)).as("n_scenes"))
+      .filter(col("n_scenes") >= 2)
     val files = frames.groupBy(col("file"))
       .agg(count(lit(1)).as("n_frames"))
       .withColumn("fid", Dedup.md5TokenHash60(col("file")))
@@ -1441,12 +1451,11 @@ object QueryCatalog {
       .select(col("file"), col("n_frames"), col("exemplar"))
       .orderBy(col("file"))
   }
-  /** Path-portable; banding + dual verify + the ≥ 2 evidence rule +
-    * label fixpoint replayed from the per-frame manifest. */
+  /** Path-portable; banding + dual verify + the scene fixpoint + the
+    * ≥ 2-distinct-scene evidence rule + the clip fixpoint, all
+    * replayed from the per-frame manifest. */
   def multimodalVideoDedupSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = CorpusMlQueries.hexVal
     val bands = (0 until 4).map(b => s"(ahash >> ${b * 16}) & 65535")
       .mkString(", ")
     s"""WITH RECURSIVE vm AS (
@@ -1465,14 +1474,26 @@ object QueryCatalog {
        |    unnest([0, 1, 2, 3]) AS b
        |  FROM fids),
        |vpair AS (
-       |  SELECT DISTINCT a.id AS id1, c.id AS id2, a.file AS fa0, c.file AS fb0
+       |  SELECT DISTINCT a.id AS id1, c.id AS id2
        |  FROM vb a JOIN vb c ON a.b = c.b AND a.key = c.key AND a.id < c.id
-       |  WHERE a.file <> c.file
-       |    AND bit_count(xor(a.ahash, c.ahash)) <= 3
+       |  WHERE bit_count(xor(a.ahash, c.ahash)) <= 3
        |    AND bit_count(xor(a.dhash, c.dhash)) <= 3),
+       |fedges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM vpair
+       |  UNION SELECT id2, id1 FROM vpair),
+       |freach(id, label) AS (
+       |  SELECT id, id FROM fids
+       |  UNION
+       |  SELECT e.dst, r.label FROM freach r JOIN fedges e ON e.src = r.id),
+       |fscene AS (SELECT id, min(label) AS scene FROM freach GROUP BY id),
+       |clipscenes AS (
+       |  SELECT DISTINCT f.file, sc.scene
+       |  FROM fids f JOIN fscene sc ON sc.id = f.id),
        |vshared AS (
-       |  SELECT least(fa0, fb0) AS fa, greatest(fa0, fb0) AS fb, count(*) AS ns
-       |  FROM vpair GROUP BY 1, 2),
+       |  SELECT a.file AS fa, c.file AS fb, count(*) AS ns
+       |  FROM clipscenes a JOIN clipscenes c
+       |    ON a.scene = c.scene AND a.file < c.file
+       |  GROUP BY 1, 2),
        |vedges AS (
        |  SELECT va.fid AS src, vz.fid AS dst
        |  FROM vshared s JOIN vids va ON va.file = s.fa

@@ -91,7 +91,13 @@ object GenGifFixtures {
     "vid_s01_base.gif" -> Seq((1, 0, false), (1, 1, false), (1, 2, false)),
     "vid_s01_pix.gif" -> Seq((1, 0, true), (1, 1, true), (1, 2, true)),
     "vid_s02_base.gif" -> Seq((2, 0, false), (2, 1, false), (2, 2, false)),
-    "vid_s03_base.gif" -> Seq((3, 0, false), (3, 1, false)))
+    "vid_s03_base.gif" -> Seq((3, 0, false), (3, 1, false)),
+    // the repeated-title-card trap: both clips open with the SAME card
+    // shown twice, then diverge — 4 matching frame PAIRS but only ONE
+    // shared scene, so pair counting would fuse them and scene-level
+    // evidence must not
+    "vid_s04_a.gif" -> Seq((4, 0, false), (4, 0, false), (4, 1, false)),
+    "vid_s04_b.gif" -> Seq((4, 0, false), (4, 0, false), (4, 2, false)))
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("fixtures/video")
@@ -136,20 +142,25 @@ object GenGifFixtures {
             if (pattern((a.file, a.frame_idx))._1, pattern((a.file, a.frame_idx))._2) ==
               (pattern((b.file, b.frame_idx))._1, pattern((b.file, b.frame_idx))._2))
         yield 1).sum
+    def distinctShared(f1: String, f2: String): Int = {
+      def scenes(f: String) = entries.filter(_.file == f)
+        .map(e => { val p = pattern((e.file, e.frame_idx)); (p._1, p._2) }).toSet
+      (scenes(f1) & scenes(f2)).size
+    }
     require(shared("vid_s00_base.gif", "vid_s00_extra.gif") == 3)
     require(shared("vid_s00_base.gif", "vid_s00_one.gif") == 1)
     require(shared("vid_s00_extra.gif", "vid_s00_one.gif") == 0)
     require(shared("vid_s01_base.gif", "vid_s01_pix.gif") == 3)
+    // the trap must actually be a trap: 4 matched pairs, 1 shared scene
+    require(shared("vid_s04_a.gif", "vid_s04_b.gif") == 4)
+    require(distinctShared("vid_s04_a.gif", "vid_s04_b.gif") == 1)
+    require(distinctShared("vid_s00_base.gif", "vid_s00_extra.gif") == 3)
 
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
-    val tmp = Files.createTempDirectory("video-manifest").toString
-    entries.toSeq.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-    Files.move(part.toPath,
-      Paths.get(new File(outDir).getParent, "video_manifest.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    FixtureIO.writeSingleFile(spark, entries.toSeq.toDF(),
+      s"${new File(outDir).getParent}/video_manifest.parquet")
     println(s"wrote ${clips.size} clips to $outDir + manifest (${entries.size} frame rows)")
     spark.stop()
   }

@@ -147,12 +147,8 @@ object GenMediaFixtures {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
-    val tmp = Files.createTempDirectory("media-manifest").toString
-    entries.toSeq.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-    Files.move(part.toPath,
-      Paths.get(new File(outDir).getParent, "media_manifest.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    FixtureIO.writeSingleFile(spark, entries.toSeq.toDF(),
+      s"${new File(outDir).getParent}/media_manifest.parquet")
     println(s"wrote ${entries.size} media files to $outDir + manifest")
     spark.stop()
   }

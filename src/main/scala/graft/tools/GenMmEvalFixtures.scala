@@ -18,9 +18,11 @@ import org.apache.spark.sql.SparkSession
   *     truth, so same-scene near-dups get near-identical vectors and
   *     the embedding space inherits the planted cluster structure);
   *   - `cap_vec` (unit): the paired "caption embedding" — the image
-  *     vector plus a 0.35-scaled deterministic ±1 perturbation seeded
-  *     by md5("cap|" ‖ file), the stand-in for a text encoder aligned
-  *     to the image space (a caption lands NEAR its image, not on it);
+  *     vector plus a deterministic ±1 perturbation at 0.35/8 ≈ 0.044
+  *     per dimension (before renormalization), bit-seeded by the first
+  *     8 bytes of md5("cap|" ‖ file) — the stand-in for a text encoder
+  *     aligned to the image space (a caption lands NEAR its image, not
+  *     on it);
   *   - `mm_centroids.parquet`: RAW k = 4 Lloyd means over the 15 image
   *     vectors (deterministic seed selection by md5-60 order, 5
   *     rounds) — the committed index both engines normalize with the
@@ -74,7 +76,7 @@ object GenMmEvalFixtures {
         (if (((ahash >> j) & 1L) == 1L) 1.0 else -1.0) +
           0.5 * (if (((dhash >> j) & 1L) == 1L) 1.0 else -1.0)
       })
-      val seed = md5Bytes("cap|" + file) ++ md5Bytes("cap2|" + file)
+      val seed = md5Bytes("cap|" + file) // 64 bits consumed: bytes 0..7
       val u = Array.tabulate(Dim) { j =>
         if (((seed(j / 8) >> (j % 8)) & 1) == 1) 1.0 else -1.0
       }
@@ -119,17 +121,11 @@ object GenMmEvalFixtures {
       }
     }
 
-    def landSingle(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("mm-fixture").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-      Files.move(part.toPath, Paths.get(fixturesDir, name),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    landSingle(rows.toSeq.map(r => (r._1, r._3, r._4))
-      .toDF("file", "img_vec", "cap_vec"), "mm_pairs.parquet")
-    landSingle(cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
-      .toDF("cid", "cvec"), "mm_centroids.parquet")
+    FixtureIO.writeSingleFile(spark, rows.toSeq.map(r => (r._1, r._3, r._4))
+      .toDF("file", "img_vec", "cap_vec"), s"$fixturesDir/mm_pairs.parquet")
+    FixtureIO.writeSingleFile(spark,
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
+        .toDF("cid", "cvec"), s"$fixturesDir/mm_centroids.parquet")
     println(s"wrote mm_pairs (${rows.length} pairs) + mm_centroids ($K cells)")
     spark.stop()
   }

@@ -44,6 +44,13 @@ class HtmlTextSpec extends SparkSpec {
     assert(x("a&nbsp;&nbsp;b") == "a b")
     assert(x("&unknown; &#; &; &#xZZ; &#xD800; & alone") ==
       "&unknown; &#; &; &#xZZ; &#xD800; & alone")
+    // Integer.parseInt would take a signed form — HTML keeps it literal
+    assert(x("&#+65; &#x+41; &#-1;") == "&#+65; &#x+41; &#-1;")
+  }
+
+  test("'<' followed by a non-ASCII letter is literal text, not a tag") {
+    assert(x("<p>x<у всегда</p>") == "x<у всегда")
+    assert(x("a<é b") == "a<é b")
   }
 
   test("quoted attributes may contain '>'; literal '<' survives; malformed is best-effort") {
