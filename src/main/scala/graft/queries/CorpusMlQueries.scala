@@ -116,9 +116,10 @@ object CorpusMlQueries {
 
   /** Value of the first 15 hex digits of `h15` as a BIGINT — the
     * engine-portable md5-60 construction every seeded oracle uses. */
-  private[queries] def hexVal: String = (0 until 15).map(i =>
-    s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-    .mkString(" + ")
+  // the portable md5-60 recombination lives on the LEAF object
+  // [[Md5Sql]] (cross-wave val-initializer safety); this forwarder
+  // keeps the wave's own SQL builders short
+  private def hexVal: String = Md5Sql.hexVal
 
   /** Shared DSIR CTE chain ([[graft.ops.Dsir]]): hashed-bigram bucket
     * counts, the add-one-smoothed target (lang='en') and raw bucket

@@ -280,9 +280,7 @@ object CorpusOpsQueries {
   }
 
   val qMixApplySql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     s"""WITH c AS (
        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
        |z AS (SELECT sum(sqrt(n_docs)) AS z FROM c),
@@ -464,7 +462,7 @@ object CorpusOpsQueries {
     * × the pack window. */
   val corpusPipelineMmSql: String = {
     val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
-    val hexVal = CorpusMlQueries.hexVal
+    val hexVal = Md5Sql.hexVal
     s"""WITH RECURSIVE lt AS (
        |  SELECT doc_id,
        |    list_transform(string_split_regex(text, '\\s+'), x -> lower(x)) AS t
@@ -546,9 +544,7 @@ object CorpusOpsQueries {
 
   private def pipelinePrefix(withClassifierGate: Boolean): String = {
     val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     val sums = (0 until 60).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
     val recomb = (0 until 60).map(j =>
@@ -899,9 +895,7 @@ object CorpusOpsQueries {
       .orderBy(col("id"), col("chunk_idx"))
 
   val textChunkSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
        |  FROM documents WHERE text IS NOT NULL),
@@ -935,12 +929,8 @@ object CorpusOpsQueries {
       .orderBy(col("id"))
 
   val textSpanScrubSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
-    val hexVal2 = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15c, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
+    val hexVal2 = Md5Sql.hexValOf("h15c")
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
        |  FROM documents WHERE text IS NOT NULL),
@@ -996,12 +986,8 @@ object CorpusOpsQueries {
     * the batch docs (occurrence counts over history ∪ batch = the
     * whole table, verdicts read off for the batch rows only). */
   private def substringScrubSqlWhere(finalWhere: String): String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
-    val hexVal2 = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15c, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
+    val hexVal2 = Md5Sql.hexValOf("h15c")
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
        |  FROM documents WHERE text IS NOT NULL),
@@ -1084,12 +1070,8 @@ object CorpusOpsQueries {
   }
 
   val textDecontaminateSpansSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
-    val hexVal2 = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15c, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
+    val hexVal2 = Md5Sql.hexValOf("h15c")
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
        |  FROM documents WHERE text IS NOT NULL),
@@ -1174,9 +1156,7 @@ object CorpusOpsQueries {
   }
 
   val qHllDistinctSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     s"""WITH vals AS (
        |  SELECT event_type, 'E' AS tag, 'E|' || CAST(event_id AS VARCHAR) AS tv FROM events
        |  UNION ALL
@@ -1242,9 +1222,7 @@ object CorpusOpsQueries {
   }
 
   val qCmsTopkSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     s"""WITH toks AS (
        |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
        |  FROM documents WHERE text IS NOT NULL),
@@ -1279,9 +1257,7 @@ object CorpusOpsQueries {
       .orderBy(col("source"), col("rk"))
 
   val qSampleWeightedSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     s"""WITH hashed AS (
        |  SELECT source, doc_id, n_chars,
        |    substring(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 15) AS h15
@@ -1311,9 +1287,7 @@ object CorpusOpsQueries {
       .orderBy(col("rk"))
 
   val qSampleReservoirSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     s"""WITH hashed AS (
        |  SELECT doc_id, source,
        |    substring(md5('rsv' || CAST(doc_id AS VARCHAR)), 1, 15) AS h15
@@ -1471,9 +1445,7 @@ object CorpusOpsQueries {
   }
 
   val qQuantileKmvSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     s"""WITH hashed AS (
        |  SELECT event_type, CAST($hexVal AS BIGINT) AS h, CAST(value AS DOUBLE) AS v
        |  FROM (SELECT event_type, value,

@@ -720,7 +720,7 @@ object EvalQueries {
   val dedupEstErrorSql: String = {
     val (ca, cb) = graft.ops.Dedup.minhashCoefs(64)
     val p = graft.ops.Dedup.minhashPrime
-    val hexVal = CorpusMlQueries.hexVal // the shared md5-60 recombination
+    val hexVal = Md5Sql.hexVal // the shared md5-60 recombination
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
        |sh AS (
@@ -832,7 +832,7 @@ object EvalQueries {
     * the same element-order arithmetic [[graft.ops.IvfIndex.unitRows]]
     * runs. */
   def qRetrievalEvalMmSql: String = {
-    val hexVal = CorpusMlQueries.hexVal
+    val hexVal = Md5Sql.hexVal
     s"""WITH mm AS (
        |  SELECT file, img_vec, cap_vec, CAST($hexVal AS BIGINT) AS mid
        |  FROM (SELECT file, img_vec, cap_vec, substring(md5(file), 1, 15) AS h15

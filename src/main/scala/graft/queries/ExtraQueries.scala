@@ -679,9 +679,7 @@ object ExtraQueries {
       .orderBy(col("col_name"))
   }
   val qProfileQuantilesSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     def one(c: String) =
       s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
          |  count(DISTINCT $c) AS ndv,

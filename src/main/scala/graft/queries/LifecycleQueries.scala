@@ -224,7 +224,7 @@ object LifecycleQueries {
        |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
        |    FROM dt5 WHERE len(tk) > 1)),
        |hb5 AS (
-       |  SELECT doc_id, CAST(${CorpusMlQueries.hexVal} AS BIGINT) % 512 AS bucket
+       |  SELECT doc_id, CAST(${Md5Sql.hexVal} AS BIGINT) % 512 AS bucket
        |  FROM (SELECT doc_id, substring(md5(w1 || ' ' || w2), 1, 15) AS h15
        |        FROM dbg5)),
        |feats5 AS (
@@ -249,7 +249,7 @@ object LifecycleQueries {
        |  FROM feats5 JOIN model5 USING (bucket) GROUP BY doc_id),
        |keyed5 AS (
        |  SELECT doc_id,
-       |    round(logw + -ln(-ln((CAST(${CorpusMlQueries.hexVal} AS DOUBLE) + 0.5)
+       |    round(logw + -ln(-ln((CAST(${Md5Sql.hexVal} AS DOUBLE) + 0.5)
        |      / 1152921504606846976.0)), 4) AS skey
        |  FROM (SELECT doc_id, logw,
        |      substring(md5('dsir5' || CAST(doc_id AS VARCHAR)), 1, 15) AS h15

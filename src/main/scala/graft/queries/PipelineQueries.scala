@@ -367,9 +367,7 @@ object PipelineQueries {
   val qSampleMixSql: String = {
     // value of the first 15 hex digits of md5('mix1' || doc_id) — the
     // same engine-portable md5-60 construction the simhash oracle uses
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     s"""WITH hashed AS (
        |  SELECT doc_id, lang,
        |    substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15) AS h15
@@ -456,9 +454,7 @@ object PipelineQueries {
   val dedupClusterSql: String = {
     // portable md5-60 signature construction — same fragments as the
     // dedup_simhash oracle
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     val sums = (0 until 60).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
     val recomb = (0 until 60).map(j =>
@@ -515,9 +511,7 @@ object PipelineQueries {
 
   val corpusCurationNearDupSql: String = {
     val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     val sums = (0 until 60).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
     val recomb = (0 until 60).map(j =>
@@ -879,9 +873,7 @@ object PipelineQueries {
       .orderBy(col("split"), col("lang"))
 
   val qSplitLeakageSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     val sums = (0 until 60).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
     val recomb = (0 until 60).map(j =>

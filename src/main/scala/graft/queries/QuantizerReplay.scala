@@ -27,7 +27,7 @@ package graft.queries
   * exhaustive-mode gates.
   */
 object QuantizerReplay {
-  import CorpusMlQueries.hexVal
+  import Md5Sql.hexVal
 
   /** Coarse-IVF Lloyd replay ([[graft.ops.IvfIndex.train]]): seeds by
     * portable hash order, `iters` rounds of unit-row argmax assignment

@@ -656,9 +656,7 @@ object QueryCatalog {
     * (16^14 = 2^56), so the hex-digit recombination never leaves
     * integer arithmetic. */
   private[queries] def simhashSigsCtes(p: String, where: String): String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     val sums = (0 until 60).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
     val recomb = (0 until 60).map(j =>
@@ -937,9 +935,7 @@ object QueryCatalog {
     * integer form. Both verdicts compare as booleans against the
     * fixture's ground-truth label. */
   def textQualityAuditSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     val stops = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH docs AS (
        |  SELECT * FROM '${graft.Tables.fixturesDir}/labeled_quality.parquet'),
@@ -1060,9 +1056,7 @@ object QueryCatalog {
     * decimal-rounded, precisely so exact 6th-decimal ties cannot round
     * differently across engines. */
   def textQualityClassifierSql: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
        |hashed AS (
@@ -1282,9 +1276,7 @@ object QueryCatalog {
     * ending in `pids(file, ahash, dhash, id)`, `pcomp(id, component)`.
     * Shared verbatim by both phash-cluster oracles. */
   private[queries] def phashComponentCtes: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     val bandExprs = (0 until 4).map(b => s"(ahash >> ${b * 16}) & 65535").mkString(", ")
     s"""pm AS (
        |  SELECT file, ahash, dhash
@@ -1455,7 +1447,7 @@ object QueryCatalog {
     * ≥ 2-distinct-scene evidence rule + the clip fixpoint, all
     * replayed from the per-frame manifest. */
   def multimodalVideoDedupSql: String = {
-    val hexVal = CorpusMlQueries.hexVal
+    val hexVal = Md5Sql.hexVal
     val bands = (0 until 4).map(b => s"(ahash >> ${b * 16}) & 65535")
       .mkString(", ")
     s"""WITH RECURSIVE vm AS (

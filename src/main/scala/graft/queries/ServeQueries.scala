@@ -127,7 +127,7 @@ object ServeQueries {
     * ([[QuantizerReplay.ivfQcellCte]]), per-QUERY entry pairs, then
     * the SAME hop CTEs as the uniform walk. */
   private[queries] def graphSearchSeededCtes: String = {
-    val hexVal = CorpusMlQueries.hexVal
+    val hexVal = Md5Sql.hexVal
     s"""$walkPrefixCtes,
        |${QuantizerReplay.ivfTrainCtes("nodes", pfx = "gq", k = SeededK,
           iters = 2, dim = 64, seed = graft.ops.SelectedSeeds.ivf)},
@@ -207,9 +207,7 @@ object ServeQueries {
     * T = i/40 (i ∈ [10, 128] — T = 1 included so fitted NLL ≤ raw NLL
     * by construction), argmin with ties toward smaller T. */
   private[queries] def calibrationFitCtes: String = {
-    val hexVal = (0 until 15).map(i =>
-      s"(strpos('0123456789abcdef', substring(h15, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
-      .mkString(" + ")
+    val hexVal = Md5Sql.hexVal
     // σ clamped to [ε, 1−ε] before ln on BOTH engines — a saturated
     // sigmoid (|z/t| ≳ 37, reachable on larger-score corpora) would
     // otherwise NULL-drop the term in Spark and error ln(0) here

@@ -24,7 +24,10 @@ import org.apache.spark.sql.SparkSession
   *     MERGED;
   *   - `vid_s00_one`  shares exactly ONE frame with `vid_s00_base` —
   *     below the ≥ 2 scene-evidence threshold → NOT merged (a stock
-  *     title card shared between unrelated clips must not fuse them).
+  *     title card shared between unrelated clips must not fuse them);
+  *   - `vid_s04_a` / `vid_s04_b` open with the SAME card shown twice,
+  *     then diverge — 4 matching frame pairs but ONE shared scene →
+  *     NOT merged (the trap that catches pair-counting evidence).
   *
   * Ground truth is recorded AT WRITE TIME into a per-frame manifest
   * (file, frame_idx, ahash, dhash, n_frames, length, content_md5) via

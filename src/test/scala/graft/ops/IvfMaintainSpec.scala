@@ -81,4 +81,26 @@ class IvfMaintainSpec extends SparkSpec {
       "replayed epoch must not duplicate rows")
     assert(probeAll(path, queries) == got, "replay must not change probes")
   }
+
+  test("crash windows of the swap recover to a coherent quantizer+data pair") {
+    val path = graft.Staging.dirFor("ivf-maintain-recover")
+    IvfMaintain.init(around(0, 10, 0L).union(around(1, 10, 50L)),
+      path, k = 2, iters = 5, seed = "kmT")
+    val q0 = IvfMaintain.quantizerOf(spark, path).map(_.toSeq).toSeq
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash between the two renames: live moved aside, tmp not yet in —
+    // next access must restore the full OLD pair
+    assert(fs.rename(p(s"$path/live"), p(s"$path/.live-aside")))
+    assert(IvfMaintain.quantizerOf(spark, path).map(_.toSeq).toSeq == q0,
+      "aside-only layout must recover to the old quantizer")
+    assert(fs.exists(p(s"$path/live")) && !fs.exists(p(s"$path/.live-aside")))
+    // crash after tmp renamed in, aside not yet deleted — the NEW pair
+    // wins and the aside residue is swept
+    fs.mkdirs(p(s"$path/.live-aside/junk"))
+    assert(IvfMaintain.quantizerOf(spark, path).map(_.toSeq).toSeq == q0)
+    assert(!fs.exists(p(s"$path/.live-aside")),
+      "a live+aside layout must sweep the aside residue")
+  }
 }
