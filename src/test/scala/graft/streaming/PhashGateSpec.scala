@@ -61,6 +61,51 @@ class PhashGateSpec extends SparkSpec {
       s"store must hold exactly the signed acceptances, got $storeIds")
   }
 
+  test("dual-signature verify end-to-end: an aHash-identical gradient edit is a DIFFERENT image and passes the gate") {
+    // Constructed adversarial pair (found by direct search over the
+    // committed hash math): both images share the same per-aHash-cell
+    // luminance MEANS — aHash distance exactly 0 — but one carries
+    // steep within-cell gradients whose 9-grid sampling flips 8 dHash
+    // bits. An aHash-only gate would falsely reject the edit as a dup
+    // of the base (losing a genuinely distinct image); the dual verify
+    // must see a different image and accept BOTH.
+    val means = Array(92, 132, 164, 96, 196, 88, 136, 104)
+    val slopes = Array(-12, 4, 4, 8, -8, -4, -12, 4)
+    def render(withGradients: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val c = x / 8
+        val v = means(c) +
+          (if (withGradients) slopes(c) * (2 * (x % 8) - 7) else 0)
+        raster.setSample(x, y, 0, math.max(0, math.min(255, v)))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = render(withGradients = false)
+    val edit = render(withGradients = true)
+    // the construction must actually hold on the ENCODED bytes
+    val hb = graft.functions.ImagePhash.parse(base)
+    val he = graft.functions.ImagePhash.parse(edit)
+    assert(java.lang.Long.bitCount(hb.getLong(0) ^ he.getLong(0)) == 0,
+      "construction: identical aHash")
+    assert(java.lang.Long.bitCount(hb.getLong(1) ^ he.getLong(1)) >= 4,
+      "construction: dHash beyond the match radius")
+    val root = graft.Staging.dirFor("phash-gate-dual")
+    val b0 = Seq((1L, base)).toDF("doc_id", "content")
+    assert(PhashGate.gateBatch(b0, 0L, s"$root/index", s"$root/acc",
+      "doc_id", "content") == 1L)
+    // the gradient edit arrives later, plus a true byte copy of base
+    val b1 = Seq((10L, edit), (11L, base)).toDF("doc_id", "content")
+    assert(PhashGate.gateBatch(b1, 1L, s"$root/index", s"$root/acc",
+      "doc_id", "content") == 1L)
+    assert(acceptedIds(s"$root/acc/batch=1") == Set(10L),
+      "dual verify: the gradient edit is distinct (accepted), the byte copy is a dup (rejected)")
+  }
+
   test("foreachBatch wiring: the streaming form lands the same layouts") {
     val root = graft.Staging.dirFor("phash-gate-stream")
     val src = s"$root/src"
