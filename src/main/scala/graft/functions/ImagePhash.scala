@@ -142,8 +142,9 @@ object ImagePhash {
     * allocation, for anything whose header declares more than
     * [[MaxPixels]]. */
   def parse(bytes: Array[Byte]): InternalRow = {
-    val img = withImageReader[java.awt.image.BufferedImage](bytes)(r =>
-      try guardedRead(r, 0) catch { case _: Exception => null })
+    // withImageReader's own catch converts a decode failure to null
+    val img = withImageReader[java.awt.image.BufferedImage](bytes)(
+      guardedRead(_, 0))
     if (img == null || img.getWidth < 1 || img.getHeight < 1) return null
     val sig = hashImage(img)
     new GenericInternalRow(Array[Any](sig(0), sig(1)))

@@ -21,9 +21,13 @@ object FixtureIO {
     new File(dest).getParentFile.mkdirs()
     Files.move(parts.head.toPath, Paths.get(dest),
       StandardCopyOption.REPLACE_EXISTING)
-    // drop the temp dir (remaining _SUCCESS/CRC files) — leaving one
-    // behind per invocation litters the tmpdir
-    new File(tmp).listFiles().foreach(_.delete())
-    Files.delete(Paths.get(tmp))
+    // drop the temp dir (remaining _SUCCESS/CRC files, and any
+    // _temporary subtree a retried task left) — recursive, and never
+    // after the fixture already landed should cleanup fail the tool
+    def deleteRec(f: File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    deleteRec(new File(tmp))
   }
 }

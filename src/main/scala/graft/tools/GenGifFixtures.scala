@@ -2,7 +2,7 @@ package graft.tools
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayOutputStream, File}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
 import javax.imageio.stream.MemoryCacheImageOutputStream
@@ -163,7 +163,7 @@ object GenGifFixtures {
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     FixtureIO.writeSingleFile(spark, entries.toSeq.toDF(),
-      s"${new File(outDir).getParent}/video_manifest.parquet")
+      s"${new File(outDir).getAbsoluteFile.getParent}/video_manifest.parquet")
     println(s"wrote ${clips.size} clips to $outDir + manifest (${entries.size} frame rows)")
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
@@ -97,7 +97,7 @@ object GenHtmlFixtures {
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     FixtureIO.writeSingleFile(spark, entries.toSeq.toDF(),
-      s"${new File(outDir).getParent}/html_manifest.parquet")
+      s"${new File(outDir).getAbsoluteFile.getParent}/html_manifest.parquet")
     println(s"wrote ${entries.size} pages to $outDir + manifest")
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.awt.image.BufferedImage
 import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 import java.security.MessageDigest
 
 import javax.imageio.ImageIO
@@ -64,7 +64,7 @@ object GenImageFixtures {
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     FixtureIO.writeSingleFile(spark, entries.toSeq.toDF(),
-      s"${new File(outDir).getParent}/images_manifest.parquet")
+      s"${new File(outDir).getAbsoluteFile.getParent}/images_manifest.parquet")
     println(s"wrote ${entries.size} images to $outDir + manifest")
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft.tools
 
 import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
@@ -148,7 +148,7 @@ object GenMediaFixtures {
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     FixtureIO.writeSingleFile(spark, entries.toSeq.toDF(),
-      s"${new File(outDir).getParent}/media_manifest.parquet")
+      s"${new File(outDir).getAbsoluteFile.getParent}/media_manifest.parquet")
     println(s"wrote ${entries.size} media files to $outDir + manifest")
     spark.stop()
   }

@@ -1,7 +1,5 @@
 package graft.tools
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession

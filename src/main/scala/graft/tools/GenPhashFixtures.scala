@@ -2,7 +2,7 @@ package graft.tools
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayOutputStream, File}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
 import javax.imageio.stream.MemoryCacheImageOutputStream
@@ -131,7 +131,7 @@ object GenPhashFixtures {
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     FixtureIO.writeSingleFile(spark, entries.toSeq.toDF(),
-      s"${new File(outDir).getParent}/images_dup_manifest.parquet")
+      s"${new File(outDir).getAbsoluteFile.getParent}/images_dup_manifest.parquet")
     println(s"wrote ${entries.size} images to $outDir + manifest")
     spark.stop()
   }

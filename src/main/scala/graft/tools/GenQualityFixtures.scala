@@ -1,8 +1,5 @@
 package graft.tools
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
