@@ -210,7 +210,7 @@ object Bench {
     "text_rank" -> 7.0,
     // bin histogram + bounded per-group window over ≤ bins rows
     "q_quantile_sketch" -> 3.0,
-    // sf-independent fixture scan (16 pages) + O(|html|) codegen'd
+    // sf-independent fixture scan (18 pages) + O(|html|) codegen'd
     // extraction walk per page
     "text_html_extract" -> 3.0,
     // sf-independent fixture scan (40 files) + O(header) byte probe

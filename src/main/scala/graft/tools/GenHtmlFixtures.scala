@@ -43,7 +43,7 @@ object GenHtmlFixtures {
     val p2 = s"The quick crawl number ${i * 7 % 100} fetched ${i + 3} pages today."
     val p3 = s"Short line $i"
     val nav = "Home About Contact" // boilerplate: no terminal punctuation
-    i % 8 match {
+    i % 10 match {
       case 0 => // plain blocks + inline decoration
         (s"<html><body><p>$p1</p><p>The <b>quick</b> crawl number " +
           s"${i * 7 % 100} fetched <em>${i + 3}</em> pages today.</p></body></html>",
@@ -72,9 +72,16 @@ object GenHtmlFixtures {
       case 6 => // literal '<' in text; br-split lines; nbsp runs
         (s"<p>5 &lt; 6 and 7 < 9 holds for $i.<br>Second&nbsp;&nbsp;line $i.</p>",
           s"5 < 6 and 7 < 9 holds for $i.\nSecond line $i.")
-      case _ => // tables: one row per line; whitespace noise
+      case 7 => // tables: one row per line; whitespace noise
         (s"<table><tr><td>  $p1  </td></tr>\n\n<tr><td>\t$p2</td></tr></table>",
           s"$p1\n$p2")
+      case 8 => // '<' + non-ASCII letter is literal TEXT, not a tag
+        (s"<p>x<у literal $i</p><p>tag<b>s</b> close.</p>",
+          s"x<у literal $i\ntags close.")
+      case _ => // signed numeric references are NOT entities (HTML keeps
+        // them literal; a parseInt that accepts '+' would decode them)
+        (s"<p>signed &#+65; and &#x+41; stay $i.</p><p>ok &#66; works.</p>",
+          s"signed &#+65; and &#x+41; stay $i.\nok B works.")
     }
   }
 
@@ -82,7 +89,7 @@ object GenHtmlFixtures {
     val outDir = args.headOption.getOrElse("fixtures/html")
     new File(outDir).mkdirs()
     val entries = scala.collection.mutable.ArrayBuffer[Entry]()
-    for (i <- 0 until 16) {
+    for (i <- 0 until 18) {
       val (html, expected) = page(i)
       val got = graft.functions.HtmlText.extract(UTF8String.fromString(html))
       require(got != null && got.toString == expected,
