@@ -74,10 +74,15 @@ object Curation {
     * near-dup cluster collapse) is hash-gated end-to-end
     * (`corpus_curation_neardup`), not just its stages individually. */
   def curateNearDupSimhash(docs: DataFrame, idCol: String, textCol: String,
-      minQuality: Double, maxDist: Int = 3): DataFrame =
-    Dedup.dedupBySimhash(curate(docs, idCol, textCol, minQuality),
-      idCol, textCol, maxDist,
+      minQuality: Double, maxDist: Int = 3): DataFrame = {
+    // The scored survivors feed the signature pass AND the keep join
+    // inside [[Dedup.dedupBySimhash]] — materialize once so the
+    // classifier scoring scan (the chain's CPU-heavy leaf) runs once
+    // per invocation instead of once per downstream reference.
+    val curated = curate(docs, idCol, textCol, minQuality).localCheckpoint()
+    Dedup.dedupBySimhash(curated, idCol, textCol, maxDist,
       tokenHash = Dedup.md5TokenHash60, bits = 60, bands = 4)
+  }
 
   /** Benchmark decontamination: drop every corpus document that shares
     * at least one word `n`-gram with the evaluation set — the overlap

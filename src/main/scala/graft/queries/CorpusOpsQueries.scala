@@ -337,8 +337,15 @@ object CorpusOpsQueries {
       else rep
     }
     val gated = corpus.filter(keep)
+    // The curated survivors feed decontaminate TWICE (shingle probe +
+    // the final anti-join), and v2/v3 re-reference the clean relation
+    // again downstream — without a materialization every reference
+    // re-runs the whole curate→simhash-collapse machinery (the v2 plan
+    // held 20 `documents` scans). localCheckpoint truncates the plan at
+    // the chokepoint (guide §3.3): the collapse runs once per
+    // invocation, every downstream stage reads its blocks.
     val curated = Curation.curateNearDupSimhash(gated, "doc_id", "text",
-      minQuality = 0.55)
+      minQuality = 0.55).localCheckpoint()
     Curation.decontaminate(curated, "doc_id", "text",
       bench, "doc_id", "text", n = 3)
   }
@@ -370,7 +377,10 @@ object CorpusOpsQueries {
     * hash, id) pairs only, over survivors only. The whole composition
     * — v1's recursive components plus span df, keep verdicts, and the
     * rebuilt token counts — replays as ONE DuckDB query. */
-  private def packScrubbed(clean: DataFrame): DataFrame = {
+  private def packScrubbed(cleanIn: DataFrame): DataFrame = {
+    // Referenced twice below (span scrub + the pack join) — materialize
+    // once so the decontaminate tail isn't replayed per reference.
+    val clean = cleanIn.localCheckpoint()
     val scrubbed = Chunking.scrubRepeatedSpans(
       clean.select(col("doc_id"), col("text")), "doc_id", "text",
       span = 8, maxDf = 1L)

@@ -161,9 +161,13 @@ object LifecycleQueries {
     val docs = Tables.documents(s, dir)
     val keepIds = docs.groupBy(md5(col("text")).as("fp"))
       .agg(min("doc_id").as("doc_id"))
+    // `uniq` feeds the collapse twice and `unquoted` is referenced by
+    // THREE stages (feature store, target ids, the selection semi-join)
+    // — checkpoint both chokepoints so each stage computes once.
     val uniq = docs.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val unquoted = graft.ops.Dedup.containmentCollapse(uniq, "doc_id",
-      "text", threshold = 0.8)
+      "text", threshold = 0.8).localCheckpoint()
     val featPath = graft.Staging.dirFor("dsir-feats-v5")
     graft.ops.Dsir.writeFeatures(unquoted, "doc_id", "text", 512, featPath)
     val feats = graft.ops.Dsir.readFeatures(s, featPath)

@@ -457,7 +457,10 @@ object ServeQueries {
     val docs = Tables.documents(s, dir)
     val keepIds = docs.groupBy(md5(col("text")).as("fp"))
       .agg(min("doc_id").as("doc_id"))
+    // `uniq` feeds the containment collapse's prefix join AND its final
+    // anti-join — checkpoint so the exact-dedup semi-join runs once.
     val uniq = docs.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val unquoted = graft.ops.Dedup.containmentCollapse(uniq, "doc_id",
       "text", threshold = 0.8)
     val lm = graft.ops.LanguageModel.trainKnBigramLm(
