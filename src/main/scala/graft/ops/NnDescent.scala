@@ -89,7 +89,11 @@ object NnDescent {
     * jump targets collapse (DISTINCT), so a node may start with < k
     * neighbors — the first sweep's top-k refills. */
   private[ops] def randomInit(nodes: DataFrame, k: Int, seed: String): DataFrame = {
-    val (ranked, n) = rankByHash(nodes, seed)
+    // The rank relation feeds the jump derivation AND the r2-lookup join
+    // below — materialize once so the bucketed rank window (a corpus
+    // pass) isn't replayed per reference.
+    val (ranked0, n) = rankByHash(nodes, seed)
+    val ranked = ranked0.localCheckpoint()
     require(n >= 2, s"NN-Descent needs >= 2 nodes (jump ∈ [1, n−1]); got $n")
     val offDf = nodes.sparkSession.range(1, k + 1).toDF("j")
     ranked.crossJoin(broadcast(offDf))
@@ -106,22 +110,39 @@ object NnDescent {
     * undirect → hash-capped adjacencies → local join → top-k refresh. */
   private[ops] def sweep(edges: DataFrame, nodes: DataFrame, k: Int,
       sample: Int, seed: String): DataFrame = {
+    // One c-keyed exchange serves BOTH the undirect-dedup and the cap
+    // window (HashPartitioning(c) satisfies the (c,v) dedup's clustering
+    // AND the window's) — the previous distinct() paid a second full
+    // (c,v) exchange of the same rows just to land them back on c.
     val und = edges.select(col("id").as("c"), col("nbr").as("v"))
       .union(edges.select(col("nbr").as("c"), col("id").as("v")))
-      .distinct()
+      .repartition(col("c"))
+      .dropDuplicates("c", "v")
     // ρ-sampling: cap each adjacency at `sample` members by hash order —
-    // bounds the per-node local join under reverse-degree skew
+    // bounds the per-node local join under reverse-degree skew. The
+    // WindowGroupLimit keeps the per-group state bounded even for hub
+    // nodes; only AFTER the cap is a per-c array bounded (≤ sample), so
+    // the pair emission can fold into ONE aggregation on the same
+    // c-partitioning — the previous capped⋈capped self-join re-ran the
+    // window on both sides and paid the join machinery for pairs that
+    // a bounded array explode produces for free.
     val capped = und.withColumn("hr", row_number().over(
         Window.partitionBy(col("c")).orderBy(
           Dedup.md5TokenHash60(concat(lit(seed), col("c").cast("string"),
             lit("_"), col("v").cast("string"))), col("v"))))
       .filter(col("hr") <= sample)
       .select("c", "v")
-    val cands = capped.join(
-        capped.select(col("c"), col("v").as("w")), Seq("c"))
-      .filter(col("v") =!= col("w"))
-      .select(col("v").as("id"), col("w").as("nbr"))
-      .distinct()
+    // Candidate dedup lands directly on the id partitioning the vector
+    // join needs (HashPartitioning(id) satisfies the (id, nbr) dedup),
+    // instead of a (id, nbr) exchange followed by a second id exchange;
+    // the hot-id concentration is the same the id-join pays anyway.
+    val cands = capped.groupBy(col("c"))
+      .agg(collect_list(col("v")).as("vs"))
+      .select(explode(col("vs")).as("id"), col("vs"))
+      .select(col("id"), explode(col("vs")).as("nbr"))
+      .filter(col("id") =!= col("nbr"))
+      .repartition(col("id"))
+      .dropDuplicates("id", "nbr")
     val scoredCands = cands
       .join(nodes.select(col("id"), col("vec")), Seq("id"))
       .join(nodes.select(col("id").as("nbr"), col("vec").as("nvec")), Seq("nbr"))
@@ -282,17 +303,23 @@ object NnDescent {
       cand.join(nodes.select(col("id"), col("vec")), Seq("id"))
         .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
         .select(col("qid"), col("id"), cosRounded(col("qvec"), col("vec")).as("score"))
-    var visited = score(entryPairs.select("qid", "id"))
-      .localCheckpoint()
-    var frontier = topPerQ(visited, beam).select("qid", "id")
+    // Visited is kept as the LAZY union of per-hop checkpointed parts:
+    // each hop materializes only ITS newly scored rows (one action per
+    // hop) instead of re-checkpointing the whole accumulated visited
+    // relation every hop (hops× re-copies of the same rows — a third of
+    // the walk's jobs for nothing; the parts are already on blocks, so
+    // the anti-join and the final top-k read them for free).
+    var parts = List(score(entryPairs.select("qid", "id")).localCheckpoint())
+    def visitedAll: DataFrame = parts.reduceLeft(_ union _)
+    var frontier = topPerQ(parts.head, beam).select("qid", "id")
     (1 to hops).foreach { _ =>
       val cand = expand(frontier)
-        .join(visited.select("qid", "id"), Seq("qid", "id"), "left_anti")
+        .join(visitedAll.select("qid", "id"), Seq("qid", "id"), "left_anti")
       val sc = score(cand).localCheckpoint()
-      visited = visited.union(sc).localCheckpoint()
+      parts ::= sc
       frontier = topPerQ(sc, beam).select("qid", "id")
     }
-    visited
+    visitedAll
   }
 
   private def beamWalk(nodes: DataFrame, queries: DataFrame, k: Int,

@@ -151,9 +151,12 @@ object Opq {
     val dsub = d / m
     val order = allocate(basis.sortBy(_.component).map(_.eigenvalue), m)
     val mat = rotationMatrix(basis, order)
+    // Lloyd reads the rotated corpus once for its seeds and once per
+    // iteration — materialize the rotation (the d² matvec pass) once
+    // instead of re-rotating per read.
     val unit = corpus.select(col("id"),
       graft.functions.functions.rotate_project(col("vec"), mat,
-        normalize = true).as("v"))
+        normalize = true).as("v")).localCheckpoint()
 
     Model(order, PqIndex.lloydL2(unit, d, m, k, iters))
   }
@@ -349,16 +352,18 @@ object Opq {
     var bestE = Double.PositiveInfinity
     import corpus.sparkSession.implicits._
     (1 to optIters).foreach { it =>
+      // The rotated-unit corpus feeds the Lloyd seeds, every Lloyd
+      // iteration, AND the cross-moment pass — materialize it once per
+      // optimization round so the d² matvec rotation is one corpus pass
+      // per round instead of four; the cross pass derives its encode
+      // input from the stored v (augmentVecCol ≡ appendEvery = dsub on
+      // the same rotated floats) rather than re-rotating.
       val unit = corpus.select(col("id"),
         graft.functions.functions.rotate_project(col("vec"), rot,
-          normalize = true).as("v"))
+          normalize = true).as("v")).localCheckpoint()
       val cb = PqIndex.lloydL2(unit, d, m, k, pqIters)
-      val rows = corpus.select(
-          graft.functions.functions.rotate_project(col("vec"), rot,
-            normalize = true).as("v"),
-          PqIndex.encode(
-            graft.functions.functions.rotate_project(col("vec"), rot,
-              normalize = true, appendEvery = dsub),
+      val rows = unit.select(col("v"),
+          PqIndex.encode(PqIndex.augmentVecCol(col("v"), d, dsub),
             augment(cb)).as("codes"))
         .as[CrossRow]
       // one whole-dataset typed aggregation → d² buffer + scalars

@@ -181,9 +181,11 @@ class NnDescentSpec extends SparkSpec {
       case q: QueryStageExec => flatten(q.plan)
       case _ => p.children.flatMap(flatten)
     })
-    val init = NnDescent.randomInit(nodes, k = 5, seed = "nnd")
-    init.collect()
-    val wins = flatten(init.queryExecution.executedPlan)
+    // randomInit checkpoints the rank relation (it feeds two joins), so
+    // the window lives in rankByHash's own plan — assert there.
+    val (ranked, _) = NnDescent.rankByHash(nodes, "nnd")
+    ranked.collect()
+    val wins = flatten(ranked.queryExecution.executedPlan)
       .collect { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the within-bucket rank window")
     assert(wins.forall(_.partitionSpec.nonEmpty),
