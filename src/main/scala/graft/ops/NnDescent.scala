@@ -308,16 +308,26 @@ object NnDescent {
     // hop) instead of re-checkpointing the whole accumulated visited
     // relation every hop (hops× re-copies of the same rows — a third of
     // the walk's jobs for nothing; the parts are already on blocks, so
-    // the anti-join and the final top-k read them for free).
-    var parts = List(score(entryPairs.select("qid", "id")).localCheckpoint())
-    def visitedAll: DataFrame = parts.reduceLeft(_ union _)
-    var frontier = topPerQ(parts.head, beam).select("qid", "id")
+    // the anti-join and the final top-k read them for free). The
+    // per-hop beam rank is folded INTO the checkpointed relation, so
+    // the next hop's frontier (and its expand-side collect) is a
+    // filter over blocks rather than a fresh window job.
+    def ranked(df: DataFrame): DataFrame =
+      df.withColumn("hop_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+    var parts = List(
+      ranked(score(entryPairs.select("qid", "id"))).localCheckpoint())
+    def visitedAll: DataFrame =
+      parts.map(_.select("qid", "id", "score")).reduceLeft(_ union _)
+    def beamOf(part: DataFrame): DataFrame =
+      part.filter(col("hop_rank") <= beam).select("qid", "id")
+    var frontier = beamOf(parts.head)
     (1 to hops).foreach { _ =>
       val cand = expand(frontier)
         .join(visitedAll.select("qid", "id"), Seq("qid", "id"), "left_anti")
-      val sc = score(cand).localCheckpoint()
+      val sc = ranked(score(cand)).localCheckpoint()
       parts ::= sc
-      frontier = topPerQ(sc, beam).select("qid", "id")
+      frontier = beamOf(sc)
     }
     visitedAll
   }
@@ -749,13 +759,18 @@ object NnDescent {
       sample: Int = 0, seed: String = "nnd"): DataFrame = {
     require(iters >= 1 && k >= 1)
     val cap = if (sample > 0) sample else 2 * k
-    val init = randomInit(nodes, k, seed)
+    // The init relation is already ≤ k edges per node (k jump targets,
+    // duplicates collapsed, self-edges dropped), so the first sweep's
+    // own top-k refresh subsumes any init cap — the previous
+    // saltedTopK here was a no-op rank pass (two windows + their
+    // exchanges) whose rank column no sweep reads. Checkpointed
+    // because the sweep reads its edge input three times (both
+    // undirect directions + the old∪candidate union).
+    var g = randomInit(nodes, k, seed)
       .join(nodes.select(col("id"), col("vec")), Seq("id"))
       .join(nodes.select(col("id").as("nbr"), col("vec").as("nvec")), Seq("nbr"))
       .select(col("id"), col("nbr"), cosRounded(col("vec"), col("nvec")).as("score"))
-    var g = Skew.saltedTopK(init, Seq("id"),
-        Seq(col("score").desc, col("nbr").asc), k, saltBy = col("nbr"))
-      .select(col("id"), col("nbr"), col("score"), col("rank"))
+      .localCheckpoint()
     (1 to iters).foreach { _ =>
       g = sweep(g, nodes, k, cap, seed).localCheckpoint()
     }

@@ -45,12 +45,17 @@ object ResidualPq {
       m: Int = 8, k: Int = 16, iters: Int = 2,
       seed: String = "km"): PqIndex.Codebooks = {
     val dim = centroids(0).length
+    // Lloyd reads its input for the seeds and once per iteration —
+    // materialize the residual pass (cell assignment k·d matvec +
+    // residual, plus the rotation in the rotated form) once instead of
+    // re-running it per read.
     val resid = IvfIndex.assignCells(
         corpus.select(col("id"), col("vec")), "id", "vec", centroids)
       .select(col("id"),
         graft.functions.functions.cell_residual(col("vec"), col("cell"),
           IvfIndex.unitRows(centroids), normalize = true).as("v"))
       .filter(col("v").isNotNull)
+      .localCheckpoint()
     PqIndex.lloydL2(resid, dim, m, k, iters, seed)
   }
 

@@ -990,8 +990,11 @@ object PipelineQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // The rotated corpus feeds the coarse trainer's seed pass and every
+    // Lloyd iteration — materialize the rotation once per invocation.
     val rotated = corpus.select(col("id"),
       graft.functions.functions.rotate_project(col("vec"), rot).as("vec"))
+      .localCheckpoint()
     val centroids = IvfIndex.train(rotated, "id", "vec", k = 8, iters = 2)
     val cb = graft.ops.ResidualPq.trainCodebooksRotated(corpus, rot,
       centroids, m = 8, k = 16, iters = 2)
@@ -1019,8 +1022,11 @@ object PipelineQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // The rotated corpus feeds the coarse trainer's seed pass and every
+    // Lloyd iteration — materialize the rotation once per invocation.
     val rotated = corpus.select(col("id"),
       graft.functions.functions.rotate_project(col("vec"), rot).as("vec"))
+      .localCheckpoint()
     val centroids = IvfIndex.train(rotated, "id", "vec", k = 8, iters = 2,
       seed = graft.ops.SelectedSeeds.opq)
     val cb = graft.ops.ResidualPq.trainCodebooksRotated(corpus, rot,
